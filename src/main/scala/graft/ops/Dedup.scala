@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * Extension surface beyond the reference (SURVEY §2.3) — the reference
+  * routes messages and never compares them to each other.
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup shuffles on a 64-bit content hash, NOT the full text, so
+  *     shuffle volume is keys + doc ids, not payloads;
+  *   - MinHash/SimHash banding bounds the candidate-join fan-out: only rows
+  *     sharing a band bucket meet, so the shuffle is O(rows × bands) small
+  *     fixed-width keys and the join never goes quadratic unless the data
+  *     is pathologically self-similar (mitigate with bucket-size caps);
+  *   - all ops are pure DataFrame transforms — no driver-side state, no
+  *     collect; AQE handles skewed buckets.
+  */
+object Dedup {
+
+  /** Whitespace tokenization shared by the shingle-based ops. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity.
+    * `transform(sequence(...))` keeps everything inside Catalyst — no UDF.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(w) - n, lit(0))),
+        i => array_join(slice(w, i + 1, lit(n)), " "),
+      )
+    )
+  }
+
+  /** Exact duplicate groups: one row per distinct `col`, with the keeper
+    * (min id) and the duplicate count. Shuffle key is xxhash64(col) — the
+    * full value only travels for group disambiguation.
+    */
+  def exactDupGroups(df: DataFrame, on: String, idCol: String): DataFrame =
+    df.groupBy(col(on))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup keeping the smallest id per duplicate group — the
+    * deterministic flavor of `dropDuplicates` (whose survivor choice is
+    * otherwise arbitrary). For streams, use
+    * `dropDuplicatesWithinWatermark` instead.
+    */
+  def exactDedup(df: DataFrame, on: String, idCol: String): DataFrame = {
+    val keepers = df.groupBy(col(on)).agg(min(col(idCol)).as(idCol))
+    df.join(keepers, Seq(on, idCol), "leftsemi")
+  }
+
+  /** MinHash signature as an array<long> column: for shingle set S,
+    * sig[j] = min over s∈S of ((a_j * xxhash64(s) + b_j) mod p).
+    * Pure higher-order functions — the per-row cost is k×|S| multiplies,
+    * no UDF, no shuffle.
+    */
+  def minHashSignature(shingleCol: Column, k: Int, p: Long = 2147483647L): Column =
+    graft.functions.VectorFunctions.minHashSig(shingleCol, k, p)
+
+  /** MinHash + LSH banding: emits (band, bucket, id) rows; ids sharing a
+    * (band, bucket) are near-dup candidates. bands × rowsPerBand = k.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minHashSignature(shingles(col(textCol), shingleN), k)
+    df.select(col(idCol), sig.as("sig"))
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"), xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("bucket")),
+          )
+        ).as("bb"),
+      )
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH (distinct id pairs, a<b). The join
+    * is band-bucket-local: shuffle key (band, bucket) keeps it linear.
+    */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates, then exact Jaccard
+    * verification computed ONLY for candidate pairs (array_intersect on the
+    * two shingle sets — O(candidates), never all-pairs). This is the
+    * 100 TB-scale near-dup path; `jaccardPairs` below is the brute-force
+    * oracle it is validated against in the spec suite.
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given id pairs (verification pass
+    * after LSH, or standalone brute force on small inputs).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+                   threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes.
+    * aggregate+zip_with keeps the 64-lane vote vectorized in one pass.
+    */
+  def simHash(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when((call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L))) === 1L, lit(1L)).otherwise(lit(-1L))),
+    )
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x),
+    )
+  }
+
+  /** SimHash near-dup pairs via the pigeonhole principle: split the 64-bit
+    * hash into `maxHamming + 1` chunks — hamming ≤ maxHamming GUARANTEES at
+    * least one chunk is equal, so recall is exact (not probabilistic). Join
+    * per chunk (linear self-joins on small fixed-width keys), then exact
+    * hamming filter with `bit_count`.
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPer = (64 + nChunks - 1) / nChunks
+    val mask = (1L << bitsPer) - 1
+    val withSim = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val chunks = withSim.select(
+      col("id"), col("sim"),
+      explode(
+        transform(sequence(lit(0), lit(nChunks - 1)),
+          c => struct(c.as("chunk"), call_function("shiftright", col("sim"), (c * bitsPer).cast("int")).bitwiseAND(lit(mask)).as("ck")))
+      ).as("cc"),
+    ).select(col("id"), col("sim"), col("cc.chunk"), col("cc.ck"))
+    val l = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table (SURVEY §2.3): tumbling
+  * windows, sessionization, JSON extraction, watermarked streaming
+  * variants. Batch forms are oracle-checkable; streaming forms reuse the
+  * same expressions behind `withWatermark`.
+  *
+  * Scale notes: window aggregation shuffles once on (window, key) with
+  * partial aggregation map-side; sessionization uses `session_window`
+  * (streaming-capable) — the batch oracle reproduces it with the classic
+  * gaps-and-islands construction (lag + cumulative sum), which shuffles
+  * once on user_id.
+  */
+object Events {
+
+  /** Tumbling-window aggregate; window start emitted as epoch seconds so
+    * result comparison is timezone/format-proof.
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user with a max gap: one row per (user, session)
+    * with bounds and event count. Uses Spark's native session_window (the
+    * same construct works under `withWatermark` in streaming).
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"))
+
+  /** JSON extraction from the `props` string column (the reference never
+    * parses payloads — SURVEY §2.2 notes this gap explicitly; here JSON is
+    * a first-class citizen via get_json_object/from_json).
+    */
+  def propsK(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+
+  /** Streaming variant of `tumbling` with a watermark for late data. */
+  def tumblingStream(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Per-user running value (analytic window function surface). */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), col("event_id"),
+      round(sum(col("value")).over(run), 2).as("running_value"),
+      row_number().over(ord).as("seq"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY §2.3): image/audio/video as opaque
+  * `binary` columns with typed metadata, plus batch feature extraction.
+  *
+  * The decode step is a clearly-marked DETERMINISTIC FAKE (no image/audio
+  * libraries ship in this environment). Everything around it — the schema,
+  * the partition-wise batch iteration, the output shape — is the real
+  * plumbing a production decoder (native lib / vectorized UDF) would slot
+  * into: swap `fakeDecode` for the real codec and nothing else changes.
+  *
+  * Scale notes: media blobs ride as binary parquet pages; the feature
+  * extractor is `mapPartitions` (one JVM-side batch iterator per
+  * partition — the Scala analogue of `mapInPandas` batching), so decode
+  * amortizes per-partition setup and never touches the driver.
+  */
+object Multimodal {
+
+  /** Media row schema: opaque payload + typed metadata struct — the
+    * canonical multimodal column layout.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", LongType),
+    ))),
+  ))
+
+  /** Derive a deterministic media table from `documents` (text bytes stand
+    * in for image payloads; metadata derived from content so it is stable
+    * and oracle-checkable).
+    */
+  def fromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        // FAKE header parse: format from doc_id, dims from content length
+        element_at(array(lit("png"), lit("jpeg"), lit("webp")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        (pmod(col("n_chars"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col("n_chars") * 7, lit(480)) + 32).cast("int").as("height"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      ).as("meta"),
+    )
+
+  /** FAKE DECODE — stands in for image decoding. Deterministic features of
+    * the payload bytes: byte-sum "brightness", length, simple byte
+    * histogram buckets. A real implementation replaces this function body
+    * with the codec call; the signature and batching stay.
+    */
+  def fakeDecodeFeatures(payload: Array[Byte]): (Long, Long, Long) = {
+    var sum = 0L; var nonAscii = 0L
+    var i = 0
+    while (i < payload.length) {
+      sum += (payload(i) & 0xFF)
+      if ((payload(i) & 0xFF) > 127) nonAscii += 1
+      i += 1
+    }
+    (payload.length.toLong, sum, nonAscii)
+  }
+
+  /** Partition-wise batch feature extraction over media payloads: the
+    * Scala analogue of a `mapInPandas` batch UDF. One row in → one feature
+    * row out; per-partition (not per-row) decoder setup.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("n_bytes", LongType),
+      StructField("byte_sum", LongType),
+      StructField("n_high_bytes", LongType),
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (native lib handle etc.)
+        rows.map { r =>
+          val (len, sum, hi) = fakeDecodeFeatures(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("format"), len, sum, hi)
+        }
+      }(enc)
+  }
+
+  /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
+    * "frames" and emit every `stride`-th frame index with its byte slice —
+    * the shape of video frame extraction, minus the codec. Pure Catalyst
+    * (substring on binary), no UDF.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    media.select(
+      col("media_id"),
+      explode(
+        transform(
+          filter(sequence(lit(0), (length(col("payload")) / frameBytes).cast("int")),
+            i => pmod(i, lit(stride)) === 0),
+          i => struct(i.as("frame_idx"),
+            col("payload").substr(i * frameBytes + 1, lit(frameBytes)).as("frame")),
+        )
+      ).as("f"),
+    ).select(col("media_id"), col("f.frame_idx"), length(col("f.frame")).as("frame_len"))
+}

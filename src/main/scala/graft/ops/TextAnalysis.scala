@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY §2.3):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure Catalyst expressions — per-row, shuffle-free, codegen-friendly;
+  * at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation via regex: letter runs, digit runs,
+    * single other glyphs — a deterministic stand-in for a learned BPE
+    * vocabulary with the same column plumbing.
+    */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def subwordCount(text: Column): Column = size(subwordTokens(text))
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword heuristic
+    * language ID. Deterministic, vocabulary-driven — production would swap
+    * in real frequency profiles; the scoring plumbing is identical.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+    "fr" -> Seq("le", "la", "et", "de", "vite"),
+    "es" -> Seq("el", "la", "y", "de", "rapido"),
+    "de" -> Seq("der", "die", "und", "von", "schnell"),
+    "zh" -> Seq("de", "he", "shi", "kuai"),
+  )
+
+  /** Heuristic language ID: score = count of marker tokens per language;
+    * argmax with deterministic lexicographic tie-break. One pass over the
+    * token array per language — all inside Catalyst.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langMarkers.map { case (lang, markers) =>
+      val score = size(filter(toks, t => t.isInCollection(markers)))
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score; ties broken by greatest
+    // lang string — invert by comparing on (score, reversed-rank) instead:
+    // deterministic as long as both engines use the same rule. We use
+    // (score DESC, lang ASC) via array_sort + first element.
+    val arr = array(scored: _*)
+    val sorted = array_sort(arr, (l, r) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("lang") < r.getField("lang"), -1)
+        .when(l.getField("lang") > r.getField("lang"), 1)
+        .otherwise(0))
+    element_at(sorted, 1).getField("lang")
+  }
+
+  /** Quality-scoring feature columns (length, token stats, punctuation and
+    * stopword ratios) + a composite [0,1] score. All arithmetic kept in
+    * integer/decimal-safe forms so a SQL oracle reproduces it exactly.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val en = langMarkers.head._2
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        round(aggregate(toks, lit(0L), (s, x) => s + length(x)).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("punct_ratio",
+        round(size(filter(subwordTokens(t), s => s.rlike("^[^A-Za-z0-9]$"))).cast("double") /
+          greatest(subwordCount(t), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, x => lower(x).isInCollection(en))).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with sane
+    * token lengths and some stopwords. Thresholds are arbitrary but fixed.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol)
+      .withColumn("quality_score",
+        round(
+          (when(col("n_tokens").between(10, 200), 0.4).otherwise(0.0)
+            + when(col("avg_token_len").between(2.0, 10.0), 0.3).otherwise(0.0)
+            + when(col("stopword_ratio") > 0.0, 0.3).otherwise(0.0)), 2))
+
+  /** Polynomial rolling-hash fingerprint over the full text:
+    * h = fold(h * 31 + codepoint) mod 1e9+7. Codegen-friendly and exactly
+    * reproducible in any SQL engine with a fold — used for cheap
+    * content-addressing and exact-dup bucketing where the raw text is too
+    * wide to shuffle.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => pmod(h * 31 + c, lit(1000000007L)),
+    )
+}
