@@ -1,0 +1,68 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf0001}
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest right value at or before each left row, per key") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 05:00:00")),
+      (2L, 10L, t("2024-01-01 07:00:00")),
+      (3L, 11L, t("2024-01-01 05:00:00")), // key 11 has no prior right row
+    ).toDF("lid", "k", "lt")
+    val right = Seq(
+      (10L, t("2024-01-01 04:00:00"), 100.0),
+      (10L, t("2024-01-01 06:00:00"), 200.0),
+      (10L, t("2024-01-01 08:00:00"), 300.0),
+    ).toDF("rk", "rt", "rv")
+    val got = Analytics.asOfJoin(left, right, "k", "rk", "lt", "rt", "rv")
+      .select($"lid", $"asof_val").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None))
+  }
+
+  test("asOfJoin: right row at EXACTLY left time is included ('at or before')") {
+    val left = Seq((1L, 5L, t("2024-01-01 06:00:00"))).toDF("lid", "k", "lt")
+    val right = Seq((5L, t("2024-01-01 06:00:00"), 42.0)).toDF("rk", "rt", "rv")
+    val got = Analytics.asOfJoin(left, right, "k", "rk", "lt", "rt", "rv")
+      .select($"asof_val").as[Option[Double]].head()
+    assert(got.contains(42.0))
+  }
+
+  test("bandedRangeJoin equals the naive theta join on real events") {
+    val ev = Tables.events(spark, sf0001)
+    val probes = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("probe_id"), $"user_id", $"ts".as("p_ts"))
+    val hits = ev.filter($"event_type" === "error")
+      .select($"event_id".as("hit_id"), $"user_id".as("h_user"), $"ts".as("h_ts"))
+    val banded = Analytics.bandedRangeJoin(probes, hits, "user_id", "h_user", "p_ts", "h_ts", 3600L)
+      .select("probe_id", "hit_id").as[(Long, Long)].collect().toSet
+    val naive = probes.join(hits,
+        $"user_id" === $"h_user" &&
+          unix_timestamp($"h_ts").between(unix_timestamp($"p_ts") - 3600, unix_timestamp($"p_ts")))
+      .select("probe_id", "hit_id").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    assert(banded.nonEmpty)
+  }
+
+  test("pricing summary groups are complete and positive") {
+    val rows = Analytics.pricingSummary(spark, sf0001)
+    assert(rows.count() > 0)
+    val r = rows.select($"sum_qty", $"count_order").as[(Double, Long)].collect()
+    r.foreach { case (q, c) => assert(q > 0); assert(c > 0) }
+  }
+
+  test("rollup emits leaf, subtotal and grand-total rows") {
+    val rows = Analytics.ordersRollup(spark, sf0001)
+      .select("status", "priority").as[(String, String)].collect()
+    assert(rows.contains(("ALL", "ALL")))
+    assert(rows.exists { case (s, p) => s != "ALL" && p == "ALL" })
+    assert(rows.exists { case (s, p) => s != "ALL" && p != "ALL" })
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf0001}
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("shingles: 3-grams of a short text, deduped") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(Dedup.shingles($"text", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b")) // shorter than n: whole text as one shingle
+  }
+
+  test("exactDedup keeps exactly the min id per group") {
+    val df = Seq((10L, "x"), (3L, "x"), (7L, "y")).toDF("id", "k")
+    val kept = Dedup.exactDedup(df, "k", "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 7L))
+  }
+
+  test("minhash LSH near-dups equal brute-force jaccard pairs on real docs") {
+    // The scale path (LSH + verify-candidates) must agree with the exact
+    // quadratic op at the 0.5 threshold on the planted near-dup corpus.
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
+  test("simhash pigeonhole banding finds ALL pairs within maxHamming") {
+    val viaBanding = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: all-pairs hamming over the raw simhash values
+    val sims = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
+    val brute = sims.as("a").join(sims.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.s".bitwiseXOR($"b.s")).as("h"))
+      .filter($"h" <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(viaBanding == brute)
+    assert(viaBanding.nonEmpty)
+  }
+
+  test("minhash signature is deterministic and k-wide") {
+    val sig = docs.limit(5)
+      .select(Dedup.minHashSignature(Dedup.shingles($"text", 3), 64).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sig.forall(_.size == 64))
+    val sig2 = docs.limit(5)
+      .select(Dedup.minHashSignature(Dedup.shingles($"text", 3), 64).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sig.toSeq == sig2.toSeq)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.{spark, sf0001}
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("native VecDot equals the HOF formulation bit-for-bit") {
+    val hof = aggregate(
+      zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+    val rows = emb.limit(50)
+      .select(Similarity.dot($"embedding", $"embedding").as("native"), hof.as("hof"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) => assert(n == h) } // exact, not approx
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val c = emb.limit(10)
+      .select(round(Similarity.cosine($"embedding", $"embedding"), 9))
+      .as[Double].collect()
+    c.foreach(v => assert(v == 1.0))
+  }
+
+  test("brute-force top-k: ranks are 1..k, neighbors exclude self, ordered") {
+    val topk = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5)
+    val rows = topk.select("query_id", "rank", "neighbor_id", "cosine_r")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.length == 15)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(!rs.exists(_._3 == q)) // no self-match
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k recall vs brute force is usable (nprobe trades recall)") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, stride = 25, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed — bucketing broken")
+    assert(ivf.size == brute.size) // still returns full k per query
+  }
+
+  test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) => assert(a < b); assert(c >= 0.4) }
+  }
+
+  test("signBits buckets angularly-close vectors together more than random") {
+    val withBits = emb.select($"vec_id", Similarity.signBits($"embedding", 8, 64).as("bits"))
+    val n = withBits.select("bits").distinct().count()
+    assert(n > 1 && n <= 256) // 8 bits → ≤256 buckets, actually splits data
+  }
+}
