@@ -1,0 +1,113 @@
+package graft.config
+
+/** Environment-variable configuration surface, carrying over the
+  * reference's deployment contract (reference main.go:42-85 envconfig tags,
+  * main.go:176-187 env intake, env-test:1-18) so an operator of the
+  * reference can deploy this engine with the same environment.
+  *
+  * Env vars honored:
+  *   SPLIT_CONF            base64(YAML routing plan)        (main.go:289-305)
+  *   BROKER_LIST           comma-separated bootstrap servers (main.go:44)
+  *   GROUP_PREFIX / GROUP_SUFFIX  consumer-group identity   (main.go:318-323)
+  *   READER_START_OFFSET   "earliest" semantics default      (main.go:62)
+  *   WRITER_BATCH_SIZE     producer batch size, default 100  (main.go:484-488)
+  *   WRITER_BATCH_TIMEOUT  flush interval, default 10s       (main.go:439)
+  *   SSL_PRIVATE_KEY / SSL_CERTIFICATE / SSL_CA  base64 PEM  (main.go:223-280)
+  *   SSL_INSECURE_SKIP_VERIFY                                (main.go:236-240)
+  *   SASL_USERNAME / SASL_PASSWORD                           (main.go:282-287)
+  *   DEBUG                 verbose logging                   (main.go:189-195)
+  *   CHECKPOINT_ROOT       (new) streaming checkpoint base path
+  *
+  * NOTE on SSL_INSECURE_SKIP_VERIFY: the reference initializes skip-verify
+  * to true and its env check can only re-set it to true (main.go:179,
+  * 236-240), so verification is ALWAYS off — a latent security bug
+  * (SURVEY §2.1 S6). Here the flag is honored properly and defaults to
+  * false (verify certificates).
+  */
+final case class EnvConfig(
+    splitConfB64: Option[String],
+    brokerList: String,
+    groupPrefix: String,
+    groupSuffix: String,
+    startOffset: String,
+    writerBatchSize: Int,
+    writerBatchTimeout: String,
+    sslPrivateKeyB64: Option[String],
+    sslCertificateB64: Option[String],
+    sslCaB64: Option[String],
+    sslInsecureSkipVerify: Boolean,
+    saslUsername: Option[String],
+    saslPassword: Option[String],
+    debug: Boolean,
+    checkpointRoot: String,
+) {
+  def plan: SpliterCollection =
+    PlanCodec.fromBase64(splitConfB64.getOrElse(
+      throw new IllegalArgumentException("SPLIT_CONF not set")))
+
+  def resolvedSpliters: Seq[ResolvedSpliter] = PlanResolver.resolve(plan)
+
+  /** Kafka DataSource options shared by source and sink: transport security
+    * (S6/S7). Spark's Kafka connector takes JKS/PEM via kafka.ssl.* and
+    * SASL via JAAS config.
+    */
+  def kafkaSecurityOptions: Map[String, String] = {
+    val ssl = (sslPrivateKeyB64, sslCertificateB64) match {
+      case (Some(_), Some(_)) =>
+        Map(
+          "kafka.security.protocol" -> (if (saslUsername.isDefined) "SASL_SSL" else "SSL"),
+          "kafka.ssl.endpoint.identification.algorithm" ->
+            (if (sslInsecureSkipVerify) "" else "https"),
+        )
+      case _ => Map.empty[String, String]
+    }
+    val sasl = (saslUsername, saslPassword) match {
+      case (Some(u), Some(p)) =>
+        Map(
+          "kafka.sasl.mechanism" -> "PLAIN",
+          "kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+              s"""username="$u" password="$p";"""),
+        ) ++ (if (ssl.isEmpty) Map("kafka.security.protocol" -> "SASL_PLAINTEXT") else Map.empty)
+      case _ => Map.empty[String, String]
+    }
+    ssl ++ sasl
+  }
+
+  /** Producer batching passthrough (B1): the reference buffers `batchSize`
+    * messages per topic; the Kafka producer's linger/batch options are the
+    * transport-level equivalent.
+    */
+  def kafkaSinkOptions: Map[String, String] = Map(
+    "kafka.linger.ms" -> "100",
+    "kafka.batch.size" -> (writerBatchSize * 1024).toString,
+  ) ++ kafkaSecurityOptions
+}
+
+object EnvConfig {
+  def fromEnv(env: Map[String, String] = sys.env): EnvConfig = {
+    def get(k: String) = env.get(k).filter(_.nonEmpty)
+    val prefix = get("GROUP_PREFIX").getOrElse("graft")
+    val suffix = get("GROUP_SUFFIX").getOrElse("0")
+    // reference caps affixes at 64 chars (main.go:207-221)
+    require(prefix.length <= 64, "GROUP_PREFIX exceeds 64 chars")
+    require(suffix.length <= 64, "GROUP_SUFFIX exceeds 64 chars")
+    EnvConfig(
+      splitConfB64 = get("SPLIT_CONF"),
+      brokerList = get("BROKER_LIST").getOrElse("localhost:9092"),
+      groupPrefix = prefix,
+      groupSuffix = suffix,
+      startOffset = get("READER_START_OFFSET").getOrElse("earliest"),
+      writerBatchSize = get("WRITER_BATCH_SIZE").map(_.toInt).getOrElse(100),
+      writerBatchTimeout = get("WRITER_BATCH_TIMEOUT").getOrElse("10 seconds"),
+      sslPrivateKeyB64 = get("SSL_PRIVATE_KEY"),
+      sslCertificateB64 = get("SSL_CERTIFICATE"),
+      sslCaB64 = get("SSL_CA"),
+      sslInsecureSkipVerify = get("SSL_INSECURE_SKIP_VERIFY").exists(_.toBoolean),
+      saslUsername = get("SASL_USERNAME"),
+      saslPassword = get("SASL_PASSWORD"),
+      debug = get("DEBUG").exists(_.toBoolean),
+      checkpointRoot = get("CHECKPOINT_ROOT").getOrElse("/tmp/graft-checkpoints"),
+    )
+  }
+}

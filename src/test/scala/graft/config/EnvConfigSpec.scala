@@ -1,0 +1,60 @@
+package graft.config
+
+import java.util.Base64
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.DocRoutePlan
+
+class EnvConfigSpec extends AnyFunSuite {
+
+  private val b64 = Base64.getEncoder.encodeToString(DocRoutePlan.yaml.getBytes("UTF-8"))
+
+  test("defaults mirror the reference's (batch 100, earliest, no TLS)") {
+    val c = EnvConfig.fromEnv(Map.empty)
+    assert(c.writerBatchSize == 100)       // main.go:484-488 default
+    assert(c.startOffset == "earliest")    // main.go:62 FirstOffset
+    assert(c.writerBatchTimeout == "10 seconds") // main.go:439 flush timer
+    assert(!c.sslInsecureSkipVerify)       // FIXED vs reference (always-true bug)
+    assert(c.kafkaSecurityOptions.isEmpty)
+  }
+
+  test("full env decodes plan + identity + batching") {
+    val c = EnvConfig.fromEnv(Map(
+      "SPLIT_CONF" -> b64, "BROKER_LIST" -> "k1:9092,k2:9092",
+      "GROUP_PREFIX" -> "pfx", "GROUP_SUFFIX" -> "sfx",
+      "WRITER_BATCH_SIZE" -> "7", "WRITER_BATCH_TIMEOUT" -> "1 seconds"))
+    assert(c.brokerList == "k1:9092,k2:9092")
+    assert(c.writerBatchSize == 7)
+    assert(c.plan.spliters.head.inputTopic == "documents")
+    assert(c.resolvedSpliters.head.splits(2).topic.isEmpty) // R5 drop survives
+  }
+
+  test("group affixes over 64 chars are rejected (main.go:207-221 caps)") {
+    intercept[IllegalArgumentException] {
+      EnvConfig.fromEnv(Map("GROUP_PREFIX" -> ("p" * 65)))
+    }
+  }
+
+  test("SASL-only env yields PLAIN over SASL_PLAINTEXT") {
+    val c = EnvConfig.fromEnv(Map("SASL_USERNAME" -> "u", "SASL_PASSWORD" -> "p"))
+    val o = c.kafkaSecurityOptions
+    assert(o("kafka.sasl.mechanism") == "PLAIN")
+    assert(o("kafka.security.protocol") == "SASL_PLAINTEXT")
+    assert(o("kafka.sasl.jaas.config").contains("username=\"u\""))
+  }
+
+  test("TLS + SASL yields SASL_SSL with hostname verification ON by default") {
+    val c = EnvConfig.fromEnv(Map(
+      "SSL_PRIVATE_KEY" -> "a", "SSL_CERTIFICATE" -> "b",
+      "SASL_USERNAME" -> "u", "SASL_PASSWORD" -> "p"))
+    val o = c.kafkaSecurityOptions
+    assert(o("kafka.security.protocol") == "SASL_SSL")
+    assert(o("kafka.ssl.endpoint.identification.algorithm") == "https")
+  }
+
+  test("skip-verify must be explicitly requested (bug in reference fixed)") {
+    val c = EnvConfig.fromEnv(Map(
+      "SSL_PRIVATE_KEY" -> "a", "SSL_CERTIFICATE" -> "b",
+      "SSL_INSECURE_SKIP_VERIFY" -> "true"))
+    assert(c.kafkaSecurityOptions("kafka.ssl.endpoint.identification.algorithm") == "")
+  }
+}

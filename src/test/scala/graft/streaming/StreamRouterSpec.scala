@@ -30,18 +30,18 @@ class StreamRouterSpec extends AnyFunSuite {
     val input = MemoryStream[(String, String)]
     val routed = StreamRouter.routeStream(
       input.toDF().toDF("key", "value"), spliter)
-    val q = routed.writeStream
-      .format("memory").queryName("route_out")
-      .trigger(Trigger.AvailableNow())
-      .start()
     input.addData(
       ("k1", "xx alpha yy"),      // -> a-topic
       ("k2", "xx beta yy"),       // dropped (claimed, discarded)
       ("k3", "xx gamma yy"),      // -> m-topic (implicit matched)
       ("k4", "nothing"),          // -> u-topic
-      ("k5", "beta then alpha"),  // split1 matches but split2 claims? NO:
-                                  // alpha is split 1, checked FIRST -> a-topic
+      ("k5", "beta then alpha"),  // matches splits 1 and 2; split 1 is
+                                  // checked FIRST -> a-topic
     )
+    val q = routed.writeStream
+      .format("memory").queryName("route_out")
+      .trigger(Trigger.AvailableNow())  // = the reference's drain-then-flush
+      .start()
     q.awaitTermination(60000)
     val out = spark.table("route_out")
       .select($"key", $"topic").as[(String, String)].collect().toMap
