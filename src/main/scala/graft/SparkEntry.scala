@@ -143,6 +143,10 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       Analytics.ordersRollup(s, dir).orderBy(col("status"), col("priority"))),
     "q_distinct_counts" -> ((s, dir) => Analytics.distinctCounts(s, dir)),
+    "q_approx_distinct" -> ((s, dir) => // HLL++: rows-only oracle (approx)
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))),
     "q_asof_join" -> ((s, dir) => {
       // for each event, the user's latest purchase value at or before it
       val ev = t(s, dir, "events")

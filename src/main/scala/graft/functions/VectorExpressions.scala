@@ -109,6 +109,79 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over an array<string> of tokens: per-bit vote of
+  * xxhash64(token, seed=42); bit set where the vote is positive. Identical
+  * to the HOF formulation (aggregate + zip_with over 64 lanes) in one pass.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles over an array<string> of tokens —
+  * identical semantics to the HOF formulation
+  * `array_distinct(transform(sequence(0, greatest(size-n,0)),
+  *   i -> array_join(slice(tokens, i+1, n), " ")))`
+  * including the clamped final/short shingles, in one pass.
+  */
+case class ShingleNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    val starts = math.max(len - n, 0)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= starts) {
+      val end = math.min(i + n, len)
+      var s = if (i < len) toks.getUTF8String(i) else org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      var j = i + 1
+      while (j < end) {
+        s = org.apache.spark.unsafe.types.UTF8String.concat(
+          s, org.apache.spark.unsafe.types.UTF8String.fromString(" "), toks.getUTF8String(j))
+        j += 1
+      }
+      seen.add(s)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -116,4 +189,10 @@ object VectorFunctions {
 
   def minHashSig(shingles: Column, k: Int, p: Long = 2147483647L): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k, p))
+
+  def simHash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+
+  def shingleNGrams(tokens: Column, n: Int): Column =
+    ColumnShim.column(ShingleNGrams(ColumnShim.expression(tokens), n))
 }

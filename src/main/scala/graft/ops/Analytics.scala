@@ -156,6 +156,24 @@ object Analytics {
       .select(col("lrow.*"), col("asof_val"))
   }
 
+  /** Skew-mitigating equi-join (salting): the skewed probe side gets a
+    * uniform salt in [0, salts); the build side is replicated across every
+    * salt value; the join key becomes (key, salt), splitting each hot key's
+    * rows across `salts` reducers. Result set is identical to the plain
+    * equi-join — only the shuffle distribution changes. (AQE's skew-join
+    * handles sort-merge skew automatically; salting remains the tool when a
+    * single key exceeds what one task can hold, or for aggregations.)
+    */
+  def saltedJoin(skewed: DataFrame, build: DataFrame,
+                 skewedKey: String, buildKey: String, salts: Int): DataFrame = {
+    val l = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val r = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, l("__salt") === r("__salt") && col(skewedKey) === col(buildKey))
+      .drop("__salt")
+  }
+
   /** Range join surface: right rows whose timestamp falls in
     * [leftTs - windowSeconds, leftTs] for the same key. Banded to avoid the
     * quadratic theta-join: both sides bucket by time band of exactly the

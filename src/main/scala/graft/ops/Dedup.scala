@@ -22,18 +22,13 @@ object Dedup {
   /** Whitespace tokenization shared by the shingle-based ops. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles (distinct), the unit of Jaccard similarity.
-    * `transform(sequence(...))` keeps everything inside Catalyst — no UDF.
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity —
+    * native expression (graft.functions.ShingleNGrams), semantics identical
+    * to `array_distinct(transform(sequence(0, greatest(size-n, 0)),
+    * i -> array_join(slice(w, i+1, n), " ")))`.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(w) - n, lit(0))),
-        i => array_join(slice(w, i + 1, lit(n)), " "),
-      )
-    )
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.shingleNGrams(tokens(text), n)
 
   /** Exact duplicate groups: one row per distinct `col`, with the keeper
     * (min id) and the duplicate count. Shuffle key is xxhash64(col) — the
@@ -43,10 +38,18 @@ object Dedup {
     df.groupBy(col(on))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Streaming exact dedup: first-seen-wins within the watermark horizon.
+    * State is bounded by the watermark (old keys expire), so this runs
+    * indefinitely at scale — the streaming counterpart of `exactDedup`.
+    */
+  def streamingExactDedup(df: DataFrame, tsCol: String, watermark: String,
+                          cols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(cols)
+
   /** Exact dedup keeping the smallest id per duplicate group — the
     * deterministic flavor of `dropDuplicates` (whose survivor choice is
     * otherwise arbitrary). For streams, use
-    * `dropDuplicatesWithinWatermark` instead.
+    * `streamingExactDedup` instead.
     */
   def exactDedup(df: DataFrame, on: String, idCol: String): DataFrame = {
     val keepers = df.groupBy(col(on)).agg(min(col(idCol)).as(idCol))
@@ -135,25 +138,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes.
-    * aggregate+zip_with keeps the 64-lane vote vectorized in one pass.
+  /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes —
+    * native expression (graft.functions.SimHash64), one pass over tokens.
     */
-  def simHash(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
-    val votes = aggregate(
-      hs,
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when((call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L))) === 1L, lit(1L)).otherwise(lit(-1L))),
-    )
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x),
-    )
-  }
+  def simHash(text: Column): Column =
+    graft.functions.VectorFunctions.simHash64(tokens(text))
 
   /** SimHash near-dup pairs via the pigeonhole principle: split the 64-bit
     * hash into `maxHamming + 1` chunks — hamming ≤ maxHamming GUARANTEES at
