@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions, so the library is usable
+  * from pure `spark.sql(...)`:
+  *
+  *   SELECT vec_dot(a, b)                 -- double dot product
+  *   SELECT shingle_ngrams(tokens, 3)     -- distinct word n-grams
+  *   SELECT minhash_sig(shingles, 64)     -- minhash signature array
+  *   SELECT simhash64(tokens)             -- 64-bit simhash
+  *
+  * Register either at runtime with `GraftFunctions.register(spark)`, or at
+  * session build time via
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    ("shingle_ngrams",
+      new ExpressionInfo(classOf[ShingleNGrams].getName, "shingle_ngrams"),
+      (args: Seq[Expression]) => ShingleNGrams(args(0), intLit(args(1), "n"))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "k"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+  )
+
+  /** Runtime registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

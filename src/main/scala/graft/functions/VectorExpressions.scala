@@ -182,6 +182,53 @@ case class ShingleNGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Heuristic language ID over an array<string> of (lowercased) tokens:
+  * score per language = count of tokens in that language's marker lexicon;
+  * winner = max score with alphabetical tie-break — identical to the
+  * SQL-oracle CASE chain over per-language counts, in one pass.
+  */
+case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  // alphabetical lang order = deterministic tie-break
+  private lazy val langs: Array[String] = markers.map(_._1).sorted.toArray
+  private lazy val sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] = {
+    val m = markers.toMap
+    langs.map { l =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      m(l).foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val scores = new Array[Int](langs.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var j = 0
+      while (j < langs.length) {
+        if (sets(j).contains(t)) scores(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < langs.length) {
+      if (scores(j) > scores(best)) best = j // strict: earlier lang wins ties
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(langs(best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -195,4 +242,7 @@ object VectorFunctions {
 
   def shingleNGrams(tokens: Column, n: Int): Column =
     ColumnShim.column(ShingleNGrams(ColumnShim.expression(tokens), n))
+
+  def langId(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
+    ColumnShim.column(LangId(ColumnShim.expression(tokens), markers))
 }

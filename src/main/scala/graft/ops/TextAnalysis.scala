@@ -37,28 +37,11 @@ object TextAnalysis {
   )
 
   /** Heuristic language ID: score = count of marker tokens per language;
-    * argmax with deterministic lexicographic tie-break. One pass over the
-    * token array per language — all inside Catalyst.
+    * argmax with deterministic alphabetical tie-break — native expression
+    * (graft.functions.LangId), one pass over the tokens for all languages.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = langMarkers.map { case (lang, markers) =>
-      val score = size(filter(toks, t => t.isInCollection(markers)))
-      struct(score.as("score"), lit(lang).as("lang"))
-    }
-    // array_max on struct(score, lang): max score; ties broken by greatest
-    // lang string — invert by comparing on (score, reversed-rank) instead:
-    // deterministic as long as both engines use the same rule. We use
-    // (score DESC, lang ASC) via array_sort + first element.
-    val arr = array(scored: _*)
-    val sorted = array_sort(arr, (l, r) =>
-      when(l.getField("score") > r.getField("score"), -1)
-        .when(l.getField("score") < r.getField("score"), 1)
-        .when(l.getField("lang") < r.getField("lang"), -1)
-        .when(l.getField("lang") > r.getField("lang"), 1)
-        .otherwise(0))
-    element_at(sorted, 1).getField("lang")
-  }
+  def langId(text: Column): Column =
+    graft.functions.VectorFunctions.langId(tokens(lower(text)), langMarkers)
 
   /** Quality-scoring feature columns (length, token stats, punctuation and
     * stopword ratios) + a composite [0,1] score. All arithmetic kept in
