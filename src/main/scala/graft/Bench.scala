@@ -44,10 +44,40 @@ object Bench {
       }
       name -> times.min
     }
+    // Router throughput: the reference's own workload shape — a synthetic
+    // corpus with sample_input.txt's composition (noise + matches + CIDR
+    // hits + near-miss decoys) routed through a production-shaped plan
+    // (regex CIDR + 4 substring splits + drop). rows/sec of the pure
+    // routing projection, the number to compare against the reference's
+    // single-node message loop.
+    import org.apache.spark.sql.functions._
+    val nCorpus = 4000000L
+    val corpus = spark.range(nCorpus).select(
+      col("id").cast("string").as("key"),
+      when(pmod(col("id"), lit(100)) === 0,
+          concat(lit("pre"), col("id"), lit("source\":\"/var/log/syslog tail")))
+        .when(pmod(col("id"), lit(100)) === 1,
+          concat(lit("x\"source\":\"10.220.64."), pmod(col("id"), lit(250)), lit("\"y")))
+        .when(pmod(col("id"), lit(100)) === 2, lit("/var/log/ceph/ceph.logweWIx")) // decoy
+        .when(pmod(col("id"), lit(100)) === 3,
+          concat(lit("a"), col("id"), lit("source\":\"/var/log/ceph/ceph-mon t")))
+        .otherwise(concat(lit("noise-"), md5(col("id").cast("string"))))
+        .as("value"))
+      .cache()
+    corpus.count() // materialize: measure routing, not generation
+    val routed = graft.router.Router.route(corpus, graft.fixtures.RefRoutePlan.openstack)
+    val routerSecs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      force(routed)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    corpus.unpersist()
+    val rowsPerSec = (nCorpus / routerSecs).toLong
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":$routerSecs,"rows_per_sec":$rowsPerSec}}""")
     spark.stop()
   }
 }

@@ -3,7 +3,29 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+/** Unary native expression whose codegen calls back into `compute` on the
+  * expression instance (via `addReferenceObj`). Unlike `CodegenFallback`
+  * — which drops the WHOLE subtree (including the child, e.g. the
+  * tokenizer) to interpreted eval — this keeps the child and the
+  * surrounding projection inside whole-stage codegen; only the kernel runs
+  * as a JVM method call on an already-computed input value.
+  */
+trait NativeUnaryKernel extends UnaryExpression {
+  /** The kernel: input is the non-null child value (ArrayData etc.). */
+  def compute(input: Any): Any
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, classOf[NativeUnaryKernel].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($javaType)(($boxed) $ref.compute($c));")
+  }
+}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -75,7 +97,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * pass over the shingles for all k lanes.
   */
 case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private lazy val as: Array[Long] = Array.tabulate(k) { j =>
@@ -85,7 +107,7 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
     ((BigInt(j) * BigInt("14029467366897019727") + 7) mod BigInt(p)).toLong
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
@@ -113,10 +135,10 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
   * xxhash64(token, seed=42); bit set where the vote is positive. Identical
   * to the HOF formulation (aggregate + zip_with over 64 lanes) in one pass.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
     val n = arr.numElements()
@@ -150,10 +172,10 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * including the clamped final/short shingles, in one pass.
   */
 case class ShingleNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val len = toks.numElements()
     val starts = math.max(len - n, 0)
@@ -188,7 +210,7 @@ case class ShingleNGrams(child: Expression, n: Int)
   * SQL-oracle CASE chain over per-language counts, in one pass.
   */
 case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = StringType
 
   // alphabetical lang order = deterministic tie-break
@@ -202,7 +224,7 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val scores = new Array[Int](langs.length)
     val n = toks.numElements()

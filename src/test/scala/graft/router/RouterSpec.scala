@@ -129,6 +129,17 @@ class RouterSpec extends AnyFunSuite {
     assert(out.getAs[Array[Byte]]("key").sameElements(Array[Byte](9)))
   }
 
+  test("redundant .* wrappers are stripped only when semantics-preserving") {
+    assert(Router.stripRedundantWildcards(""".*"x".*""") == "\"x\"")
+    assert(Router.stripRedundantWildcards(".*.*abc.*.*") == "abc")
+    assert(Router.stripRedundantWildcards("a\\.*") == "a\\.*")   // escaped dot: keep
+    assert(Router.stripRedundantWildcards(".*?lazy") == ".*?lazy") // lazy: keep
+    assert(Router.stripRedundantWildcards(".*") == ".*")         // never to empty
+    assert(Router.stripRedundantWildcards("(?s).*x") == "(?s).*x") // flagged: keep
+    // routing results are unchanged by the rewrite (CIDR fixture case 1)
+    assert(routeOne("sasdjioa\"source\":\"10.220.64.10\"saskld;jas", proxySpliter).contains("office-match"))
+  }
+
   test("routeSql renders semantics identical to the Column route") {
     val df = Seq(
       "xxspark query planner", "a window here", "filter me", "a join b",
