@@ -35,7 +35,7 @@ object Main {
     spliters.foreach { s =>
       val src = StreamRouter.fromKafka(
         spark, cfg.brokerList, s, cfg.groupPrefix, cfg.groupSuffix,
-        Map("startingOffsets" -> cfg.startOffset) ++ cfg.kafkaSecurityOptions)
+        cfg.kafkaSourceOptions)
       StreamRouter.toKafka(
           StreamRouter.routeStream(src, s),
           cfg.brokerList,

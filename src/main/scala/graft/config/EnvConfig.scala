@@ -32,6 +32,8 @@ final case class EnvConfig(
     startOffset: String,
     writerBatchSize: Int,
     writerBatchTimeout: String,
+    writerCompression: Option[String],
+    maxOffsetsPerTrigger: Option[Long],
     sslPrivateKeyB64: Option[String],
     sslCertificateB64: Option[String],
     sslCaB64: Option[String],
@@ -81,12 +83,31 @@ final case class EnvConfig(
   def kafkaSinkOptions: Map[String, String] = Map(
     "kafka.linger.ms" -> "100",
     "kafka.batch.size" -> (writerBatchSize * 1024).toString,
-  ) ++ kafkaSecurityOptions
+  ) ++
+    // S5: codec passthrough (the reference registers gzip/lz4/snappy/zstd
+    // decoders by side-effect import, main.go:23-27; producers pick via config)
+    writerCompression.map("kafka.compression.type" -> _).toMap ++
+    kafkaSecurityOptions
+
+  /** Source-side backpressure (B3): the reference bounds in-flight work with
+    * a capacity-20 channel per spliter (main.go:333); Spark's equivalent
+    * bound is maxOffsetsPerTrigger.
+    */
+  def kafkaSourceOptions: Map[String, String] =
+    Map("startingOffsets" -> startOffset) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString).toMap ++
+      kafkaSecurityOptions
 }
 
 object EnvConfig {
   def fromEnv(env: Map[String, String] = sys.env): EnvConfig = {
     def get(k: String) = env.get(k).filter(_.nonEmpty)
+    def getLong(k: String): Option[Long] = get(k).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$k must be a number, got '$v'")
+      }
+    }
     val prefix = get("GROUP_PREFIX").getOrElse("graft")
     val suffix = get("GROUP_SUFFIX").getOrElse("0")
     // reference caps affixes at 64 chars (main.go:207-221)
@@ -98,8 +119,10 @@ object EnvConfig {
       groupPrefix = prefix,
       groupSuffix = suffix,
       startOffset = get("READER_START_OFFSET").getOrElse("earliest"),
-      writerBatchSize = get("WRITER_BATCH_SIZE").map(_.toInt).getOrElse(100),
+      writerBatchSize = getLong("WRITER_BATCH_SIZE").map(_.toInt).getOrElse(100),
       writerBatchTimeout = get("WRITER_BATCH_TIMEOUT").getOrElse("10 seconds"),
+      writerCompression = get("WRITER_COMPRESSION"),
+      maxOffsetsPerTrigger = getLong("READER_MAX_OFFSETS"),
       sslPrivateKeyB64 = get("SSL_PRIVATE_KEY"),
       sslCertificateB64 = get("SSL_CERTIFICATE"),
       sslCaB64 = get("SSL_CA"),

@@ -28,6 +28,17 @@ class EnvConfigSpec extends AnyFunSuite {
     assert(c.resolvedSpliters.head.splits(2).topic.isEmpty) // R5 drop survives
   }
 
+  test("compression codec (S5) and backpressure (B3) passthroughs") {
+    val c = EnvConfig.fromEnv(Map(
+      "WRITER_COMPRESSION" -> "zstd", "READER_MAX_OFFSETS" -> "20000"))
+    assert(c.kafkaSinkOptions("kafka.compression.type") == "zstd")
+    assert(c.kafkaSourceOptions("maxOffsetsPerTrigger") == "20000")
+    assert(c.kafkaSourceOptions("startingOffsets") == "earliest")
+    val d = EnvConfig.fromEnv(Map.empty)
+    assert(!d.kafkaSinkOptions.contains("kafka.compression.type"))
+    assert(!d.kafkaSourceOptions.contains("maxOffsetsPerTrigger"))
+  }
+
   test("group affixes over 64 chars are rejected (main.go:207-221 caps)") {
     intercept[IllegalArgumentException] {
       EnvConfig.fromEnv(Map("GROUP_PREFIX" -> ("p" * 65)))
