@@ -273,7 +273,7 @@ object SparkEntry {
       "events_sessions" ->
         """WITH x AS (SELECT user_id, ts,
           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-          |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+          |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
           |       THEN 1 ELSE 0 END AS new_s FROM events),
           |y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
           |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
