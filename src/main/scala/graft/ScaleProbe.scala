@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","64").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // word-salad docs from a 5k vocab; every 100th doc is a near-dup of its
+    // neighbor (same words, 2 swapped) — planted pairs like the testdata's
+    val vocab = 5000
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 80).map(i =>
+        concat(lit("w"), pmod(xxhash64(col("id") - pmod(col("id"), lit(2)), lit(i)), lit(vocab)))): _*).as("text"))
+      .withColumn("text", when(pmod(col("doc_id"), lit(2)) === 1,
+        concat(col("text"), lit(" extraword"), col("doc_id"))).otherwise(col("text")))
+    docs.cache(); val cnt = docs.count()
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $tag: n=$cnt rows=$r secs=${(System.nanoTime()-t0)/1e9}%.1f")
+    }
+    time("minhash_lsh_neardups")(
+      graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5).count())
+    time("simhash_neardups")(
+      graft.ops.Dedup.simHashNearDups(docs, "doc_id", "text", 3).count())
+    time("exact_dedup")(
+      graft.ops.Dedup.exactDedup(docs, "text", "doc_id").count())
+    spark.stop()
+  }
+}

@@ -100,12 +100,23 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
     extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private lazy val as: Array[Long] = Array.tabulate(k) { j =>
-    ((BigInt(j) * BigInt("11400714819323198485") + 1) mod BigInt(p - 1)).toLong + 1L
+  // Per-lane coefficients from a splitmix64-style mixer. They must be
+  // pairwise-uncorrelated: an earlier arithmetic-progression scheme
+  // (a_j = (j*C+1) mod (p-1)) made lane values for a FIXED h an arithmetic
+  // progression mod p with step (dA*h+dB) — for unlucky h that step is
+  // small, one element wins most lanes simultaneously, and recall
+  // collapses for its pairs (found by the 1M-doc scale probe: one planted
+  // near-dup pair at jaccard 0.987 shared only 20/64 lanes).
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
-  private lazy val bs: Array[Long] = Array.tabulate(k) { j =>
-    ((BigInt(j) * BigInt("14029467366897019727") + 7) mod BigInt(p)).toLong
-  }
+  private lazy val as: Array[Long] =
+    Array.tabulate(k)(j => Math.floorMod(mix(j.toLong), p - 1) + 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(k)(j => Math.floorMod(mix(j.toLong + 0x51AF_E00DL), p))
 
   override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
