@@ -27,6 +27,34 @@ object ScaleProbe {
       graft.ops.Dedup.simHashNearDups(docs, "doc_id", "text", 3).count())
     time("exact_dedup")(
       graft.ops.Dedup.exactDedup(docs, "text", "doc_id").count())
+    docs.unpersist()
+
+    // ANN at scale: n synthetic 64-dim vectors, 50 queries; IVF vs brute
+    val dim = 64
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(2001L)).cast("double") - 1000.0) / 1000.0)
+        .as("embedding"))
+      .cache()
+    emb.count()
+    val queries = emb.filter(col("vec_id") < 50)
+    var brute: Set[(Long, Long)] = null
+    time("ann_bruteforce_topk")( {
+      brute = graft.ops.Similarity.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.size.toLong
+    })
+    var ivf: Set[(Long, Long)] = null
+    time("ann_ivf_topk")( {
+      ivf = graft.ops.Similarity.ivfTopK(emb, queries, 10,
+          stride = (n / 1000L).max(1L).toInt, nprobe = 32)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.size.toLong
+    })
+    println(f"SCALE ann_recall: ${(brute intersect ivf).size.toDouble / brute.size}%.3f")
     spark.stop()
   }
 }

