@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry() returns rows; every query name has
+  * either oracle SQL or a documented rows-only rationale; oracle SQL only
+  * references declared queries.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL keys are a subset of query keys") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("rows-only queries are exactly the hash-seeded/approximate ops") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("dedup_minhash_lsh", "dedup_simhash", "sim_topk_ivf", "q_approx_distinct"))
+  }
+
+  test("every query runs and is non-empty on sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, TestSpark.sf0001).count()
+      if (n == 0) Some(name) else None
+    }
+    // q_set_except is data-dependent and may legitimately go empty at tiny SF
+    assert(empties.forall(_ == "q_set_except"), s"unexpected empty queries: $empties")
+  }
+}
