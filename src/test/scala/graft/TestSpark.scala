@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // keep catalog artifacts (derby metastore, warehouse) out of the repo
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
