@@ -147,6 +147,22 @@ object SparkEntry {
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))),
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(min(col("o_totalprice")), 2).as("p_min"),
+          round(max(col("o_totalprice")), 2).as("p_max"))
+        .orderBy(col("o_orderpriority"))),
     "q_asof_join" -> ((s, dir) => {
       // for each event, the user's latest purchase value at or before it
       val ev = t(s, dir, "events")
@@ -330,6 +346,15 @@ object SparkEntry {
       "q_distinct_counts" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts, count(DISTINCT l_suppkey) AS exact_supps,
           |count(*) AS n_rows FROM lineitem""".stripMargin,
+      "q_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |count(*) AS n, round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+      "q_percentiles" ->
+        """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+          |round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+          |round(min(o_totalprice), 2) AS p_min, round(max(o_totalprice), 2) AS p_max
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "q_asof_join" ->
         """SELECT e.event_id, round(p."value", 2) AS last_purchase_value
           |FROM events e ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
