@@ -197,6 +197,9 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.fromDocuments(t(s, dir, "documents")))
         .orderBy(col("media_id"), col("frame_idx"))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy(col("media_id"))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -376,6 +379,14 @@ object SparkEntry {
           |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
           |CAST(list_sum(list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
           |CAST(0 AS BIGINT) AS n_high_bytes
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_resize" ->
+        """SELECT doc_id AS media_id,
+          |CAST(n_chars % 640 + 32 AS INT) AS src_width,
+          |CAST((n_chars * 7) % 480 + 32 AS INT) AS src_height,
+          |CAST(length(text) AS BIGINT) AS src_bytes,
+          |CAST(greatest(floor(length(text) / 256.0), 1) AS INT) AS stride,
+          |CAST(ceil(length(text) * 1.0 / greatest(floor(length(text) / 256.0), 1)) AS BIGINT) AS resized_bytes
           |FROM documents ORDER BY media_id""".stripMargin,
       "mm_frames" ->
         """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,

@@ -91,6 +91,25 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize plumbing (FAKE, like the decode): subsample the payload at a
+    * stride derived from the source/target size ratio — the byte-budget
+    * arithmetic and column shapes of a real thumbnailer, minus the codec.
+    * A real implementation swaps the sampling for decoder+scaler calls.
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int = 256): DataFrame = {
+    val n = length(col("payload"))
+    val stride = greatest(floor(n.cast("double") / targetBytes).cast("int"), lit(1))
+    media.select(
+      col("media_id"),
+      col("meta.width").as("src_width"),
+      col("meta.height").as("src_height"),
+      n.cast("long").as("src_bytes"),
+      stride.as("stride"),
+      // sampled payload: one byte every `stride` bytes
+      ceil(n.cast("double") / stride).cast("long").as("resized_bytes"),
+    )
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames" and emit every `stride`-th frame index with its byte slice —
     * the shape of video frame extraction, minus the codec. Pure Catalyst
