@@ -142,7 +142,7 @@ object Analytics {
                rightVal: String): DataFrame = {
     val l = left.select(col(leftKey).as("k"), col(leftTime).as("t"),
       lit(1).as("is_left"), lit(null).cast(right.schema(rightVal).dataType).as("rv"),
-      struct(left.columns.map(col): _*).as("lrow"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("lrow"))
     val r = right.select(col(rightKey).as("k"), col(rightTime).as("t"),
       lit(0).as("is_left"), col(rightVal).as("rv"),
       lit(null).cast(l.schema("lrow").dataType).as("lrow"))
