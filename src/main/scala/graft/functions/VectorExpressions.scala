@@ -336,6 +336,31 @@ case class NearestCentroids(child: Expression, centIds: Seq[Long],
     copy(child = newChild)
 }
 
+/** Polynomial rolling-hash fingerprint h = fold(h*31 + char) mod 1e9+7 over
+  * the string's UTF-16 code units — identical to the HOF formulation
+  * (split per char + ascii fold) on ASCII text, one pass, no per-char
+  * object churn.
+  */
+case class Fingerprint(child: Expression, p: Long = 1000000007L)
+    extends UnaryExpression with NativeUnaryKernel {
+  override def dataType: DataType = LongType
+
+  override def compute(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      h = (h * 31 + s.charAt(i)) % p
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -356,4 +381,7 @@ object VectorFunctions {
   def nearestCentroids(vec: Column, centIds: Seq[Long], cents: Seq[Seq[Double]],
                        nprobe: Int): Column =
     ColumnShim.column(NearestCentroids(ColumnShim.expression(vec), centIds, cents, nprobe))
+
+  def fingerprint(text: Column): Column =
+    ColumnShim.column(Fingerprint(ColumnShim.expression(text)))
 }

@@ -76,15 +76,12 @@ object TextAnalysis {
             + when(col("stopword_ratio") > 0.0, 0.3).otherwise(0.0)), 2))
 
   /** Polynomial rolling-hash fingerprint over the full text:
-    * h = fold(h * 31 + codepoint) mod 1e9+7. Codegen-friendly and exactly
-    * reproducible in any SQL engine with a fold — used for cheap
-    * content-addressing and exact-dup bucketing where the raw text is too
-    * wide to shuffle.
+    * h = fold(h * 31 + char) mod 1e9+7 — native one-pass kernel
+    * (graft.functions.Fingerprint), exactly reproducible in any SQL engine
+    * with a per-character fold (the DuckDB oracle uses list_reduce). Used
+    * for cheap content-addressing and exact-dup bucketing where the raw
+    * text is too wide to shuffle.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (h, c) => pmod(h * 31 + c, lit(1000000007L)),
-    )
+    graft.functions.VectorFunctions.fingerprint(text)
 }

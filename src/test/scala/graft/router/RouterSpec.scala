@@ -129,6 +129,16 @@ class RouterSpec extends AnyFunSuite {
     assert(out.getAs[Array[Byte]]("key").sameElements(Array[Byte](9)))
   }
 
+  test("substring patterns with regex metacharacters stay literal") {
+    // use_regex: false must never interpret the pattern — '(', '.', '*'
+    // are literal bytes (reference: strings.Contains, main.go:517-522)
+    val s = PlanResolver.resolveSpliter(Spliter(
+      "in", Map("unmatched" -> "u"),
+      Seq(Split(Extractor("a(b.*"), outputTopic = Some("t-lit")))))
+    assert(routeOne("xx a(b.* yy", s).contains("t-lit"))
+    assert(routeOne("xx a(bZZZ yy", s).contains("u")) // would match as regex
+  }
+
   test("redundant .* wrappers are stripped only when semantics-preserving") {
     assert(Router.stripRedundantWildcards(""".*"x".*""") == "\"x\"")
     assert(Router.stripRedundantWildcards(".*.*abc.*.*") == "abc")
