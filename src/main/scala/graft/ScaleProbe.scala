@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Events}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
@@ -55,6 +56,28 @@ object ScaleProbe {
       ivf.size.toLong
     })
     println(f"SCALE ann_recall: ${(brute intersect ivf).size.toDouble / brute.size}%.3f")
+    emb.unpersist()
+
+    // Event-time ops at scale: ne synthetic events over 30 days, 10k users
+    val ne = (n * 20).min(50000000L)
+    val events = spark.range(ne).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1704067200L) + pmod(xxhash64(col("id")), lit(2592000L))).as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(10000L)).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("purchase"), lit("error")),
+        (pmod(xxhash64(col("id"), lit(2)), lit(4)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(10000L)).cast("double") / 100.0).as("value"))
+      .cache()
+    events.count()
+    time("events_tumbling_hourly")(Events.tumbling(events).count())
+    time("events_sessions_30m")(Events.sessions(events).count())
+    time("events_asof_last_purchase")( {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      Analytics.asOfJoin(events, purchases, "user_id", "p_user", "ts", "p_ts", "p_value")
+        .agg(count(col("asof_val"))).collect()(0).getLong(0)
+    })
+    events.unpersist()
     spark.stop()
   }
 }
