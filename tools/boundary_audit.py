@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Oracle-divergence risk audit (DESIGN.md §7): measures how close the data
+sits to every decision boundary in the oracle-compared queries — top-k
+membership gaps, ordering gaps, similarity thresholds, and rounding ties.
+Run whenever queries or testdata change; small distances flag comparisons
+that could flip between engines."""
+import sys
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+con = duckdb.connect()
+for t in ["orders", "lineitem", "events", "embeddings", "documents",
+          "customer", "supplier"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+
+def dist_to_round_boundary(vals, dp):
+    out = []
+    for (v,) in vals:
+        if v is None:
+            continue
+        x = abs(v) * (10 ** dp)
+        out.append(abs((x - int(x)) - 0.5))
+    return min(out) if out else None
+
+
+r = con.sql("""SELECT sum(l_extendedprice*(1-l_discount)) AS rev FROM lineitem
+  JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+  WHERE c_mktsegment='BUILDING' GROUP BY l_orderkey ORDER BY rev DESC LIMIT 12""").fetchall()
+print("q03 10th-11th revenue gap:", r[9][0] - r[10][0])
+
+g = con.sql("""WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id<20),
+c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+s AS (SELECT qid, nid, list_cosine_similarity(qv,cv) cos FROM q JOIN c ON nid<>qid),
+r AS (SELECT qid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC) rk FROM s)
+SELECT min(gap) FROM (SELECT qid, cos - lead(cos) OVER (PARTITION BY qid ORDER BY rk) AS gap FROM r WHERE rk<=11)""").fetchone()
+print("sim_topk min adjacent cosine gap (ranks 1-11):", g[0])
+
+d = con.sql("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+p AS (SELECT list_cosine_similarity(a.v,b.v) cs FROM e a JOIN e b ON a.vec_id<b.vec_id)
+SELECT min(abs(cs-0.45)) FROM p""").fetchone()
+print("dedup_embedding_cosine min |cos-0.45|:", d[0])
+
+j = con.sql(r"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, greatest(len(w)-2,1))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+inter AS (SELECT a.doc_id ia, b.doc_id ib, count(*) c FROM grams a JOIN grams b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2)
+SELECT min(abs(c*1.0/(sa.n+sb.n-c) - 0.5)) FROM inter JOIN sizes sa ON sa.doc_id=ia JOIN sizes sb ON sb.doc_id=ib""").fetchone()
+print("ngram_jaccard min |j-0.5|:", j[0])
+
+print("q01 sums dp2 boundary dist:", dist_to_round_boundary(con.sql(
+    "SELECT sum(l_quantity) FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-02' GROUP BY l_returnflag,l_linestatus"
+    " UNION ALL SELECT sum(l_extendedprice) FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-02' GROUP BY l_returnflag,l_linestatus"
+    " UNION ALL SELECT sum(l_extendedprice*(1-l_discount)) FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-02' GROUP BY l_returnflag,l_linestatus").fetchall(), 2))
+print("events_tumbling sum_value dp2 boundary dist:", dist_to_round_boundary(con.sql(
+    "SELECT sum(value) FROM events GROUP BY date_trunc('hour', ts), event_type").fetchall(), 2))
+print("quality avg_token_len dp4 boundary dist:", dist_to_round_boundary(con.sql(
+    r"SELECT list_sum(list_transform(string_split_regex(trim(text),'\s+'), x->length(x)))*1.0/greatest(len(string_split_regex(trim(text),'\s+')),1) FROM documents").fetchall(), 4))
+print("percentiles dp2 boundary dist:", dist_to_round_boundary(con.sql(
+    "SELECT quantile_cont(o_totalprice, 0.5) FROM orders GROUP BY o_orderpriority"
+    " UNION ALL SELECT quantile_cont(o_totalprice, 0.9) FROM orders GROUP BY o_orderpriority").fetchall(), 2))
