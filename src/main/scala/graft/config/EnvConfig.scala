@@ -54,13 +54,23 @@ final case class EnvConfig(
     * SASL via JAAS config.
     */
   def kafkaSecurityOptions: Map[String, String] = {
+    def pem(b64: String): String =
+      new String(java.util.Base64.getDecoder.decode(b64.trim.replaceAll("\\s", "")), "UTF-8")
     val ssl = (sslPrivateKeyB64, sslCertificateB64) match {
-      case (Some(_), Some(_)) =>
+      case (Some(key), Some(cert)) =>
+        // mutual TLS from base64 PEM env material (reference main.go:223-280),
+        // delivered as in-line PEM (KIP-651) — no keystore files needed
         Map(
           "kafka.security.protocol" -> (if (saslUsername.isDefined) "SASL_SSL" else "SSL"),
           "kafka.ssl.endpoint.identification.algorithm" ->
             (if (sslInsecureSkipVerify) "" else "https"),
-        )
+          "kafka.ssl.keystore.type" -> "PEM",
+          "kafka.ssl.keystore.key" -> pem(key),
+          "kafka.ssl.keystore.certificate.chain" -> pem(cert),
+        ) ++ sslCaB64.map(ca => Map(
+          "kafka.ssl.truststore.type" -> "PEM",
+          "kafka.ssl.truststore.certificates" -> pem(ca),
+        )).getOrElse(Map.empty)
       case _ => Map.empty[String, String]
     }
     val sasl = (saslUsername, saslPassword) match {
