@@ -147,6 +147,13 @@ object SparkEntry {
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))),
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_bucket"))),
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -349,6 +356,14 @@ object SparkEntry {
       "q_distinct_counts" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts, count(DISTINCT l_suppkey) AS exact_supps,
           |count(*) AS n_rows FROM lineitem""".stripMargin,
+      "q_pivot" ->
+        """SELECT user_id % 10 AS user_bucket,
+          |count(*) FILTER (event_type = 'click') AS click,
+          |count(*) FILTER (event_type = 'view') AS view,
+          |count(*) FILTER (event_type = 'purchase') AS purchase,
+          |count(*) FILTER (event_type = 'signup') AS signup,
+          |count(*) FILTER (event_type = 'error') AS error
+          |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
       "q_cube" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
           |count(*) AS n, round(sum(l_quantity), 2) AS qty
