@@ -28,6 +28,21 @@ class PlanCodecSpec extends AnyFunSuite {
     assert(viaEnv == plan)
   }
 
+  test("leading comment + document marker parse (reference topic.yaml shape)") {
+    val yaml =
+      """#
+        |---
+        |spliters_templates:
+        |  - input_topic: 'x'
+        |    actions: {matched: 'm'}
+        |    splits:
+        |      - extractor: {pattern: 'p', use_regex: false}
+        |""".stripMargin
+    val plan = PlanCodec.fromYaml(yaml)
+    assert(plan.spliters.head.inputTopic == "x")
+    assert(plan.spliters.head.splits.head.extractor.pattern == "p")
+  }
+
   test("unknown fields are ignored (reference ignores its own cloud: key)") {
     val yaml =
       """spliters_templates:
