@@ -43,7 +43,7 @@ object Router {
     * Conservative: only bare `.*` (not `\.*`, not `.*?`, no anchors) is
     * stripped, and never below an empty pattern.
     */
-  private[router] def stripRedundantWildcards(p: String): String = {
+  private[graft] def stripRedundantWildcards(p: String): String = {
     var s = p
     while (s.startsWith(".*") && !s.startsWith(".*?")) s = s.substring(2)
     // trailing ".*" unless the dot is escaped ("\.*") or quantifier is lazy
