@@ -74,10 +74,47 @@ object Bench {
     corpus.unpersist()
     val rowsPerSec = (nCorpus / routerSecs).toLong
 
+    // Streaming-path router throughput: the same routing expression driven
+    // through Structured Streaming micro-batches (rate-micro-batch source →
+    // route → noop sink) — the honest comparison against the reference's
+    // streaming loop, including per-batch planning/commit overhead.
+    val streamStats = try {
+      val perBatch = 500000L
+      val stream = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", perBatch.toString)
+        .option("numPartitions", cpus)
+        .load()
+        .select(col("value").cast("string").as("key"),
+          when(pmod(col("value"), lit(100)) === 0,
+              concat(lit("pre"), col("value"), lit("source\":\"/var/log/syslog tail")))
+            .when(pmod(col("value"), lit(100)) === 1, lit("/var/log/ceph/ceph.logweWIx"))
+            .otherwise(concat(lit("noise-"), md5(col("value").cast("string"))))
+            .as("value"))
+      val routed = graft.router.Router.route(stream, graft.fixtures.RefRoutePlan.openstack)
+      val q = routed.writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val p = q.recentProgress
+        done = p.map(_.numInputRows).sum >= perBatch * 6
+      }
+      val progresses = q.recentProgress
+      q.stop()
+      val rows = progresses.map(_.numInputRows).sum
+      val execMs = progresses.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
+      if (rows > 0 && execMs > 0) Some((rows, execMs, rows * 1000L / execMs)) else None
+    } catch { case e: Throwable => System.err.println(s"[bench] stream failed: $e"); None }
+    val streamJson = streamStats
+      .map { case (r, ms, rps) => s""","stream_router":{"rows":$r,"exec_ms":$ms,"rows_per_sec":$rps}""" }
+      .getOrElse("")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":$routerSecs,"rows_per_sec":$rowsPerSec}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":$routerSecs,"rows_per_sec":$rowsPerSec}$streamJson}""")
     spark.stop()
   }
 }
