@@ -143,6 +143,29 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       Analytics.ordersRollup(s, dir).orderBy(col("status"), col("priority"))),
     "q_distinct_counts" -> ((s, dir) => Analytics.distinctCounts(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => { // SQL-entry surface + explicit sets
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY status, priority""".stripMargin)
+    }),
+    "q_set_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nationkey"))
+      c.intersect(sp).orderBy(col("nationkey"))
+    }),
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_ex")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_customers FROM customer_ex c
+              |WHERE EXISTS (SELECT 1 FROM orders_ex o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
     "q_approx_distinct" -> ((s, dir) => // HLL++: rows-only oracle (approx)
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -356,6 +379,21 @@ object SparkEntry {
       "q_distinct_counts" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts, count(DISTINCT l_suppkey) AS exact_supps,
           |count(*) AS n_rows FROM lineitem""".stripMargin,
+      "q_grouping_sets" ->
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+          |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin,
+      "q_set_intersect" ->
+        """SELECT nationkey FROM
+          |(SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+          | INTERSECT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000)
+          |ORDER BY nationkey""".stripMargin,
+      "q_exists_subquery" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "q_pivot" ->
         """SELECT user_id % 10 AS user_bucket,
           |count(*) FILTER (event_type = 'click') AS click,
