@@ -29,7 +29,9 @@ class SparkEntrySpec extends AnyFunSuite {
       val n = fn(spark, TestSpark.sf0001).count()
       if (n == 0) Some(name) else None
     }
-    // q_set_except is data-dependent and may legitimately go empty at tiny SF
-    assert(empties.forall(_ == "q_set_except"), s"unexpected empty queries: $empties")
+    // the set-algebra queries are data-dependent and may legitimately go
+    // empty at tiny SF (10 suppliers at sf0.001 → few high-balance overlaps)
+    val dataDependent = Set("q_set_except", "q_set_intersect")
+    assert(empties.forall(dataDependent), s"unexpected empty queries: $empties")
   }
 }
