@@ -72,6 +72,32 @@ class StreamRouterSpec extends AnyFunSuite {
     }
   }
 
+  test("late data beyond the watermark is dropped; in-horizon late data counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = graft.ops.Events.tumblingStream(
+      input.toDF().toDF("ts", "event_type"), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 00:10:00"), "click"))
+    q.processAllAvailable()
+    // advance event time far enough that hour-0's window finalizes
+    input.addData((t("2024-01-01 05:00:00"), "view"))
+    q.processAllAvailable()
+    // hour-0 arrives again: beyond watermark (05:00 - 2h = 03:00) → dropped
+    input.addData((t("2024-01-01 00:20:00"), "click"))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 09:00:00"), "view")) // flush remaining windows
+    q.processAllAvailable()
+    val rows = spark.table("late_out")
+      .select(col("window.start").cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    // the late 00:20 click did NOT bump hour-0's count
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 1L)))
+    q.stop()
+  }
+
   test("watermarked tumbling aggregation runs on a stream (event-time surface)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
