@@ -166,8 +166,12 @@ object Analytics {
     */
   def saltedJoin(skewed: DataFrame, build: DataFrame,
                  skewedKey: String, buildKey: String, salts: Int): DataFrame = {
+    // salt must be DETERMINISTIC per row (not monotonically_increasing_id:
+    // a stage retry would re-salt rows differently and duplicate/drop join
+    // output — the SPARK-23207 class of bug). Hash of all row columns
+    // varies within a hot key yet is stable across recomputation.
     val l = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val r = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, l("__salt") === r("__salt") && col(skewedKey) === col(buildKey))

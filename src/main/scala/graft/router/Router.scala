@@ -45,7 +45,13 @@ object Router {
     */
   private[graft] def stripRedundantWildcards(p: String): String = {
     var s = p
-    while (s.startsWith(".*") && !s.startsWith(".*?")) s = s.substring(2)
+    // leading ".*" strips only when what follows is not another quantifier:
+    // ".*?x" is lazy, ".*+x" possessive, ".*{2}x" counted, ".**x" stacked —
+    // stripping any of those changes semantics or leaves an invalid regex
+    def leadingBare(t: String): Boolean =
+      t.startsWith(".*") &&
+        (t.length == 2 || !"?*+{".contains(t.charAt(2)))
+    while (leadingBare(s) && s.length > 2) s = s.substring(2)
     // trailing ".*" unless the dot is escaped ("\.*") or quantifier is lazy
     def endsWithBare(t: String): Boolean =
       t.endsWith(".*") && !t.endsWith("\\.*") && !t.endsWith(".*?")

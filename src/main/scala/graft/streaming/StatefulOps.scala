@@ -10,9 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `KeyValueGroupedDataset.mapGroupsWithState`, and stream-stream joins
   * with watermark-bounded state.
   *
-  * Scale notes: state lives in the state store, partitioned by key —
-  * no driver-side state; timeouts (and, for joins, watermarks) bound the
-  * store so it cannot grow without limit on 100 TB streams.
+  * Scale notes: state lives in the state store, partitioned by key — no
+  * driver-side state. State BOUNDS differ by op: the stream-stream join is
+  * watermark-bounded (buffers expire); `runningUserStats` deliberately uses
+  * NoTimeout because its state domain is the bounded user population —
+  * lifetime aggregates are the point. For unbounded key domains, swap in
+  * `GroupStateTimeout.ProcessingTimeTimeout`/`EventTimeTimeout` with
+  * `state.setTimeoutDuration` + removal on `state.hasTimedOut`, or use the
+  * watermark-bounded ops (`Dedup.streamingExactDedup`, windowed aggs).
   */
 object StatefulOps {
 

@@ -26,16 +26,33 @@ object Supervision {
     */
   final class ProgressLogger(debug: Boolean) extends StreamingQueryListener {
     private val log = org.slf4j.LoggerFactory.getLogger("graft.streaming")
+
+    // hand-built JSON must stay VALID: escape strings (exception text holds
+    // quotes/newlines) and never emit bare NaN (Spark reports NaN rates on
+    // the first batch) — downstream log ingestion rejects both
+    private def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    private def num(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else d.toString
+
     override def onQueryStarted(e: QueryStartedEvent): Unit =
-      if (debug) log.info(s"""{"event":"query_started","name":"${e.name}","id":"${e.id}"}""")
+      if (debug) log.info(s"""{"event":"query_started","name":${js(String.valueOf(e.name))},"id":${js(e.id.toString)}}""")
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
-      log.info(s"""{"event":"progress","name":"${p.name}","batch":${p.batchId},""" +
-        s""""numInputRows":${p.numInputRows},"inputRowsPerSecond":${p.inputRowsPerSecond},""" +
-        s""""processedRowsPerSecond":${p.processedRowsPerSecond}}""")
+      log.info(s"""{"event":"progress","name":${js(String.valueOf(p.name))},"batch":${p.batchId},""" +
+        s""""numInputRows":${p.numInputRows},"inputRowsPerSecond":${num(p.inputRowsPerSecond)},""" +
+        s""""processedRowsPerSecond":${num(p.processedRowsPerSecond)}}""")
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      log.info(s"""{"event":"query_terminated","id":"${e.id}","exception":${e.exception.map("\"" + _ + "\"").getOrElse("null")}}""")
+      log.info(s"""{"event":"query_terminated","id":${js(e.id.toString)},"exception":${e.exception.map(js).getOrElse("null")}}""")
   }
 
   def install(spark: SparkSession, debug: Boolean = false): ProgressLogger = {
@@ -48,9 +65,9 @@ object Supervision {
     * queries terminate cleanly. Rethrows the failure.
     */
   def awaitAnyFailure(spark: SparkSession): Unit = {
+    // loop: after a clean termination other queries may still be running
     while (spark.streams.active.nonEmpty) {
       spark.streams.awaitAnyTermination()
-      spark.streams.active.foreach(_ => ()) // loop: another query may still run
       spark.streams.resetTerminated()
     }
   }

@@ -146,6 +146,11 @@ class RouterSpec extends AnyFunSuite {
     assert(Router.stripRedundantWildcards(".*?lazy") == ".*?lazy") // lazy: keep
     assert(Router.stripRedundantWildcards(".*") == ".*")         // never to empty
     assert(Router.stripRedundantWildcards("(?s).*x") == "(?s).*x") // flagged: keep
+    // quantifier-stacked leading wrappers must NOT strip (would leave an
+    // invalid or semantically-different regex)
+    assert(Router.stripRedundantWildcards(".*+foo") == ".*+foo")   // possessive
+    assert(Router.stripRedundantWildcards(".*{2}foo") == ".*{2}foo") // counted
+    assert(Router.stripRedundantWildcards(".**x") == ".**x")       // stacked star
     // routing results are unchanged by the rewrite (CIDR fixture case 1)
     assert(routeOne("sasdjioa\"source\":\"10.220.64.10\"saskld;jas", proxySpliter).contains("office-match"))
   }
