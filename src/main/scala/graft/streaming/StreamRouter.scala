@@ -92,6 +92,26 @@ object StreamRouter {
     extraOptions.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
   }
 
+  /** Kafka-less multiplex sink: fan the routed stream out into per-topic
+    * directories (`<root>/topic=<name>/...`) — the filesystem analogue of
+    * per-topic Kafka delivery, giving a complete production path when no
+    * broker is present (or for archival taps). Exactly-once via the file
+    * sink manifest; partition pruning makes per-topic consumption a
+    * directory read.
+    */
+  def toPartitionedFiles(
+      routed: DataFrame,
+      outputRoot: String,
+      checkpointLocation: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+  ): DataStreamWriter[Row] =
+    routed.writeStream
+      .format("parquet")
+      .partitionBy("topic")
+      .option("path", outputRoot)
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+
   /** Launch one StreamingQuery per spliter against Kafka (prod entry). */
   def launchAll(
       spark: SparkSession,
