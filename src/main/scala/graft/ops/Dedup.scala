@@ -86,12 +86,28 @@ object Dedup {
 
   /** Candidate near-dup pairs from LSH (distinct id pairs, a<b). The join
     * is band-bucket-local: shuffle key (band, bucket) keeps it linear.
+    *
+    * `maxBucketSize` (0 = off) drops buckets larger than the cap before
+    * pair generation — the guard against pathologically self-similar
+    * corpora where one bucket would otherwise go quadratic (a bucket of a
+    * million boilerplate documents is 5×10¹¹ pairs and carries almost no
+    * signal; members of a dropped bucket still meet through their other
+    * bands unless they collide EVERYWHERE).
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                        shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 0): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand)
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val bounded =
+      if (maxBucketSize <= 0) b
+      else {
+        val sizes = b.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+        b.join(sizes.select(col("band"), col("bucket")), Seq("band", "bucket"), "leftsemi")
+      }
+    val l = bounded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = bounded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -48,6 +48,24 @@ class DedupSpec extends AnyFunSuite {
     assert(viaBanding.nonEmpty)
   }
 
+  test("bucket-size cap bounds degenerate corpora; off by default") {
+    import org.apache.spark.sql.functions.{concat, lit, col => c}
+    // 200 identical docs: every band-bucket holds all 200 → uncapped
+    // candidates are the full 200*199/2 pair set
+    val degenerate = spark.range(200)
+      .select(c("id").as("doc_id"), lit("same words every time here").as("text"))
+    val uncapped = Dedup.minHashCandidates(degenerate, "doc_id", "text").count()
+    assert(uncapped == 200L * 199 / 2)
+    val capped = Dedup.minHashCandidates(degenerate, "doc_id", "text",
+      maxBucketSize = 50).count()
+    assert(capped == 0, "cap must drop the degenerate buckets entirely")
+    // cap high enough to keep normal buckets: real corpus results unchanged
+    val normal = Dedup.minHashCandidates(docs, "doc_id", "text").count()
+    val normalCapped = Dedup.minHashCandidates(docs, "doc_id", "text",
+      maxBucketSize = 100).count()
+    assert(normal == normalCapped)
+  }
+
   test("minhash signature is deterministic and k-wide") {
     val sig = docs.limit(5)
       .select(Dedup.minHashSignature(Dedup.shingles($"text", 3), 64).as("s"))
