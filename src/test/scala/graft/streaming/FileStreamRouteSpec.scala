@@ -63,5 +63,16 @@ class FileStreamRouteSpec extends AnyFunSuite {
     // (exactly-once on the file sink's manifest)
     runOnce()
     assert(spark.read.parquet(outDir.getAbsolutePath).count() == 4)
+
+    // restart WITH new data: exactly the new rows are appended, old batch
+    // is not re-emitted — exactly-once across the checkpoint boundary
+    Files.write(new java.io.File(inDir, "batch2.txt").toPath,
+      Seq("late alpha line", "late nothing").mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    val all = spark.read.parquet(outDir.getAbsolutePath)
+      .as[(String, String)].collect().toMap
+    assert(all.size == 6)
+    assert(all("late alpha line") == "t-alpha")
+    assert(all("late nothing") == "u")
   }
 }
