@@ -102,6 +102,10 @@ object Bench {
         done = p.map(_.numInputRows).sum >= perBatch * 6
       }
       val progresses = q.recentProgress
+      // silence the TaskKilled/stage-cancelled WARN burst that query.stop()
+      // triggers — in round 1 that spam drowned the final JSON line and the
+      // driver recorded parsed:null
+      spark.sparkContext.setLogLevel("OFF")
       q.stop()
       val rows = progresses.map(_.numInputRows).sum
       val execMs = progresses.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
@@ -114,7 +118,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":$routerSecs,"rows_per_sec":$rowsPerSec}$streamJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":$routerSecs,"rows_per_sec":$rowsPerSec}$streamJson}"""
+
+    // Emit the result three ways so the driver can't miss it (round 1 lost
+    // the single println in log noise): a file, the bare JSON line (the
+    // stated contract), and a sentinel-prefixed copy — all after logging is
+    // fully silenced so nothing interleaves.
+    spark.sparkContext.setLogLevel("OFF")
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
+    println(json)
+    println(s"GRAFT_BENCH_JSON $json")
+    System.out.flush()
   }
 }

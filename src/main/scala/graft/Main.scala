@@ -45,6 +45,18 @@ object Main {
         .queryName(s"route-${s.inputTopic}")
         .start()
     }
+    // O1 parity: the reference logs every match at DEBUG (main.go:511-531);
+    // here DEBUG adds a sampled per-message tap query per spliter (own
+    // group/checkpoint) so the production plan stays untouched
+    if (cfg.debug) spliters.foreach { s =>
+      val tapSrc = StreamRouter.fromKafka(
+        spark, cfg.brokerList, s, cfg.groupPrefix, s"${cfg.groupSuffix}-tap",
+        cfg.kafkaSourceOptions)
+      StreamRouter.debugTap(tapSrc, s, s"${cfg.checkpointRoot}/${s.inputTopic}-tap",
+          trigger = Trigger.ProcessingTime(cfg.writerBatchTimeout))
+        .queryName(s"debug-tap-${s.inputTopic}")
+        .start()
+    }
     Supervision.awaitAnyFailure(spark)
   }
 }

@@ -49,8 +49,7 @@ object ScaleProbe {
     })
     var ivf: Set[(Long, Long)] = null
     time("ann_ivf_topk")( {
-      ivf = graft.ops.Similarity.ivfTopK(emb, queries, 10,
-          stride = (n / 1000L).max(1L).toInt, nprobe = 32)
+      ivf = graft.ops.Similarity.ivfTopK(emb, queries, 10, nlist = 1000, nprobe = 32)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       ivf.size.toLong

@@ -65,7 +65,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy(col("id_a"), col("id_b"))),
-    "dedup_minhash_lsh" -> ((s, dir) => // hash-based: rows-only oracle
+    "dedup_minhash_lsh" -> ((s, dir) => // oracle-checked: recall is exact at test SFs
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
@@ -73,7 +73,10 @@ object SparkEntry {
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.45)
+      // LSH-bucketed scale path; equality with the brute-force all-pairs
+      // oracle (cosineNearDupPairs) is proven in SimilaritySpec at every
+      // test SF, so it shares the brute-force DuckDB oracle below
+      Similarity.cosineNearDupLsh(t(s, dir, "embeddings"), 0.45, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- similarity search ----
@@ -85,7 +88,7 @@ object SparkEntry {
     }),
     "sim_topk_ivf" -> ((s, dir) => { // approximate: rows-only oracle
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 10, stride = 25, nprobe = 4)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 10, nlist = 20, nprobe = 4)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -234,10 +237,13 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** DuckDB SQL equivalents. Omitted for hash-seeded ops
-    * (dedup_minhash_lsh, dedup_simhash) and the approximate sim_topk_ivf —
-    * those get the driver's rows-only check and are instead validated
-    * against exact counterparts in the spec suite.
+  /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash and
+    * the approximate sim_topk_ivf / q_approx_distinct — those get the
+    * driver's rows-only check and are instead validated against exact
+    * counterparts in the spec suite. (dedup_minhash_lsh and
+    * dedup_embedding_cosine DO carry oracles: their LSH recall is exact on
+    * the test corpora, spec-proven, so they share their brute-force
+    * counterparts' SQL.)
     */
   def oracleSql: Map[String, String] = {
     val routeCase = Router.routeSql("text", DocRoutePlan.resolved)
@@ -246,6 +252,20 @@ object SparkEntry {
     val subw = raw"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
     def markers(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val mk = TextAnalysis.langMarkers.toMap
+    // exact n-gram Jaccard — also the oracle for dedup_minhash_lsh: LSH
+    // candidate recall is exact on the test corpora (DedupSpec proves LSH
+    // output == brute-force Jaccard at every SF), so both queries must
+    // produce these exact rows
+    val jaccardSql =
+      s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+         |          FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5 ORDER BY id_a, id_b""".stripMargin
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -257,16 +277,8 @@ object SparkEntry {
         "SELECT substr(text, 1, 80) AS prefix80, min(doc_id) AS keeper_id, count(*) AS dup_count FROM documents GROUP BY prefix80 ORDER BY prefix80",
       "dedup_exact_keep" ->
         "SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 80)) ORDER BY doc_id",
-      "dedup_ngram_jaccard" ->
-        s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
-           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
-           |          FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-           |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
-           |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-           |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_ngram_jaccard" -> jaccardSql,
+      "dedup_minhash_lsh" -> jaccardSql,
       "dedup_embedding_cosine" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
@@ -280,8 +292,10 @@ object SparkEntry {
           |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
           |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine_r FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
       "text_token_stats" ->
-        s"""SELECT lang, count(*) AS n_docs, sum(len($toks)) AS sum_tokens,
-           |sum(len($subw)) AS sum_subwords, round(avg(len($toks)), 4) AS avg_tokens
+        // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) is HUGEINT, which pandas
+        // renders float64 ("99111.0") and breaks the driver's string hash.
+        s"""SELECT lang, count(*) AS n_docs, CAST(sum(len($toks)) AS BIGINT) AS sum_tokens,
+           |CAST(sum(len($subw)) AS BIGINT) AS sum_subwords, round(avg(len($toks)), 4) AS avg_tokens
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "text_langid" ->
         s"""WITH s AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
@@ -330,8 +344,8 @@ object SparkEntry {
           |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
       "events_props_json" ->
         """SELECT event_type, count(*) AS n,
-          |sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
-          |max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+          |CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+          |CAST(max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "events_running" ->
         """SELECT user_id, event_id,

@@ -9,7 +9,8 @@ package graft.config
   *   SPLIT_CONF            base64(YAML routing plan)        (main.go:289-305)
   *   BROKER_LIST           comma-separated bootstrap servers (main.go:44)
   *   GROUP_PREFIX / GROUP_SUFFIX  consumer-group identity   (main.go:318-323)
-  *   READER_START_OFFSET   "earliest" semantics default      (main.go:62)
+  *   READER_START_OFFSET   -2=earliest (default) / -1=latest (main.go:62)
+  *   WRITER_ASYNC          accepted, see note below          (main.go:83)
   *   WRITER_BATCH_SIZE     producer batch size, default 100  (main.go:484-488)
   *   WRITER_BATCH_TIMEOUT  flush interval, default 10s       (main.go:439)
   *   SSL_PRIVATE_KEY / SSL_CERTIFICATE / SSL_CA  base64 PEM  (main.go:223-280)
@@ -23,6 +24,14 @@ package graft.config
   * 236-240), so verification is ALWAYS off — a latent security bug
   * (SURVEY §2.1 S6). Here the flag is honored properly and defaults to
   * false (verify certificates).
+  *
+  * NOTE on WRITER_ASYNC: the reference's async producer mode trades the
+  * delivery guarantee for throughput (fire-and-forget sends, main.go:83).
+  * Spark's Kafka sink is per-micro-batch synchronous — the batch commits
+  * only after the producer flush — so async mode has no equivalent and the
+  * flag is accepted-and-ignored (recorded here so a reference deployment's
+  * env passes validation; delivery is strictly stronger either way, see
+  * DESIGN.md §1).
   */
 final case class EnvConfig(
     splitConfB64: Option[String],
@@ -42,6 +51,7 @@ final case class EnvConfig(
     saslPassword: Option[String],
     debug: Boolean,
     checkpointRoot: String,
+    writerAsync: Boolean = false,
 ) {
   def plan: SpliterCollection =
     PlanCodec.fromBase64(splitConfB64.getOrElse(
@@ -128,7 +138,7 @@ object EnvConfig {
       brokerList = get("BROKER_LIST").getOrElse("localhost:9092"),
       groupPrefix = prefix,
       groupSuffix = suffix,
-      startOffset = get("READER_START_OFFSET").getOrElse("earliest"),
+      startOffset = parseStartOffset(get("READER_START_OFFSET")),
       writerBatchSize = getLong("WRITER_BATCH_SIZE").map(_.toInt).getOrElse(100),
       writerBatchTimeout = get("WRITER_BATCH_TIMEOUT").getOrElse("10 seconds"),
       writerCompression = get("WRITER_COMPRESSION"),
@@ -141,6 +151,31 @@ object EnvConfig {
       saslPassword = get("SASL_PASSWORD"),
       debug = get("DEBUG").exists(_.toBoolean),
       checkpointRoot = get("CHECKPOINT_ROOT").getOrElse("/tmp/graft-checkpoints"),
+      writerAsync = get("WRITER_ASYNC").exists(_.toBoolean),
     )
+  }
+
+  /** S3: start-offset policy. The reference's deployment contract is
+    * numeric — -2 = earliest (the DEFAULT, main.go:62), -1 = latest, the
+    * kafka-go sentinel constants — so a verbatim reference env must work
+    * here. String forms and Spark's per-partition JSON are also accepted.
+    * Any other scalar number (an absolute offset) fails fast: Spark's
+    * `startingOffsets` takes per-partition JSON, not a single scalar, and
+    * silently passing one through would misconfigure every partition.
+    */
+  def parseStartOffset(v: Option[String]): String = v.map(_.trim).filter(_.nonEmpty) match {
+    case None             => "earliest"
+    case Some("-2")       => "earliest"
+    case Some("-1")       => "latest"
+    case Some("earliest") => "earliest"
+    case Some("latest")   => "latest"
+    case Some(s) if s.startsWith("{") => s // per-partition offsets JSON passthrough
+    case Some(s) if s.matches("-?\\d+") =>
+      throw new IllegalArgumentException(
+        s"READER_START_OFFSET=$s: only -2 (earliest) and -1 (latest) scalar offsets are " +
+          "supported; for absolute offsets use a per-partition startingOffsets JSON value")
+    case Some(s) =>
+      throw new IllegalArgumentException(
+        s"READER_START_OFFSET=$s: expected -2, -1, 'earliest', 'latest', or offsets JSON")
   }
 }

@@ -112,6 +112,30 @@ object StreamRouter {
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)
 
+  /** Debug-only sampled match tap (O1 parity, reference main.go:511-531):
+    * a separate lightweight query over the same source that logs a capped
+    * sample of (value-prefix, winning topic) per micro-batch via
+    * `Supervision.debugMatchTap`. Running it as its OWN query (own
+    * consumer group, own checkpoint) keeps the production query's
+    * codegen'd plan completely untouched — the cost is one extra
+    * debug-only consumer, paid only when DEBUG is set.
+    */
+  def debugTap(
+      src: DataFrame,
+      spliter: ResolvedSpliter,
+      checkpointLocation: String,
+      sampleMod: Int = 1000,
+      maxRows: Int = 20,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+  ): DataStreamWriter[Row] =
+    Router.routeKeep(src, spliter)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Supervision.debugMatchTap(batch, sampleMod, maxRows, id)
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+
   /** Launch one StreamingQuery per spliter against Kafka (prod entry). */
   def launchAll(
       spark: SparkSession,

@@ -39,6 +39,30 @@ class EnvConfigSpec extends AnyFunSuite {
     assert(!d.kafkaSourceOptions.contains("maxOffsetsPerTrigger"))
   }
 
+  test("numeric start offsets follow the reference contract (main.go:62)") {
+    // the reference's deployment default is -2 (earliest); -1 is latest
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "-2")).startOffset == "earliest")
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "-1")).startOffset == "latest")
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "latest")).startOffset == "latest")
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> " -2 ")).startOffset == "earliest")
+    // per-partition JSON passes through for Spark-native configs
+    val json = """{"t":{"0":23}}"""
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> json)).startOffset == json)
+    // absolute scalar offsets and garbage fail fast with a clear message
+    val e1 = intercept[IllegalArgumentException] {
+      EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "12345"))
+    }
+    assert(e1.getMessage.contains("per-partition"))
+    intercept[IllegalArgumentException] {
+      EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "sideways"))
+    }
+  }
+
+  test("WRITER_ASYNC is accepted (and recorded) per the reference env contract") {
+    assert(!EnvConfig.fromEnv(Map.empty).writerAsync)
+    assert(EnvConfig.fromEnv(Map("WRITER_ASYNC" -> "true")).writerAsync)
+  }
+
   test("group affixes over 64 chars are rejected (main.go:207-221 caps)") {
     intercept[IllegalArgumentException] {
       EnvConfig.fromEnv(Map("GROUP_PREFIX" -> ("p" * 65)))

@@ -45,7 +45,7 @@ class SimilaritySpec extends AnyFunSuite {
     val queries = emb.filter($"vec_id" < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, queries, 10, stride = 25, nprobe = 4)
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 20, nprobe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall $recall collapsed — bucketing broken")
@@ -63,5 +63,28 @@ class SimilaritySpec extends AnyFunSuite {
     val withBits = emb.select($"vec_id", Similarity.signBits($"embedding", 8, 64).as("bits"))
     val n = withBits.select("bits").distinct().count()
     assert(n > 1 && n <= 256) // 8 bits → ≤256 buckets, actually splits data
+  }
+
+  test("centroid set size is capped at nlist regardless of corpus size") {
+    val slim = emb.select($"vec_id", $"embedding")
+    assert(Similarity.centroids(slim, 20).count() == 20)
+    assert(Similarity.centroids(
+      slim.union(slim.select(($"vec_id" + 10000).as("vec_id"), $"embedding")), 20)
+      .count() == 20) // 2× the corpus, same nlist
+  }
+
+  test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val brute = Similarity.cosineNearDupPairs(e, 0.45)
+        .as[(Long, Long, Double)].collect().toSet
+      val lsh = Similarity.cosineNearDupLsh(e, 0.45, dim = 64)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(brute.nonEmpty, s"$dir: brute-force oracle found no pairs — bad fixture")
+      val missed = brute -- lsh
+      assert(missed.isEmpty, s"$dir: LSH missed ${missed.size}/${brute.size} pairs: " +
+        missed.take(5).mkString(", "))
+      assert((lsh -- brute).isEmpty, s"$dir: LSH emitted pairs brute force did not")
+    }
   }
 }

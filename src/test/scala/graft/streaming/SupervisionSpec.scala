@@ -34,4 +34,28 @@ class SupervisionSpec extends AnyFunSuite {
       spark.streams.removeListener(logger)
     }
   }
+
+  test("debugMatchTap logs a capped, valid-JSON sample of matches (O1)") {
+    val df = spark.range(2000).selectExpr(
+      "CAST(id AS STRING) AS key",
+      "concat('msg-', id, CASE WHEN id % 3 = 0 THEN ' window' " +
+        "WHEN id % 3 = 1 THEN ' filter' ELSE '' END) AS value")
+    val routed = graft.router.Router.routeKeep(df, graft.fixtures.DocRoutePlan.resolved)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // sampleMod=3: a deterministic ~1/3 sample; cap at 5
+    Supervision.debugMatchTap(routed, sampleMod = 3, maxRows = 5, batchId = 7,
+      sink = lines += _)
+    assert(lines.nonEmpty && lines.size <= 5, s"cap violated: ${lines.size}")
+    lines.foreach { l =>
+      // every line is one valid JSON object with the expected fields
+      assert(l.startsWith("""{"event":"match","value_prefix":"""), l)
+      assert(l.contains(""""topic":""") && l.contains(""""batch":7"""), l)
+      assert(l.count(_ == '{') == 1 && l.endsWith("}"), l)
+    }
+    // repeat call is deterministic (hash sampling, no rand())
+    val again = scala.collection.mutable.ArrayBuffer.empty[String]
+    Supervision.debugMatchTap(routed, sampleMod = 3, maxRows = 5, batchId = 7,
+      sink = again += _)
+    assert(again.toSeq == lines.toSeq)
+  }
 }

@@ -31,6 +31,17 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
     if sc != dc:
         fails.append(q); print(f"{q:28s} COLS MISMATCH spark={sc} duck={dc}"); continue
+    # Dtype-kind check: the driver hashes the *string rendering* of each value,
+    # so int64 99111 vs float64 99111.0 hash-differ even though == in Python
+    # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> pandas float64). Catch that class.
+    dkind = [c for c in sc
+             if spark_df[c].dtype.kind in "iuf" and duck_df[c].dtype.kind in "iuf"
+             and (spark_df[c].dtype.kind == "f") != (duck_df[c].dtype.kind == "f")]
+    if dkind:
+        fails.append(q)
+        print(f"{q:28s} DTYPE MISMATCH " + ", ".join(
+            f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}" for c in dkind))
+        continue
     a = spark_df[sc].sort_values(sc).reset_index(drop=True)
     b = duck_df[dc].sort_values(dc).reset_index(drop=True)
     if len(a) != len(b):
