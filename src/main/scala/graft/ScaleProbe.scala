@@ -57,6 +57,37 @@ object ScaleProbe {
     println(f"SCALE ann_recall: ${(brute intersect ivf).size.toDouble / brute.size}%.3f")
     emb.unpersist()
 
+    // Embedding near-dup at the PRODUCTION threshold (0.9, per-bit
+    // agreement 0.856): every even id has a planted near-dup at cos≈0.96
+    // (neighbor + 0.3×noise); random 64-dim pairs concentrate near cos 0.
+    // Brute force is n²/2 vector pairs (5×10¹¹ at n=1M — infeasible);
+    // banded sign-bit LSH with ~log2(n)-bit bands keeps buckets O(1) so
+    // candidates stay ~B·n. Recall measured against the planted ground
+    // truth. This is the regime the wired test query (threshold 0.45, the
+    // LSH floor) cannot show — see Similarity.cosineNearDupLsh scaladoc.
+    val bitsPB = math.max(8, (math.log(n.toDouble) / math.log(2)).ceil.toInt)
+    val emb2 = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val base = (pmod(xxhash64(col("id") - pmod(col("id"), lit(2)), i), lit(2001L))
+          .cast("double") - 1000.0) / 1000.0
+        val noise = (pmod(xxhash64(col("id"), i, lit(7)), lit(2001L))
+          .cast("double") - 1000.0) / 1000.0
+        base + when(pmod(col("id"), lit(2)) === 1, noise * 0.3).otherwise(lit(0.0))
+      }).as("embedding")).cache()
+    emb2.count()
+    var planted = 0L
+    time(s"embedding_lsh_neardups_t0.9_b${bitsPB}x96")( {
+      val pairs = graft.ops.Similarity.cosineNearDupLsh(emb2, 0.9, dim,
+          bitsPerBand = bitsPB, bands = 96)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      planted = pairs.count { case (a, b) => b == a + 1 && a % 2 == 0 }
+      pairs.length.toLong
+    })
+    println(f"SCALE embedding_lsh_recall: ${planted.toDouble / (n / 2)}%.3f")
+    emb2.unpersist()
+
     // Event-time ops at scale: ne synthetic events over 30 days, 10k users
     val ne = (n * 20).min(50000000L)
     val events = spark.range(ne).select(

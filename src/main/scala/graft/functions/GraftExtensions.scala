@@ -46,7 +46,23 @@ object GraftFunctions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    ("text_fingerprint",
+      new ExpressionInfo(classOf[Fingerprint].getName, "text_fingerprint"),
+      (args: Seq[Expression]) => Fingerprint(args(0))),
+    ("sign_band_buckets",
+      new ExpressionInfo(classOf[SignBandBuckets].getName, "sign_band_buckets"),
+      // (vec, bitsPerBand, bands, dim) — planes derived deterministically,
+      // same matrix as Similarity.hyperplanes
+      (args: Seq[Expression]) => {
+        val b = intLit(args(1), "bitsPerBand")
+        val nB = intLit(args(2), "bands")
+        val dim = intLit(args(3), "dim")
+        SignBandBuckets(args(0),
+          graft.ops.Similarity.hyperplanes(b * nB, dim).map(_.toSeq).toSeq, b, nB)
+      }),
   )
+  // LangId and NearestCentroids stay Column-API-only: their lexicon /
+  // centroid-matrix parameters aren't expressible as SQL literals.
 
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

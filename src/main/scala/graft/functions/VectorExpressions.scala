@@ -336,6 +336,60 @@ case class NearestCentroids(child: Expression, centIds: Seq[Long],
     copy(child = newChild)
 }
 
+/** All random-hyperplane band buckets in ONE pass: for band b, bucket =
+  * Σ_j (dot(vec, plane[b·bitsPerBand+j]) > 0) << j. The plane matrix is
+  * baked into the expression (bitsPerBand·bands × dim doubles — ~1 MB at
+  * the 20-bit/96-band scale configuration, broadcast once with the plan).
+  * A Column-tree formulation needs bitsPerBand·bands separate VecDot
+  * expressions — ~2000 of them at scale config, which blows past codegen
+  * method limits; this kernel is one tight loop. Per-plane dot accumulates
+  * in element order, double precision — the same bits as VecDot, so bucket
+  * assignments are identical to the Column formulation.
+  */
+case class SignBandBuckets(child: Expression, planes: Seq[Seq[Double]],
+                           bitsPerBand: Int, bands: Int)
+    extends UnaryExpression with NativeUnaryKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val vec = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      vec(d) = if (elemFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      d += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val plane = mat(b * bitsPerBand + j)
+        val m = math.min(dim, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < m) { s += vec(i) * plane(i); i += 1 }
+        if (s > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint h = fold(h*31 + char) mod 1e9+7 over
   * the string's UTF-16 code units — identical to the HOF formulation
   * (split per char + ascii fold) on ASCII text, one pass, no per-char
@@ -384,4 +438,8 @@ object VectorFunctions {
 
   def fingerprint(text: Column): Column =
     ColumnShim.column(Fingerprint(ColumnShim.expression(text)))
+
+  def signBandBuckets(vec: Column, planes: Seq[Seq[Double]],
+                      bitsPerBand: Int, bands: Int): Column =
+    ColumnShim.column(SignBandBuckets(ColumnShim.expression(vec), planes, bitsPerBand, bands))
 }

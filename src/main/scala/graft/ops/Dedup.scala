@@ -31,16 +31,19 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.VectorFunctions.shingleNGrams(tokens(text), n)
 
-  /** 128-bit content fingerprint: two 64-bit xxhash64 draws (the second
-    * salts the input with a constant, giving an independent-in-practice
-    * second hash). Used as the dedup shuffle/grouping key so wide payloads
-    * are never the exchange's sort/compare key. Collision probability for
-    * n distinct values is ~n²/2¹²⁹ — at 10¹² documents that is <1e-14,
+  /** 128-bit content fingerprint as TWO long columns: two 64-bit xxhash64
+    * draws (the second salts the input with a constant, giving an
+    * independent-in-practice second hash). Used as the dedup
+    * shuffle/grouping key so wide payloads are never the exchange's
+    * sort/compare key. Two flat longs rather than one struct because
+    * struct grouping keys force SortAggregate; flat fixed-width keys keep
+    * the codegen'd HashAggregate path. Collision probability for n
+    * distinct values is ~n²/2¹²⁹ — at 10¹² documents that is <1e-14,
     * below the hardware-error floor; the standard trade for content-hash
     * dedup at scale.
     */
-  def contentFingerprint(c: Column): Column =
-    struct(xxhash64(c).as("h1"), xxhash64(lit(0x9E3779B97F4A7C15L), c).as("h2"))
+  def contentFingerprint(c: Column): Seq[Column] =
+    Seq(xxhash64(c), xxhash64(lit(0x9E3779B97F4A7C15L), c))
 
   /** Exact duplicate groups: one row per distinct `col`, with the keeper
     * (min id) and the duplicate count. The grouping/shuffle KEY is the
@@ -48,11 +51,18 @@ object Dedup {
     * aggregation payload (min(col), one copy per distinct value per
     * partition after map-side partial aggregation) because the output
     * includes it — exchanges compare/sort 16-byte keys, not wide text.
+    * The string-typed min() buffer does force sort-based aggregation
+    * (HashAggregate needs fixed-width buffers), but the sort key is the
+    * two longs; `exactDedup` below, whose keeper selection drops the
+    * payload entirely, keeps the codegen'd HashAggregate path — prefer it
+    * when the representative value isn't needed.
     */
-  def exactDupGroups(df: DataFrame, on: String, idCol: String): DataFrame =
-    df.groupBy(contentFingerprint(col(on)).as("__fp"))
+  def exactDupGroups(df: DataFrame, on: String, idCol: String): DataFrame = {
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    df.groupBy(h1.as("__h1"), h2.as("__h2"))
       .agg(min(col(on)).as(on), min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
-      .drop("__fp")
+      .drop("__h1", "__h2")
+  }
 
   /** Streaming exact dedup: first-seen-wins within the watermark horizon.
     * State is bounded by the watermark (old keys expire), so this runs
@@ -71,11 +81,12 @@ object Dedup {
     // keeper selection never touches the payload: both the groupBy and the
     // semi join key on (fingerprint, id) — the wide column rides along only
     // on the left (kept-rows) side, as it must.
-    val keepers = df.select(contentFingerprint(col(on)).as("__fp"), col(idCol))
-      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
-    df.withColumn("__fp", contentFingerprint(col(on)))
-      .join(keepers, Seq("__fp", idCol), "leftsemi")
-      .drop("__fp")
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    val keepers = df.select(h1.as("__h1"), h2.as("__h2"), col(idCol))
+      .groupBy(col("__h1"), col("__h2")).agg(min(col(idCol)).as(idCol))
+    df.withColumn("__h1", h1).withColumn("__h2", h2)
+      .join(keepers, Seq("__h1", "__h2", idCol), "leftsemi")
+      .drop("__h1", "__h2")
   }
 
   /** MinHash signature as an array<long> column: for shingle set S,

@@ -182,19 +182,14 @@ object Similarity {
     * bits each (plane p = band·bitsPerBand + j). Two vectors collide in a
     * band iff all its bits agree, so for angle θ the per-band collision
     * rate is (1−θ/π)^bitsPerBand and the miss probability over all bands
-    * is (1−(1−θ/π)^b)^B — the standard LSH S-curve.
+    * is (1−(1−θ/π)^b)^B — the standard LSH S-curve. One native kernel
+    * pass (graft.functions.SignBandBuckets): the equivalent Column tree is
+    * b·B separate VecDots, which blows codegen limits at scale configs
+    * like (20, 96).
     */
-  def signBandBuckets(vec: Column, bitsPerBand: Int, bands: Int, dim: Int): Column = {
-    val planes = hyperplanes(bitsPerBand * bands, dim)
-    array((0 until bands).map { b =>
-      (0 until bitsPerBand)
-        .map { j =>
-          val p = b * bitsPerBand + j
-          when(dot(vec, lit(planes(p))) > 0, lit(1L << j)).otherwise(lit(0L))
-        }
-        .reduce((x, y) => x.bitwiseOR(y))
-    }: _*)
-  }
+  def signBandBuckets(vec: Column, bitsPerBand: Int, bands: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.signBandBuckets(
+      vec, hyperplanes(bitsPerBand * bands, dim).map(_.toSeq).toSeq, bitsPerBand, bands)
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH — the
     * production-shape replacement for the brute-force all-pairs broadcast:

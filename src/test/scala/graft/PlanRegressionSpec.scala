@@ -50,4 +50,38 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("minhashsig(shinglengrams("))
     assert(p.contains("xxhash64"), "band bucket hashing missing")
   }
+
+  test("exact dedup: fingerprint keys the exchange; keeper path hash-aggregates") {
+    val groups = plan("dedup_exact_groups")
+    // the grouping exprs are the two xxhash64 fingerprint longs (rendered
+    // as _groupingexpression aliases), and the aggregation exchange
+    // partitions on them — never on the raw value column
+    assert(groups.contains("xxhash64(prefix80"),
+      s"fingerprint projection missing:\n$groups")
+    assert(groups.contains("hashpartitioning(_groupingexpression"),
+      s"exchange not keyed on the content fingerprint:\n$groups")
+    assert(!groups.contains("hashpartitioning(prefix80"),
+      s"exchange keyed on the raw value:\n$groups")
+    val keep = plan("dedup_exact_keep")
+    assert(keep.contains("HashAggregate"),
+      "keeper selection lost the fixed-width HashAggregate path")
+    assert(keep.contains("LeftSemi"), "keeper filter is not a semi join")
+  }
+
+  test("embedding LSH: no all-pairs product; candidates verified by id join") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs product crept back into the LSH plan:\n$p")
+    assert(p.contains("vecdot"), "native cosine verification missing")
+  }
+
+  test("ivf: centroid selection is a bounded TakeOrdered, not a full sort") {
+    // centroids() runs eagerly (driver-collected) during ivfTopK plan
+    // construction, so it must be audited as its own plan
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = graft.ops.Similarity.centroids(emb, 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"nlist centroid cap lost its per-partition top-k shape:\n$p")
+  }
 }

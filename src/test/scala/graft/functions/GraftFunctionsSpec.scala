@@ -22,6 +22,42 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("s") == spark.sql("SELECT simhash64(array('tok1','tok2')) s").head().getLong(0))
   }
 
+  test("text_fingerprint and sign_band_buckets are SQL-callable") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  text_fingerprint('ab') AS fp,
+        |  sign_band_buckets(array(1.0D, -2.0D, 0.5D), 4, 8, 3) AS bb
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("fp") == ('a'.toLong * 31 + 'b'.toLong)) // h*31+c fold
+    val bb = row.getAs[scala.collection.Seq[Long]]("bb")
+    assert(bb.length == 8 && bb.forall(b => b >= 0 && b < 16)) // 8 bands of 4 bits
+  }
+
+  test("SignBandBuckets kernel matches a per-plane scalar recomputation") {
+    // pin the kernel's arithmetic: same planes, same element-order double
+    // accumulation, same strict > 0 sign rule
+    val vecs = Seq(Seq(0.3, -1.2, 0.7, 0.05), Seq(-0.9, 0.0, 2.2, -0.4))
+    val (bits, bands, dim) = (5, 6, 4)
+    val planes = graft.ops.Similarity.hyperplanes(bits * bands, dim)
+    import spark.implicits._
+    val got = vecs.toDF("v")
+      .select(VectorFunctions.signBandBuckets(
+        org.apache.spark.sql.functions.col("v"),
+        planes.map(_.toSeq).toSeq, bits, bands).as("bb"))
+      .as[Seq[Long]].collect()
+    val expect = vecs.map { v =>
+      (0 until bands).map { b =>
+        (0 until bits).foldLeft(0L) { (acc, j) =>
+          var s = 0.0
+          for (i <- 0 until dim) s += v(i) * planes(b * bits + j)(i)
+          if (s > 0) acc | (1L << j) else acc
+        }
+      }
+    }
+    assert(got.map(_.toSeq).toSeq == expect.map(_.toSeq))
+  }
+
   test("registration is idempotent and arity errors are clear") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark) // no throw
@@ -37,7 +73,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // own JVM-level session; the injected builders are identical objects)
     val ext = new GraftExtensions
     assert(GraftFunctions.descriptors.map(_._1).toSet ==
-      Set("vec_dot", "shingle_ngrams", "minhash_sig", "simhash64"))
+      Set("vec_dot", "shingle_ngrams", "minhash_sig", "simhash64",
+        "text_fingerprint", "sign_band_buckets"))
     assert(ext != null)
   }
 }
