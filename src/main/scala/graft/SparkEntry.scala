@@ -117,6 +117,15 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
+        .orderBy(col("doc_id"))),
+    "text_pack_bins" -> ((s, dir) =>
+      TextAnalysis.packBins(t(s, dir, "documents"), "doc_id", "text", 4096L, Seq("lang"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))),
 
     // ---- event-time analytics ----
     "events_tumbling" -> ((s, dir) =>
@@ -329,6 +338,27 @@ object SparkEntry {
           |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
           |  (h, c) -> (h * 31 + c) % 1000000007) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_normalize" ->
+        // same regexp chain, RE2∩Java common-subset patterns; DuckDB needs
+        // the explicit 'g' flag (Java replaces all matches by default)
+        """SELECT doc_id, trim(regexp_replace(
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+          |      'https?://[^\s]+', '[url]', 'g'),
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '[email]', 'g'),
+          |  '[\x00-\x1f]', ' ', 'g'),
+          |'\s+', ' ', 'g')) AS norm_text
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_pack_bins" ->
+        s"""WITH t AS (SELECT lang, doc_id, len($toks) AS n_tokens FROM documents),
+           |c AS (SELECT lang, doc_id, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT lang, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin,
+           |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+           |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
       "events_tumbling" ->
         """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
           |count(*) AS n_events, round(sum("value"), 2) AS sum_value

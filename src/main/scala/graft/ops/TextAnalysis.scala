@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY §2.3):
@@ -84,4 +85,44 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.VectorFunctions.fingerprint(text)
+
+  /** Corpus-curation normalization: lowercase, HTML tags stripped,
+    * URLs/emails redacted to fixed placeholders (PII hygiene), control
+    * chars dropped, whitespace collapsed and trimmed. A pure per-row
+    * regexp_replace chain — scan-speed, shuffle-free, whole-stage
+    * codegen'd; every pattern stays in the RE2∩Java common subset (same
+    * discipline as the router, SURVEY §2.1 F1) so a DuckDB oracle
+    * reproduces it byte-for-byte.
+    */
+  def normalize(text: Column): Column = {
+    // placeholders are [url]/[email], NOT tag-shaped — a <url> placeholder
+    // would be re-stripped as an HTML tag on a second pass, breaking the
+    // idempotence a multi-stage pipeline relies on (pinned by spec)
+    val lowered = lower(text)
+    val noTags  = regexp_replace(lowered, "<[^>]*>", " ")
+    val noUrls  = regexp_replace(noTags, "https?://[^\\s]+", "[url]")
+    val noMail  = regexp_replace(noUrls, "[a-z0-9._%+-]+@[a-z0-9.-]+", "[email]")
+    val noCtl   = regexp_replace(noMail, "[\\x00-\\x1f]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
+  /** Greedy sequential token-budget packing — the "fill ~budget-token
+    * training bins" step of a data pipeline. Within each partition key,
+    * documents ordered by `idCol` get a running token total, and a doc's
+    * bin is the one its FIRST token lands in:
+    * bin = floor((cum_tokens − n_tokens) / budget).
+    *
+    * Scale note: the window is PARTITIONED (the wired query packs per
+    * language) — an unpartitioned global cumsum serializes into a single
+    * task at 100 TB. Pack within natural shards (language, source,
+    * date...) and the window parallelizes per shard.
+    */
+  def packBins(df: DataFrame, idCol: String, textCol: String, budget: Long,
+               partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget))
+  }
 }

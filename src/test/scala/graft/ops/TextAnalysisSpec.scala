@@ -50,4 +50,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(q.exists(_._4 > 0)) // corpus isn't uniformly zero-quality
   }
+
+  test("normalize: tags stripped, URLs/emails redacted, ws collapsed, idempotent") {
+    val cases = Seq(
+      "<p>Hello <b>World</b></p>" -> "hello world",
+      "see https://example.com/a?b=1 now" -> "see [url] now",
+      "mail Bob.Smith+x@corp.example please" -> "mail [email] please",
+      "tabs\tand\u0001ctl  chars" -> "tabs and ctl chars",
+      "  already clean  " -> "already clean",
+    )
+    val got = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.normalize($"text")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+    // idempotence: normalizing normalized text is a no-op
+    val again = got.toSeq.toDF("text")
+      .select(TextAnalysis.normalize($"text")).as[String].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("packBins: doc straddling the budget starts in its first token's bin; partitions restart") {
+    // budget 10; partition A: docs of 4,4,4 tokens -> cum 4,8,12 ->
+    // bins floor(0/10)=0, floor(4/10)=0, floor(8/10)=0 (third STARTS at
+    // token 8, inside bin 0, despite ending at 12); then 9 tokens ->
+    // starts at 12 -> bin 1. Partition B restarts at bin 0.
+    val df = Seq(
+      ("A", 1L, "w w w w"), ("A", 2L, "w w w w"), ("A", 3L, "w w w w"),
+      ("A", 4L, "w w w w w w w w w"),
+      ("B", 5L, "w w"),
+    ).toDF("part", "doc_id", "text")
+    val got = TextAnalysis.packBins(df, "doc_id", "text", 10L, Seq("part"))
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
 }
