@@ -91,8 +91,10 @@ object Bench {
             // cheap non-matching noise pad (NOT md5: the batch router number
             // excludes corpus synthesis via cache(), so the stream synthesis
             // must stay negligible for the comparison to isolate routing +
-            // micro-batch overhead)
-            .otherwise(concat(lit("noise-"), col("value"), lit("-qqpadqq-tail")))
+            // micro-batch overhead). Width matches the batch corpus's
+            // 38-char md5 noise so both paths route comparable payloads.
+            .otherwise(concat(lit("noise-"), col("value"),
+              lit("-qqpadqqwwpadwwxxpadxxyypadyy")))
             .as("value"))
       val routed = graft.router.Router.route(stream, graft.fixtures.RefRoutePlan.openstack)
       val q = routed.writeStream.format("noop")

@@ -346,7 +346,7 @@ object SparkEntry {
           |    regexp_replace(
           |      regexp_replace(
           |        regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
-          |      'https?://[^\s]+', '[url]', 'g'),
+          |      'https?://[^ \t\n\x0b\f\r]+', '[url]', 'g'),
           |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '[email]', 'g'),
           |  '[\x00-\x1f]', ' ', 'g'),
           |'\s+', ' ', 'g')) AS norm_text

@@ -164,11 +164,14 @@ object EnvConfig {
     * silently passing one through would misconfigure every partition.
     */
   def parseStartOffset(v: Option[String]): String = v.map(_.trim).filter(_.nonEmpty) match {
-    case None             => "earliest"
-    case Some("-2")       => "earliest"
-    case Some("-1")       => "latest"
-    case Some("earliest") => "earliest"
-    case Some("latest")   => "latest"
+    case None       => "earliest"
+    case Some("-2") => "earliest"
+    case Some("-1") => "latest"
+    // keyword forms case-insensitively, as Spark's Kafka source itself
+    // accepts them — "EARLIEST" worked before this validation existed and
+    // must not become a boot failure
+    case Some(s) if s.equalsIgnoreCase("earliest") => "earliest"
+    case Some(s) if s.equalsIgnoreCase("latest")   => "latest"
     case Some(s) if s.startsWith("{") => s // per-partition offsets JSON passthrough
     case Some(s) if s.matches("-?\\d+") =>
       throw new IllegalArgumentException(

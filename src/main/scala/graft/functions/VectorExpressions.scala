@@ -360,6 +360,13 @@ case class SignBandBuckets(child: Expression, planes: Seq[Seq[Double]],
   override def compute(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    // strict: a dim mismatch here means buckets are computed from a
+    // different subspace than the exact-cosine verification — true pairs
+    // silently miss every bucket and verification can't restore them.
+    // Fail loudly instead of truncating.
+    if (dim != mat(0).length)
+      throw new IllegalArgumentException(
+        s"sign_band_buckets: vector has $dim dims but planes were built for ${mat(0).length}")
     val vec = new Array[Double](dim)
     var d = 0
     while (d < dim) {
@@ -373,10 +380,9 @@ case class SignBandBuckets(child: Expression, planes: Seq[Seq[Double]],
       var j = 0
       while (j < bitsPerBand) {
         val plane = mat(b * bitsPerBand + j)
-        val m = math.min(dim, plane.length)
         var s = 0.0
         var i = 0
-        while (i < m) { s += vec(i) * plane(i); i += 1 }
+        while (i < dim) { s += vec(i) * plane(i); i += 1 }
         if (s > 0) bucket |= (1L << j)
         j += 1
       }

@@ -159,11 +159,16 @@ object Similarity {
     * once at plan time on the driver and baked into the plan as array
     * literals — identical across runs and executors.
     */
-  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    // the seed stream strides by 4096 per plane; a larger dim would make
+    // adjacent planes share shifted value streams (plane p element 4096+k
+    // == plane p+1 element k) and silently correlate the LSH bits
+    require(dim <= 4096, s"hyperplanes supports dim <= 4096, got $dim")
     Array.tabulate(planes, dim) { (p, i) =>
       // 53-bit mantissa of the mixed hash -> uniform double in [-1, 1)
       (mix64(p.toLong * 4096L + i) >>> 11).toDouble / (1L << 52).toDouble - 1.0
     }
+  }
 
   /** Random-hyperplane sign bits: an nbits-bit bucket key whose collisions
     * approximate angular similarity. Each bit is the sign of a native

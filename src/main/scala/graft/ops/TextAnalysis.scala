@@ -106,7 +106,9 @@ object TextAnalysis {
     // idempotence a multi-stage pipeline relies on (pinned by spec)
     val lowered = lower(text)
     val noTags  = regexp_replace(lowered, "<[^>]*>", " ")
-    val noUrls  = regexp_replace(noTags, "https?://[^\\s]+", "[url]")
+    // explicit whitespace class, not \s: Java's \s includes vertical tab
+    // \x0b, RE2's does not — the explicit class is identical in both
+    val noUrls  = regexp_replace(noTags, "https?://[^ \\t\\n\\x0b\\f\\r]+", "[url]")
     val noMail  = regexp_replace(noUrls, "[a-z0-9._%+-]+@[a-z0-9.-]+", "[email]")
     val noCtl   = regexp_replace(noMail, "[\\x00-\\x1f]", " ")
     trim(regexp_replace(noCtl, "\\s+", " "))
@@ -125,7 +127,11 @@ object TextAnalysis {
     */
   def packBins(df: DataFrame, idCol: String, textCol: String, budget: Long,
                partitionCols: Seq[String]): DataFrame = {
+    // explicit ROWS frame: Spark's default frame with an orderBy is RANGE,
+    // which merges peer rows (duplicate ids) into one cumulative value and
+    // diverges from the oracle's ROWS UNBOUNDED PRECEDING on ties
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("bin",

@@ -72,7 +72,11 @@ object Supervision {
                     sampleMod: Int = 1000, maxRows: Int = 20, batchId: Long = -1L,
                     sink: String => Unit = defaultDebugSink): Unit = {
     import org.apache.spark.sql.functions._
-    val v = col("value").cast("string")
+    // coalesce FIRST: a tombstone (null value) hashes to the seed (42),
+    // which passes the sample filter whenever sampleMod divides 42 — an
+    // unguarded getString would then NPE, fail the tap query, and take the
+    // whole router down through awaitAnyFailure
+    val v = coalesce(col("value").cast("string"), lit(""))
     routedKeep
       .filter(pmod(xxhash64(v), lit(sampleMod.toLong)) === 0)
       .select(substring(v, 1, 80).as("prefix"), col("topic"))

@@ -45,6 +45,10 @@ class EnvConfigSpec extends AnyFunSuite {
     assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "-1")).startOffset == "latest")
     assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "latest")).startOffset == "latest")
     assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> " -2 ")).startOffset == "earliest")
+    // keyword case-insensitivity (Spark's Kafka source accepts EARLIEST;
+    // validation must not turn it into a boot failure)
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "EARLIEST")).startOffset == "earliest")
+    assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> "Latest")).startOffset == "latest")
     // per-partition JSON passes through for Spark-native configs
     val json = """{"t":{"0":23}}"""
     assert(EnvConfig.fromEnv(Map("READER_START_OFFSET" -> json)).startOffset == json)

@@ -73,6 +73,16 @@ class SimilaritySpec extends AnyFunSuite {
       .count() == 20) // 2× the corpus, same nlist
   }
 
+  test("signBandBuckets fails loudly on a dim mismatch instead of truncating") {
+    // buckets from a truncated subspace would silently miss true pairs;
+    // the kernel must reject vectors whose length differs from the planes
+    val e = intercept[org.apache.spark.SparkException] {
+      emb.select(Similarity.signBandBuckets($"embedding", 4, 8, dim = 32)).collect()
+    }
+    assert(e.getMessage.contains("sign_band_buckets") ||
+      Option(e.getCause).exists(_.getMessage.contains("sign_band_buckets")))
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")

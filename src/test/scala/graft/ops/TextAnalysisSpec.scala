@@ -82,4 +82,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
+
+  test("packBins: duplicate ids accumulate row-by-row (ROWS frame, not RANGE)") {
+    // two docs with the SAME id, 12 tokens each, budget 10: RANGE peers
+    // would both see cum=24 -> both bin 1; ROWS gives the first cum=12
+    // (starts at 0 -> bin 0) and the second cum=24 (starts at 12 -> bin 1)
+    val twelve = Seq.fill(12)("w").mkString(" ")
+    val df = Seq(("A", 1L, twelve), ("A", 1L, twelve)).toDF("part", "doc_id", "text")
+    val bins = TextAnalysis.packBins(df, "doc_id", "text", 10L, Seq("part"))
+      .select($"bin").as[Long].collect().sorted
+    assert(bins.toSeq == Seq(0L, 1L))
+  }
 }

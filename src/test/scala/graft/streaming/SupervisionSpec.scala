@@ -58,4 +58,16 @@ class SupervisionSpec extends AnyFunSuite {
       sink = again += _)
     assert(again.toSeq == lines.toSeq)
   }
+
+  test("debugMatchTap survives null message values (tombstones) at sampleMod=1") {
+    // null hashes to the xxhash64 seed (42): with sampleMod=1 every row is
+    // sampled, so an unguarded null would NPE and kill the tap query
+    val df = spark.sql(
+      "SELECT * FROM VALUES ('k1', CAST(NULL AS STRING)), ('k2', 'window x') AS t(key, value)")
+    val routed = graft.router.Router.routeKeep(df, graft.fixtures.DocRoutePlan.resolved)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    Supervision.debugMatchTap(routed, sampleMod = 1, maxRows = 10, sink = lines += _)
+    assert(lines.size == 2) // both rows logged, no NPE
+    assert(lines.exists(_.contains("\"value_prefix\":\"\"")))
+  }
 }
