@@ -93,6 +93,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "emb_quant_error" -> ((s, dir) => {
+      // int8 storage quantization: per-vector scale + reconstruction error
+      // + cosine fidelity of the dequantized vector vs the original
+      val e = t(s, dir, "embeddings")
+        .withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+        .withColumn("deq", Similarity.dequantizeInt8(col("qz")))
+      e.select(
+        col("vec_id"),
+        round(col("qz.scale"), 6).as("scale_r"),
+        round(array_max(zip_with(col("deq"), col("embedding"),
+          (a, b) => abs(a - b.cast("double")))), 6).as("max_err_r"),
+        round(Similarity.cosine(col("deq"), col("embedding")), 4).as("cos_r"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- text analysis ----
     "text_token_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -300,6 +315,18 @@ object SparkEntry {
           |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos FROM q JOIN c ON neighbor_id <> query_id),
           |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
           |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine_r FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+      "emb_quant_error" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+          |           2.2250738585072014e-308) AS scale FROM e),
+          |q AS (SELECT vec_id, v, scale,
+          |  list_transform(v, x -> round(x / scale) * scale) AS deq FROM s)
+          |SELECT vec_id, round(scale, 6) AS scale_r,
+          |round(list_max(list_transform(range(1, len(v) + 1),
+          |  i -> abs(deq[i] - v[i]))), 6) AS max_err_r,
+          |round(list_cosine_similarity(deq, v), 4) AS cos_r
+          |FROM q ORDER BY vec_id""".stripMargin,
       "text_token_stats" ->
         // CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) is HUGEINT, which pandas
         // renders float64 ("99111.0") and breaks the driver's string hash.

@@ -73,6 +73,31 @@ class SimilaritySpec extends AnyFunSuite {
       .count() == 20) // 2× the corpus, same nlist
   }
 
+  test("int8 quantization: error bounded by scale/2, cosine fidelity, top-k recall") {
+    val q = emb
+      .withColumn("qz", Similarity.quantizeInt8($"embedding"))
+      .withColumn("deq", Similarity.dequantizeInt8($"qz"))
+    val rows = q.select(
+      $"qz.scale".cast("double"),
+      array_max(zip_with($"deq", $"embedding", (a, b) => abs(a - b.cast("double")))),
+      Similarity.cosine($"deq", $"embedding"))
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, err, cos) =>
+      assert(err <= scale / 2 + 1e-12, s"per-component error $err exceeds scale/2 ($scale)")
+      assert(cos > 0.9995, s"cosine fidelity lost after int8 round-trip: $cos")
+    }
+    // ANN top-k on dequantized vectors reproduces the exact neighbours
+    val deqEmb = emb.select($"vec_id",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val viaInt8 = Similarity.bruteForceTopK(deqEmb, deqEmb.filter($"vec_id" < 10), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect viaInt8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 top-k recall degraded to $recall")
+  }
+
   test("signBandBuckets fails loudly on a dim mismatch instead of truncating") {
     // buckets from a truncated subspace would silently miss true pairs;
     // the kernel must reject vectors whose length differs from the planes
