@@ -220,6 +220,16 @@ object SparkEntry {
           round(min(col("o_totalprice")), 2).as("p_min"),
           round(max(col("o_totalprice")), 2).as("p_max"))
         .orderBy(col("o_orderpriority"))),
+    "q_percentiles_approx" -> ((s, dir) => // sketch-based: rows-only oracle
+      // the 100 TB path for q_percentiles: exact percentile() sorts every
+      // group; approx_percentile is a bounded-memory mergeable sketch.
+      // Accuracy vs the exact query is pinned in AnalyticsSpec.
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_approx"))
+        .orderBy(col("o_orderpriority"))),
     "q_asof_join" -> ((s, dir) => {
       // for each event, the user's latest purchase value at or before it
       val ev = t(s, dir, "events")

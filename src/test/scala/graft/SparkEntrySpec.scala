@@ -23,7 +23,8 @@ class SparkEntrySpec extends AnyFunSuite {
     // dedup_minhash_lsh graduated to a full oracle in round 2 (recall is
     // exact at the test SFs, so it shares the exact-Jaccard SQL)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("dedup_simhash", "sim_topk_ivf", "q_approx_distinct"))
+    assert(rowsOnly == Set("dedup_simhash", "sim_topk_ivf", "q_approx_distinct",
+      "q_percentiles_approx"))
   }
 
   test("every query runs and is non-empty on sf0.001") {

@@ -65,4 +65,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists { case (s, p) => s != "ALL" && p == "ALL" })
     assert(rows.exists { case (s, p) => s != "ALL" && p != "ALL" })
   }
+
+  test("approx_percentile tracks the exact percentile within 2% per group") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val joined = orders.groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50a"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90a"))
+      .select($"p50", $"p50a", $"p90", $"p90a")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (p50, p50a, p90, p90a) =>
+      assert(math.abs(p50 - p50a) / p50 < 0.02, s"p50 sketch drifted: $p50 vs $p50a")
+      assert(math.abs(p90 - p90a) / p90 < 0.02, s"p90 sketch drifted: $p90 vs $p90a")
+    }
+  }
 }

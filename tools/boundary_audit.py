@@ -14,6 +14,17 @@ for t in ["orders", "lineitem", "events", "embeddings", "documents",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 
+def quant_tie_distance():
+    # emb_quant_error rounds x/scale to int; a value exactly at .5 could in
+    # principle flip between engines with different tie rules (both Spark
+    # and DuckDB round half away from zero, but measure the margin anyway)
+    t = con.sql("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s AS (SELECT v, list_max(list_transform(v, x -> abs(x)))/127.0 AS scale FROM e),
+      u AS (SELECT abs(unnest(v)/scale) AS q FROM s)
+      SELECT min(abs(q - floor(q) - 0.5)) FROM u""").fetchone()
+    return t[0]
+
+
 def dist_to_round_boundary(vals, dp):
     out = []
     for (v,) in vals:
@@ -59,3 +70,4 @@ print("quality avg_token_len dp4 boundary dist:", dist_to_round_boundary(con.sql
 print("percentiles dp2 boundary dist:", dist_to_round_boundary(con.sql(
     "SELECT quantile_cont(o_totalprice, 0.5) FROM orders GROUP BY o_orderpriority"
     " UNION ALL SELECT quantile_cont(o_totalprice, 0.9) FROM orders GROUP BY o_orderpriority").fetchall(), 2))
+print("emb_quant round-tie distance:", quant_tie_distance())
