@@ -30,6 +30,20 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
+/** splitmix64 finalizer — the one deterministic mixer every hash-seeded
+  * kernel derives its streams from (MinHash lane coefficients, LSH
+  * hyperplanes). Arithmetic-progression schemes correlate lanes — see the
+  * MinHashSig note below.
+  */
+object SplitMix {
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Native Catalyst expressions for the vector/minhash hot paths.
   *
   * Rationale (SURVEY §7.3, measured): the pure higher-order-function
@@ -112,16 +126,10 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
   // small, one element wins most lanes simultaneously, and recall
   // collapses for its pairs (found by the 1M-doc scale probe: one planted
   // near-dup pair at jaccard 0.987 shared only 20/64 lanes).
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
   private lazy val as: Array[Long] =
-    Array.tabulate(k)(j => Math.floorMod(mix(j.toLong), p - 1) + 1L)
+    Array.tabulate(k)(j => Math.floorMod(SplitMix.mix64(j.toLong), p - 1) + 1L)
   private lazy val bs: Array[Long] =
-    Array.tabulate(k)(j => Math.floorMod(mix(j.toLong + 0x51AF_E00DL), p))
+    Array.tabulate(k)(j => Math.floorMod(SplitMix.mix64(j.toLong + 0x51AF_E00DL), p))
 
   override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

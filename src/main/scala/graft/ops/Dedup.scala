@@ -117,30 +117,39 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Candidate near-dup pairs from LSH (distinct id pairs, a<b). The join
-    * is band-bucket-local: shuffle key (band, bucket) keeps it linear.
-    *
-    * `maxBucketSize` (0 = off) drops buckets larger than the cap before
-    * pair generation — the guard against pathologically self-similar
-    * corpora where one bucket would otherwise go quadratic (a bucket of a
-    * million boilerplate documents is 5×10¹¹ pairs and carries almost no
-    * signal; members of a dropped bucket still meet through their other
-    * bands unless they collide EVERYWHERE).
+  /** Candidate near-dup pairs from MinHash LSH (distinct id pairs, a<b) —
+    * banding via `lshBuckets`, pair generation via the shared
+    * `bucketCandidatePairs` core below.
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                        maxBucketSize: Int = 0): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand)
+                        maxBucketSize: Int = 0): DataFrame =
+    bucketCandidatePairs(
+      lshBuckets(df, idCol, textCol, shingleN, bands, rowsPerBand)
+        .withColumnRenamed(idCol, "id"),
+      maxBucketSize)
+
+  /** Distinct candidate id pairs (id_a < id_b) from (band, bucket, id)
+    * rows — the banding-join core shared by MinHash LSH and sign-bit
+    * embedding LSH (Similarity.cosineNearDupLsh). The join is
+    * band-bucket-local: shuffle key (band, bucket) keeps it linear in
+    * bucket volume; `maxBucketSize` (0 = off) drops buckets larger than
+    * the cap before pair generation — the guard against pathologically
+    * self-similar corpora where one bucket would otherwise go quadratic
+    * (members of a dropped bucket still meet through their other bands
+    * unless they collide everywhere).
+    */
+  private[ops] def bucketCandidatePairs(bucketed: DataFrame, maxBucketSize: Int): DataFrame = {
     val bounded =
-      if (maxBucketSize <= 0) b
+      if (maxBucketSize <= 0) bucketed
       else {
-        val sizes = b.groupBy(col("band"), col("bucket"))
+        val sizes = bucketed.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") <= maxBucketSize)
-        b.join(sizes.select(col("band"), col("bucket")), Seq("band", "bucket"), "leftsemi")
+        bucketed.join(sizes.select(col("band"), col("bucket")), Seq("band", "bucket"), "leftsemi")
       }
-    val l = bounded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = bounded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -165,17 +165,6 @@ object Similarity {
   def dequantizeInt8(quant: Column): Column =
     transform(quant.getField("q"), x => x.cast("double") * quant.getField("scale"))
 
-  /** splitmix64 finalizer — deterministic pseudo-random stream with no RNG
-    * state; the same mixer MinHashSig uses (arithmetic-progression
-    * coefficient schemes correlate lanes, see VectorExpressions.scala).
-    */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic random-hyperplane matrix: `planes` rows of `dim`
     * components in [-1, 1), from mix64(plane·4096 + dim-index). Computed
     * once at plan time on the driver and baked into the plan as array
@@ -188,22 +177,17 @@ object Similarity {
     require(dim <= 4096, s"hyperplanes supports dim <= 4096, got $dim")
     Array.tabulate(planes, dim) { (p, i) =>
       // 53-bit mantissa of the mixed hash -> uniform double in [-1, 1)
-      (mix64(p.toLong * 4096L + i) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+      (graft.functions.SplitMix.mix64(p.toLong * 4096L + i) >>> 11).toDouble /
+        (1L << 52).toDouble - 1.0
     }
   }
 
   /** Random-hyperplane sign bits: an nbits-bit bucket key whose collisions
-    * approximate angular similarity. Each bit is the sign of a native
-    * codegen'd VecDot against a constant plane — the HOF
-    * (aggregate∘zip_with + per-element xxhash) formulation this replaces
-    * recomputed the plane from hashes per row per element.
+    * approximate angular similarity — the single-band case of
+    * `signBandBuckets` (same planes, same kernel).
     */
-  def signBits(vec: Column, nbits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nbits, dim)
-    (0 until nbits)
-      .map(p => when(dot(vec, lit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+  def signBits(vec: Column, nbits: Int, dim: Int): Column =
+    element_at(signBandBuckets(vec, nbits, bands = 1, dim), 1)
 
   /** Banded sign-bit bucket keys: `bands` buckets of `bitsPerBand` sign
     * bits each (plane p = band·bitsPerBand + j). Two vectors collide in a
@@ -247,19 +231,7 @@ object Similarity {
     val bucketed = df.select(
       col(idCol).as("id"),
       posexplode(signBandBuckets(col(vecCol), bitsPerBand, bands, dim)).as(Seq("band", "bucket")))
-    val bounded =
-      if (maxBucketSize <= 0) bucketed
-      else {
-        val small = bucketed.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= maxBucketSize)
-        bucketed.join(small.select(col("band"), col("bucket")), Seq("band", "bucket"), "leftsemi")
-      }
-    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val cand = Dedup.bucketCandidatePairs(bucketed, maxBucketSize)
     // exact verification, candidates only — same arithmetic (and thus the
     // same rounded doubles) as the brute-force oracle
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
