@@ -72,6 +72,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => // hash-based: rows-only oracle
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_clusters" -> ((s, dir) => {
+      // pairs → duplicate CLUSTERS (connected components): every doc gets
+      // its component's min id; the keep-one-per-cluster step pair
+      // detection alone can't provide (near-dup isn't transitive)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.duplicateClusters(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_embedding_cosine" -> ((s, dir) =>
       // LSH-bucketed scale path; equality with the brute-force all-pairs
       // oracle (cosineNearDupPairs) is proven in SimilaritySpec at every
@@ -313,6 +324,18 @@ object SparkEntry {
         "SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 80)) ORDER BY doc_id",
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_minhash_lsh" -> jaccardSql,
+      "dedup_clusters" ->
+        // connected components over the exact-Jaccard pair graph (== the
+        // LSH pairs, spec-proven) via transitive-closure recursion
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($jaccardSql)),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, n) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.n = e.a)
+           |SELECT id AS doc_id, min(n) AS cluster_rep
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
       "dedup_embedding_cosine" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r

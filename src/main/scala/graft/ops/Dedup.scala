@@ -196,6 +196,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Duplicate clusters from near-dup PAIRS: connected components over the
+    * pair graph, labeling every id with its component representative
+    * (the minimum id reachable through any chain of near-dup links). Pair
+    * detection alone can't drive "keep one copy" — near-dup is not
+    * transitive, so A~B and B~C must collapse into ONE cluster {A,B,C}
+    * even when A~C was never emitted.
+    *
+    * Spark-first shape: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels, until
+    * a fixpoint. Rounds are pure DataFrame joins/aggregations (shuffle on
+    * id — AQE-sized), the driver holds only the changed-row count, and
+    * `localCheckpoint` truncates lineage each round so plans don't grow.
+    * Converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (stars/chains around a few variants), so single digits in
+    * practice. For adversarial skew (one giant component) the classic
+    * refinement is large-star/small-star [Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"], same join primitives.
+    *
+    * @param pairs (id_a, id_b) near-dup pairs (e.g. minHashNearDups)
+    * @param ids   one row per document id — singletons label themselves
+    * @return (id, cluster_rep); cluster_rep == id for non-duplicates
+    */
+  def duplicateClusters(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // computed once, reused every round
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep_next"))
+        .localCheckpoint()
+      changed = updated.filter(col("rep_next") < col("rep")).count()
+      labels = updated.select(col("id"), col("rep_next").as("rep"))
+    }
+    labels
+  }
+
   /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes —
     * native expression (graft.functions.SimHash64), one pass over tokens.
     */

@@ -1,4 +1,5 @@
 package graft.ops
+// (duplicateClusters cases appended round 2)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -75,5 +76,25 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.minHashSignature(Dedup.shingles($"text", 3), 64).as("s"))
       .as[Seq[Long]].collect()
     assert(sig.toSeq == sig2.toSeq)
+  }
+
+  test("duplicateClusters: chains merge transitively, singletons label themselves") {
+    // components: {1,2,3,4} via chain edges (A~B, B~C, C~D — A~D never
+    // emitted), {10,11}, and singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val got = Dedup.duplicateClusters(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long path (diameter-bound rounds)") {
+    // a path of 9 nodes: min label must walk the full diameter
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("doc_id")
+    val got = Dedup.duplicateClusters(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L), s"path did not collapse to one cluster: ${got.toSeq}")
   }
 }
