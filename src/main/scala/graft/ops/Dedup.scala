@@ -227,10 +227,13 @@ object Dedup {
     while (changed > 0) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nmin"))
+      // lazy checkpoint + the convergence count in ONE action: the count
+      // materializes the checkpointed round, so each round costs a single
+      // job instead of eager-checkpoint + count
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("rep"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep_next"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = updated.filter(col("rep_next") < col("rep")).count()
       labels = updated.select(col("id"), col("rep_next").as("rep"))
     }
