@@ -143,6 +143,19 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    "text_decontaminate" -> ((s, dir) => {
+      // benchmark = docs with doc_id < 10 (stand-in eval set); flags any
+      // training doc whose distinct 3-gram containment vs it is high
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminationScore(
+          docs, docs.filter(col("doc_id") < 10), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 2).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
     "text_normalize" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
@@ -398,6 +411,27 @@ object SparkEntry {
           |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
           |  (h, c) -> (h * 31 + c) % 1000000007) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+           |c AS (SELECT doc_id, count(*) AS n_grams,
+           |      count(*) FILTER (g IN (SELECT g FROM bench)) AS bench_hits
+           |      FROM grams GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |CAST(bench_hits AS BIGINT) AS bench_hits,
+           |round(bench_hits * 1.0 / greatest(n_grams, 1), 4) AS containment
+           |FROM c ORDER BY doc_id""".stripMargin,
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |g AS (SELECT doc_id, greatest(len(w) - 1, 1) AS total,
+           |  len(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(w) - 1, 1)),
+           |    i -> array_to_string(w[i:i+1], ' ')))) AS dist
+           |  FROM t)
+           |SELECT doc_id, round(1.0 - dist * 1.0 / total, 4) AS rep_ratio
+           |FROM g ORDER BY doc_id""".stripMargin,
       "text_normalize" ->
         // same regexp chain, RE2∩Java common-subset patterns; DuckDB needs
         // the explicit 'g' flag (Java replaces all matches by default)

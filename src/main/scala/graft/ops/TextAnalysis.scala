@@ -114,6 +114,43 @@ object TextAnalysis {
     trim(regexp_replace(noCtl, "\\s+", " "))
   }
 
+  /** Benchmark decontamination: per document, the n-gram CONTAINMENT
+    * against a benchmark corpus — |shingles(doc) ∩ benchmarkShingles| /
+    * |shingles(doc)| — the standard check that training data doesn't leak
+    * eval sets. The benchmark's distinct shingle set is aggregated once
+    * and the overlap is computed with a broadcast-friendly join:
+    * doc-shingles explode → semi-join against benchmark shingles (small
+    * side broadcast) → per-doc overlap count. At 100 TB the benchmark is
+    * tiny next to the corpus, so the join never shuffles the corpus —
+    * each partition counts its own docs' hits.
+    */
+  def decontaminationScore(docs: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      Dedup.shingles(col(textCol), shingleN).as("__grams"))
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), shingleN)).as("g")).distinct()
+    val overlaps = docGrams.select(col(idCol), explode(col("__grams")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "leftsemi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+    docGrams.select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__hits"), lit(0L)).as("bench_hits"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1)), 4).as("containment"))
+  }
+
+  /** Repetition ratio (a Gopher-style quality signal): the fraction of a
+    * document's word n-grams that are repeats of an earlier n-gram —
+    * 1 − distinct/total. Pure per-row expressions, scan-speed.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(1))
+    val distinctGrams = size(Dedup.shingles(text, n))
+    round(lit(1.0) - distinctGrams.cast("double") / total, 4)
+  }
+
   /** Greedy sequential token-budget packing — the "fill ~budget-token
     * training bins" step of a data pipeline. Within each partition key,
     * documents ordered by `idCol` get a running token total, and a doc's

@@ -83,6 +83,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("decontaminationScore: full, partial, and zero containment") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // benchmark doc
+      (2L, "a b c d e"),      // exact leak: containment 1.0
+      (3L, "a b c x y z w"),  // shares only gram "a b c" (1 of 5)
+      (4L, "q r s t u"),      // disjoint: 0.0
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val got = TextAnalysis.decontaminationScore(docs, bench, "doc_id", "text", 3)
+      .select($"doc_id", $"containment").as[(Long, Double)].collect().toMap
+    assert(got(2L) == 1.0)
+    assert(got(3L) == 0.2) // 1 shared gram of 5 distinct grams
+    assert(got(4L) == 0.0)
+  }
+
+  test("repetitionRatio: repeated bigrams raise the ratio, unique text stays 0") {
+    val got = Seq(
+      "a b a b a b",   // bigrams: ab ba ab ba ab -> 2 distinct of 5 -> 0.6
+      "a b c d e f",   // all distinct -> 0.0
+      "w",             // single token -> degenerate 0.0
+    ).toDF("text")
+      .select(TextAnalysis.repetitionRatio($"text", 2)).as[Double].collect()
+    assert(got.toSeq == Seq(0.6, 0.0, 0.0))
+  }
+
   test("packBins: duplicate ids accumulate row-by-row (ROWS frame, not RANGE)") {
     // two docs with the SAME id, 12 tokens each, budget 10: RANGE peers
     // would both see cum=24 -> both bin 1; ROWS gives the first cum=12
