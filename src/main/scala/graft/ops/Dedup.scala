@@ -224,6 +224,7 @@ object Dedup {
       .localCheckpoint() // computed once, reused every round
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
     var changed = 1L
+    var prevRound: DataFrame = null
     while (changed > 0) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nmin"))
@@ -235,8 +236,16 @@ object Dedup {
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep_next"))
         .localCheckpoint(false)
       changed = updated.filter(col("rep_next") < col("rep")).count()
+      // free the previous round's checkpoint blocks NOW — waiting for the
+      // ContextCleaner's GC-driven sweep would hold one corpus-sized label
+      // table per round in executor storage for deep graphs. (Only after
+      // `updated` is materialized: it was computed FROM the previous
+      // checkpoint; the final round stays cached for the caller.)
+      if (prevRound != null) prevRound.unpersist()
+      prevRound = updated
       labels = updated.select(col("id"), col("rep_next").as("rep"))
     }
+    edges.unpersist()
     labels
   }
 

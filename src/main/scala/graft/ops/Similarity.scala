@@ -156,9 +156,16 @@ object Similarity {
     val scale = greatest(
       array_max(transform(vec, x => abs(x.cast("double")))) / 127.0,
       lit(java.lang.Double.MIN_NORMAL)) // all-zero vector: avoid 0/0
-    struct(
-      scale.as("scale"),
-      transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("q"))
+    // let-bind scale through a 1-element transform: referencing `scale`
+    // directly inside the per-element lambda would re-evaluate the whole
+    // array_max subtree for EVERY element (O(d²) per row — HOF lambdas get
+    // no codegen CSE); the outer lambda evaluates it exactly once
+    element_at(
+      transform(array(scale), s =>
+        struct(
+          s.as("scale"),
+          transform(vec, x => round(x.cast("double") / s).cast("tinyint")).as("q"))),
+      1)
   }
 
   /** Inverse of quantizeInt8: x̂[i] = q[i]·scale (array<double>). */

@@ -126,18 +126,20 @@ object TextAnalysis {
     */
   def decontaminationScore(docs: DataFrame, benchmark: DataFrame,
                            idCol: String, textCol: String, shingleN: Int): DataFrame = {
-    val docGrams = docs.select(col(idCol),
-      Dedup.shingles(col(textCol), shingleN).as("__grams"))
     val benchGrams = benchmark
       .select(explode(Dedup.shingles(col(textCol), shingleN)).as("g")).distinct()
-    val overlaps = docGrams.select(col(idCol), explode(col("__grams")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"), "leftsemi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
-    docGrams.select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
-      .join(overlaps, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("__hits"), lit(0L)).as("bench_hits"),
-        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+      .withColumn("__hit", lit(1))
+    // ONE pass over the corpus: explode the (already-distinct) doc
+    // shingles once, mark benchmark hits via the broadcast left join, and
+    // produce both the gram count and the hit count from a single groupBy
+    // — no second shingle computation, no reunite join. explode_outer
+    // keeps empty documents (0 grams) in the output.
+    docs.select(col(idCol), explode_outer(Dedup.shingles(col(textCol), shingleN)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("g")).as("n_grams"), count(col("__hit")).as("bench_hits"))
+      .select(col(idCol), col("n_grams"), col("bench_hits"),
+        round(col("bench_hits").cast("double") /
           greatest(col("n_grams"), lit(1)), 4).as("containment"))
   }
 

@@ -71,3 +71,24 @@ print("percentiles dp2 boundary dist:", dist_to_round_boundary(con.sql(
     "SELECT quantile_cont(o_totalprice, 0.5) FROM orders GROUP BY o_orderpriority"
     " UNION ALL SELECT quantile_cont(o_totalprice, 0.9) FROM orders GROUP BY o_orderpriority").fetchall(), 2))
 print("emb_quant round-tie distance:", quant_tie_distance())
+print("decontaminate containment dp4 boundary dist:", dist_to_round_boundary(con.sql(r"""
+  WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+  grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+            FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+  bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+  c AS (SELECT doc_id, count(*) n, count(*) FILTER (g IN (SELECT g FROM bench)) h
+        FROM grams GROUP BY doc_id)
+  SELECT h*1.0/greatest(n,1) FROM c""").fetchall(), 4))
+print("repetition rep_ratio dp4 boundary dist:", dist_to_round_boundary(con.sql(r"""
+  WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents)
+  SELECT 1.0 - len(list_distinct(list_transform(generate_series(1, greatest(len(w)-1,1)),
+    i -> array_to_string(w[i:i+1], ' '))))*1.0/greatest(len(w)-1,1) FROM t""").fetchall(), 4))
+print("emb_quant scale_r dp6 boundary dist:", dist_to_round_boundary(con.sql("""
+  SELECT greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))/127.0,
+    2.2250738585072014e-308) FROM embeddings""").fetchall(), 6))
+print("emb_quant cos_r dp4 boundary dist:", dist_to_round_boundary(con.sql("""
+  WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+  s AS (SELECT v, greatest(list_max(list_transform(v, x -> abs(x)))/127.0,
+    2.2250738585072014e-308) scale FROM e),
+  q AS (SELECT v, list_transform(v, x -> round(x/scale)*scale) deq FROM s)
+  SELECT list_cosine_similarity(deq, v) FROM q""").fetchall(), 4))
