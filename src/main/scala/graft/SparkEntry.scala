@@ -143,6 +143,12 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    "docs_split_assign" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("bucket"),
+          TextAnalysis.splitAssignment(col("text")).as("split"))
+        .orderBy(col("doc_id"))),
     "text_decontaminate" -> ((s, dir) => {
       // benchmark = docs with doc_id < 10 (stand-in eval set); flags any
       // training doc whose distinct 3-gram containment vs it is high
@@ -411,6 +417,16 @@ object SparkEntry {
           |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
           |  (h, c) -> (h * 31 + c) % 1000000007) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "docs_split_assign" ->
+        // same rolling-hash fold as the text_fingerprint oracle, mod 100
+        """WITH f AS (SELECT doc_id, list_reduce(
+          |  list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          |  (h, c) -> (h * 31 + c) % 1000000007) % 100 AS bucket
+          |FROM documents)
+          |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+          |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+          |FROM f ORDER BY doc_id""".stripMargin,
       "text_decontaminate" ->
         s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
            |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g

@@ -114,6 +114,22 @@ object TextAnalysis {
     trim(regexp_replace(noCtl, "\\s+", " "))
   }
 
+  /** Deterministic content-hash train/val/test assignment: bucket =
+    * fingerprint(text) mod 100, split by cumulative percentage. Content-
+    * keyed (not random, not row-position): the same document lands in the
+    * same split across reshuffles, re-partitions, and re-runs — the
+    * property that keeps eval sets stable as a 100 TB corpus is
+    * incrementally rebuilt. Pure per-row expressions; the rolling-hash
+    * fingerprint is reproducible in any SQL engine (same kernel as
+    * text_fingerprint).
+    */
+  def splitAssignment(text: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = pmod(fingerprint(text), lit(100L))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Benchmark decontamination: per document, the n-gram CONTAINMENT
     * against a benchmark corpus — |shingles(doc) ∩ benchmarkShingles| /
     * |shingles(doc)| — the standard check that training data doesn't leak

@@ -83,6 +83,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("splitAssignment: content-keyed, order-stable, roughly proportional") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val splits = docs.select($"text", TextAnalysis.splitAssignment($"text").as("s"))
+    val byText = splits.as[(String, String)].collect().toMap
+    // same content -> same split even through a reshuffle
+    val reshuffled = docs.repartition(7)
+      .select($"text", TextAnalysis.splitAssignment($"text").as("s"))
+      .as[(String, String)].collect().toMap
+    assert(reshuffled == byText)
+    // proportions near 90/5/5 (content-hash, so only approximately)
+    val counts = splits.groupBy($"s").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.8, s"train share off: $counts")
+    assert(counts.keySet == Set("train", "val", "test"), s"missing split: $counts")
+  }
+
   test("decontaminationScore: full, partial, and zero containment") {
     val docs = Seq(
       (1L, "a b c d e"),      // benchmark doc
