@@ -35,15 +35,24 @@ object Bench {
     // and min-of-N suppresses GC/compilation noise from earlier queries in
     // the shared JVM — this is the steady-state number a long-running
     // cluster job would see.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+    def time(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      entries.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try force(fn(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
-      name -> times.min
-    }
+    // production surface vs oracle-only: the deliberately-quadratic
+    // correctness oracles (SparkEntry.oracleOnly) are timed and reported
+    // under a separate key so they never masquerade as production entries
+    // in the headline totals
+    val (oracleEntries, prodEntries) =
+      SparkEntry.queries.toSeq.partition(e => SparkEntry.oracleOnly(e._1))
+    val results = time(prodEntries)
+    val oracleResults = time(oracleEntries)
     // Router throughput: the reference's own workload shape — a synthetic
     // corpus with sample_input.txt's composition (noise + matches + CIDR
     // hits + near-miss decoys) routed through a production-shaped plan
@@ -121,24 +130,34 @@ object Bench {
       .map { case (r, ms, rps) => s""","stream_router":{"rows":$r,"exec_ms":$ms,"rows_per_sec":$rps}""" }
       .getOrElse("")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 4-decimal (0.1 ms) timings: full-precision doubles made the JSON
+    // line ~3 KB and the driver's log-tail capture truncated it mid-line
+    // two rounds running (BENCH_r01/r02 "parsed": null) — sub-ms digits
+    // are GC noise anyway
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    def obj(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":$routerSecs,"rows_per_sec":$rowsPerSec}$streamJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"oracles":${obj(oracleResults)},"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec}$streamJson}"""
 
     // Emit the result three ways so the driver can't miss it (round 1 lost
-    // the single println in log noise): a file, the bare JSON line (the
-    // stated contract), and a sentinel-prefixed copy — all after logging is
-    // fully silenced so nothing interleaves.
+    // the single println in log noise): BENCH_OUT (a repo-root file,
+    // committed per round), the sentinel-prefixed copy, then the bare JSON
+    // line LAST (the stated contract) — all after logging is fully
+    // silenced and BEFORE spark.stop() so nothing interleaves. Sentinel
+    // grammar (also in README §Benchmarks): a line matching
+    //   GRAFT_BENCH_JSON <one-line JSON object>
+    // possibly wrapped in an sbt "[info] " prefix; tools/extract_bench.py
+    // extracts and validates it from a raw sbt log.
     spark.sparkContext.setLogLevel("OFF")
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
-    spark.stop()
-    println(json)
     println(s"GRAFT_BENCH_JSON $json")
+    println(json)
     System.out.flush()
+    spark.stop()
   }
 }

@@ -89,6 +89,41 @@ object SparkEntry {
       // test SF, so it shares the brute-force DuckDB oracle below
       Similarity.cosineNearDupLsh(t(s, dir, "embeddings"), 0.45, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embedding_cosine_t90" -> ((s, dir) => {
+      // the PRODUCTION-threshold LSH demonstration. The raw corpus has no
+      // pair above cosine 0.61 at any SF (measured), so a 0.9 threshold
+      // over it alone would be a vacuous 0-row check. Instead compose the
+      // int8 quantizer: corpus = originals ∪ dequantized twins (twin id =
+      // vec_id + 10M — "re-encodes of the same content"). Every (v,
+      // deq(v)) twin sits at cosine ≈ 0.9999; every cross pair stays below
+      // 0.62 — so threshold 0.9 must find exactly the planted twins, and
+      // 16-bit bands prune the candidate set to ~the true-pair count
+      // (vs ~1.5× ALL pairs for the 0.45-threshold floor case).
+      val emb = t(s, dir, "embeddings")
+      val orig = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // two projection levels, NOT dequantize(quantize(x)) in one
+      // expression: dequantize reads the quant struct inside a per-element
+      // lambda, and HOF lambdas get no codegen CSE — composed directly,
+      // the whole quantize chain re-evaluates per element (O(d²)/row;
+      // measured 6.3 s vs 0.8 s for this query at sf0.1). A separate
+      // level materializes the struct once per row (CollapseProject keeps
+      // multi-referenced non-cheap projections apart).
+      val twins = emb
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          Similarity.dequantizeInt8(col("qz")).as("embedding"))
+      // materialize the CONSTRUCTED corpus once: the LSH consumer reads its
+      // input from 3+ plan branches (bucketing, both verify-join sides,
+      // plus the orderBy range-sampling pass), and re-deriving the
+      // union+quantize tree per branch measured 6× slower (3.7 s vs
+      // 0.6 s at sf0.1). The same rule at 100 TB: never feed a derived
+      // corpus to a multi-branch consumer without materializing it.
+      val corpus = orig.union(twins).localCheckpoint(false)
+      Similarity.cosineNearDupLsh(corpus, 0.9, dim = 64,
+          bitsPerBand = 16, bands = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---- similarity search ----
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -299,15 +334,25 @@ object SparkEntry {
         .orderBy(col("media_id"))),
   )
 
+  /** Queries that exist ONLY as correctness oracles for a scale-path
+    * counterpart — deliberately quadratic/unbounded shapes that the
+    * harness runs at test SFs but that must never be mistaken for a
+    * production entry (at 100× they cannot run). Bench reports them under
+    * a separate "oracles" key so the headline totals are the production
+    * surface only. (dedup_ngram_jaccard is the brute-force exact-Jaccard
+    * oracle whose production shape is dedup_minhash_lsh.)
+    */
+  def oracleOnly: Set[String] = Set("dedup_ngram_jaccard")
+
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash and
-    * the approximate sim_topk_ivf / q_approx_distinct — those get the
-    * driver's rows-only check and are instead validated against exact
-    * counterparts in the spec suite. (dedup_minhash_lsh and
-    * dedup_embedding_cosine DO carry oracles: their LSH recall is exact on
-    * the test corpora, spec-proven, so they share their brute-force
-    * counterparts' SQL.)
+    * the approximate sim_topk_ivf / q_approx_distinct /
+    * q_percentiles_approx — those get the driver's rows-only check and are
+    * instead validated against exact counterparts in the spec suite.
+    * (dedup_minhash_lsh and dedup_embedding_cosine DO carry oracles: their
+    * LSH recall is exact on the test corpora, spec-proven, so they share
+    * their brute-force counterparts' SQL.)
     */
   def oracleSql: Map[String, String] = {
     val routeCase = Router.routeSql("text", DocRoutePlan.resolved)
@@ -360,6 +405,23 @@ object SparkEntry {
           |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+          |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_embedding_cosine_t90" ->
+        // same int8 quantize→dequantize arithmetic as the emb_quant_error
+        // oracle (already hash-proven vs the Spark kernel), then brute-force
+        // all-pairs cosine at the 0.9 production threshold over
+        // originals ∪ dequantized twins
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+          |           2.2250738585072014e-308) AS scale FROM e),
+          |d AS (SELECT vec_id + 10000000 AS vec_id,
+          |  list_transform(v, x -> round(x / scale) * scale) AS v FROM s),
+          |c AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM d)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |round(list_cosine_similarity(a.v, b.v), 4) AS cosine_r
+          |FROM c a JOIN c b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
       "sim_topk_bruteforce" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),

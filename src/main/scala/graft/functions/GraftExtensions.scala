@@ -51,15 +51,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => Fingerprint(args(0))),
     ("sign_band_buckets",
       new ExpressionInfo(classOf[SignBandBuckets].getName, "sign_band_buckets"),
-      // (vec, bitsPerBand, bands, dim) — planes derived deterministically,
-      // same matrix as Similarity.hyperplanes
-      (args: Seq[Expression]) => {
-        val b = intLit(args(1), "bitsPerBand")
-        val nB = intLit(args(2), "bands")
-        val dim = intLit(args(3), "dim")
-        SignBandBuckets(args(0),
-          graft.ops.Similarity.hyperplanes(b * nB, dim).map(_.toSeq).toSeq, b, nB)
-      }),
+      // (vec, bitsPerBand, bands, dim) — planes derived deterministically
+      // inside the expression (Hyperplanes.matrix), never passed as literals
+      (args: Seq[Expression]) =>
+        SignBandBuckets(args(0), intLit(args(1), "bitsPerBand"),
+          intLit(args(2), "bands"), intLit(args(3), "dim"))),
   )
   // LangId and NearestCentroids stay Column-API-only: their lexicon /
   // centroid-matrix parameters aren't expressible as SQL literals.

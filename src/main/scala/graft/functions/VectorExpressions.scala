@@ -44,6 +44,29 @@ object SplitMix {
   }
 }
 
+/** Deterministic random-hyperplane matrix shared by every sign-bit LSH
+  * surface (SignBandBuckets kernel, SQL registration, Similarity specs):
+  * plane p component i = uniform double in [-1, 1) from
+  * mix64(p·4096 + i). Derived on demand from (planes, dim) — never carried
+  * through a plan as literals.
+  */
+object Hyperplanes {
+  /** The seed stream strides by 4096 per plane; a larger dim would make
+    * adjacent planes share shifted value streams (plane p element 4096+k
+    * == plane p+1 element k) and silently correlate the LSH bits.
+    */
+  val MaxDim = 4096
+
+  def matrix(planes: Int, dim: Int): Array[Array[Double]] = {
+    require(dim <= MaxDim, s"hyperplanes support dim <= $MaxDim, got $dim")
+    Array.tabulate(planes, dim) { (p, i) =>
+      // 53-bit mantissa of the mixed hash -> uniform double in [-1, 1)
+      (SplitMix.mix64(p.toLong * MaxDim + i) >>> 11).toDouble /
+        (1L << 52).toDouble - 1.0
+    }
+  }
+}
+
 /** Native Catalyst expressions for the vector/minhash hot paths.
   *
   * Rationale (SURVEY §7.3, measured): the pure higher-order-function
@@ -346,20 +369,24 @@ case class NearestCentroids(child: Expression, centIds: Seq[Long],
 
 /** All random-hyperplane band buckets in ONE pass: for band b, bucket =
   * Σ_j (dot(vec, plane[b·bitsPerBand+j]) > 0) << j. The plane matrix is
-  * baked into the expression (bitsPerBand·bands × dim doubles — ~1 MB at
-  * the 20-bit/96-band scale configuration, broadcast once with the plan).
+  * derived LAZILY from (bitsPerBand, bands, dim) via the deterministic
+  * Hyperplanes generator — carrying the materialized matrix as a
+  * constructor arg made case-class equality/canonicalization and plan
+  * toString (PlanRegressionSpec, the Spark UI) traverse ~63 MB of
+  * Seq[Seq[Double]] at scale configs like (20 bits, 96 bands, 4096 dims).
+  * Each deserialized instance regenerates its planes once (a few hundred
+  * k multiplies — negligible next to one task's work).
   * A Column-tree formulation needs bitsPerBand·bands separate VecDot
   * expressions — ~2000 of them at scale config, which blows past codegen
   * method limits; this kernel is one tight loop. Per-plane dot accumulates
   * in element order, double precision — the same bits as VecDot, so bucket
   * assignments are identical to the Column formulation.
   */
-case class SignBandBuckets(child: Expression, planes: Seq[Seq[Double]],
-                           bitsPerBand: Int, bands: Int)
+case class SignBandBuckets(child: Expression, bitsPerBand: Int, bands: Int, dim: Int)
     extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private lazy val mat: Array[Array[Double]] = Hyperplanes.matrix(bitsPerBand * bands, dim)
   private lazy val elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -453,7 +480,6 @@ object VectorFunctions {
   def fingerprint(text: Column): Column =
     ColumnShim.column(Fingerprint(ColumnShim.expression(text)))
 
-  def signBandBuckets(vec: Column, planes: Seq[Seq[Double]],
-                      bitsPerBand: Int, bands: Int): Column =
-    ColumnShim.column(SignBandBuckets(ColumnShim.expression(vec), planes, bitsPerBand, bands))
+  def signBandBuckets(vec: Column, bitsPerBand: Int, bands: Int, dim: Int): Column =
+    ColumnShim.column(SignBandBuckets(ColumnShim.expression(vec), bitsPerBand, bands, dim))
 }

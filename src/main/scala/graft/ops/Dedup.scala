@@ -45,6 +45,12 @@ object Dedup {
   def contentFingerprint(c: Column): Seq[Column] =
     Seq(xxhash64(c), xxhash64(lit(0x9E3779B97F4A7C15L), c))
 
+  // withColumn REPLACES a same-named existing column — a caller column
+  // named __h1/__h2 would be silently overwritten and dropped. Fail loudly.
+  private def requireNoTempCols(df: DataFrame): Unit =
+    Seq("__h1", "__h2").foreach(c => require(!df.columns.contains(c),
+      s"exact dedup uses '$c' as a temp fingerprint column; input must not contain it"))
+
   /** Exact duplicate groups: one row per distinct `col`, with the keeper
     * (min id) and the duplicate count. The grouping/shuffle KEY is the
     * 128-bit contentFingerprint; the value itself travels only as an
@@ -58,6 +64,7 @@ object Dedup {
     * when the representative value isn't needed.
     */
   def exactDupGroups(df: DataFrame, on: String, idCol: String): DataFrame = {
+    requireNoTempCols(df)
     val Seq(h1, h2) = contentFingerprint(col(on))
     df.groupBy(h1.as("__h1"), h2.as("__h2"))
       .agg(min(col(on)).as(on), min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
@@ -81,6 +88,7 @@ object Dedup {
     // keeper selection never touches the payload: both the groupBy and the
     // semi join key on (fingerprint, id) — the wide column rides along only
     // on the left (kept-rows) side, as it must.
+    requireNoTempCols(df)
     val Seq(h1, h2) = contentFingerprint(col(on))
     val keepers = df.select(h1.as("__h1"), h2.as("__h2"), col(idCol))
       .groupBy(col("__h1"), col("__h2")).agg(min(col(idCol)).as(idCol))
@@ -203,50 +211,93 @@ object Dedup {
     * transitive, so A~B and B~C must collapse into ONE cluster {A,B,C}
     * even when A~C was never emitted.
     *
-    * Spark-first shape: iterative min-label propagation — each round every
-    * node takes the min of its own label and its neighbors' labels, until
-    * a fixpoint. Rounds are pure DataFrame joins/aggregations (shuffle on
-    * id — AQE-sized), the driver holds only the changed-row count, and
-    * `localCheckpoint` truncates lineage each round so plans don't grow.
-    * Converges in O(component diameter) rounds — near-dup clusters are
-    * shallow (stars/chains around a few variants), so single digits in
-    * practice. For adversarial skew (one giant component) the classic
-    * refinement is large-star/small-star [Kiveris et al., "Connected
-    * Components in MapReduce and Beyond"], same join primitives.
+    * Algorithm: alternating large-star/small-star rounds [Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014] — each round
+    * rewrites the edge set with pure DataFrame joins/aggregations:
+    *
+    *   large-star: every node u links its LARGER neighbors to
+    *     m(u) = min(Γ(u) ∪ {u});
+    *   small-star: every node u links its smaller neighbors and itself to
+    *     the min of its smaller neighborhood.
+    *
+    * Both steps preserve connectivity; the fixpoint is a disjoint union of
+    * stars centered at component minima, reached in O(log n) rounds EVEN
+    * FOR ONE GIANT COMPONENT (a diameter-d path halves its diameter per
+    * round — plain min-label propagation needs O(d) rounds, which at 100 TB
+    * turns one adversarial chain into thousands of shuffles; spec-pinned on
+    * a 10k-node path). Per round the driver holds only a (count, hashsum)
+    * convergence checksum; `localCheckpoint` truncates lineage and each
+    * superseded round's blocks are freed eagerly.
     *
     * @param pairs (id_a, id_b) near-dup pairs (e.g. minHashNearDups)
     * @param ids   one row per document id — singletons label themselves
     * @return (id, cluster_rep); cluster_rep == id for non-duplicates
     */
-  def duplicateClusters(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // computed once, reused every round
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
-    var changed = 1L
-    var prevRound: DataFrame = null
-    while (changed > 0) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("rep")).as("nmin"))
-      // lazy checkpoint + the convergence count in ONE action: the count
-      // materializes the checkpointed round, so each round costs a single
-      // job instead of eager-checkpoint + count
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("rep"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep_next"))
-        .localCheckpoint(false)
-      changed = updated.filter(col("rep_next") < col("rep")).count()
-      // free the previous round's checkpoint blocks NOW — waiting for the
-      // ContextCleaner's GC-driven sweep would hold one corpus-sized label
-      // table per round in executor storage for deep graphs. (Only after
-      // `updated` is materialized: it was computed FROM the previous
-      // checkpoint; the final round stays cached for the caller.)
-      if (prevRound != null) prevRound.unpersist()
-      prevRound = updated
-      labels = updated.select(col("id"), col("rep_next").as("rep"))
+  def duplicateClusters(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    duplicateClustersWithRounds(pairs, ids, idCol)._1
+
+  /** `duplicateClusters` + the number of star rounds it took to converge —
+    * the spec suite pins the O(log n) bound on adversarial long chains.
+    */
+  def duplicateClustersWithRounds(pairs: DataFrame, ids: DataFrame,
+                                  idCol: String): (DataFrame, Int) = {
+    // canonical undirected edge set: (hi, lo) with hi > lo, deduped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(false)
+    // one aggregation drives BOTH checkpoint materialization and the
+    // convergence test: the canonical edge set is stable iff (count,
+    // xor of per-edge hashes) is stable — a 64-bit content checksum
+    // (bit_xor: order-insensitive, can't overflow under ANSI arithmetic,
+    // and the edge set is distinct so nothing self-cancels), so a false
+    // "converged" needs a hash collision between consecutive rounds
+    // (~2⁻⁶⁴; the alternative, an exact symmetric-difference join, would
+    // double each round's shuffle count)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    edges.unpersist()
-    labels
+    var sig = checksum(edges)
+    var rounds = 0
+    var stable = edges.isEmpty
+    while (!stable) {
+      rounds += 1
+      require(rounds <= 100, s"duplicateClusters: no fixpoint after $rounds star rounds")
+      // ---- large-star: for each u, link neighbors v > u to min(Γ(u) ∪ {u})
+      val nbrs = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      // m ≤ u < v, so emitted (v, m) is already canonical (hi > lo)
+      val ls = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // ---- small-star: for each hi, link itself and its smaller
+      //      neighbors to the min of those neighbors
+      val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = ls.join(sMins, Seq("hi"))
+      val next = withM.select(col("hi"), col("m").as("lo"))
+        .union(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(false)
+      val nextSig = checksum(next)
+      edges.unpersist() // superseded round's blocks freed NOW, not at GC
+      edges = next
+      stable = nextSig == sig
+      sig = nextSig
+    }
+    // fixpoint = min-centered stars: every non-representative id appears in
+    // exactly one (id, rep) edge; singletons and representatives label
+    // themselves via the left join
+    val reps = edges.select(col("hi").as("id"), col("lo").as("rep"))
+    val labels = ids.select(col(idCol).as("id"))
+      .join(reps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    (labels, rounds)
   }
 
   /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes —

@@ -59,16 +59,17 @@ object Similarity {
         round(col("cos"), 4).as("cosine_r"))
   }
 
-  /** Deterministic fixed-size IVF centroid selection: the `nlist` corpus
+  /** Deterministic fixed-size IVF seed selection: the `nlist` corpus
     * vectors with the smallest xxhash64(id) — a uniform deterministic
     * sample whose size is INDEPENDENT of corpus size. (The previous
     * stride rule yielded n/stride centroids, so the driver-collected
     * coarse-quantizer matrix grew with the corpus — a driver OOM at
     * scale.) orderBy+limit compiles to TakeOrderedAndProject: each
     * partition keeps a local top-nlist, the driver merges nlist rows —
-    * O(nlist·dim) driver memory at any n. "Training" must be
-    * deterministic for the correctness harness; in production swap in
-    * k-means centroids — assignment and probing below are unchanged.
+    * O(nlist·dim) driver memory at any n. Used as the k-means INIT (see
+    * kmeansCentroids); a raw hash sample alone is a uniform sample of the
+    * corpus, not cluster centers — the 1M-vector probe measured recall
+    * 0.49 at nprobe 32/nlist 1000 without Lloyd refinement.
     */
   def centroids(corpus: DataFrame, nlist: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
@@ -88,31 +89,98 @@ object Similarity {
     (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
   }
 
-  /** Assign each corpus vector to its nearest centroid — one narrow pass
-    * with the NearestCentroids kernel. (A join+window formulation
-    * materializes |corpus|×|centroids| array-carrying rows and OOMs at
-    * 1M vectors — see DESIGN.md §4.)
+  /** Deterministic sampled k-means (Lloyd) IVF training: hash-sample
+    * `nlist · sampleMult` vectors once (TakeOrderedAndProject — bounded at
+    * any corpus size), init with the first `nlist` of them in hash order,
+    * then `iters` Lloyd rounds over the sample. Per round, only the
+    * centroid matrix (nlist × dim) crosses the driver boundary; the sample
+    * stays distributed and is localCheckpoint'ed so rounds don't recompute
+    * the scan.
+    *
+    * Determinism (the correctness harness re-runs this): the sample and
+    * init are hash-ordered; per-(bucket, dimension) means fold the values
+    * in SORTED order (array_sort(collect_list(x))) so floating-point
+    * summation order can't vary between runs/partitionings — groups are
+    * sample/nlist ≈ sampleMult values, so the sort is trivially cheap.
+    * Empty clusters keep their previous centroid.
+    *
+    * Returned centroid ids are 0..nlist-1 (synthetic points, not corpus
+    * rows).
     */
-  def assign(corpus: DataFrame, cents: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (ids, mat) = collectCentroids(cents)
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 4,
+                      sampleMult: Int = 32,
+                      idCol: String = "vec_id", vecCol: String = "embedding"
+                     ): (Seq[Long], Seq[Seq[Double]]) = {
+    val sample = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(nlist * sampleMult)
+      .localCheckpoint()
+    try {
+      var mat: Array[Array[Double]] = sample
+        .orderBy(xxhash64(col("id")).asc, col("id").asc).limit(nlist)
+        .collect().map(_.getSeq[Double](1).toArray)
+      val ids: Seq[Long] = (0L until mat.length.toLong)
+      var it = 0
+      while (it < iters) {
+        val assigned = sample.select(
+          element_at(graft.functions.VectorFunctions.nearestCentroids(
+            col("v"), ids, mat.map(_.toSeq).toSeq, 1), 1).as("bucket"),
+          col("v"))
+        val sums = assigned
+          .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("bucket"), col("pos"))
+          .agg(
+            aggregate(array_sort(collect_list(col("x"))), lit(0.0), (s, x) => s + x).as("sx"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = mat.map(_.clone()) // empty cluster -> keep previous centroid
+        sums.foreach { r =>
+          val b = r.getLong(0).toInt
+          next(b)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        }
+        mat = next
+        it += 1
+      }
+      (ids, mat.map(_.toSeq).toSeq)
+    } finally sample.unpersist()
+  }
+
+  /** Assign each corpus vector to its nearest centroid from a
+    * driver-collected (ids, matrix) pair — one narrow pass with the
+    * NearestCentroids kernel. (A join+window formulation materializes
+    * |corpus|×|centroids| array-carrying rows and OOMs at 1M vectors —
+    * see DESIGN.md §4.)
+    */
+  def assignTo(corpus: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), col(vecCol),
       element_at(graft.functions.VectorFunctions.nearestCentroids(col(vecCol), ids, mat, 1), 1)
         .as("bucket"))
+
+  /** DataFrame-centroids convenience wrapper over `assignTo`. */
+  def assign(corpus: DataFrame, cents: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (ids, mat) = collectCentroids(cents)
+    assignTo(corpus, ids, mat, idCol, vecCol)
   }
 
-  /** IVF top-k: probe the `nprobe` nearest centroids per query, scan only
-    * those buckets. Approximate — recall measured against bruteForceTopK
-    * in the spec suite.
+  /** IVF top-k: k-means-train the coarse quantizer (deterministic sampled
+    * Lloyd — `trainIters` 0 falls back to the raw hash-sample seeds), probe
+    * the `nprobe` nearest centroids per query, scan only those buckets.
+    * Approximate — recall measured against bruteForceTopK in the spec
+    * suite and the 1M-vector scale probe. The centroid set is collected
+    * exactly once and threaded through assignment and probing.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 64, nprobe: Int = 8,
+      nlist: Int = 64, nprobe: Int = 8, trainIters: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
   ): DataFrame = {
-    val cents = centroids(corpus, nlist, idCol, vecCol)
-    val (ids, mat) = collectCentroids(cents)
-    val bucketed = assign(corpus, cents, idCol, vecCol)
+    val (ids, mat) =
+      if (trainIters <= 0) collectCentroids(centroids(corpus, nlist, idCol, vecCol))
+      else kmeansCentroids(corpus, nlist, trainIters, sampleMult = 32, idCol, vecCol)
+    val bucketed = assignTo(corpus, ids, mat, idCol, vecCol)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(graft.functions.VectorFunctions.nearestCentroids(col("qv"), ids, mat, nprobe))
@@ -173,21 +241,13 @@ object Similarity {
     transform(quant.getField("q"), x => x.cast("double") * quant.getField("scale"))
 
   /** Deterministic random-hyperplane matrix: `planes` rows of `dim`
-    * components in [-1, 1), from mix64(plane·4096 + dim-index). Computed
-    * once at plan time on the driver and baked into the plan as array
-    * literals — identical across runs and executors.
+    * components in [-1, 1), from mix64(plane·4096 + dim-index) — the same
+    * matrix the SignBandBuckets kernel derives internally
+    * (graft.functions.Hyperplanes); exposed here for specs and external
+    * reproduction.
     */
-  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
-    // the seed stream strides by 4096 per plane; a larger dim would make
-    // adjacent planes share shifted value streams (plane p element 4096+k
-    // == plane p+1 element k) and silently correlate the LSH bits
-    require(dim <= 4096, s"hyperplanes supports dim <= 4096, got $dim")
-    Array.tabulate(planes, dim) { (p, i) =>
-      // 53-bit mantissa of the mixed hash -> uniform double in [-1, 1)
-      (graft.functions.SplitMix.mix64(p.toLong * 4096L + i) >>> 11).toDouble /
-        (1L << 52).toDouble - 1.0
-    }
-  }
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+    graft.functions.Hyperplanes.matrix(planes, dim)
 
   /** Random-hyperplane sign bits: an nbits-bit bucket key whose collisions
     * approximate angular similarity — the single-band case of
@@ -206,8 +266,7 @@ object Similarity {
     * like (20, 96).
     */
   def signBandBuckets(vec: Column, bitsPerBand: Int, bands: Int, dim: Int): Column =
-    graft.functions.VectorFunctions.signBandBuckets(
-      vec, hyperplanes(bitsPerBand * bands, dim).map(_.toSeq).toSeq, bitsPerBand, bands)
+    graft.functions.VectorFunctions.signBandBuckets(vec, bitsPerBand, bands, dim)
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH — the
     * production-shape replacement for the brute-force all-pairs broadcast:
@@ -230,6 +289,16 @@ object Similarity {
     * suite, empirically: (5, 32) misses a 0.4827 pair at sf0.01).
     * `maxBucketSize` (0 = off) drops degenerate buckets, same guard as
     * minHashCandidates.
+    *
+    * FIXTURE-REGENERATION WARNING: at near-floor thresholds these defaults
+    * sit just above the recall cliff — a regenerated test corpus (new SF,
+    * new seed) can move a pair to just-above-threshold at an angle the
+    * (5, 48) bands happen to miss, silently breaking the shared brute
+    * oracle. If fixtures change, re-run SimilaritySpec's LSH==brute
+    * equality cases at every SF before trusting the wired query; prefer
+    * raising `bands` over debugging a hash mismatch. At production
+    * thresholds (≥0.85, e.g. the t90 quantized-twin query) the S-curve
+    * margin is orders of magnitude and this fragility disappears.
     */
   def cosineNearDupLsh(df: DataFrame, threshold: Double, dim: Int,
                        bitsPerBand: Int = 5, bands: Int = 48,

@@ -54,7 +54,11 @@ object TextAnalysis {
     // tokenize and subword-split ONCE into temp columns: each expression
     // below referencing `toks`/`subw` reuses the materialized arrays
     // across projection levels — inlined splits re-run per feature where
-    // codegen CSE can't reach (measured 0.74 s → 0.55 s at sf0.1)
+    // codegen CSE can't reach (measured 0.74 s → 0.55 s at sf0.1).
+    // withColumn REPLACES an existing same-named column, so a caller
+    // column named __toks/__subw would be silently dropped — fail loudly.
+    Seq("__toks", "__subw").foreach(c => require(!df.columns.contains(c),
+      s"qualityFeatures uses '$c' as a temp column; input must not contain it"))
     df.withColumn("__toks", tokens(t))
       .withColumn("__subw", subwordTokens(t))
       .withColumn("n_chars_m", length(t))
@@ -184,8 +188,14 @@ object TextAnalysis {
                partitionCols: Seq[String]): DataFrame = {
     // explicit ROWS frame: Spark's default frame with an orderBy is RANGE,
     // which merges peer rows (duplicate ids) into one cumulative value and
-    // diverges from the oracle's ROWS UNBOUNDED PRECEDING on ties
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
+    // diverges from the oracle's ROWS UNBOUNDED PRECEDING on ties.
+    // n_tokens as a SECOND sort key: with a ROWS frame, peer order among
+    // duplicate ids is otherwise engine/partition-nondeterministic, so two
+    // same-id docs with different token counts could swap bins between
+    // runs; (id, n_tokens) pins every tie the cumsum can observe —
+    // same-id same-count rows are interchangeable in cum_tokens and bin.
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(idCol), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))

@@ -27,6 +27,15 @@ class SparkEntrySpec extends AnyFunSuite {
       "q_percentiles_approx"))
   }
 
+  test("oracle-only queries are declared, oracle-bearing, and few") {
+    // the deliberately-quadratic oracles must stay a recognized subset so
+    // Bench can report them outside the production totals
+    assert(SparkEntry.oracleOnly.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleOnly.subsetOf(SparkEntry.oracleSql.keySet),
+      "an oracle-only query without oracle SQL would be untestable")
+    assert(SparkEntry.oracleOnly == Set("dedup_ngram_jaccard"))
+  }
+
   test("every query runs and is non-empty on sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, TestSpark.sf0001).count()

@@ -43,8 +43,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     import spark.implicits._
     val got = vecs.toDF("v")
       .select(VectorFunctions.signBandBuckets(
-        org.apache.spark.sql.functions.col("v"),
-        planes.map(_.toSeq).toSeq, bits, bands).as("bb"))
+        org.apache.spark.sql.functions.col("v"), bits, bands, dim).as("bb"))
       .as[Seq[Long]].collect()
     val expect = vecs.map { v =>
       (0 until bands).map { b =>

@@ -97,4 +97,37 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L), s"path did not collapse to one cluster: ${got.toSeq}")
   }
+
+  test("large-star/small-star collapses a 10k-node path in O(log n) rounds") {
+    // the adversarial giant-component case: a single path of diameter
+    // 9999. Plain min-label propagation advances the min ONE hop per
+    // round (~10k shuffle rounds); the star rounds halve the diameter
+    // each pass, so convergence must stay logarithmic.
+    val n = 10000L
+    val pairs = spark.range(1, n)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val ids = spark.range(1, n + 1).select(col("id").as("doc_id"))
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(pairs, ids, "doc_id")
+    assert(rounds <= 30, s"expected O(log n) star rounds on a 10k path, took $rounds")
+    val wrong = labels.filter(col("rep") =!= 1L).count()
+    assert(wrong == 0, s"$wrong nodes not labeled with the component min")
+  }
+
+  test("star rounds preserve exact cluster labels on branchy multi-component graphs") {
+    // components with branching + a cycle + isolated pairs — shapes where
+    // a buggy star rewrite could split or cross-link components:
+    //   {1..7} (star at 1 + chain 5-6-7 + cycle edge 7-1), {50,51,52}
+    //   (triangle), {80,81}, singletons 90, 91
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 1L),
+      (50L, 51L), (51L, 52L), (50L, 52L),
+      (80L, 81L)).toDF("id_a", "id_b")
+    val ids = (Seq(90L, 91L) ++ (1L to 7L) ++ Seq(50L, 51L, 52L, 80L, 81L)).toDF("doc_id")
+    val got = Dedup.duplicateClusters(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val expect = (1L to 7L).map(_ -> 1L).toMap ++
+      Map(50L -> 50L, 51L -> 50L, 52L -> 50L, 80L -> 80L, 81L -> 80L,
+        90L -> 90L, 91L -> 91L)
+    assert(got == expect)
+  }
 }

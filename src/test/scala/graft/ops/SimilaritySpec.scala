@@ -108,6 +108,51 @@ class SimilaritySpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("sign_band_buckets")))
   }
 
+  test("kmeansCentroids: deterministic across runs, centroids capped, recall not worse than raw seeds") {
+    val (ids1, m1) = Similarity.kmeansCentroids(emb, 20, iters = 4)
+    val (ids2, m2) = Similarity.kmeansCentroids(emb, 20, iters = 4)
+    assert(ids1 == ids2)
+    assert(m1 == m2, "Lloyd rounds must be bit-identical across runs (sorted-fold means)")
+    assert(ids1.size == 20 && m1.forall(_.size == 64))
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(trainIters: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 20, nprobe = 4,
+        trainIters = trainIters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    val (kmeans, rawSeeds) = (recall(4), recall(0))
+    assert(kmeans >= 0.3, s"k-means IVF recall collapsed: $kmeans")
+    assert(kmeans >= rawSeeds - 0.05,
+      s"Lloyd refinement degraded recall: kmeans=$kmeans rawSeeds=$rawSeeds")
+  }
+
+  test("production-threshold (0.9) LSH over int8-quantized twins equals brute force at every SF") {
+    // the raw corpus has no pairs above cosine 0.61 at any SF, so the 0.9
+    // path is exercised on originals ∪ dequantized twins — the
+    // dedup_embedding_cosine_t90 query shape. 16-bit bands must find every
+    // planted twin (cosine ≈ 0.9999) and nothing else.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val orig = e.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+      val twins = e.select(($"vec_id" + 10000000L).as("vec_id"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("embedding"))
+      val corpus = orig.union(twins)
+      val brute = Similarity.cosineNearDupPairs(corpus, 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      val lsh = Similarity.cosineNearDupLsh(corpus, 0.9, dim = 64,
+        bitsPerBand = 16, bands = 8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(brute.size == e.count(),
+        s"$dir: expected exactly one twin pair per vector, got ${brute.size}")
+      assert(lsh == brute, s"$dir: t90 LSH != brute (missing ${(brute -- lsh).size}, " +
+        s"extra ${(lsh -- brute).size})")
+    }
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")

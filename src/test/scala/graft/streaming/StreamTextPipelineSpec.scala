@@ -34,4 +34,40 @@ class StreamTextPipelineSpec extends AnyFunSuite {
         s"variants did not collapse: $rows")
     } finally q.stop()
   }
+
+  test("normalize → streaming dedup → route: three ops chained end-to-end under a watermark") {
+    // the full ingest stage (DESIGN.md §5) as ONE incremental pipeline:
+    // clean the payload, drop exact re-deliveries within the watermark
+    // horizon, then first-match-route the survivors — the router consumes
+    // the same micro-batches the dedup state emits, no intermediate sink.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val cleaned = in.toDF().toDF("ts", "key", "raw")
+      .withColumn("value", graft.ops.TextAnalysis.normalize($"raw"))
+    val deduped = graft.ops.Dedup.streamingExactDedup(
+      cleaned, "ts", "10 minutes", Seq("value"))
+    val routed = graft.router.Router.route(
+      deduped, graft.fixtures.DocRoutePlan.resolved)
+    val q = routed.writeStream.format("memory")
+      .queryName("clean_dedup_route").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      in.addData(
+        // two formatting variants of one doc -> ONE routed row (t-spark:
+        // the regex split matches the normalized "spark query" text)
+        (t0, "k1", "Spark   <b>query</b> basics"),
+        (t0, "k2", "spark query basics"),
+        // distinct doc matching no plan predicate -> unmatched route
+        (t0, "k3", "just a plain note"),
+        // exact re-delivery inside the watermark -> dropped by dedup
+        (t0, "k4", "spark query basics"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT value, topic FROM clean_dedup_route")
+        .as[(String, String)].collect().toSeq.sorted
+      assert(rows == Seq(
+        ("just a plain note", "t-unmatched"),
+        ("spark query basics", "t-spark")),
+        s"pipeline emitted: $rows")
+    } finally q.stop()
+  }
 }
