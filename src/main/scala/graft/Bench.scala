@@ -41,7 +41,12 @@ object Bench {
           val t0 = System.nanoTime()
           try force(fn(spark, sfDir))
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // free any checkpoint blocks the builder registered — each run
+          // builds (and registers) its own, so without this the storage
+          // footprint grows with every timed invocation
+          Cleanup.drain()
+          dt
         }
         name -> times.min
       }

@@ -119,7 +119,10 @@ object SparkEntry {
       // union+quantize tree per branch measured 6× slower (3.7 s vs
       // 0.6 s at sf0.1). The same rule at 100 TB: never feed a derived
       // corpus to a multi-branch consumer without materializing it.
-      val corpus = orig.union(twins).localCheckpoint(false)
+      // Cleanup.register: the harness drains (unpersists) the checkpoint
+      // after the query runs — otherwise each invocation leaves its blocks
+      // in executor storage until GC.
+      val corpus = Cleanup.register(orig.union(twins).localCheckpoint(false))
       Similarity.cosineNearDupLsh(corpus, 0.9, dim = 64,
           bitsPerBand = 16, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
@@ -526,7 +529,7 @@ object SparkEntry {
       "text_pack_bins" ->
         s"""WITH t AS (SELECT lang, doc_id, len($toks) AS n_tokens FROM documents),
            |c AS (SELECT lang, doc_id, n_tokens,
-           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, n_tokens ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM t)
            |SELECT lang, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin,
            |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens

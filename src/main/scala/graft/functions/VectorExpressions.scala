@@ -384,6 +384,14 @@ case class NearestCentroids(child: Expression, centIds: Seq[Long],
   */
 case class SignBandBuckets(child: Expression, bitsPerBand: Int, bands: Int, dim: Int)
     extends UnaryExpression with NativeUnaryKernel {
+  // eager: with the matrix itself derived lazily, a bad config would
+  // otherwise surface only at executor eval time (task failure); these fire
+  // at expression construction, i.e. plan time
+  require(dim >= 1 && dim <= Hyperplanes.MaxDim,
+    s"sign_band_buckets: dim must be in [1, ${Hyperplanes.MaxDim}] (seed stride), got $dim")
+  require(bitsPerBand >= 1 && bitsPerBand <= 63,
+    s"sign_band_buckets: bitsPerBand must fit a long bucket key (1..63), got $bitsPerBand")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private lazy val mat: Array[Array[Double]] = Hyperplanes.matrix(bitsPerBand * bands, dim)

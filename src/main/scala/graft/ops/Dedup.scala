@@ -251,10 +251,12 @@ object Dedup {
     // convergence test: the canonical edge set is stable iff (count,
     // xor of per-edge hashes) is stable — a 64-bit content checksum
     // (bit_xor: order-insensitive, can't overflow under ANSI arithmetic,
-    // and the edge set is distinct so nothing self-cancels), so a false
-    // "converged" needs a hash collision between consecutive rounds
-    // (~2⁻⁶⁴; the alternative, an exact symmetric-difference join, would
-    // double each round's shuffle count)
+    // and the edge set is distinct so nothing self-cancels). A checksum
+    // match is then CONFIRMED with one exact set-difference join on the
+    // final round only (equal counts + empty one-sided except ⇒ equal
+    // sets, both sides distinct) — so a hash collision can cost an extra
+    // round but can never declare a false fixpoint, and the exact join
+    // runs ~once per clustering, not per round.
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
@@ -285,9 +287,9 @@ object Dedup {
         .distinct()
         .localCheckpoint(false)
       val nextSig = checksum(next)
+      stable = nextSig == sig && next.except(edges).isEmpty
       edges.unpersist() // superseded round's blocks freed NOW, not at GC
       edges = next
-      stable = nextSig == sig
       sig = nextSig
     }
     // fixpoint = min-centered stars: every non-representative id appears in

@@ -91,8 +91,9 @@ object Similarity {
 
   /** Deterministic sampled k-means (Lloyd) IVF training: hash-sample
     * `nlist · sampleMult` vectors once (TakeOrderedAndProject — bounded at
-    * any corpus size), init with the first `nlist` of them in hash order,
-    * then `iters` Lloyd rounds over the sample. Per round, only the
+    * any corpus size), init with the first `nlist` DISTINCT vector values
+    * in hash order (duplicate seeds would permanently empty their twin
+    * clusters), then `iters` Lloyd rounds over the sample. Per round, only the
     * centroid matrix (nlist × dim) crosses the driver boundary; the sample
     * stays distributed and is localCheckpoint'ed so rounds don't recompute
     * the scan.
@@ -117,9 +118,15 @@ object Similarity {
       .limit(nlist * sampleMult)
       .localCheckpoint()
     try {
+      // seed selection DEDUPLICATES on the vector value (groupBy v, min id):
+      // identical seed vectors would tie-break every assignment to the lower
+      // centroid id, leaving the higher one a permanently empty cluster that
+      // keeps its stale centroid — silently shrinking effective nlist. With
+      // distinct seeds every centroid can attract points from round one.
       var mat: Array[Array[Double]] = sample
+        .groupBy(col("v")).agg(min(col("id")).as("id"))
         .orderBy(xxhash64(col("id")).asc, col("id").asc).limit(nlist)
-        .collect().map(_.getSeq[Double](1).toArray)
+        .collect().map(_.getSeq[Double](0).toArray)
       val ids: Seq[Long] = (0L until mat.length.toLong)
       var it = 0
       while (it < iters) {
