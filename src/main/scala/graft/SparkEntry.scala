@@ -209,6 +209,20 @@ object SparkEntry {
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
         .orderBy(col("lang"), col("bin"))),
+    "docs_sample_stratified" -> ((s, dir) =>
+      // corpus mixing: downsample the dominant language, keep more of the
+      // rest — content-hash keyed, so the sample is stable across re-runs
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "lang", "text",
+          Map("en" -> 200, "fr" -> 400, "es" -> 400, "de" -> 600, "zh" -> 600),
+          defaultPerMille = 300)
+        .select(col("doc_id"), col("lang"),
+          pmod(TextAnalysis.fingerprint(col("text")), lit(1000L)).as("bucket"))
+        .orderBy(col("doc_id"))),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rnk"))),
+    "text_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNGrams(t(s, dir, "documents"), "text", 2, 20)),
 
     // ---- event-time analytics ----
     "events_tumbling" -> ((s, dir) =>
@@ -534,6 +548,37 @@ object SparkEntry {
            |SELECT lang, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin,
            |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
            |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+      "docs_sample_stratified" ->
+        // same rolling-hash fold as the text_fingerprint oracle, mod 1000,
+        // against the per-language per-mille keep rates
+        """WITH f AS (SELECT doc_id, lang, list_reduce(
+          |  list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          |  (h, c) -> (h * 31 + c) % 1000000007) % 1000 AS b
+          |FROM documents)
+          |SELECT doc_id, lang, CAST(b AS BIGINT) AS bucket FROM f
+          |WHERE b < CASE lang WHEN 'en' THEN 200 WHEN 'fr' THEN 400 WHEN 'es' THEN 400
+          |                    WHEN 'de' THEN 600 WHEN 'zh' THEN 600 ELSE 300 END
+          |ORDER BY doc_id""".stripMargin,
+      "text_tfidf" ->
+        // score = tf/df (rational, IEEE-exact division) — see
+        // TextAnalysis.topTermsPerDoc for why there is deliberately no ln()
+        s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |s AS (SELECT doc_id, term, tf, df, tf * 1.0 / df AS score FROM tf JOIN dfreq USING (term)),
+           |r AS (SELECT doc_id, term, tf, df, score,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+           |SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           |round(score, 4) AS score_r
+           |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+      "text_top_ngrams" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS g
+           |          FROM t, unnest(generate_series(1, greatest(len(w)-1, 1))) AS u(i)),
+           |c AS (SELECT g, count(*) AS doc_freq FROM grams GROUP BY g)
+           |SELECT g, CAST(doc_freq AS BIGINT) AS doc_freq FROM c
+           |ORDER BY doc_freq DESC, g LIMIT 20""".stripMargin,
       "events_tumbling" ->
         """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
           |count(*) AS n_events, round(sum("value"), 2) AS sum_value

@@ -173,6 +173,74 @@ object TextAnalysis {
     round(lit(1.0) - distinctGrams.cast("double") / total, 4)
   }
 
+  /** Deterministic stratified sampling by content hash: keep a document iff
+    * pmod(fingerprint(text), 1000) < ratePerMille(stratum) — per-stratum
+    * per-mille keep rates (e.g. downsample the dominant language, keep all
+    * of a rare one). Content-keyed like `splitAssignment`: the decision is
+    * a pure function of the text, so the sample is identical across
+    * re-partitions, re-runs, and incremental rebuilds — the property
+    * `df.sample()` (seeded per-partition RNG, partition-layout-dependent)
+    * cannot give at 100 TB. Scan-speed filter, no shuffle; at scale this is
+    * the first stage of corpus mixing (rebalancing language/source
+    * proportions before training).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, textCol: String,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int): DataFrame = {
+    (ratesPerMille.values.toSeq :+ defaultPerMille).foreach(r =>
+      require(r >= 0 && r <= 1000, s"per-mille rate out of [0,1000]: $r"))
+    val bucket = pmod(fingerprint(col(textCol)), lit(1000L))
+    // build the rate CASE in sorted-key order so the plan (and thus plan
+    // regression baselines) is stable regardless of Map iteration order
+    val rate = ratesPerMille.toSeq.sortBy(_._1).foldRight(lit(defaultPerMille).cast("long")) {
+      case ((k, v), acc) => when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** Per-document top-k salient terms, ranked by tf/df — term frequency in
+    * the document over document frequency in the corpus (the log-free
+    * tf-idf variant: idf' = N/df instead of ln(N/df); the corpus size N is
+    * constant within a document's ranking, so it cancels, and the score
+    * stays a ratio of integers whose double division is IEEE-exact — a
+    * transcendental ln() can differ by an ulp between engines/libms, which
+    * is enough to flip a rank tie-break and break hash-exact oracle
+    * comparison).
+    *
+    * Scale shape: tf = one (doc, term) aggregation; df = one (term)
+    * aggregation DERIVED FROM tf (tf rows are distinct (doc, term) pairs,
+    * so counting them per term IS document frequency — no second
+    * tokenization pass, and Catalyst's ReuseExchange shares the tf shuffle
+    * between the join branch and the df branch); top-k via a per-doc
+    * row_number window — partitioned by doc, never global.
+    */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  /** Corpus-level heavy hitters: the k most document-frequent word n-grams.
+    * Shingles are distinct per document (Dedup.shingles), so the count IS
+    * document frequency. orderBy+limit compiles to TakeOrderedAndProject —
+    * each partition keeps a local top-k after partial aggregation and the
+    * driver merges k rows; no global sort, no full collect, at any corpus
+    * size. Deterministic total order: (doc_freq desc, gram asc).
+    */
+  def topNGrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("g").asc)
+      .limit(k)
+
   /** Greedy sequential token-budget packing — the "fill ~budget-token
     * training bins" step of a data pipeline. Within each partition key,
     * documents ordered by `idCol` get a running token total, and a doc's

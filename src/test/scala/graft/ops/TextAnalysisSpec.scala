@@ -124,6 +124,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0.6, 0.0, 0.0))
   }
 
+  test("stratifiedSample: content-keyed, rate-bounded, edge rates are all-or-nothing") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count()
+    // rate 1000 keeps everything, rate 0 drops everything
+    assert(TextAnalysis.stratifiedSample(docs, "lang", "text", Map.empty, 1000).count() == n)
+    assert(TextAnalysis.stratifiedSample(docs, "lang", "text", Map.empty, 0).count() == 0)
+    // partition-layout independence: identical sample through a reshuffle
+    val rates = Map("en" -> 200, "fr" -> 700)
+    val a = TextAnalysis.stratifiedSample(docs, "lang", "text", rates, 300)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = TextAnalysis.stratifiedSample(docs.repartition(7), "lang", "text", rates, 300)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // a stratum's sample at a lower rate is a SUBSET of its higher-rate
+    // sample (bucket < r is monotone in r) — the property that lets a
+    // pipeline re-mix proportions without resampling from scratch
+    val small = TextAnalysis.stratifiedSample(docs, "lang", "text", Map("en" -> 100), 300)
+      .filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    val large = TextAnalysis.stratifiedSample(docs, "lang", "text", Map("en" -> 500), 300)
+      .filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    assert(small.size < large.size)
+    // out-of-range rate fails fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(docs, "lang", "text", Map("en" -> 1001), 300)
+    }
+  }
+
+  test("topTermsPerDoc: tf/df ranking with term tie-break") {
+    val df = Seq(
+      (1L, "x x x common rare"),  // tf(x)=3 df(x)=2; rare: tf=1 df=1
+      (2L, "x common common zz"), // common df=3
+      (3L, "common zz"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTermsPerDoc(df, "doc_id", "text", 2)
+      .select($"doc_id", $"rnk", $"term").as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 1: x 3/2=1.5 > rare 1/1=1.0 > common 1/3
+    assert(got(1L) == Seq("x", "rare"))
+    // doc 2: zz 1/2=0.5 < common 2/3=0.667 ; x 1/2=0.5 — tie zz/x broken by
+    // term asc -> x before zz
+    assert(got(2L) == Seq("common", "x"))
+    // doc 3: zz 0.5 vs common 1/3 -> zz first
+    assert(got(3L) == Seq("zz", "common"))
+  }
+
+  test("topNGrams: document frequency (repeats inside one doc count once)") {
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams {a b, b a} — "a b" appears twice, counted once
+      (2L, "a b c"),     // {a b, b c}
+      (3L, "b c d"),     // {b c, c d}
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNGrams(df, "text", 2, 3)
+      .as[(String, Long)].collect().toSeq
+    // a b: docs 1,2 -> 2; b c: docs 2,3 -> 2; b a / c d: 1. Tie at 2 broken
+    // by gram asc; third row is the lexicographically-first singleton.
+    assert(got == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
+  }
+
   test("packBins: duplicate ids accumulate row-by-row (ROWS frame, not RANGE)") {
     // two docs with the SAME id, 12 tokens each, budget 10: RANGE peers
     // would both see cum=24 -> both bin 1; ROWS gives the first cum=12
