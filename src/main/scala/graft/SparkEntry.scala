@@ -142,6 +142,10 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "emb_mean_pool" -> ((s, dir) =>
+      // per-bucket embedding centroids (cluster/shard summarization)
+      Similarity.meanPool(t(s, dir, "embeddings"), pmod(col("vec_id"), lit(8L)))
+        .orderBy(col("grp"), col("pos"))),
     "emb_quant_error" -> ((s, dir) => {
       // int8 storage quantization: per-vector scale + reconstruction error
       // + cosine fidelity of the dequantized vector vs the original
@@ -195,6 +199,17 @@ object SparkEntry {
           docs, docs.filter(col("doc_id") < 10), "doc_id", "text", 3)
         .orderBy(col("doc_id"))
     }),
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      // the scale shape of text_decontaminate: benchmark grams as a compact
+      // Bloom sketch, probed in a shuffle-free scan. Approximate (no false
+      // negatives, fpp-bounded false positives) -> rows-only oracle;
+      // equality/upper-bound vs the exact operator is spec-pinned.
+      val docs = t(s, dir, "documents")
+      val bloom = TextAnalysis.benchmarkBloom(
+        docs.filter(col("doc_id") < 10), "text", 3, fpp = 1e-6)
+      TextAnalysis.decontaminationScoreBloom(docs, bloom, "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
     "text_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -246,6 +261,7 @@ object SparkEntry {
       Analytics.revenueByNation(s, dir).orderBy(col("n_name"))),
     "q_window_rank" -> ((s, dir) =>
       Analytics.topOrdersPerPriority(s, dir, 5).orderBy(col("o_orderpriority"), col("rk"))),
+    "q13_custdist" -> ((s, dir) => Analytics.customerOrderDistribution(s, dir)),
     "q_set_except" -> ((s, dir) => Analytics.customerOnlyNations(s, dir)),
     "q_anti_join" -> ((s, dir) =>
       Analytics.customersWithoutOrders(s, dir).orderBy(col("c_mktsegment"))),
@@ -363,10 +379,11 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash and
+  /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash,
     * the approximate sim_topk_ivf / q_approx_distinct /
-    * q_percentiles_approx — those get the driver's rows-only check and are
-    * instead validated against exact counterparts in the spec suite.
+    * q_percentiles_approx, and the sketch-probing
+    * text_decontaminate_bloom — those get the driver's rows-only check and
+    * are instead validated against exact counterparts in the spec suite.
     * (dedup_minhash_lsh and dedup_embedding_cosine DO carry oracles: their
     * LSH recall is exact on the test corpora, spec-proven, so they share
     * their brute-force counterparts' SQL.)
@@ -620,6 +637,23 @@ object SparkEntry {
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |JOIN nation ON s_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q13_custdist" ->
+        """SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist FROM
+          |(SELECT c_custkey, count(o_orderkey) AS c_count
+          | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          | GROUP BY c_custkey)
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "emb_mean_pool" ->
+        // sorted left fold with a 0.0 seed == Spark's
+        // aggregate(array_sort(collect_list(x)), 0.0, +) — identical
+        // summation order, so the rounded means are bit-exact
+        """WITH e AS (SELECT vec_id % 8 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |x AS (SELECT grp, i - 1 AS pos, v[i] AS val
+          |      FROM e, unnest(generate_series(1, len(v))) AS u(i))
+          |SELECT CAST(grp AS BIGINT) AS grp, CAST(pos AS BIGINT) AS pos,
+          |round(list_reduce(list_prepend(0.0, list_sort(list(val))), (a, b) -> a + b)
+          |      / count(*), 4) AS mean_r
+          |FROM x GROUP BY grp, pos ORDER BY grp, pos""".stripMargin,
       "q_window_rank" ->
         """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM
           |(SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -439,6 +439,34 @@ case class SignBandBuckets(child: Expression, bitsPerBand: Int, bands: Int, dim:
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe against a serialized
+  * `org.apache.spark.util.sketch.BloomFilter` carried as bytes: true iff
+  * the (string) input MIGHT be in the set the filter was built from — no
+  * false negatives, false-positive rate set at build time. The filter is
+  * deserialized lazily once per deserialized expression instance (i.e.
+  * once per task), then probed per value; probe hashing is the sketch
+  * library's own (the same bytes `putBinary`/`DataFrameStatFunctions
+  * .bloomFilter` hash on the build side), so build and probe can happen in
+  * different jobs, sessions, or machines.
+  */
+case class BloomMightContain(child: Expression, bloomBits: Array[Byte])
+    extends UnaryExpression with NativeUnaryKernel {
+  require(bloomBits.nonEmpty, "bloom_might_contain: empty serialized filter")
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBits))
+
+  override def compute(input: Any): Any =
+    bloom.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint h = fold(h*31 + char) mod 1e9+7 over
   * the string's UTF-16 code units — identical to the HOF formulation
   * (split per char + ascii fold) on ASCII text, one pass, no per-char
@@ -490,4 +518,7 @@ object VectorFunctions {
 
   def signBandBuckets(vec: Column, bitsPerBand: Int, bands: Int, dim: Int): Column =
     ColumnShim.column(SignBandBuckets(ColumnShim.expression(vec), bitsPerBand, bands, dim))
+
+  def bloomMightContain(s: Column, bloomBits: Array[Byte]): Column =
+    ColumnShim.column(BloomMightContain(ColumnShim.expression(s), bloomBits))
 }

@@ -104,6 +104,23 @@ object Analytics {
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
   }
 
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed k orders, for each k — a left join (customers with
+    * zero orders count at k=0) feeding two aggregation levels. Scale shape:
+    * the join and the first groupBy both key on custkey, so the first
+    * aggregation reuses the join's partitioning with no extra exchange;
+    * the second aggregation's domain is tiny (distinct order counts).
+    * Deterministic total order: (custdist desc, c_count desc).
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = read(spark, dir, "customer").select(col("c_custkey"))
+    val o = read(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Rollup (grouping-sets surface): order counts by (status, priority)
     * with subtotals. Group keys are never NULL in the data, so the
     * coalesced 'ALL' labels are unambiguous.

@@ -218,6 +218,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine_r"))
   }
 
+  /** Group-wise embedding mean pooling (per-cluster / per-shard centroids):
+    * one output row per (group, dimension) with the component mean — the
+    * building block for corpus-level centroid computation, cluster
+    * summarization, and domain-mixture diagnostics. Shape: posexplode to
+    * (group, pos, x) rows, one hash aggregation keyed (group, pos) — the
+    * shuffle carries scalars, never whole vectors, and partial (map-side)
+    * aggregation compresses each partition to n_groups×dim rows before the
+    * exchange.
+    *
+    * Determinism: the per-(group, pos) mean folds its values in SORTED
+    * order (array_sort(collect_list)) so floating-point summation order
+    * can't vary between runs/partitionings — the same discipline as
+    * kmeansCentroids, and what makes the DuckDB oracle hash-exact. A
+    * production variant that doesn't need bit-exact reproducibility would
+    * use plain avg() and skip the sort's per-group O(g log g).
+    */
+  def meanPool(df: DataFrame, groupExpr: Column,
+               vecCol: String = "embedding"): DataFrame =
+    df.select(groupExpr.as("grp"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(
+        aggregate(array_sort(collect_list(col("x"))), lit(0.0), (s, x) => s + x).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        round(col("sx") / col("n"), 4).as("mean_r"))
+
   /** Per-vector symmetric int8 quantization for embedding storage — at
     * 100 TB the embedding column is usually the widest thing in the lake,
     * and 4× smaller vectors mean 4× less scan/shuffle IO for every ANN and

@@ -163,6 +163,54 @@ object TextAnalysis {
           greatest(col("n_grams"), lit(1)), 4).as("containment"))
   }
 
+  /** Build a serialized Bloom filter over a benchmark corpus's distinct
+    * n-gram shingles — the compact sketch `decontaminationScoreBloom`
+    * probes. Built DISTRIBUTED via `DataFrameStatFunctions.bloomFilter`
+    * (treeAggregate of per-partition filters — the gram set itself never
+    * reaches the driver; only the final ~1.2·n·log2(1/fpp)-bit filter
+    * does). At fpp 1e-4 that is ~2.4 bytes per gram: a 10M-gram benchmark
+    * suite is a ~24 MB filter vs hundreds of MB for the broadcast hash
+    * relation of the exact path's semi-join — the difference between a
+    * benchmark set that broadcasts and one that doesn't.
+    */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, shingleN: Int,
+                     fpp: Double = 1e-4): Array[Byte] = {
+    val grams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), shingleN)).as("g")).distinct()
+    val n = math.max(grams.count(), 1L)
+    val bloom = grams.stat.bloomFilter("g", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Benchmark decontamination via a Bloom filter — the 100 TB-scale shape
+    * of `decontaminationScore`: instead of broadcast-semi-joining the
+    * corpus's exploded shingles against the benchmark gram SET, every task
+    * probes the compact filter inside a higher-order `filter` lambda —
+    * NO explode, NO join, NO shuffle; one scan-speed projection per
+    * document. Bloom guarantees no false negatives, so `bloom_hits` is an
+    * upper bound on the exact `bench_hits` (flagged docs are a superset —
+    * exactly what a contamination FILTER needs: nothing contaminated
+    * escapes); false positives are bounded by the build-time fpp and the
+    * output column is named `containment_ub` to say so. Spec-pinned
+    * against the exact operator.
+    */
+  def decontaminationScoreBloom(docs: DataFrame, bloomBits: Array[Byte],
+                                idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    require(!docs.columns.contains("__grams"),
+      "decontaminationScoreBloom uses '__grams' as a temp column; input must not contain it")
+    val hit = (g: Column) => graft.functions.VectorFunctions.bloomMightContain(g, bloomBits)
+    // shingles materialized ONCE in a lower projection: HOF lambdas get no
+    // codegen CSE, so inlining the shingle kernel into both size() and
+    // filter() would tokenize every document twice
+    docs.withColumn("__grams", Dedup.shingles(col(textCol), shingleN))
+      .select(col(idCol), size(col("__grams")).as("n_grams"),
+        size(filter(col("__grams"), hit)).as("bloom_hits"))
+      .withColumn("containment_ub",
+        round(col("bloom_hits").cast("double") / greatest(col("n_grams"), lit(1)), 4))
+  }
+
   /** Repetition ratio (a Gopher-style quality signal): the fraction of a
     * document's word n-grams that are repeats of an earlier n-gram —
     * 1 − distinct/total. Pure per-row expressions, scan-speed.

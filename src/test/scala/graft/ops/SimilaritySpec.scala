@@ -21,6 +21,24 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach { case (n, h) => assert(n == h) } // exact, not approx
   }
 
+  test("meanPool: per-group per-dimension means, partition-order independent") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (0L, Array(3.0f, 6.0f)),
+      (1L, Array(10.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.meanPool(df, col("vec_id"), "embedding")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == Seq((0L, 0L, 2.0), (0L, 1L, 4.0), (1L, 0L, 10.0), (1L, 1L, 0.0)))
+    // sorted-fold determinism: identical output through a reshuffle
+    val a = Similarity.meanPool(emb, pmod($"vec_id", lit(8L)))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val b = Similarity.meanPool(emb.repartition(13), pmod($"vec_id", lit(8L)))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.size == 8 * 64) // 8 buckets × 64 dims
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = emb.limit(10)
       .select(round(Similarity.cosine($"embedding", $"embedding"), 9))

@@ -183,6 +183,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L)))
   }
 
+  test("decontaminationScoreBloom: no false negatives; matches exact at low fpp") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bench = docs.filter($"doc_id" < 10)
+    val bloom = TextAnalysis.benchmarkBloom(bench, "text", 3, fpp = 1e-6)
+    val approx = TextAnalysis.decontaminationScoreBloom(docs, bloom, "doc_id", "text", 3)
+      .select($"doc_id", $"n_grams", $"bloom_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = TextAnalysis.decontaminationScore(docs, bench, "doc_id", "text", 3)
+      .select($"doc_id", $"n_grams", $"bench_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (id, (nGrams, exactHits)) =>
+      val (nb, bloomHits) = approx(id)
+      assert(nb == nGrams, s"doc $id gram count differs")
+      // Bloom guarantee: no false negatives -> hits is an upper bound
+      assert(bloomHits >= exactHits, s"doc $id lost hits: $bloomHits < $exactHits")
+    }
+    // at fpp 1e-6 on this corpus the filter is exact (deterministic: the
+    // filter build is content-keyed, so this is a fixed property of the
+    // fixture, not a flaky sample)
+    val fps = exact.map { case (id, (_, e)) => approx(id)._2 - e }.sum
+    assert(fps == 0L, s"unexpected false positives at fpp 1e-6: $fps")
+  }
+
   test("packBins: duplicate ids accumulate row-by-row (ROWS frame, not RANGE)") {
     // two docs with the SAME id, 12 tokens each, budget 10: RANGE peers
     // would both see cum=24 -> both bin 1; ROWS gives the first cum=12
