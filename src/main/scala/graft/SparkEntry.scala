@@ -262,6 +262,8 @@ object SparkEntry {
     "q_window_rank" -> ((s, dir) =>
       Analytics.topOrdersPerPriority(s, dir, 5).orderBy(col("o_orderpriority"), col("rk"))),
     "q13_custdist" -> ((s, dir) => Analytics.customerOrderDistribution(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      Analytics.smallQuantityRevenue(s, dir, Seq("Brand#2", "Brand#4"))),
     "q_set_except" -> ((s, dir) => Analytics.customerOnlyNations(s, dir)),
     "q_anti_join" -> ((s, dir) =>
       Analytics.customersWithoutOrders(s, dir).orderBy(col("c_mktsegment"))),
@@ -643,6 +645,16 @@ object SparkEntry {
           | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           | GROUP BY c_custkey)
           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q17_small_qty_revenue" ->
+        // the correlated-subquery form — DuckDB decorrelates it into the
+        // same agg+join the Spark side declares directly
+        """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+          |count(*) AS n_items
+          |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand IN ('Brand#2', 'Brand#4')
+          |AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          |                  WHERE l2.l_partkey = l1.l_partkey)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
       "emb_mean_pool" ->
         // sorted left fold with a 0.0 seed == Spark's
         // aggregate(array_sort(collect_list(x)), 0.0, +) — identical

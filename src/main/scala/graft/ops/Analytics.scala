@@ -121,6 +121,33 @@ object Analytics {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Small-quantity revenue (the TPC-H Q17 correlated-scalar-subquery
+    * shape): revenue from line items whose quantity is below 20% of their
+    * part's average quantity, per brand — written as the DECORRELATED plan
+    * Catalyst would produce from the subquery form: the per-part average is
+    * one aggregation over lineitem, joined back on partkey. Both the
+    * aggregate and the join key on l_partkey, so one exchange feeds both;
+    * the part dimension broadcasts. Determinism note: l_quantity is
+    * integer-valued, so the per-part mean (exact integer sum / count) is
+    * bit-identical in any engine and the `< 0.2·avg` predicate can't flip
+    * on summation order.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String,
+                           brands: Seq[String]): DataFrame = {
+    val li = read(spark, dir, "lineitem")
+    val pt = read(spark, dir, "part").filter(col("p_brand").isInCollection(brands))
+      .select(col("p_partkey"), col("p_brand"))
+    val caps = li.groupBy(col("l_partkey").as("cap_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cap"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(caps, col("l_partkey") === col("cap_partkey"))
+      .filter(col("l_quantity") < col("qty_cap"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Rollup (grouping-sets surface): order counts by (status, priority)
     * with subtotals. Group keys are never NULL in the data, so the
     * coalesced 'ALL' labels are unambiguous.

@@ -183,10 +183,14 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 64, nprobe: Int = 8, trainIters: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      pretrained: Option[(Seq[Long], Seq[Seq[Double]])] = None,
   ): DataFrame = {
-    val (ids, mat) =
+    // `pretrained` lets a caller train ONCE and serve many query batches —
+    // in production the quantizer is a build artifact, not a per-query cost
+    val (ids, mat) = pretrained.getOrElse {
       if (trainIters <= 0) collectCentroids(centroids(corpus, nlist, idCol, vecCol))
       else kmeansCentroids(corpus, nlist, trainIters, sampleMult = 32, idCol, vecCol)
+    }
     val bucketed = assignTo(corpus, ids, mat, idCol, vecCol)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),

@@ -258,13 +258,20 @@ object TextAnalysis {
     * Scale shape: tf = one (doc, term) aggregation; df = one (term)
     * aggregation DERIVED FROM tf (tf rows are distinct (doc, term) pairs,
     * so counting them per term IS document frequency — no second
-    * tokenization pass, and Catalyst's ReuseExchange shares the tf shuffle
-    * between the join branch and the df branch); top-k via a per-doc
-    * row_number window — partitioned by doc, never global.
+    * tokenization pass); top-k via a per-doc row_number window —
+    * partitioned by doc, never global. tf feeds TWO consumers (the join's
+    * probe side and the df aggregate), and neither Catalyst's
+    * ReuseExchange nor AQE's stage cache dedupes the two aggregate
+    * subtrees (verified empirically: two separate shuffle stages), so tf
+    * is materialized ONCE with a lazy localCheckpoint — at 100 TB the
+    * term-frequency relation is the natural build artifact anyway. The
+    * harness drains the checkpoint blocks after the query (Cleanup).
     */
   def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = graft.Cleanup.register(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)

@@ -75,6 +75,34 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("vecdot"), "native cosine verification missing")
   }
 
+  test("top n-grams: per-partition top-k merge, not a global sort") {
+    val p = plan("text_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"heavy-hitter top-k lost its TakeOrdered shape:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort crept into the top-k plan:\n$p")
+  }
+
+  test("bloom decontamination: shuffle-free scan (no exchange, no join)") {
+    val p = plan("text_decontaminate_bloom")
+    // everything below the presentation orderBy must be a narrow
+    // projection over the scan: probing the sketch never joins or shuffles
+    val belowSort = p.substring(p.lastIndexOf("Exchange rangepartitioning"))
+    assert(!belowSort.contains("Join"), s"bloom probe plan contains a join:\n$p")
+    assert(belowSort.contains("bloommightcontain"),
+      s"native bloom probe kernel missing:\n$p")
+    assert(p.indexOf("Exchange hashpartitioning") < 0,
+      s"bloom probe plan shuffles:\n$p")
+  }
+
+  test("stratified sample: filter is a narrow scan projection, no shuffle") {
+    val p = plan("docs_sample_stratified")
+    val belowSort = p.substring(p.lastIndexOf("Exchange rangepartitioning"))
+    assert(belowSort.contains("fingerprint("), s"content-hash filter missing:\n$p")
+    assert(!belowSort.contains("Exchange hashpartitioning"),
+      s"sampling filter shuffles:\n$p")
+  }
+
   test("ivf: centroid selection is a bounded TakeOrdered, not a full sort") {
     // centroids() runs eagerly (driver-collected) during ivfTopK plan
     // construction, so it must be audited as its own plan
