@@ -69,6 +69,11 @@ object SparkEntry {
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_minhash_estimate" -> ((s, dir) => // hash-seeded: rows-only oracle
+      // the verification-free path: signature-agreement Jaccard estimate
+      // for every LSH candidate pair; accuracy spec-pinned vs the exact op
+      Dedup.minHashEstimatedPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) => // hash-based: rows-only oracle
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -381,9 +386,9 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash,
-    * the approximate sim_topk_ivf / q_approx_distinct /
-    * q_percentiles_approx, and the sketch-probing
+  /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash /
+    * dedup_minhash_estimate, the approximate sim_topk_ivf /
+    * q_approx_distinct / q_percentiles_approx, and the sketch-probing
     * text_decontaminate_bloom — those get the driver's rows-only check and
     * are instead validated against exact counterparts in the spec suite.
     * (dedup_minhash_lsh and dedup_embedding_cosine DO carry oracles: their

@@ -185,6 +185,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash ESTIMATED Jaccard for every LSH candidate pair: the fraction
+    * of agreeing signature lanes is an unbiased estimator of the true
+    * Jaccard (stderr ≈ √(J(1−J)/k) ≈ 0.06 at k=64) — the
+    * verification-FREE scale path. `minHashNearDups` verifies candidates
+    * with an exact `array_intersect` over the full shingle sets, which at
+    * 100 TB means joining wide shingle arrays back to every candidate; when
+    * a ±0.1 similarity band is acceptable (corpus triage, cluster
+    * pre-grouping, threshold sweeps), comparing two k-long signatures is
+    * O(k) per pair with fixed-width rows — the shuffle carries k longs, not
+    * documents. Output: every candidate pair with `jaccard_est` (rounded),
+    * UNthresholded — thresholding an estimate is the caller's accuracy
+    * trade to make. Deterministic (hash-seeded); accuracy is spec-pinned
+    * against the exact Jaccard on the same pairs.
+    */
+  def minHashEstimatedPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, bands: Int = 16,
+                            rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val cand = minHashCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val sigs = df.select(col(idCol).as("id"),
+      minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x))
+      .select(col("id_a"), col("id_b"),
+        round(col("agree").cast("double") / k, 4).as("jaccard_est"))
+  }
+
   /** Exact n-gram Jaccard similarity for given id pairs (verification pass
     * after LSH, or standalone brute force on small inputs).
     */

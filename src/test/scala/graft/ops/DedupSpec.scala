@@ -78,6 +78,28 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.toSeq == sig2.toSeq)
   }
 
+  test("minhash Jaccard estimate tracks the exact Jaccard on candidate pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val est = Dedup.minHashEstimatedPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.nonEmpty)
+    // exact Jaccard (no threshold) restricted to the same candidate pairs
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val errs = est.map { case (pair, e) => math.abs(e - exact.getOrElse(pair, 0.0)) }
+    // k=64 lanes: stderr ≈ sqrt(J(1-J)/64) ≤ 0.0625; mean |err| well under
+    // one stderr, max within ~3
+    assert(errs.sum / errs.size < 0.05, s"mean |err| too high: ${errs.sum / errs.size}")
+    assert(errs.max < 0.2, s"max |err| too high: ${errs.max}")
+    // an exact duplicate pair estimates exactly 1.0 (identical signatures)
+    val dup = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val one = Dedup.minHashEstimatedPairs(dup, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(one.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("duplicateClusters: chains merge transitively, singletons label themselves") {
     // components: {1,2,3,4} via chain edges (A~B, B~C, C~D — A~D never
     // emitted), {10,11}, and singleton 20

@@ -35,6 +35,56 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full curation pipeline streams: normalize → quality gate → stratified sample → dedup → route") {
+    // five ops in ONE incremental pipeline — the round-4 curation stages
+    // compose in Structured Streaming because all of them except dedup are
+    // stateless projections/filters, and dedup is watermark-bounded state.
+    // Expected output is derived by running the SAME stage primitives in
+    // batch over the same rows (streaming/batch parity).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    // the stateless stages — shared verbatim between the streaming pipeline
+    // and the batch-parity expectation
+    def stages(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cleaned = df
+        .withColumn("value", graft.ops.TextAnalysis.normalize($"raw"))
+        // quality gate: statelessly drop ultra-short docs
+        .filter(graft.ops.TextAnalysis.tokenCount($"value") >= 3)
+      // content-hash stratified sampling: keep 70% of lang=en, all others
+      graft.ops.TextAnalysis.stratifiedSample(
+        cleaned, "lang", "value", Map("en" -> 700), defaultPerMille = 1000)
+    }
+    val routed = graft.router.Router.route(
+      graft.ops.Dedup.streamingExactDedup(
+          in.toDF().toDF("ts", "lang", "raw").transform(stages),
+          "ts", "10 minutes", Seq("value"))
+        .withColumn("key", $"lang"),
+      graft.fixtures.DocRoutePlan.resolved)
+    val q = routed.writeStream.format("memory")
+      .queryName("curation_pipeline").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val rows = Seq(
+        (t0, "en", "Spark <b>query</b> basics today"),
+        (t0, "en", "spark query basics   today"),      // dup after normalize
+        (t0, "fr", "une autre note simple ici"),
+        (t0, "en", "tiny doc"),                        // 2 tokens: quality-gated
+        (t0, "en", "some other english text entirely"),
+        (t0, "fr", "troisieme document francais complet"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT value FROM curation_pipeline")
+        .as[String].collect().toSeq.sorted
+      // batch parity: the identical stateless stages over the same static
+      // rows, with batch distinct standing in for the watermark dedup
+      // (survivor identity is irrelevant — we compare the deduped values)
+      val expect = stages(rows.toDF("ts", "lang", "raw"))
+        .select($"value").distinct().as[String].collect().toSeq.sorted
+      assert(got == expect, s"stream $got != batch $expect")
+      assert(expect.nonEmpty && !expect.exists(_ == "tiny doc"))
+    } finally q.stop()
+  }
+
   test("normalize → streaming dedup → route: three ops chained end-to-end under a watermark") {
     // the full ingest stage (DESIGN.md §5) as ONE incremental pipeline:
     // clean the payload, drop exact re-deliveries within the watermark
