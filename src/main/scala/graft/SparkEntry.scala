@@ -256,6 +256,12 @@ object SparkEntry {
     "events_running" -> ((s, dir) =>
       Events.runningTotals(t(s, dir, "events"))
         .orderBy(col("user_id"), col("seq"))),
+    "events_neighbors" -> ((s, dir) =>
+      Events.neighborContext(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("event_id"))),
+    "events_sliding_1h" -> ((s, dir) =>
+      Events.slidingValueSum(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("event_id"))),
 
     // ---- relational analytics (operator categories absent from the
     //      reference, SURVEY §2.2, exposed via Catalyst built-ins) ----
@@ -626,6 +632,22 @@ object SparkEntry {
           |round(sum("value") OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_value,
           |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
           |FROM events ORDER BY user_id, seq""".stripMargin,
+      "events_neighbors" ->
+        """SELECT user_id, event_id,
+          |lag(event_type, 1) OVER w AS prev_type,
+          |lead(event_type, 1) OVER w AS next_type,
+          |CAST(floor(epoch(ts)) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS BIGINT) AS gap_secs
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, event_id""".stripMargin,
+      "events_sliding_1h" ->
+        // RANGE frame over epoch seconds; integer cents keep the sliding
+        // sum engine-order-proof (see Events.slidingValueSum)
+        """SELECT user_id, event_id,
+          |CAST(sum(CAST(round("value" * 100) AS BIGINT)) OVER (
+          |  PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_1h
+          |FROM events ORDER BY user_id, event_id""".stripMargin,
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
           |round(sum(l_extendedprice), 2) AS sum_base_price,

@@ -57,6 +57,38 @@ object Events {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Per-user event context via lag/lead: previous and next event type and
+    * the gap (seconds) since the previous event — the offset-window-function
+    * surface (lag, lead) with deterministic (ts, event_id) ordering. One
+    * shuffle on user_id; integer gap arithmetic so the oracle compare is
+    * exact.
+    */
+  def neighborContext(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("user_id"), col("event_id"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      (unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+        .as("gap_secs"))
+  }
+
+  /** Per-user sliding 1-hour value sum — the RANGE-frame window surface
+    * (logical offsets over event time, NOT row counts: all peers at the
+    * same timestamp join the frame, so the result is tie-order
+    * independent). Values summed as integer cents — a sliding double sum
+    * is evaluated in engine-specific order (segment trees vs running
+    * accumulation) and can't be hash-compared; cents are exact.
+    */
+  def slidingValueSum(events: DataFrame, windowSecs: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-windowSecs, 0)
+    events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("cents")).over(w).as("cents_1h"))
+  }
+
   /** Per-user running value (analytic window function surface). */
   def runningTotals(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
