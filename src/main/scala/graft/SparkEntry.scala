@@ -270,6 +270,24 @@ object SparkEntry {
     "q03_shipping_priority" -> ((s, dir) => Analytics.shippingPriority(s, dir)),
     "q05_revenue_by_nation" -> ((s, dir) =>
       Analytics.revenueByNation(s, dir).orderBy(col("n_name"))),
+    "q05_salted" -> ((s, dir) => {
+      // q05 rebuilt on the skew-salting join: the lineitem⋈supplier
+      // equi-join keyed (suppkey, salt∈[0,8)) so one hot supplier spreads
+      // over 8 reducers. Result set is identical to the plain join —
+      // shares q05's oracle SQL — the salting changes ONLY the shuffle
+      // distribution, and the oracle proves it.
+      val li = Analytics.read(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = Analytics.read(s, dir, "supplier")
+        .join(broadcast(Analytics.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Analytics.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
     "q_window_rank" -> ((s, dir) =>
       Analytics.topOrdersPerPriority(s, dir, 5).orderBy(col("o_orderpriority"), col("rk"))),
     "q13_custdist" -> ((s, dir) => Analytics.customerOrderDistribution(s, dir)),
@@ -662,6 +680,11 @@ object SparkEntry {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       "q05_revenue_by_nation" ->
+        """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q05_salted" -> // salting must not change the result: same oracle as q05
         """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |JOIN nation ON s_nationkey = n_nationkey

@@ -185,6 +185,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** STREAMING near-duplicate candidate detection: MinHash-LSH banding as
+    * a watermark-bounded stream-stream SELF-join — each arriving document
+    * is banded into (band, bucket) keys and joined against other documents
+    * whose buckets collided within ±`horizonSecs` of event time. The
+    * watermark bounds both join state (Spark drops bucket rows older than
+    * watermark − horizon) and the output-dedup state, so the query runs
+    * indefinitely: this is online ingest dedup — catch the re-crawl/
+    * re-post while it's arriving — versus the batch operator's full-corpus
+    * sweep. Emits (ts, id_a, id_b) candidate pairs (id_a < id_b), deduped
+    * across bands within the watermark; exact-verify downstream if LSH
+    * precision isn't enough (same contract as `minHashCandidates`).
+    *
+    * 100 TB notes: state size is O(rows-in-horizon × bands) fixed-width
+    * keys, partitioned by (band, bucket) — the same shuffle shape as the
+    * batch join, just windowed; a hot bucket is a hot key (cap with
+    * maxBucketSize upstream or shorten the horizon).
+    */
+  def streamingMinHashCandidates(docs: DataFrame, tsCol: String, idCol: String,
+                                 textCol: String, watermark: String,
+                                 horizonSecs: Long,
+                                 shingleN: Int = 3, bands: Int = 16,
+                                 rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minHashSignature(shingles(col(textCol), shingleN), k)
+    val bucketed = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"), col(idCol).as("id"), sig.as("sig"))
+      .select(col("ts"), col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("bucket")),
+          )
+        ).as("bb"))
+      .select(col("ts"), col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = bucketed.select(col("ts").as("ts_a"), col("id").as("id_a"),
+      col("band").as("band_a"), col("bucket").as("bucket_a"))
+    val r = bucketed.select(col("ts").as("ts_b"), col("id").as("id_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    // the time-range condition is what lets Spark expire join state; the
+    // id_a < id_b asymmetry emits each collision once per band
+    val joined = l.join(r,
+      col("band_a") === col("band_b") && col("bucket_a") === col("bucket_b") &&
+        col("id_a") < col("id_b") &&
+        col("ts_b").between(
+          col("ts_a") - expr(s"INTERVAL $horizonSecs SECONDS"),
+          col("ts_a") + expr(s"INTERVAL $horizonSecs SECONDS")))
+    // band-level collisions collapse to one pair within the watermark —
+    // ts_a keeps its event-time watermark through the join, so the dedup
+    // state is bounded by the SAME watermark (re-declaring one downstream
+    // of a stateful operator is disallowed)
+    joined
+      .select(col("ts_a").as("ts"), col("id_a"), col("id_b"))
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+  }
+
   /** MinHash ESTIMATED Jaccard for every LSH candidate pair: the fraction
     * of agreeing signature lanes is an unbiased estimator of the true
     * Jaccard (stderr ≈ √(J(1−J)/k) ≈ 0.06 at k=64) — the

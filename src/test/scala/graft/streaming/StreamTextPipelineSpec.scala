@@ -85,6 +85,36 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MinHash LSH: near-dups within the horizon pair up; distant re-posts don't") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cands = graft.ops.Dedup.streamingMinHashCandidates(
+      in.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "doc_id", "text", watermark = "2 hours", horizonSecs = 3600L)
+    val q = cands.writeStream.format("memory")
+      .queryName("stream_neardups").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      in.addData(
+        (t("2024-01-01 10:00:00"), 1L, base),
+        (t("2024-01-01 10:10:00"), 2L, base + " extra"),       // near-dup, in horizon
+        (t("2024-01-01 10:20:00"), 3L, "completely different words about spark executors and shuffles"),
+        (t("2024-01-01 13:30:00"), 4L, base))                  // same text, 3.5h later: outside horizon of 1/2
+      q.processAllAvailable()
+      // advance the watermark past everything so all append results emit
+      in.addData((t("2024-01-01 20:00:00"), 99L, "watermark advancer row zzz"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT id_a, id_b FROM stream_neardups")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"in-horizon near-dup not detected: $pairs")
+      assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+        s"doc 4 is outside every other doc's horizon: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc paired: $pairs")
+    } finally q.stop()
+  }
+
   test("normalize → streaming dedup → route: three ops chained end-to-end under a watermark") {
     // the full ingest stage (DESIGN.md §5) as ONE incremental pipeline:
     // clean the payload, drop exact re-deliveries within the watermark
