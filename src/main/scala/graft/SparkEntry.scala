@@ -291,6 +291,23 @@ object SparkEntry {
     "q_window_rank" -> ((s, dir) =>
       Analytics.topOrdersPerPriority(s, dir, 5).orderBy(col("o_orderpriority"), col("rk"))),
     "q13_custdist" -> ((s, dir) => Analytics.customerOrderDistribution(s, dir)),
+    "q_sortmerge_join" -> ((s, dir) => {
+      // the large⋈large join strategy: explicit merge hint keeps Catalyst
+      // from broadcasting the (testdata-small) orders side, exercising the
+      // SortMergeJoin path every fact⋈fact join takes at 100 TB — both
+      // sides shuffle ONCE on the key, sort within partitions, and stream
+      // the merge without materializing either side. Plan shape pinned in
+      // PlanRegressionSpec; results oracle-checked like any other query.
+      val li = Analytics.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = Analytics.read(s, dir, "orders").hint("merge")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "q17_small_qty_revenue" -> ((s, dir) =>
       Analytics.smallQuantityRevenue(s, dir, Seq("Brand#2", "Brand#4"))),
     "q_set_except" -> ((s, dir) => Analytics.customerOnlyNations(s, dir)),
@@ -695,6 +712,11 @@ object SparkEntry {
           | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           | GROUP BY c_custkey)
           |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q_sortmerge_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |round(sum(l_extendedprice), 2) AS total_price
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "q17_small_qty_revenue" ->
         // the correlated-subquery form — DuckDB decorrelates it into the
         // same agg+join the Spark side declares directly

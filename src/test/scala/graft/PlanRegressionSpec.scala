@@ -103,6 +103,13 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"sampling filter shuffles:\n$p")
   }
 
+  test("sort-merge join: both sides shuffle once, no broadcast of the fact side") {
+    val p = plan("q_sortmerge_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint lost the SMJ path:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"orders side broadcast despite the merge hint:\n$p")
+  }
+
   test("ivf: centroid selection is a bounded TakeOrdered, not a full sort") {
     // centroids() runs eagerly (driver-collected) during ivfTopK plan
     // construction, so it must be audited as its own plan
