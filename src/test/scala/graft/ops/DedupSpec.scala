@@ -100,6 +100,28 @@ class DedupSpec extends AnyFunSuite {
     assert(one.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("MinHashAgg (UDAF over exploded rows) equals the MinHashSig kernel exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val k = 64
+    // kernel path: one pass over each doc's shingle array
+    val viaKernel = docs.select($"doc_id",
+        Dedup.minHashSignature(Dedup.shingles($"text", 3), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    // aggregator path: exploded (doc, shingle) rows, xxhash64 (seed 42 =
+    // SQL default, same as the kernel's internal hash), mergeable UDAF
+    val viaAgg = docs
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+      .repartition(7) // force partial/merge across partitions
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.udaf(k)($"h").as("sig"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    assert(viaAgg.keySet == viaKernel.keySet)
+    viaKernel.foreach { case (id, sig) =>
+      assert(viaAgg(id) == sig, s"doc $id signatures differ")
+    }
+  }
+
   test("duplicateClusters: chains merge transitively, singletons label themselves") {
     // components: {1,2,3,4} via chain edges (A~B, B~C, C~D — A~D never
     // emitted), {10,11}, and singleton 20

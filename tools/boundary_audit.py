@@ -10,7 +10,7 @@ import duckdb
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 con = duckdb.connect()
 for t in ["orders", "lineitem", "events", "embeddings", "documents",
-          "customer", "supplier"]:
+          "customer", "supplier", "part"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 
@@ -92,3 +92,38 @@ print("emb_quant cos_r dp4 boundary dist:", dist_to_round_boundary(con.sql("""
     2.2250738585072014e-308) scale FROM e),
   q AS (SELECT v, list_transform(v, x -> round(x/scale)*scale) deq FROM s)
   SELECT list_cosine_similarity(deq, v) FROM q""").fetchall(), 4))
+
+# ---- round-4 queries ----
+# tfidf: rank-3 boundary gap per doc — adjacent (score, term) pairs at the
+# top-k cut. Exact rational ties are SAFE (identical int/int division in
+# both engines + term tie-break); this measures how often they occur.
+rows = con.sql(r"""
+  WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  s AS (SELECT doc_id, tf*1.0/df AS score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY tf*1.0/df DESC, term) AS rnk
+        FROM tf JOIN dfreq USING (term))
+  SELECT a.doc_id, a.score - b.score FROM s a JOIN s b
+  ON a.doc_id = b.doc_id AND a.rnk = 3 AND b.rnk = 4""").fetchall()
+gaps = [g for (_, g) in rows]
+exact_ties = sum(1 for g in gaps if g == 0.0)
+print(f"tfidf rank-3/4 boundary: {exact_ties}/{len(gaps)} exact rational ties"
+      f" (term-tiebroken, engine-safe); min nonzero gap:"
+      f" {min((g for g in gaps if g > 0), default=None)}")
+# q17: distance of each qualifying-side l_quantity from its part's 0.2*avg
+# cap. Both engines compute the cap from integer-exact avgs, so the
+# comparison is identical regardless of distance; recorded for the audit.
+print("q17 min |l_quantity - 0.2*avg| (Brand#2/4):", con.sql("""
+  WITH caps AS (SELECT l_partkey AS pk, 0.2*avg(l_quantity) AS cap FROM lineitem GROUP BY 1)
+  SELECT min(abs(l_quantity - cap)) FROM lineitem JOIN part ON p_partkey = l_partkey
+  JOIN caps ON pk = l_partkey WHERE p_brand IN ('Brand#2','Brand#4')""").fetchone()[0])
+# top_ngrams: doc_freq tie at the k=20 cut (gram tie-break makes it safe)
+print("top_ngrams rank-20/21 doc_freq tie:", con.sql(r"""
+  WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+  grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS g
+            FROM t, unnest(generate_series(1, greatest(len(w)-1, 1))) AS u(i)),
+  c AS (SELECT g, count(*) AS f, row_number() OVER (ORDER BY count(*) DESC, g) AS rnk
+        FROM grams GROUP BY g)
+  SELECT (SELECT f FROM c WHERE rnk=20) = (SELECT f FROM c WHERE rnk=21)""").fetchone()[0],
+  "(gram-tiebroken, engine-safe)")
