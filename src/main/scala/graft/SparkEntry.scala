@@ -204,6 +204,25 @@ object SparkEntry {
           docs, docs.filter(col("doc_id") < 10), "doc_id", "text", 3)
         .orderBy(col("doc_id"))
     }),
+    "docs_curation_pipeline" -> ((s, dir) => {
+      // the COMPOSED curation pipeline as one oracle-checked query —
+      // normalize → quality gate → stratified sample → exact dedup →
+      // split assignment, the batch shape of the streaming pipeline spec.
+      // Every stage is individually oracle-proven; this pins that they
+      // compose (each stage consumes the previous stage's exact output).
+      val docs = t(s, dir, "documents")
+      val cleaned = docs
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.normalize(col("text")).as("norm"))
+        .filter(TextAnalysis.tokenCount(col("norm")) >= 5)
+      val sampled = TextAnalysis.stratifiedSample(cleaned, "lang", "norm",
+        Map("en" -> 600), defaultPerMille = 800)
+      Dedup.exactDedup(sampled, "norm", "doc_id")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.splitAssignment(col("norm")).as("split"),
+          TextAnalysis.tokenCount(col("norm")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "text_decontaminate_bloom" -> ((s, dir) => {
       // the scale shape of text_decontaminate: benchmark grams as a compact
       // Bloom sketch, probed in a shuffle-free scan. Approximate (no false
@@ -275,13 +294,18 @@ object SparkEntry {
       // equi-join keyed (suppkey, salt∈[0,8)) so one hot supplier spreads
       // over 8 reducers. Result set is identical to the plain join —
       // shares q05's oracle SQL — the salting changes ONLY the shuffle
-      // distribution, and the oracle proves it.
+      // distribution, and the oracle proves it. shuffle_hash hint: at
+      // test scale Catalyst would broadcast the (tiny) salted build side,
+      // which hides the salted exchange salting exists to demonstrate —
+      // in the real salting regime the build side is too big to broadcast
+      // by definition.
       val li = Analytics.read(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
       val sup = Analytics.read(s, dir, "supplier")
         .join(broadcast(Analytics.read(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name"))
+        .hint("shuffle_hash")
       Analytics.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
@@ -613,6 +637,31 @@ object SparkEntry {
            |SELECT lang, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin,
            |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
            |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+      "docs_curation_pipeline" ->
+        // the composed stages, each reproduced verbatim from its
+        // individually-proven oracle fragment
+        """WITH n AS (SELECT doc_id, lang, trim(regexp_replace(
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+          |      'https?://[^ \t\n\x0b\f\r]+', '[url]', 'g'),
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '[email]', 'g'),
+          |  '[\x00-\x1f]', ' ', 'g'),
+          |'\s+', ' ', 'g')) AS norm FROM documents),
+          |q AS (SELECT * FROM n WHERE len(string_split_regex(trim(norm), '\s+')) >= 5),
+          |fp AS (SELECT doc_id, lang, norm, list_reduce(
+          |  list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(norm) + 1), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT))),
+          |  (h, c) -> (h * 31 + c) % 1000000007) AS f FROM q),
+          |s AS (SELECT * FROM fp WHERE f % 1000 <
+          |  CASE lang WHEN 'en' THEN 600 ELSE 800 END),
+          |d AS (SELECT * FROM s WHERE doc_id IN
+          |  (SELECT min(doc_id) FROM s GROUP BY norm))
+          |SELECT doc_id, lang,
+          |CASE WHEN f % 100 < 90 THEN 'train' WHEN f % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+          |CAST(len(string_split_regex(trim(norm), '\s+')) AS BIGINT) AS n_tokens
+          |FROM d ORDER BY doc_id""".stripMargin,
       "docs_sample_stratified" ->
         // same rolling-hash fold as the text_fingerprint oracle, mod 1000,
         // against the per-language per-mille keep rates

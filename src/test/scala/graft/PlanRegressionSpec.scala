@@ -103,6 +103,12 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"sampling filter shuffles:\n$p")
   }
 
+  test("salted join: the exchange keys on (salt, suppkey) — hot keys spread") {
+    val p = plan("q05_salted")
+    assert(p.contains("hashpartitioning(__salt"),
+      s"salted exchange lost the composite (salt, key) distribution:\n$p")
+  }
+
   test("sort-merge join: both sides shuffle once, no broadcast of the fact side") {
     val p = plan("q_sortmerge_join")
     assert(p.contains("SortMergeJoin"), s"merge hint lost the SMJ path:\n$p")
