@@ -275,6 +275,9 @@ object SparkEntry {
     "events_running" -> ((s, dir) =>
       Events.runningTotals(t(s, dir, "events"))
         .orderBy(col("user_id"), col("seq"))),
+    "events_funnel" -> ((s, dir) =>
+      Events.sessionFunnel(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))),
     "events_neighbors" -> ((s, dir) =>
       Events.neighborContext(t(s, dir, "events"))
         .orderBy(col("user_id"), col("event_id"))),
@@ -716,6 +719,22 @@ object SparkEntry {
           |round(sum("value") OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_value,
           |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
           |FROM events ORDER BY user_id, seq""".stripMargin,
+      "events_funnel" ->
+        // same gaps-and-islands session construction as the events_sessions
+        // oracle, plus conditional min/max for the ordered-sequence test
+        """WITH x AS (SELECT user_id, ts, event_type,
+          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+          |       THEN 1 ELSE 0 END AS new_s FROM events),
+          |y AS (SELECT user_id, ts, event_type,
+          |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+          |s AS (SELECT user_id, sid, min(ts) AS t0,
+          |  min(ts) FILTER (event_type = 'view') AS fv,
+          |  max(ts) FILTER (event_type = 'purchase') AS lp,
+          |  count(*) AS n_events FROM y GROUP BY user_id, sid)
+          |SELECT user_id, CAST(floor(epoch(t0)) AS BIGINT) AS session_start,
+          |CAST(fv IS NOT NULL AND lp IS NOT NULL AND fv < lp AS INT) AS converted,
+          |n_events FROM s ORDER BY user_id, session_start""".stripMargin,
       "events_neighbors" ->
         """SELECT user_id, event_id,
           |lag(event_type, 1) OVER w AS prev_type,

@@ -57,6 +57,26 @@ object Events {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Sessionized conversion funnel: one row per (user, session) with
+    * whether a `view` STRICTLY preceded a `purchase` inside the session —
+    * the behavioral-analytics pattern (did the sequence happen, in order,
+    * within the engagement window) built from session_window + conditional
+    * aggregates: no self-join, no per-event state, one shuffle on the
+    * session key. Emitted as int 0/1 for byte-stable oracle comparison.
+    */
+  def sessionFunnel(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("fv"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("lp"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        (col("fv").isNotNull && col("lp").isNotNull && col("fv") < col("lp"))
+          .cast("int").as("converted"),
+        col("n_events"))
+
   /** Per-user event context via lag/lead: previous and next event type and
     * the gap (seconds) since the previous event — the offset-window-function
     * surface (lag, lead) with deterministic (ts, event_id) ordering. One
