@@ -338,6 +338,33 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) =>
       Analytics.smallQuantityRevenue(s, dir, Seq("Brand#2", "Brand#4"))),
     "q_set_except" -> ((s, dir) => Analytics.customerOnlyNations(s, dir)),
+    "q_union_all" -> ((s, dir) => {
+      // explicit UNION ALL surface: one tagged account roster from two
+      // tables, counted per (nation, role) — the router's dual (merge n
+      // streams into one) as a relational query
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), lit("customer").as("role"))
+      val su = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), lit("supplier").as("role"))
+      c.unionAll(su)
+        .groupBy(col("nationkey"), col("role"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"), col("role"))
+    }),
+    "q_window_ntile" -> ((s, dir) => {
+      // ranking-distribution window functions: quartile (ntile) and
+      // percent_rank per priority. percent_rank = (rank-1)/(n-1) is a
+      // ratio of integers — engine-exact, hash-safe (same rule as tfidf)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .filter(col("quartile") === 1)
+        .orderBy(col("o_orderpriority"), col("pct_rank"), col("o_orderkey"))
+    }),
     "q_anti_join" -> ((s, dir) =>
       Analytics.customersWithoutOrders(s, dir).orderBy(col("c_mktsegment"))),
     "q_rollup" -> ((s, dir) =>
@@ -817,6 +844,20 @@ object SparkEntry {
           |(SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
           | EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000)
           |ORDER BY nationkey""".stripMargin,
+      "q_union_all" ->
+        """SELECT nationkey, role, count(*) AS n FROM (
+          |  SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+          |  UNION ALL
+          |  SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier)
+          |GROUP BY nationkey, role ORDER BY nationkey, role""".stripMargin,
+      "q_window_ntile" ->
+        """SELECT o_orderpriority, o_orderkey,
+          |ntile(4) OVER w AS quartile,
+          |round(percent_rank() OVER w, 6) AS pct_rank
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+          |QUALIFY quartile = 1
+          |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin,
       "q_anti_join" ->
         """SELECT c_mktsegment, count(*) AS n_customers FROM customer
           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
