@@ -172,26 +172,35 @@ object Similarity {
     assignTo(corpus, ids, mat, idCol, vecCol)
   }
 
-  /** IVF top-k: k-means-train the coarse quantizer (deterministic sampled
-    * Lloyd — `trainIters` 0 falls back to the raw hash-sample seeds), probe
-    * the `nprobe` nearest centroids per query, scan only those buckets.
-    * Approximate — recall measured against bruteForceTopK in the spec
-    * suite and the 1M-vector scale probe. The centroid set is collected
-    * exactly once and threaded through assignment and probing.
+  /** A built IVF index: the trained coarse quantizer plus the
+    * bucket-assigned corpus. BUILD-ONCE ARTIFACT: in production, `bucketed`
+    * is persisted (parquet partitioned by bucket, or cached) and the
+    * centroid matrix stored alongside; every query batch then pays only
+    * the probe join — neither training (one k-means) nor assignment (one
+    * full-corpus scan) recurs. The spec suite proves build-once/
+    * query-many equals the one-shot path.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 64, nprobe: Int = 8, trainIters: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      pretrained: Option[(Seq[Long], Seq[Seq[Double]])] = None,
-  ): DataFrame = {
-    // `pretrained` lets a caller train ONCE and serve many query batches —
-    // in production the quantizer is a build artifact, not a per-query cost
-    val (ids, mat) = pretrained.getOrElse {
+  case class IvfIndex(bucketed: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
+                      idCol: String, vecCol: String)
+
+  /** Train the quantizer (deterministic sampled k-means; `trainIters` 0
+    * falls back to the raw hash-sample seeds) and assign every corpus
+    * vector to its nearest centroid — the expensive, once-per-corpus half
+    * of IVF.
+    */
+  def ivfBuild(corpus: DataFrame, nlist: Int = 64, trainIters: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val (ids, mat) =
       if (trainIters <= 0) collectCentroids(centroids(corpus, nlist, idCol, vecCol))
       else kmeansCentroids(corpus, nlist, trainIters, sampleMult = 32, idCol, vecCol)
-    }
-    val bucketed = assignTo(corpus, ids, mat, idCol, vecCol)
+    IvfIndex(assignTo(corpus, ids, mat, idCol, vecCol), ids, mat, idCol, vecCol)
+  }
+
+  /** Probe a built index: the `nprobe` nearest buckets per query are
+    * scanned, nothing else — the cheap, per-query-batch half of IVF.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
+    import index._
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(graft.functions.VectorFunctions.nearestCentroids(col("qv"), ids, mat, nprobe))
@@ -205,6 +214,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
         round(col("cos"), 4).as("cosine_r"))
+  }
+
+  /** One-shot IVF top-k (build + query). Approximate — recall measured
+    * against bruteForceTopK in the spec suite and the 1M-vector scale
+    * probe. `pretrained` supplies an existing quantizer (training is a
+    * build artifact, not a per-query cost); for many query batches over
+    * one corpus, use `ivfBuild` + `ivfQuery` and persist the index.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, trainIters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pretrained: Option[(Seq[Long], Seq[Seq[Double]])] = None,
+  ): DataFrame = {
+    val index = pretrained match {
+      case Some((ids, mat)) =>
+        IvfIndex(assignTo(corpus, ids, mat, idCol, vecCol), ids, mat, idCol, vecCol)
+      case None => ivfBuild(corpus, nlist, trainIters, idCol, vecCol)
+    }
+    ivfQuery(index, queries, k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs, BRUTE FORCE: all (a, b), a<b,

@@ -39,6 +39,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.size == 8 * 64) // 8 buckets × 64 dims
   }
 
+  test("IVF build-once/query-many equals the one-shot path per batch") {
+    val index = Similarity.ivfBuild(emb, nlist = 20)
+    val batch1 = emb.filter($"vec_id" < 10)
+    val batch2 = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine_r")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(Similarity.ivfQuery(index, batch1, 5, nprobe = 4)) ==
+      rows(Similarity.ivfTopK(emb, batch1, 5, nlist = 20, nprobe = 4)))
+    assert(rows(Similarity.ivfQuery(index, batch2, 5, nprobe = 4)) ==
+      rows(Similarity.ivfTopK(emb, batch2, 5, nlist = 20, nprobe = 4)))
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = emb.limit(10)
       .select(round(Similarity.cosine($"embedding", $"embedding"), 9))
