@@ -44,6 +44,47 @@ object StatefulOps {
       }
   }
 
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class Conversion(user_id: Long, view_ts: Timestamp, purchase_ts: Timestamp)
+  final case class FunnelState(firstView: Option[Timestamp], fired: Boolean)
+
+  /** STREAMING ordered-sequence detection (the incremental twin of the
+    * batch `events_funnel`): emit a Conversion the first time a user's
+    * `purchase` arrives after an earlier `view`, tracked as explicit
+    * per-user state via flatMapGroupsWithState — the pattern windowed aggs
+    * can't express incrementally (the match spans an unbounded gap between
+    * two specific event types). State per user is ONE timestamp (the
+    * earliest view) plus a fired flag — O(users), not O(events); an
+    * event-time timeout would bound it further for unbounded key domains.
+    *
+    * Determinism: events inside one micro-batch are processed in event-time
+    * order (the iterator is sorted before folding), so a view and purchase
+    * arriving in the same batch still match in order.
+    */
+  def streamingFunnel(events: Dataset[TypedEvent]): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, fired = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (!st.fired) {
+              if (e.event_type == "view" && st.firstView.isEmpty)
+                st = st.copy(firstView = Some(e.ts))
+              else if (e.event_type == "purchase" && st.firstView.exists(_.getTime < e.ts.getTime)) {
+                out += Conversion(user, st.firstView.get, e.ts)
+                st = st.copy(fired = true)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join: for each purchase, error events of the same
     * user within the preceding hour — the streaming counterpart of the
     * batch `q_range_join`. Watermarks bound both join-state buffers.

@@ -33,6 +33,41 @@ class StatefulOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming funnel fires once per user, on the first view→purchase sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = streamingFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        TypedEvent(1L, t("2024-01-01 00:00:00"), "view"),
+        TypedEvent(2L, t("2024-01-01 00:00:30"), "purchase"), // purchase BEFORE any view: no fire
+        TypedEvent(3L, t("2024-01-01 00:01:00"), "click"))
+      q.processAllAvailable()
+      // user 1 converts in a LATER micro-batch (state carried over);
+      // user 2's later view must not fire retroactively on the old purchase
+      input.addData(
+        TypedEvent(1L, t("2024-01-01 00:05:00"), "purchase"),
+        TypedEvent(2L, t("2024-01-01 00:06:00"), "view"),
+        TypedEvent(1L, t("2024-01-01 00:07:00"), "purchase")) // second purchase: no second fire
+      q.processAllAvailable()
+      // same-batch in-order match for user 4, delivered OUT of order in
+      // the batch (sorted fold must reorder by event time)
+      input.addData(
+        TypedEvent(4L, t("2024-01-01 00:10:00"), "purchase"),
+        TypedEvent(4L, t("2024-01-01 00:09:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[Conversion].collect()
+        .map(c => (c.user_id, c.view_ts.toString, c.purchase_ts.toString)).sorted.toSeq
+      assert(rows == Seq(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"),
+        (4L, "2024-01-01 00:09:00.0", "2024-01-01 00:10:00.0")),
+        s"unexpected conversions: $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream range join matches the batch banded join semantics") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Timestamp)]
