@@ -33,6 +33,11 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -49,6 +54,13 @@ object GraftFunctions {
     ("text_fingerprint",
       new ExpressionInfo(classOf[Fingerprint].getName, "text_fingerprint"),
       (args: Seq[Expression]) => Fingerprint(args(0))),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      // (str, bloomB64) — the serialized filter travels as a base64 string
+      // literal, decoded once at plan time (a filter artifact in a config
+      // store or table property is exactly a string)
+      (args: Seq[Expression]) => BloomMightContain(args(0),
+        java.util.Base64.getDecoder.decode(stringLit(args(1), "bloomB64")))),
     ("sign_band_buckets",
       new ExpressionInfo(classOf[SignBandBuckets].getName, "sign_band_buckets"),
       // (vec, bitsPerBand, bands, dim) — planes derived deterministically

@@ -67,13 +67,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("integer"))
   }
 
+  test("bloom_might_contain is SQL-callable with a base64-literal filter") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq("alpha", "beta", "gamma").toDF("g")
+    val bits = graft.ops.TextAnalysis.benchmarkBloom(
+      Seq("alpha beta gamma").toDF("text"), "text", 1, fpp = 1e-6)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bits)
+    docs.createOrReplaceTempView("bloom_probe_docs")
+    val hits = spark.sql(
+      s"SELECT g FROM bloom_probe_docs WHERE bloom_might_contain(g, '$b64')")
+      .as[String].collect().toSet
+    assert(hits == Set("alpha", "beta", "gamma")) // no false negatives
+    val misses = spark.sql(
+      s"SELECT g FROM (SELECT 'zzz-not-present' AS g) WHERE bloom_might_contain(g, '$b64')")
+      .count()
+    assert(misses == 0L)
+  }
+
   test("SparkSessionExtensions injection path builds") {
     // exercised structurally (a new session with extensions would need its
     // own JVM-level session; the injected builders are identical objects)
     val ext = new GraftExtensions
     assert(GraftFunctions.descriptors.map(_._1).toSet ==
       Set("vec_dot", "shingle_ngrams", "minhash_sig", "simhash64",
-        "text_fingerprint", "sign_band_buckets"))
+        "text_fingerprint", "sign_band_buckets", "bloom_might_contain"))
     assert(ext != null)
   }
 }
