@@ -28,6 +28,32 @@ object ScaleProbe {
       graft.ops.Dedup.simHashNearDups(docs, "doc_id", "text", 3).count())
     time("exact_dedup")(
       graft.ops.Dedup.exactDedup(docs, "text", "doc_id").count())
+    // round-4 text ops at 1M docs (same corpus): all scan-speed or
+    // single-aggregation shapes — the claim under test is that none of
+    // them goes super-linear
+    time("top_bigrams")(
+      graft.ops.TextAnalysis.topNGrams(docs, "text", 2, 20).count())
+    time("tfidf_top3")(
+      graft.ops.TextAnalysis.topTermsPerDoc(docs, "doc_id", "text", 3).count())
+    time("bloom_decontaminate")( {
+      val bloom = graft.ops.TextAnalysis.benchmarkBloom(
+        docs.filter(col("doc_id") < 10), "text", 3, fpp = 1e-4)
+      graft.ops.TextAnalysis.decontaminationScoreBloom(docs, bloom, "doc_id", "text", 3).count()
+    })
+    time("curation_pipeline")( {
+      val docsL = docs.withColumn("lang",
+        element_at(array(lit("en"), lit("fr"), lit("es")),
+          (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")))
+      val cleaned = docsL.select(col("doc_id"), col("lang"),
+          graft.ops.TextAnalysis.normalize(col("text")).as("norm"))
+        .filter(graft.ops.TextAnalysis.tokenCount(col("norm")) >= 5)
+      val sampled = graft.ops.TextAnalysis.stratifiedSample(
+        cleaned, "lang", "norm", Map("en" -> 600), defaultPerMille = 800)
+      graft.ops.Dedup.exactDedup(sampled, "norm", "doc_id")
+        .select(col("doc_id"), graft.ops.TextAnalysis.splitAssignment(col("norm")))
+        .count()
+    })
+    graft.Cleanup.drain() // tfidf's materialized tf relation
     docs.unpersist()
 
     // ANN at scale: CLUSTERED corpus (what real embedding spaces look like
@@ -119,6 +145,7 @@ object ScaleProbe {
     events.count()
     time("events_tumbling_hourly")(Events.tumbling(events).count())
     time("events_sessions_30m")(Events.sessions(events).count())
+    time("events_funnel")(Events.sessionFunnel(events).count())
     time("events_asof_last_purchase")( {
       val purchases = events.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
