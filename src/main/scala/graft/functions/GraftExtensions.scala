@@ -60,7 +60,7 @@ object GraftFunctions {
       // literal, decoded once at plan time (a filter artifact in a config
       // store or table property is exactly a string)
       (args: Seq[Expression]) => BloomMightContain(args(0),
-        java.util.Base64.getDecoder.decode(stringLit(args(1), "bloomB64")))),
+        new BloomBits(java.util.Base64.getDecoder.decode(stringLit(args(1), "bloomB64"))))),
     ("sign_band_buckets",
       new ExpressionInfo(classOf[SignBandBuckets].getName, "sign_band_buckets"),
       // (vec, bitsPerBand, bands, dim) — planes derived deterministically

@@ -439,6 +439,23 @@ case class SignBandBuckets(child: Expression, bitsPerBand: Int, bands: Int, dim:
     copy(child = newChild)
 }
 
+/** Serialized Bloom-filter bytes with CONTENT-based equality. A bare
+  * `Array[Byte]` inside a case-class expression compares by reference, so
+  * `semanticEquals` / canonicalization / common-subexpression elimination
+  * would never dedupe two structurally-identical probes; this wrapper makes
+  * equal bytes equal expressions (hashCode over the first 64 bytes + length
+  * keeps hashing O(1) on multi-MB filters; equals stays exact).
+  */
+final class BloomBits(val bytes: Array[Byte]) extends Serializable {
+  require(bytes.nonEmpty, "bloom_might_contain: empty serialized filter")
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBits => java.util.Arrays.equals(bytes, b.bytes)
+    case _            => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.hashCode(java.util.Arrays.copyOf(bytes, math.min(bytes.length, 64))) ^ bytes.length
+}
+
 /** Bloom-filter membership probe against a serialized
   * `org.apache.spark.util.sketch.BloomFilter` carried as bytes: true iff
   * the (string) input MIGHT be in the set the filter was built from — no
@@ -448,19 +465,49 @@ case class SignBandBuckets(child: Expression, bitsPerBand: Int, bands: Int, dim:
   * library's own (the same bytes `putBinary`/`DataFrameStatFunctions
   * .bloomFilter` hash on the build side), so build and probe can happen in
   * different jobs, sessions, or machines.
+  *
+  * The bytes ride in the expression tree (→ serialized into every task
+  * closure), which is right for small filters / SQL literals. A
+  * production-sized filter (~24 MB for 10M grams at 1% fpp) should ship
+  * ONCE per executor instead — use [[BloomMightContainBcast]].
   */
-case class BloomMightContain(child: Expression, bloomBits: Array[Byte])
+case class BloomMightContain(child: Expression, bloom: BloomBits)
     extends UnaryExpression with NativeUnaryKernel {
-  require(bloomBits.nonEmpty, "bloom_might_contain: empty serialized filter")
 
   override def dataType: DataType = BooleanType
 
-  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bloomBits))
+      new java.io.ByteArrayInputStream(bloom.bytes))
 
   override def compute(input: Any): Any =
-    bloom.mightContainBinary(
+    filter.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[BloomMightContain]] with the filter shipped as a Spark broadcast
+  * variable: the task closure carries only the broadcast handle; the bytes
+  * travel once per executor over the broadcast machinery (torrent blocks)
+  * instead of once per expression instance per task binary. Same probe
+  * semantics. Equality is by broadcast identity — reuse ONE broadcast per
+  * built filter (the builder in `TextAnalysis.decontaminationScoreBloom`
+  * does), and identical probes dedupe.
+  */
+case class BloomMightContainBcast(child: Expression,
+                                  bits: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with NativeUnaryKernel {
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bits.value))
+
+  override def compute(input: Any): Any =
+    filter.mightContainBinary(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -520,5 +567,13 @@ object VectorFunctions {
     ColumnShim.column(SignBandBuckets(ColumnShim.expression(vec), bitsPerBand, bands, dim))
 
   def bloomMightContain(s: Column, bloomBits: Array[Byte]): Column =
-    ColumnShim.column(BloomMightContain(ColumnShim.expression(s), bloomBits))
+    ColumnShim.column(BloomMightContain(ColumnShim.expression(s), new BloomBits(bloomBits)))
+
+  /** Broadcast-shipped variant for production-sized filters: build the
+    * broadcast once (`spark.sparkContext.broadcast(bytes)`) and reuse it
+    * across every probe expression of that filter.
+    */
+  def bloomMightContain(s: Column,
+                        bits: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
+    ColumnShim.column(BloomMightContainBcast(ColumnShim.expression(s), bits))
 }

@@ -111,10 +111,20 @@ object Dedup {
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minHashSignature(shingles(col(textCol), shingleN), k)
-    df.select(col(idCol), sig.as("sig"))
+    val sigs = df.select(col(idCol).as("id"),
+      minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+    sigBandBuckets(sigs, bands, rowsPerBand).withColumnRenamed("id", idCol)
+  }
+
+  /** Banding over an existing (id, sig) relation: one (band, bucket, id)
+    * row per band, bucket = hash of that band's signature slice. Shared by
+    * `lshBuckets` (signature inline) and `minHashEstimatedPairs`
+    * (signature materialized once, reused for the estimate).
+    */
+  private[ops] def sigBandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
       .select(
-        col(idCol),
+        col("id"),
         explode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -122,8 +132,7 @@ object Dedup {
           )
         ).as("bb"),
       )
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-  }
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
   /** Candidate near-dup pairs from MinHash LSH (distinct id pairs, a<b) —
     * banding via `lshBuckets`, pair generation via the shared
@@ -260,9 +269,18 @@ object Dedup {
                             shingleN: Int = 3, bands: Int = 16,
                             rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val cand = minHashCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
-    val sigs = df.select(col(idCol).as("id"),
-      minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+    // ONE tokenize+sign pass over the corpus: Catalyst does not dedupe
+    // canonically-identical projection subtrees across self-joins
+    // (DESIGN.md §8), so the signature relation is materialized (lazy
+    // localCheckpoint, drained by the harness via Cleanup) and feeds BOTH
+    // the banding and the lane-agreement estimate — computing signatures
+    // inside minHashCandidates AND again here would double the dominant
+    // per-document cost, contrary to the operator's 100 TB motivation.
+    val sigs = graft.Cleanup.register(
+      df.select(col(idCol).as("id"),
+        minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+        .localCheckpoint(false))
+    val cand = bucketCandidatePairs(sigBandBuckets(sigs, bands, rowsPerBand), 0)
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Above this serialized size the decontamination Bloom filter ships as a
+    * broadcast variable (once per executor) instead of an expression-tree
+    * literal (once per task binary). 1 MB ≈ a few hundred-k grams at 1%
+    * fpp; anything bigger is a real benchmark suite.
+    */
+  val BloomBroadcastThreshold: Int = 1 << 20
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -200,7 +207,16 @@ object TextAnalysis {
                                 idCol: String, textCol: String, shingleN: Int): DataFrame = {
     require(!docs.columns.contains("__grams"),
       "decontaminationScoreBloom uses '__grams' as a temp column; input must not contain it")
-    val hit = (g: Column) => graft.functions.VectorFunctions.bloomMightContain(g, bloomBits)
+    // small filters ride the expression tree as a (content-equal) literal;
+    // a production-sized one (~24 MB for 10M grams) ships ONCE per executor
+    // as a broadcast variable instead of per task binary
+    val hit: Column => Column =
+      if (bloomBits.length <= BloomBroadcastThreshold) {
+        g => graft.functions.VectorFunctions.bloomMightContain(g, bloomBits)
+      } else {
+        val bcast = docs.sparkSession.sparkContext.broadcast(bloomBits)
+        g => graft.functions.VectorFunctions.bloomMightContain(g, bcast)
+      }
     // shingles materialized ONCE in a lower projection: HOF lambdas get no
     // codegen CSE, so inlining the shingle kernel into both size() and
     // filter() would tokenize every document twice

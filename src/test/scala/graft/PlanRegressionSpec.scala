@@ -12,6 +12,15 @@ class PlanRegressionSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** Substring from the last occurrence of `marker`, failing with the full
+    * plan (not a StringIndexOutOfBounds) when the marker is absent.
+    */
+  private def fromLast(p: String, marker: String): String = {
+    val i = p.lastIndexOf(marker)
+    assert(i >= 0, s"expected plan marker '$marker' absent:\n$p")
+    p.substring(i)
+  }
+
   test("q01: filter pushed to parquet scan, schema pruned, partial agg") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -30,7 +39,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     // the route itself must not shuffle: below the LAST exchange (the
     // groupBy's) the plan must be partial-agg → CASE WHEN projection →
     // scan, with no further exchange
-    val belowLastExchange = p.substring(p.lastIndexOf("Exchange"))
+    val belowLastExchange = fromLast(p, "Exchange")
     assert(belowLastExchange.contains("CASE WHEN"), s"route not below the shuffle:\n$p")
     assert(belowLastExchange.contains("Scan parquet"), s"route not directly on the scan:\n$p")
     assert(belowLastExchange.contains("partial_count"), "map-side partial count missing")
@@ -87,7 +96,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = plan("text_decontaminate_bloom")
     // everything below the presentation orderBy must be a narrow
     // projection over the scan: probing the sketch never joins or shuffles
-    val belowSort = p.substring(p.lastIndexOf("Exchange rangepartitioning"))
+    val belowSort = fromLast(p, "Exchange rangepartitioning")
     assert(!belowSort.contains("Join"), s"bloom probe plan contains a join:\n$p")
     assert(belowSort.contains("bloommightcontain"),
       s"native bloom probe kernel missing:\n$p")
@@ -97,7 +106,7 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("stratified sample: filter is a narrow scan projection, no shuffle") {
     val p = plan("docs_sample_stratified")
-    val belowSort = p.substring(p.lastIndexOf("Exchange rangepartitioning"))
+    val belowSort = fromLast(p, "Exchange rangepartitioning")
     assert(belowSort.contains("fingerprint("), s"content-hash filter missing:\n$p")
     assert(!belowSort.contains("Exchange hashpartitioning"),
       s"sampling filter shuffles:\n$p")

@@ -85,6 +85,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(misses == 0L)
   }
 
+  test("bloom probes with equal bytes are semantically equal (CSE-dedupable) " +
+       "and the broadcast variant probes identically") {
+    import spark.implicits._
+    val bits = graft.ops.TextAnalysis.benchmarkBloom(
+      Seq("alpha beta gamma").toDF("text"), "text", 1, fpp = 1e-6)
+    // content equality: two expressions over COPIES of the same bytes
+    // dedupe under semanticEquals — a bare Array[Byte] arg compares by
+    // reference and never would
+    val c = org.apache.spark.sql.functions.col("g")
+    val e1 = org.apache.spark.sql.graftshim.ColumnShim.expression(
+      VectorFunctions.bloomMightContain(c, bits.clone()))
+    val e2 = org.apache.spark.sql.graftshim.ColumnShim.expression(
+      VectorFunctions.bloomMightContain(c, bits.clone()))
+    assert(e1.semanticEquals(e2), "equal filter bytes must be one subexpression")
+    // broadcast path: same verdicts as the literal path
+    val docs = Seq("alpha", "beta", "zzz-not-present").toDF("g")
+    val bcast = spark.sparkContext.broadcast(bits)
+    val lit = docs.filter(VectorFunctions.bloomMightContain(c, bits)).as[String].collect().toSet
+    val bc = docs.filter(VectorFunctions.bloomMightContain(c, bcast)).as[String].collect().toSet
+    assert(bc == lit && bc == Set("alpha", "beta"))
+  }
+
   test("SparkSessionExtensions injection path builds") {
     // exercised structurally (a new session with extensions would need its
     // own JVM-level session; the injected builders are identical objects)

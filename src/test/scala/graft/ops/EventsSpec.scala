@@ -36,6 +36,30 @@ class EventsSpec extends AnyFunSuite {
     ))
   }
 
+  test("sessionization: an exactly-gap-sized interval MERGES (session " +
+       "merge test is start2 <= end1, inclusive) — oracle uses >") {
+    // Two events exactly 30 minutes apart: the first event's window is
+    // [00:00, 00:30) and the second's is [00:30, 01:00); Spark's session
+    // merge compares start2 <= end1 INCLUSIVELY, so they collapse into one
+    // session — despite each per-event range being half-open. The DuckDB
+    // oracle therefore breaks sessions only on `gap > 30 minutes` (an
+    // exact-gap event stays in the session), matching this pinned
+    // behavior. Verified empirically; a `>=` oracle would diverge on any
+    // fixture with an exact-gap pair.
+    val boundary = Seq(
+      (1L, t("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, t("2024-01-01 00:30:00"), 7L, "click", 1.0, "{}"), // = gap: merges
+      (3L, t("2024-01-01 01:00:01"), 7L, "click", 1.0, "{}"), // > gap: splits
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Events.sessions(boundary, "30 minutes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val s = (x: String) => t(x).getTime / 1000
+    assert(rows == Set(
+      (7L, s("2024-01-01 00:00:00"), s("2024-01-01 01:00:00"), 2L),
+      (7L, s("2024-01-01 01:00:01"), s("2024-01-01 01:30:01"), 1L),
+    ))
+  }
+
   test("json props extraction aggregates per event_type") {
     val rows = Events.propsK(tiny).as[(String, Long, Long, Long)].collect().toSet
     assert(rows == Set(("click", 3L, 7L, 4L), ("view", 1L, 3L, 3L)))
