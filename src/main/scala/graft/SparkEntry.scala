@@ -151,6 +151,19 @@ object SparkEntry {
       // per-bucket embedding centroids (cluster/shard summarization)
       Similarity.meanPool(t(s, dir, "embeddings"), pmod(col("vec_id"), lit(8L)))
         .orderBy(col("grp"), col("pos"))),
+    "emb_l2_norm" -> ((s, dir) =>
+      // per-vector L2 norm + dimension: the normalization prerequisite for
+      // cosine ops, as a pure HOF left-fold (seed 0.0, elements cast to
+      // double BEFORE squaring) — the identical summation order the DuckDB
+      // oracle's list_reduce uses, so the rounded norms are bit-exact.
+      // Scan-speed, shuffle-free.
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, x) => a + x)), 4).as("l2_norm"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("vec_id"))),
     "emb_quant_error" -> ((s, dir) => {
       // int8 storage quantization: per-vector scale + reconstruction error
       // + cosine fidelity of the dequantized vector vs the original
@@ -262,6 +275,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rnk"))),
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNGrams(t(s, dir, "documents"), "text", 2, 20)),
+    "text_pii_redact" -> ((s, dir) =>
+      // PII scrub over documents AUGMENTED with synthetic addresses (the
+      // raw corpus contains none — redaction over it would be a vacuous
+      // no-op): append a deterministic per-doc email + phone, then redact
+      // and count. Pure regexp projections, scan-speed.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"), col("doc_id")).as("aug"))
+        .select(col("doc_id"),
+          TextAnalysis.piiEmailCount(col("aug")).as("n_emails"),
+          TextAnalysis.piiPhoneCount(col("aug")).as("n_phones"),
+          substring(TextAnalysis.redactPii(col("aug")), -30, 30).as("redacted_tail"))
+        .orderBy(col("doc_id"))),
+    "text_edit_distance" -> ((s, dir) =>
+      // Levenshtein distance between each (English) document's prefix and
+      // its normalized form — "how much did cleaning change the text", a
+      // per-row O(len²) dynamic program fused into the scan: shuffle-free,
+      // the shape in which edit-distance dedup verification runs at scale
+      // (always against a bounded prefix, never unbounded documents).
+      // English-only: DuckDB's levenshtein counts bytes, Java's counts
+      // chars — identical on ASCII, divergent on CJK.
+      t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 120),
+            substring(TextAnalysis.normalize(col("text")), 1, 120)).as("edit_dist"))
+        .orderBy(col("doc_id"))),
 
     // ---- event-time analytics ----
     "events_tumbling" -> ((s, dir) =>
@@ -284,6 +324,13 @@ object SparkEntry {
     "events_sliding_1h" -> ((s, dir) =>
       Events.slidingValueSum(t(s, dir, "events"))
         .orderBy(col("user_id"), col("event_id"))),
+    "events_pattern_seq" -> ((s, dir) =>
+      // MATCH_RECOGNIZE-style ordered-sequence detection: first
+      // view → click → purchase chain per user (strictly increasing event
+      // time, earliest-completion semantics) — see Events.earliestSequence
+      // for why greedy stage minima equal full pattern-automaton results
+      Events.earliestSequence(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
 
     // ---- relational analytics (operator categories absent from the
     //      reference, SURVEY §2.2, exposed via Catalyst built-ins) ----
@@ -450,6 +497,184 @@ object SparkEntry {
         .select(col("probe_id"), col("hit_id"), col("user_id"))
         .orderBy(col("probe_id"), col("hit_id"))
     }),
+
+    "q04_priority_late" -> ((s, dir) => {
+      // EXISTS-against-the-fact-table as a LEFT SEMI join with a
+      // non-equi conjunct: orders with at least one lineitem shipped >90
+      // days after the order date, counted per priority. The semi join
+      // keeps the orders side deduplicated without a distinct — one
+      // shuffle on the order key (or broadcast of orders at small SF).
+      val late = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      t(s, dir, "orders")
+        .join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q07_volume_shipping" -> ((s, dir) => {
+      // 5-way snowflake join with the SAME dimension (nation) joined twice
+      // under different roles — supplier's nation vs customer's nation —
+      // cross-border revenue by year. Both nation sides broadcast; the
+      // fact chain shuffles only for the final aggregation.
+      // revenue carried as integer CENTS: with 4k+ output groups one of
+      // them will sit on a .xx5 rounding boundary of an order-dependent
+      // double sum (observed at sf0.01) — the per-row product is
+      // bit-identical across engines, so round-to-cents per row then an
+      // exact integer sum is hash-stable at any group count
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("volume_cents"))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      li.join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("volume_cents")).as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "q10_returned_items" -> ((s, dir) => {
+      // top-20 revenue lost to returns per customer: 4-way join filtered
+      // on the fact side (returnflag pushed to the lineitem scan), ordered
+      // top-k via TakeOrderedAndProject — never a global sort.
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lost"))
+      li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("lost")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q14_promo_revenue" -> ((s, dir) => {
+      // conditional-aggregate ratio (promo share of revenue): one scan,
+      // one broadcast dim join, a single-row answer — the shape where the
+      // ONLY cost at 100 TB is the fact scan, so the dim filter must not
+      // force a shuffle (it doesn't: CASE WHEN inside the agg).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0))), 2)
+            .as("promo_revenue"),
+          round(sum(col("rev")), 2).as("total_revenue"),
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+            / sum(col("rev")), 4).as("promo_pct"))
+    }),
+    "q18_large_volume" -> ((s, dir) => {
+      // HAVING over a fact-side pre-aggregation: collapse lineitem to
+      // per-order quantity FIRST (map-side partial sums), filter the tiny
+      // survivor set, THEN join order/customer metadata — at 100 TB the
+      // join input is the filtered aggregate, not the raw fact table.
+      // Quantities are integral doubles, so the bigint cast is exact.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q19_or_of_ands" -> ((s, dir) => {
+      // disjunction-of-conjunctions predicate spanning both join sides
+      // (brand/size from part, quantity from lineitem). Catalyst can't
+      // push the mixed OR below the join, so the part-side implication
+      // `p_brand IN (...)` is stated explicitly — it prunes the build side
+      // at the scan and is the difference between broadcasting 3 brands
+      // and broadcasting the whole part table at 100 TB.
+      val part = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#5"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity") <= 25) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) && col("l_quantity") >= 10) ||
+          (col("p_brand") === "Brand#5" && col("l_quantity").between(5, 30)))
+        .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "q22_prospects" -> ((s, dir) => {
+      // scalar subquery (global threshold) + NOT EXISTS anti join, via the
+      // SQL entry point: customers above the average positive balance with
+      // no urgent order, rolled up per nation. The threshold is
+      // round(avg, 2) — a 2-dp threshold makes the cross-engine compare
+      // deterministic (measured margin to the nearest balance ≥ 0.07 at
+      // every SF, vs ~1e-12 summation-order noise on the raw avg).
+      t(s, dir, "customer").createOrReplaceTempView("customer_q22")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q22")
+      s.sql("""SELECT c_nationkey, count(*) AS numcust,
+              |round(sum(c_acctbal), 2) AS totacctbal
+              |FROM customer_q22 c
+              |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+              |                   FROM customer_q22 WHERE c_acctbal > 0)
+              |AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+              |                WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+    "q_corr_scalar_subquery" -> ((s, dir) => {
+      // correlated scalar subquery — Catalyst decorrelates the per-brand
+      // min into an aggregate + join (same rewrite DuckDB applies), so the
+      // declared O(n²) subquery executes as one shuffle on p_brand.
+      t(s, dir, "part").createOrReplaceTempView("part_cs")
+      s.sql("""SELECT p_partkey, p_brand, p_retailprice FROM part_cs p
+              |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+              |                       FROM part_cs p2 WHERE p2.p_brand = p.p_brand)
+              |ORDER BY p_brand, p_partkey""".stripMargin)
+    }),
+    "q_full_outer_join" -> ((s, dir) => {
+      // FULL OUTER join of two overlapping top-k document sets (longest-50
+      // vs a deterministic md5 bottom-50 sample): genuine unmatched rows
+      // on BOTH sides, null-flag projection as membership indicators.
+      // md5-ordering is the content-keyed sampling rule again — stable
+      // across re-runs and engines.
+      val docs = t(s, dir, "documents")
+      val longest = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+        .select(col("doc_id").as("id_long"))
+      val sample = docs.orderBy(md5(col("text")), col("doc_id")).limit(50)
+        .select(col("doc_id").as("id_samp"))
+      longest.join(sample, col("id_long") === col("id_samp"), "full_outer")
+        .select(coalesce(col("id_long"), col("id_samp")).as("doc_id"),
+          col("id_long").isNotNull.cast("int").as("in_longest"),
+          col("id_samp").isNotNull.cast("int").as("in_sample"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_unpivot" -> ((s, dir) =>
+      // wide→long unpivot via stack(): per-language corpus stats as
+      // (lang, metric, value) rows — the inverse of q_pivot. All-bigint
+      // values so the compare is exact.
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(col("lang"),
+          expr("stack(3, 'n_docs', n_docs, 'sum_chars', sum_chars, 'n_sources', n_sources) AS (metric, value)"))
+        .orderBy(col("lang"), col("metric"))),
 
     // ---- multimodal columns ----
     "mm_media_meta" -> ((s, dir) =>
@@ -937,6 +1162,134 @@ object SparkEntry {
           |CAST(greatest(least(64, length(text) - i * 64), 0) AS INT) AS frame_len
           |FROM documents, unnest(generate_series(0, CAST(floor(length(text) / 64.0) AS BIGINT))) AS t(i)
           |WHERE i % 4 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+      "q04_priority_late" ->
+        """SELECT o_orderpriority, count(*) AS order_count FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q07_volume_shipping" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |CAST(year(l_shipdate) AS INT) AS l_year,
+          |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE n1.n_name <> n2.n_name
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name, n_name,
+          |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+      "q14_promo_revenue" ->
+        """SELECT round(sum(CASE WHEN p_type = 'PROMO'
+          |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+          |round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+          |round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+          |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+          |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+      "q18_large_volume" ->
+        """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+          |             FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          |SELECT c_custkey, c_name, o_orderkey,
+          |round(o_totalprice, 2) AS o_totalprice, total_qty
+          |FROM big JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+      "q19_or_of_ands" ->
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 25)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity >= 10)
+          |   OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 5 AND 30)""".stripMargin,
+      "q22_prospects" ->
+        """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+          |AND NOT EXISTS (SELECT 1 FROM orders o
+          |                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      "q_corr_scalar_subquery" ->
+        """SELECT p_partkey, p_brand, p_retailprice FROM part p
+          |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+          |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_brand, p_partkey""".stripMargin,
+      "q_full_outer_join" ->
+        """WITH a AS (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50),
+          |b AS (SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT 50)
+          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |CAST(a.doc_id IS NOT NULL AS INT) AS in_longest,
+          |CAST(b.doc_id IS NOT NULL AS INT) AS in_sample
+          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id ORDER BY doc_id""".stripMargin,
+      "q_unpivot" ->
+        """WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          |  FROM documents GROUP BY lang)
+          |SELECT lang, metric, value FROM (
+          |  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+          |  UNION ALL SELECT lang, 'sum_chars', sum_chars FROM w
+          |  UNION ALL SELECT lang, 'n_sources', n_sources FROM w)
+          |ORDER BY lang, metric""".stripMargin,
+      "emb_l2_norm" ->
+        // same left fold, same 0.0 seed, elements cast to double BEFORE
+        // squaring — bit-identical summation order to the Spark HOF
+        """SELECT vec_id,
+          |round(sqrt(list_reduce(list_prepend(0.0,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          |  (a, b) -> a + b)), 4) AS l2_norm,
+          |CAST(len(embedding) AS INT) AS dim
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "text_pii_redact" ->
+        """WITH aug AS (SELECT doc_id,
+          |  text || ' contact user' || doc_id || '@example.com or +1-555-' || doc_id AS aug
+          |  FROM documents)
+          |SELECT doc_id,
+          |CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |CAST(len(regexp_extract_all(aug, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS INT) AS n_phones,
+          |CASE WHEN length(redacted) <= 30 THEN redacted
+          |     ELSE substr(redacted, length(redacted) - 29, 30) END AS redacted_tail
+          |FROM (SELECT doc_id, aug, regexp_replace(
+          |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS redacted FROM aug)
+          |ORDER BY doc_id""".stripMargin,
+      "text_edit_distance" ->
+        """SELECT doc_id, CAST(levenshtein(substr(text, 1, 120),
+          |substr(trim(regexp_replace(
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),
+          |      'https?://[^ \t\n\x0b\f\r]+', '[url]', 'g'),
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '[email]', 'g'),
+          |  '[\x00-\x1f]', ' ', 'g'),
+          |'\s+', ' ', 'g')), 1, 120)) AS INT) AS edit_dist
+          |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+      "events_pattern_seq" ->
+        // the same greedy stage-minima construction (see
+        // Events.earliestSequence for the optimality argument)
+        """WITH v AS (SELECT user_id, min(ts) AS m0 FROM events
+          |           WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (SELECT e.user_id, v.m0, min(e.ts) AS m1 FROM events e
+          |      JOIN v ON e.user_id = v.user_id
+          |      WHERE e.event_type = 'click' AND e.ts > v.m0 GROUP BY e.user_id, v.m0),
+          |p AS (SELECT e.user_id, c.m0, c.m1, min(e.ts) AS m2 FROM events e
+          |      JOIN c ON e.user_id = c.user_id
+          |      WHERE e.event_type = 'purchase' AND e.ts > c.m1 GROUP BY e.user_id, c.m0, c.m1)
+          |SELECT user_id, CAST(floor(epoch(m0)) AS BIGINT) AS t_0,
+          |CAST(floor(epoch(m1)) AS BIGINT) AS t_1,
+          |CAST(floor(epoch(m2)) AS BIGINT) AS t_2
+          |FROM p ORDER BY user_id""".stripMargin,
     )
   }
 }

@@ -109,6 +109,42 @@ object Events {
         sum(col("cents")).over(w).as("cents_1h"))
   }
 
+  /** Earliest ordered-sequence match per user — the MATCH_RECOGNIZE-style
+    * pattern surface (PATTERN (A B C ...) with strictly-increasing event
+    * time, earliest-completion semantics): for each user, the first chain
+    * of events of the given types where each occurs strictly after the
+    * previous stage's match. Greedy stage-wise minima are optimal for
+    * existence — taking the earliest feasible event at every stage never
+    * excludes a later completion — so the result equals full
+    * MATCH_RECOGNIZE `AFTER MATCH SKIP` first-match semantics without
+    * per-event NFA state.
+    *
+    * Execution shape: one filtered aggregation + equi-join per stage, all
+    * keyed on the user — at 100 TB that is k small shuffles over the
+    * (user, stage-min) relation (one row per user after stage 1), never a
+    * self-join of the raw event log; the event scan is touched once per
+    * stage with the type filter pushed down. Timestamps emitted as epoch
+    * seconds (`t_0..t_{k-1}`) for exact oracle comparison.
+    */
+  def earliestSequence(events: DataFrame, types: Seq[String],
+                       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(types.nonEmpty, "earliestSequence: empty pattern")
+    val first = events.filter(col("event_type") === types.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__m0"))
+    val matched = types.zipWithIndex.drop(1).foldLeft(first) { case (prev, (tp, i)) =>
+      events.filter(col("event_type") === tp)
+        .select(col(userCol), col(tsCol))
+        .join(prev, userCol)
+        .filter(col(tsCol) > col(s"__m${i - 1}"))
+        .groupBy(col(userCol) +: (0 until i).map(j => col(s"__m$j")): _*)
+        .agg(min(col(tsCol)).as(s"__m$i"))
+    }
+    matched.select(
+      col(userCol) +: types.indices.map(i =>
+        unix_timestamp(col(s"__m$i")).as(s"t_$i")): _*)
+  }
+
   /** Per-user running value (analytic window function surface). */
   def runningTotals(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

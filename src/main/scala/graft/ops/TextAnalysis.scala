@@ -227,6 +227,35 @@ object TextAnalysis {
         round(col("bloom_hits").cast("double") / greatest(col("n_grams"), lit(1)), 4))
   }
 
+  /** PII patterns for `redactPii` — deliberately in the regex dialect
+    * intersection (no lookaround, no backrefs, character classes and
+    * bounded quantifiers only) so the same pattern string means the same
+    * thing to Java regex (Spark), RE2 (a Go/Rust engine), and DuckDB —
+    * the identical portability rule `TextNormalize` follows.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+  /** PII redaction (the scrub pass every training-data pipeline runs before
+    * anything else sees the text): replaces e-mail addresses and
+    * international-format phone numbers with typed placeholder tags and
+    * counts what was redacted. Pure per-row regexp expressions —
+    * scan-speed, shuffle-free, trivially streamable; at 100 TB this is a
+    * narrow projection fused into whatever scan feeds it. Order matters:
+    * e-mails are replaced FIRST so a phone-pattern substring inside an
+    * address can't split it.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
   /** Repetition ratio (a Gopher-style quality signal): the fraction of a
     * document's word n-grams that are repeats of an earlier n-gram —
     * 1 − distinct/total. Pure per-row expressions, scan-speed.
