@@ -273,6 +273,33 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rnk"))),
+    "text_dup_spans" -> ((s, dir) =>
+      // substring-level duplication profile (Lee et al. shape): per doc,
+      // how many 5-gram positions are cross-document duplicated text
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))),
+    "text_bm25" -> ((s, dir) =>
+      // retrieval scoring for topic mining: rational-idf Okapi BM25 of
+      // every doc vs a fixed 3-term query (see bm25Score for why no ln)
+      TextAnalysis.bm25Score(t(s, dir, "documents"), "doc_id", "text",
+          Seq("merge", "window", "scan"))
+        .orderBy(col("doc_id"))),
+    "docs_shuffle_shards" -> ((s, dir) =>
+      // deterministic training shuffle: content-salted hash → shard,
+      // rank within shard = reproducible "random" example order
+      TextAnalysis.shuffleShards(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy(col("shard"), col("pos"))),
+    "docs_length_histogram" -> ((s, dir) =>
+      // corpus profiling: per-language doc-length histogram, 100-char
+      // buckets capped at 9 (the "look at your data" pre-curation step).
+      // Pure integer bucketing + one aggregation — exact at any scale.
+      t(s, dir, "documents")
+        .select(col("lang"),
+          least(floor(col("n_chars").cast("double") / lit(100)), lit(9L))
+            .cast("int").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("bucket"))),
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNGrams(t(s, dir, "documents"), "text", 2, 20)),
     "text_pii_redact" -> ((s, dir) =>
@@ -941,6 +968,65 @@ object SparkEntry {
            |SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            |round(score, 4) AS score_r
            |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+      "text_dup_spans" ->
+        // positioned 5-grams; a gram in >=2 distinct docs marks all its
+        // positions duplicated (same construction as Dedup.duplicatedSpans:
+        // Spark sequence(0, size-n) == generate_series(0, len-n), both
+        // inclusive; Spark slice(w, i+1, n) == w[i+1:i+n] 1-based)
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |ex AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+5], ' ') AS gram
+           |       FROM t, unnest(generate_series(0, len(w) - 5)) AS u(i)
+           |       WHERE len(w) >= 5),
+           |dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |dp AS (SELECT doc_id, count(*) AS n_dup, min(pos) AS first_dup_pos
+           |       FROM ex JOIN dup USING (gram) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, greatest(len(w) - 4, 0) AS n_grams FROM t)
+           |SELECT tot.doc_id, CAST(n_grams AS INT) AS n_grams,
+           |CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+           |round(CAST(coalesce(n_dup, 0) AS DOUBLE) / greatest(n_grams, 1), 4) AS dup_ratio,
+           |CAST(coalesce(first_dup_pos, -1) AS INT) AS first_dup_pos
+           |FROM tot LEFT JOIN dp USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "text_bm25" ->
+        // same arithmetic, same parenthesization, same fixed-order
+        // term-wise summation as TextAnalysis.bm25Score — every float op
+        // is IEEE-identical so round(,4) compares hash-exact
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |       CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM base),
+           |tf AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, u.term,
+           |       CAST(count(*) AS DOUBLE) AS tf
+           |       FROM base, unnest(w) AS u(term)
+           |       WHERE u.term IN ('merge', 'window', 'scan')
+           |       GROUP BY doc_id, dl, u.term),
+           |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |s AS (SELECT doc_id, term,
+           |      ((n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0))
+           |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |      FROM tf JOIN dfreq USING (term), st)
+           |SELECT doc_id,
+           |round(sum(CASE WHEN term = 'merge' THEN s ELSE 0.0 END)
+           |    + sum(CASE WHEN term = 'window' THEN s ELSE 0.0 END)
+           |    + sum(CASE WHEN term = 'scan' THEN s ELSE 0.0 END), 4) AS bm25,
+           |count(*) AS n_hit_terms
+           |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "docs_shuffle_shards" ->
+        // same rolling-hash fold as text_fingerprint, salted; rank within
+        // shard ordered by (hash, id)
+        """WITH f AS (SELECT doc_id, list_reduce(
+          |  list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text || ':shuffle-v1') + 1),
+          |      i -> CAST(ascii(substr(text || ':shuffle-v1', i, 1)) AS BIGINT))),
+          |  (h, c) -> (h * 31 + c) % 1000000007) AS fp
+          |FROM documents),
+          |s AS (SELECT doc_id, fp, fp % 8 AS shard FROM f)
+          |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+          |CAST(row_number() OVER (PARTITION BY shard ORDER BY fp, doc_id) AS INT) AS pos
+          |FROM s ORDER BY shard, pos""".stripMargin,
+      "docs_length_histogram" ->
+        """SELECT lang,
+          |CAST(least(floor(CAST(n_chars AS DOUBLE) / 100), 9) AS INT) AS bucket,
+          |count(*) AS n_docs
+          |FROM documents GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
       "text_top_ngrams" ->
         s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
            |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS g

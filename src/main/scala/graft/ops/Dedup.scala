@@ -442,4 +442,49 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Substring-level duplication profile — the positional primitive behind
+    * "remove duplicated passages, not whole documents" dedup (the
+    * suffix-array substring dedup of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed relationally): a
+    * word n-gram occurring in ≥2 DISTINCT documents marks every position
+    * where it appears as duplicated text. Per document this reports how
+    * many of its n-gram positions are cross-document duplicates, the
+    * duplicated fraction, and the first duplicated offset (where a trimmer
+    * would start cutting).
+    *
+    * Relational shape instead of a suffix array: positioned n-grams
+    * (explode) → gram-keyed doc-frequency aggregate → semi join back →
+    * per-doc aggregate. At 100 TB the gram relation is the big exchange;
+    * production would shuffle xxhash64(gram) (8-byte keys, collisions
+    * irrelevant at df-threshold granularity) rather than gram strings —
+    * the strings are kept here so a SQL oracle can reproduce the result
+    * exactly. Every position of a duplicated gram counts, including
+    * repeats inside one document: span coverage, not pair counting.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"duplicatedSpans: n-gram order must be >= 1, got $n")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // positioned grams: pos is the 0-based token offset of the gram start
+    val positioned = base.filter(size(col("w")) >= n)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
+      .withColumnRenamed("col", "gram")
+    val dupGrams = positioned
+      .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val dupPerDoc = positioned.join(dupGrams, Seq("gram"), "leftsemi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup"), min(col("pos")).as("first_dup_pos"))
+    base
+      .select(col("id"), greatest(size(col("w")) - (n - 1), lit(0)).as("n_grams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / greatest(col("n_grams"), lit(1)), 4).as("dup_ratio"),
+        coalesce(col("first_dup_pos"), lit(-1)).as("first_dup_pos"))
+  }
 }

@@ -328,6 +328,80 @@ object TextAnalysis {
         round(col("score"), 4).as("score_r"))
   }
 
+  /** BM25 relevance of every document against a fixed bag of query terms —
+    * the retrieval-scoring surface a curation pipeline uses to mine
+    * topic-relevant training data from a crawl. Classic Okapi shape with
+    * one deliberate substitution: idf' = (N − df + 0.5)/(df + 0.5) WITHOUT
+    * the ln() — the rational core of the Robertson–Sparck-Jones weight.
+    * ln is monotone, so rankings are identical for any single-term query
+    * and near-identical for short conjunctive ones; what the ln() costs is
+    * hash-exact cross-engine comparability (libm ulps differ), which this
+    * whole suite is built on. Production can wrap the ln back on top of
+    * the same plan — it's one more projection.
+    *
+    * Determinism discipline: the per-term partial scores are summed in
+    * FIXED term order via one conditional aggregate per query term (each
+    * sums exactly one nonzero value, so float addition order is pinned),
+    * never a data-ordered sum(); avgdl is an exact integer-sum divided
+    * once. Scale shape: tf is one (doc, term) aggregation over tokens
+    * FILTERED to the query terms before the shuffle — the exchange is
+    * O(docs × |q|), not O(tokens); df and the corpus stats are tiny and
+    * broadcast.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Score: empty query")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, col("s")).otherwise(lit(0.0))).as(s"__s$i")
+    }
+    val agged = scored.groupBy(col("id"))
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_hit_terms"): _*)
+    val total = terms.indices.map(i => col(s"__s$i")).reduce(_ + _)
+    agged.select(col("id").as(idCol), round(total, 4).as("bm25"), col("n_hit_terms"))
+  }
+
+  /** Deterministic global shuffle + sharding — the "randomize example
+    * order for training" step, content-keyed so it is reproducible:
+    * shard = fingerprint(text ‖ salt) mod nShards, position = rank of
+    * (hash, id) within the shard. The salted hash is effectively a random
+    * permutation key, but the same document always lands at the same
+    * (shard, pos) across re-runs, repartitions, and incremental rebuilds —
+    * and changing the salt is a fresh epoch-level reshuffle with zero
+    * coordination.
+    *
+    * Scale shape: one exchange on the shard key + a per-shard sort (the
+    * write path's natural layout — each shard is one output stream). The
+    * window is PARTITIONED by shard; parallelism = nShards, so size
+    * nShards to the cluster (thousands at 100 TB), never single digits.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int, salt: String = "shuffle-v1"): DataFrame = {
+    require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("fp"), col(idCol))
+    df.select(col(idCol),
+        fingerprint(concat(col(textCol), lit(":" + salt))).as("fp"))
+      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Corpus-level heavy hitters: the k most document-frequent word n-grams.
     * Shingles are distinct per document (Dedup.shingles), so the count IS
     * document frequency. orderBy+limit compiles to TakeOrderedAndProject —

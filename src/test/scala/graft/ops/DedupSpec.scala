@@ -174,4 +174,33 @@ class DedupSpec extends AnyFunSuite {
         90L -> 90L, 91L -> 91L)
     assert(got == expect)
   }
+
+  test("duplicatedSpans: cross-doc positions flagged, within-doc-only repeats are not") {
+    val df = Seq(
+      (1L, "a b c d e f g"),     // shares gram "c d e" with doc 2 at pos 2
+      (2L, "x y c d e z w"),     // ... at pos 2 as well
+      (3L, "p q r p q r p q"),   // repeats ITSELF only — not cross-doc
+      (4L, "s t")).toDF("doc_id", "text") // shorter than n: zero grams
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Double, Int)].collect()
+    assert(got(0) == ((1L, 5, 1L, 0.2, 2)))
+    assert(got(1) == ((2L, 5, 1L, 0.2, 2)))
+    // doc 3: 6 grams, "p q r" twice within one doc -> df(distinct docs)=1,
+    // so nothing is duplicated text
+    assert(got(2) == ((3L, 6, 0L, 0.0, -1)))
+    assert(got(3) == ((4L, 0, 0L, 0.0, -1)))
+  }
+
+  test("duplicatedSpans counts every position of a shared gram, including repeats") {
+    val df = Seq(
+      (1L, "c d e q c d e"),     // "c d e" at pos 0 AND pos 4 + bridging grams
+      (2L, "c d e")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Double, Int)].collect()
+    // doc1 grams: [c d e, d e q, e q c, q c d, c d e] -> positions 0 and 4
+    assert(got(0)._3 == 2L && got(0)._5 == 0)
+    assert(got(1) == ((2L, 1, 1L, 1.0, 0)))
+  }
 }

@@ -217,4 +217,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select($"bin").as[Long].collect().sorted
     assert(bins.toSeq == Seq(0L, 1L))
   }
+
+  test("bm25Score matches the closed form and sums terms in fixed order") {
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Score(df, "doc_id", "text", Seq("a", "e"))
+      .orderBy($"doc_id").as[(Long, Double, Long)].collect()
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 8.0 / 3)
+    def s(tf: Double, dfq: Double, dl: Double): Double =
+      ((n - dfq + 0.5) / (dfq + 0.5)) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // df: a in docs {1,2}, e in {3}; dl: 3, 2, 3
+    assert(got(0) == ((1L, r4(s(2, 2, 3)), 1L)))
+    assert(got(1) == ((2L, r4(s(1, 2, 2)), 1L)))
+    assert(got(2) == ((3L, r4(s(1, 1, 3)), 1L)))
+    // rarer term outweighs: doc3's single 'e' (df 1) beats doc2's single
+    // 'a' (df 2) at equal-or-longer dl
+    assert(got(2)._2 > got(1)._2)
+  }
+
+  test("shuffleShards: stable content-keyed permutation, dense per-shard ranks") {
+    val docs = (1L to 40L).map(i => (i, s"document number $i body " * 3)).toDF("doc_id", "text")
+    val a = TextAnalysis.shuffleShards(docs, "doc_id", "text", 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val b = TextAnalysis.shuffleShards(docs.repartition(13), "doc_id", "text", 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "layout changed the permutation")
+    // ranks within each shard are exactly 1..count — a lossless shuffle
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // a different salt is a different epoch: at least one doc moves
+    val c = TextAnalysis.shuffleShards(docs, "doc_id", "text", 4, salt = "shuffle-v2")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(c.toSeq != a.toSeq, "salt change did not reshuffle")
+  }
 }
