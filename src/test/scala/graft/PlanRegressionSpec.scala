@@ -134,4 +134,52 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"nlist centroid cap lost its per-partition top-k shape:\n$p")
   }
+
+  test("q19: the brand implication prunes the part build side AT THE SCAN") {
+    // broadcasting 3 brands vs broadcasting the whole part table — the
+    // IN-list must reach the parquet reader as a pushed filter
+    val p = plan("q19_or_of_ands")
+    assert(p.contains("In(p_brand"), s"brand IN-list not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"pruned part side not broadcast:\n$p")
+  }
+
+  test("q18: lineitem collapses BEFORE the metadata joins; scan reads 2 columns") {
+    val p = plan("q18_large_volume")
+    assert(p.contains("partial_sum"), "map-side partial quantity sum missing")
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      s"lineitem scan reads columns q18 never uses:\n$p")
+    // the HAVING survivor set is tiny -> both metadata joins broadcast-able
+    assert(p.contains("BroadcastHashJoin"), s"post-agg joins did not broadcast:\n$p")
+  }
+
+  test("q04: EXISTS executes as a semi join, orders never duplicated") {
+    val p = plan("q04_priority_late")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+  }
+
+  test("pattern sequence: stage filters pushed to the event scan") {
+    val p = plan("events_pattern_seq")
+    assert(p.contains("EqualTo(event_type,view)"),
+      s"stage-type filter not pushed to parquet:\n$p")
+  }
+
+  test("dup spans: duplicated grams rejoin via semi join, never a payload product") {
+    val p = plan("text_dup_spans")
+    assert(p.contains("LeftSemi"), s"dup-gram membership is not a semi join:\n$p")
+    assert(p.contains("Generate posexplode"), s"positioned-gram explode missing:\n$p")
+  }
+
+  test("bm25: corpus stats and df broadcast; the only exchanges key on doc/term") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row corpus-stats join not a broadcast cross join:\n$p")
+  }
+
+  test("shuffle shards: exactly one data exchange, keyed on the shard") {
+    val p = plan("docs_shuffle_shards")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 hash exchange (shard window), got $n:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"window exchange not keyed on shard:\n$p")
+  }
 }
