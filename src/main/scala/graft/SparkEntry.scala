@@ -164,6 +164,11 @@ object SparkEntry {
             lit(0.0), (a, x) => a + x)), 4).as("l2_norm"),
           size(col("embedding")).as("dim"))
         .orderBy(col("vec_id"))),
+    "emb_dim_stats" -> ((s, dir) =>
+      // per-dimension corpus health profile (dead/saturated/off-center
+      // dims) — exact-integer-sum means, O(1) agg state per dimension
+      Similarity.dimStats(t(s, dir, "embeddings"))
+        .orderBy(col("pos"))),
     "emb_quant_error" -> ((s, dir) => {
       // int8 storage quantization: per-vector scale + reconstruction error
       // + cosine fidelity of the dequantized vector vs the original
@@ -302,6 +307,20 @@ object SparkEntry {
         .orderBy(col("lang"), col("bucket"))),
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNGrams(t(s, dir, "documents"), "text", 2, 20)),
+    "text_word_lift" -> ((s, dir) =>
+      // co-occurrence mining over the top-40 vocabulary: which word pairs
+      // appear together more than their frequencies predict (lift > 1) —
+      // ordered by the rational lift score, ties broken lexically
+      TextAnalysis.wordLift(t(s, dir, "documents"), "doc_id", "text",
+          vocabK = 40, minCoDocs = 5)
+        .orderBy(col("lift_r").desc, col("term_a"), col("term_b"))
+        .limit(20)),
+    "docs_quality_gate" -> ((s, dir) =>
+      // distribution-relative curation cut: keep docs at/above their
+      // language's median quality score (absolute thresholds don't
+      // transfer across languages)
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "text")
+        .orderBy(col("doc_id"))),
     "text_pii_redact" -> ((s, dir) =>
       // PII scrub over documents AUGMENTED with synthetic addresses (the
       // raw corpus contains none — redaction over it would be a vacuous
@@ -351,6 +370,16 @@ object SparkEntry {
     "events_sliding_1h" -> ((s, dir) =>
       Events.slidingValueSum(t(s, dir, "events"))
         .orderBy(col("user_id"), col("event_id"))),
+    "events_retention" -> ((s, dir) =>
+      // day-cohort retention matrix: of users first active on day d, how
+      // many return k days later (k ≤ 7)
+      Events.cohortRetention(t(s, dir, "events"), maxDays = 7)
+        .orderBy(col("cohort_day"), col("k"))),
+    "events_anomaly" -> ((s, dir) =>
+      // per-type value outliers (|z| ≥ 2.5) from exact integer moments —
+      // see Events.anomalyZScores for why the moments are cents
+      Events.anomalyZScores(t(s, dir, "events"), zThreshold = 2.5)
+        .orderBy(col("event_id"))),
     "events_pattern_seq" -> ((s, dir) =>
       // MATCH_RECOGNIZE-style ordered-sequence detection: first
       // view → click → purchase chain per user (strictly increasing event
@@ -702,6 +731,150 @@ object SparkEntry {
         .select(col("lang"),
           expr("stack(3, 'n_docs', n_docs, 'sum_chars', sum_chars, 'n_sources', n_sources) AS (metric, value)"))
         .orderBy(col("lang"), col("metric"))),
+
+    "q06_forecast_revenue" -> ((s, dir) =>
+      // the pushdown showcase: a single fact scan with EVERY predicate in
+      // PushedFilters (shipdate range, discount band, quantity cap) and a
+      // 3-column ReadSchema, partial+final agg to one row — at 100 TB the
+      // entire query cost is the pruned scan. Revenue as exact integer
+      // cents (the q07 rule: per-row product is bit-identical across
+      // engines; round to cents per row, then an exact integer sum).
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))),
+    "q08_market_share" -> ((s, dir) => {
+      // national market share: NATION_3's slice of STANDARD-part volume
+      // sold to ASIA-region customers, per year. The region constraint
+      // rides the nation⋈region dim join (broadcast, prunes the customer
+      // side at the join); numerator and denominator are both exact cent
+      // sums, so the share is one double division of exact integers —
+      // hash-stable without any tolerance.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          year(col("l_shipdate")).as("l_year"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("volume_cents"))
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey")))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val asiaNations = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA").select(col("n_nationkey").as("cnk")))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(asiaNations, col("c_nationkey") === col("cnk"))
+        .groupBy(col("l_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("volume_cents"))
+            .otherwise(lit(0L))).as("nation_cents"),
+          sum(col("volume_cents")).as("total_cents"))
+        .select(col("l_year"), col("nation_cents"), col("total_cents"),
+          round(col("nation_cents").cast("double") / col("total_cents").cast("double"), 6)
+            .as("mkt_share"))
+        .orderBy(col("l_year"))
+    }),
+    "q09_profit_by_nation" -> ((s, dir) => {
+      // product-line profit by (supplier nation, year). The testdata has
+      // no partsupp table, so supply cost is proxied as 10% of the part's
+      // retail price per unit — the plan shape (substring-filtered part
+      // dim broadcast into the fact scan, profit formed per-row, grouped
+      // on dim attributes) is exactly TPC-H Q9's. Profit in exact cents.
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val profit = round(
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * 0.1) * 100).cast("long")
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(profit).as("profit_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // view-then-max: per-supplier revenue over one quarter, returning
+      // the supplier(s) achieving the global max (scalar subquery over the
+      // aggregate). Exact cents make "= max" safe — the double form of
+      // this query is famously nondeterministic across engines.
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
+      s.sql("""WITH rev AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+              |  FROM lineitem_q15
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate < TIMESTAMP '1996-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_cents
+              |FROM supplier_q15 JOIN rev ON s_suppkey = supplier_no
+              |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)
+    }),
+    "q16_part_supplier_variety" -> ((s, dir) => {
+      // supplier variety per (brand, size): COUNT(DISTINCT) over a
+      // dim-filtered fact join — Catalyst expands the distinct into a
+      // two-level aggregate (partial distinct per partition, then final),
+      // so the shuffle carries (brand, size, suppkey) triples, never raw
+      // fact rows. partsupp doesn't exist in the testdata; lineitem IS the
+      // part↔supplier association.
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // suppliers who were the SOLE late shipper in a multi-supplier
+      // order. TPC-H Q21's double EXISTS/NOT EXISTS is hand-decorrelated:
+      // one (order, supplier)-grain aggregate with a per-row lateness
+      // flag, then the per-order rollup as a WINDOW over that aggregate —
+      // not a second aggregate joined back, which (plan-audited) recomputes
+      // the whole lineitem⋈orders subtree per branch. The window form
+      // touches the fact join once; the window itself runs on the
+      // order×supplier-grain relation, orders of magnitude smaller than
+      // lineitem. Lateness = shipped >60 days after the order date (the
+      // testdata has no commit/receipt dates).
+      import org.apache.spark.sql.expressions.Window
+      val flagged = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          lit(1)).otherwise(lit(0))).as("late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      flagged
+        .withColumn("n_supps", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
+        .filter(col("late") === 1 && col("n_supps") >= 2 && col("n_late") === 1)
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
 
     // ---- multimodal columns ----
     "mm_media_meta" -> ((s, dir) =>
@@ -1376,6 +1549,134 @@ object SparkEntry {
           |CAST(floor(epoch(m1)) AS BIGINT) AS t_1,
           |CAST(floor(epoch(m2)) AS BIGINT) AS t_2
           |FROM p ORDER BY user_id""".stripMargin,
+      "q06_forecast_revenue" ->
+        """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          |count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+          |AND l_quantity < 24""".stripMargin,
+      "q08_market_share" ->
+        """WITH v AS (
+          |  SELECT CAST(year(l_shipdate) AS INT) AS l_year, n1.n_name AS supp_nation,
+          |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA')
+          |SELECT l_year,
+          |CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+          |CAST(sum(volume_cents) AS BIGINT) AS total_cents,
+          |round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents ELSE 0 END) AS DOUBLE)
+          |  / CAST(sum(volume_cents) AS DOUBLE), 6) AS mkt_share
+          |FROM v GROUP BY l_year ORDER BY l_year""".stripMargin,
+      "q09_profit_by_nation" ->
+        """SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
+          |CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)) AS BIGINT) AS profit_cents,
+          |count(*) AS n_items
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_cents
+          |FROM supplier JOIN rev ON s_suppkey = supplier_no
+          |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin,
+      "q16_part_supplier_variety" ->
+        """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+          |GROUP BY p_brand, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+      "q21_waiting_supplier" ->
+        // the decorrelated form (see the query comment); identical
+        // semantics to Q21's EXISTS/NOT EXISTS over the lateness proxy
+        """WITH flagged AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  GROUP BY l_orderkey, l_suppkey),
+          |stats AS (SELECT l_orderkey, count(*) AS n_supps, CAST(sum(late) AS BIGINT) AS n_late
+          |          FROM flagged GROUP BY l_orderkey)
+          |SELECT s_name, count(*) AS numwait
+          |FROM flagged f JOIN stats USING (l_orderkey)
+          |JOIN supplier ON s_suppkey = f.l_suppkey
+          |WHERE f.late = 1 AND stats.n_supps >= 2 AND stats.n_late = 1
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+      "text_word_lift" ->
+        s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
+           |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+           |v AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 40),
+           |dt AS (SELECT doc_id, t.term FROM t JOIN v USING (term)),
+           |p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS co_docs
+           |      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+           |      GROUP BY 1, 2 HAVING count(*) >= 5),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+           |SELECT term_a, term_b, CAST(co_docs AS BIGINT) AS co_docs,
+           |CAST(va.df AS BIGINT) AS df_a, CAST(vb.df AS BIGINT) AS df_b,
+           |round(n_docs * CAST(co_docs AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE), 4) AS lift_r
+           |FROM p JOIN v va ON va.term = p.term_a JOIN v vb ON vb.term = p.term_b, n
+           |ORDER BY lift_r DESC, term_a, term_b LIMIT 20""".stripMargin,
+      "docs_quality_gate" ->
+        // the text_quality oracle's score construction + per-language
+        // median gate (quantile_cont == Spark percentile, proven by
+        // q_percentiles)
+        s"""WITH f AS (SELECT doc_id, lang, $toks AS w, $subw AS sw FROM documents),
+           |g AS (SELECT doc_id, lang, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id, lang,
+           |round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           |FROM g),
+           |m AS (SELECT lang, quantile_cont(quality_score, 0.5) AS med FROM q GROUP BY lang)
+           |SELECT doc_id, q.lang, quality_score, round(med, 2) AS lang_median
+           |FROM q JOIN m USING (lang) WHERE quality_score >= med
+           |ORDER BY doc_id""".stripMargin,
+      "events_retention" ->
+        """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+          |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+          |SELECT CAST(floor(epoch(cohort)) AS BIGINT) AS cohort_day,
+          |CAST(date_diff('day', cohort, day) AS INT) AS k, count(*) AS n_users
+          |FROM d JOIN c USING (user_id)
+          |WHERE date_diff('day', cohort, day) <= 7
+          |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+      "events_anomaly" ->
+        // same exact-integer-moment construction as Events.anomalyZScores;
+        // the z expression is textually identical so every double op is
+        // IEEE-identical
+        """WITH c AS (SELECT event_id, event_type, CAST(round("value" * 100) AS BIGINT) AS cents FROM events),
+          |st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, CAST(sum(cents) AS DOUBLE) AS s,
+          |       CAST(sum(cents * cents) AS DOUBLE) AS q FROM c GROUP BY event_type)
+          |SELECT event_id, c.event_type,
+          |round((CAST(cents AS DOUBLE) - s / n) / sqrt(q / n - (s / n) * (s / n)), 4) AS z_r
+          |FROM c JOIN st USING (event_type)
+          |WHERE abs((CAST(cents AS DOUBLE) - s / n) / sqrt(q / n - (s / n) * (s / n))) >= 2.5
+          |ORDER BY event_id""".stripMargin,
+      "emb_dim_stats" ->
+        // micro-unit integer sums (round(x·1e6) as BIGINT) — order-proof
+        // exact mean, same discipline as the Spark kernel
+        """WITH x AS (SELECT CAST(i - 1 AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS xd
+          |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i))
+          |SELECT pos, count(*) AS n,
+          |round(CAST(sum(CAST(round(xd * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4) AS mean_r,
+          |round(min(xd), 4) AS min_r, round(max(xd), 4) AS max_r
+          |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
     )
   }
 }

@@ -145,6 +145,61 @@ object Events {
         unix_timestamp(col(s"__m$i")).as(s"t_$i")): _*)
   }
 
+  /** Day-grain cohort retention: users are assigned to the cohort of their
+    * first active day; for each (cohort day, day offset k ≤ maxDays) the
+    * number of cohort users active k days later. The product-analytics
+    * retention matrix as two aggregations:
+    *
+    *   distinct (user, day) → per-user window-min day (cohort) → count per (cohort, k)
+    *
+    * Scale shape: the cohort is a window MIN over the distinct day
+    * relation, not a join back to a second aggregate — the event log is
+    * scanned ONCE (the aggregate-then-join form re-scans it for the cohort
+    * side; plan-audited), and the window operates on the already-tiny
+    * (user, day) relation. The final aggregation's key space is bounded by
+    * days² — tiny at any corpus size.
+    */
+  def cohortRetention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val days = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = min(col("day")).over(Window.partitionBy(col("user_id")))
+    days
+      .select(unix_timestamp(cohort).as("cohort_day"),
+        datediff(col("day"), cohort).as("k"))
+      .filter(col("k") <= maxDays)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-type value outliers by z-score, computed from EXACT integer
+    * moments: values become cents (round(x·100) as long), and per type the
+    * count, Σcents and Σcents² are all exact integer sums — order-proof,
+    * one pass, mergeable (the textbook single-pass moments trick). Mean and
+    * variance then derive from those three exact scalars in a pinned
+    * expression order, so the resulting z-scores are bit-identical in any
+    * engine that parses the same formula — a naive avg()/stddev() over
+    * doubles would be summation-order noise and could never hash-compare.
+    *
+    * Scale shape: one partial+final aggregation over the fact scan (5
+    * groups), stats broadcast back — the fact table is scanned twice but
+    * never shuffled. Σcents² stays within long for |value| ≤ ~1e5 up to
+    * ~1e8 rows per group; beyond that lift the moments to DECIMAL(38,0).
+    */
+  def anomalyZScores(events: DataFrame, zThreshold: Double = 2.5): DataFrame = {
+    val cents = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val stats = cents.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("cents")).cast("double").as("s"),
+      sum(col("cents") * col("cents")).cast("double").as("q"))
+    val z = (col("cents").cast("double") - col("s") / col("n")) /
+      sqrt(col("q") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+    cents.join(broadcast(stats), "event_type")
+      .filter(abs(z) >= zThreshold)
+      .select(col("event_id"), col("event_type"), round(z, 4).as("z_r"))
+  }
+
   /** Per-user running value (analytic window function surface). */
   def runningTotals(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -278,6 +278,34 @@ object Similarity {
       .select(col("grp"), col("pos").cast("long").as("pos"),
         round(col("sx") / col("n"), 4).as("mean_r"))
 
+  /** Per-dimension corpus statistics (count, mean, min, max) — the
+    * embedding-health profile run before quantization/normalization
+    * decisions (is a dimension dead? saturated? off-center?).
+    *
+    * Unlike meanPool's sorted-fold (which collects per-group lists), the
+    * mean here comes from an EXACT integer sum of micro-units
+    * (round(x·1e6) as long): order-proof, one-pass, mergeable, and O(1)
+    * state per (dim) group — the right trade at full corpus width, where
+    * collecting a corpus-length list per dimension is not an option. The
+    * quantization to micro-units loses < 5e-7 per element, far below the
+    * 4-dp rounding the result reports. Σmicros stays within long for
+    * |x| ≤ ~1e3 up to ~1e10 rows; beyond that lift to DECIMAL(38,0).
+    * min/max are exact doubles (float widening is value-preserving).
+    */
+  def dimStats(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.select(posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("x") * 1000000).cast("long")).as("sum_micro"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"))
+      .select(col("pos"), col("n"),
+        round(col("sum_micro").cast("double") / lit(1000000.0) / col("n").cast("double"), 4)
+          .as("mean_r"),
+        round(col("mn"), 4).as("min_r"),
+        round(col("mx"), 4).as("max_r"))
+
   /** Per-vector symmetric int8 quantization for embedding storage — at
     * 100 TB the embedding column is usually the widest thing in the lake,
     * and 4× smaller vectors mean 4× less scan/shuffle IO for every ANN and

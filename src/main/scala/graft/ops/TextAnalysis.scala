@@ -444,4 +444,60 @@ object TextAnalysis {
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget))
   }
+
+  /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to
+    * the top-`vocabK` terms by document frequency, then for every term
+    * pair co-occurring in ≥ `minCoDocs` documents emit
+    * lift = N·c(a,b) / (df(a)·df(b)) — the PMI argument without the log
+    * (a ratio of exact integers divides to one IEEE double, so it
+    * hash-compares across engines; ln() implementations don't).
+    *
+    * Scale shape: the vocab cap is what makes this tractable — per-doc
+    * pair fanout is ≤ C(vocabK,2) regardless of document length, and pairs
+    * are generated with an index-lambda HOF over each doc's sorted term
+    * array (no self-join of the token table). Two bounded shuffles:
+    * doc-grouping and pair-counting (≤ C(vocabK,2) keys); vocab and
+    * doc-frequency maps ride as broadcasts.
+    */
+  def wordLift(df: DataFrame, idCol: String, textCol: String,
+               vocabK: Int = 40, minCoDocs: Long = 5): DataFrame = {
+    val terms = df.select(col(idCol).as("__doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabK)
+    val perDoc = terms.join(broadcast(vocab.select(col("term"))), "term")
+      .groupBy(col("__doc")).agg(sort_array(collect_set(col("term"))).as("ts"))
+    val pairs = perDoc
+      .select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("co_docs"))
+      .filter(col("co_docs") >= minCoDocs)
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    pairs
+      .join(broadcast(vocab.select(col("term").as("term_a"), col("df").as("df_a"))), "term_a")
+      .join(broadcast(vocab.select(col("term").as("term_b"), col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("co_docs"), col("df_a"), col("df_b"),
+        round(col("n_docs") * col("co_docs").cast("double")
+          / (col("df_a") * col("df_b")).cast("double"), 4).as("lift_r"))
+  }
+
+  /** Median-gated quality filter: keep documents whose composite quality
+    * score is at or above their language's median. The per-language
+    * medians are a 5-row aggregate broadcast back over the scan — the
+    * "distribution-relative quality cut" a curation pipeline applies when
+    * absolute thresholds don't transfer across languages. quality_score is
+    * already rounded to 2 dp, so the >= comparison is noise-free.
+    */
+  def qualityGate(df: DataFrame, textCol: String, langCol: String = "lang"): DataFrame = {
+    val qs = qualityScore(df, textCol)
+    val med = qs.groupBy(col(langCol))
+      .agg(expr("percentile(quality_score, 0.5)").as("med"))
+    qs.join(broadcast(med), langCol)
+      .filter(col("quality_score") >= col("med"))
+      .select(col("doc_id"), col(langCol), col("quality_score"),
+        round(col("med"), 2).as("lang_median"))
+  }
 }

@@ -18,6 +18,31 @@ class EventsSpec extends AnyFunSuite {
     (4L, t("2024-01-01 02:00:00"), 11L, "click", 8.0, """{"k": 4}"""),
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("cohortRetention: users count toward their first-day cohort at each offset") {
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"), // u1 cohort d0
+      (2L, t("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),  // same day: one active-day row
+      (3L, t("2024-01-02 09:00:00"), 1L, "click", 1.0, "{}"), // u1 k=1
+      (4L, t("2024-01-04 09:00:00"), 1L, "click", 1.0, "{}"), // u1 k=3
+      (5L, t("2024-01-01 23:59:59"), 2L, "click", 1.0, "{}"), // u2 cohort d0, k=0 only
+      (6L, t("2024-01-02 00:00:01"), 3L, "click", 1.0, "{}"), // u3 cohort d1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d0 = t("2024-01-01 00:00:00").getTime / 1000
+    val d1 = t("2024-01-02 00:00:00").getTime / 1000
+    val rows = Events.cohortRetention(ev).as[(Long, Int, Long)].collect().toSet
+    assert(rows == Set((d0, 0, 2L), (d0, 1, 1L), (d0, 3, 1L), (d1, 0, 1L)))
+  }
+
+  test("anomalyZScores: exact integer moments flag only the |z|>=threshold outlier") {
+    // nine zeros + one 100.0 in one group: mean=1000 cents, var=9e6,
+    // std=3000 → z(outlier)=3.0 exactly, z(zeros)=-1/3
+    val ev = (1L to 9L).map(i => (i, t("2024-01-01 00:00:00"), 1L, "x", 0.0, "{}")) :+
+      ((10L, t("2024-01-01 00:00:00"), 1L, "x", 100.0, "{}"))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Events.anomalyZScores(df, 2.5).as[(Long, String, Double)].collect().toSet
+    assert(rows == Set((10L, "x", 3.0)))
+  }
+
   test("tumbling windows partition events by the hour with exact sums") {
     val rows = Events.tumbling(tiny).as[(Long, String, Long, Double)].collect().toSet
     val h0 = t("2024-01-01 00:00:00").getTime / 1000

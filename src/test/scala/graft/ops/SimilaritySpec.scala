@@ -213,6 +213,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dimStats: exact micro-unit means with true min/max per dimension") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(df)
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 2L, 2.0, 1.0, 3.0),
+      (1, 2L, 1.0, -2.0, 4.0)))
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -237,6 +237,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2)._2 > got(1)._2)
   }
 
+  test("wordLift: vocab-capped pair lift with exact integer ratio") {
+    // df: a=6, b=5, c=1; vocabK=3 keeps all; only (a,b) survives minCo=5;
+    // lift = 6·5 / (6·5) = 1.0 exactly
+    val docs = (1L to 5L).map(i => (i, "a b")) :+ ((6L, "a c"))
+    val got = TextAnalysis.wordLift(docs.toDF("doc_id", "text"), "doc_id", "text",
+        vocabK = 3, minCoDocs = 5)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 5L, 6L, 5L, 1.0)))
+  }
+
+  test("wordLift: vocab cap excludes pairs outside the top-K terms") {
+    // x,y dominate; z co-occurs with both but is cut by vocabK=2
+    val docs = (1L to 6L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordLift(docs, "doc_id", "text", vocabK = 2, minCoDocs = 5)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", "y", 6L, 6L, 6L, 1.0)))
+  }
+
+  test("qualityGate: keeps docs at/above their language's median score") {
+    val good = "the quick brown fox jumps over the lazy dog again today" // 11 toks, score 1.0
+    val docs = Seq(
+      (1L, "en", good), (2L, "en", good),
+      (3L, "en", "x y"), // score 0.0: too short, 1-char tokens, no stopwords
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.qualityGate(docs, "text")
+      .as[(Long, String, Double, Double)].collect().toSet
+    // median of {1.0, 1.0, 0.0} = 1.0 → doc 3 gated out
+    assert(got == Set((1L, "en", 1.0, 1.0), (2L, "en", 1.0, 1.0)))
+  }
+
   test("shuffleShards: stable content-keyed permutation, dense per-shard ranks") {
     val docs = (1L to 40L).map(i => (i, s"document number $i body " * 3)).toDF("doc_id", "text")
     val a = TextAnalysis.shuffleShards(docs, "doc_id", "text", 4)
