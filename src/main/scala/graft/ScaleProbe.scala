@@ -53,6 +53,15 @@ object ScaleProbe {
         .select(col("doc_id"), graft.ops.TextAnalysis.splitAssignment(col("norm")))
         .count()
     })
+    // round-6 text ops at 1M docs: the df-capped similarity join's
+    // candidate volume is Σ_term C(df,2) — with the planted twins every
+    // non-dup gram is unique (df≈1) and twin grams have df 2, so the join
+    // stays linear; word lift is bounded by C(vocabK,2) pairs per doc
+    time("tfidf_simjoin_dfcap")(
+      graft.ops.TextAnalysis.tfidfSimJoin(docs, "doc_id", "text", 3,
+        dfCap = 20, threshold = 0.5).count())
+    time("word_lift_top40")(
+      graft.ops.TextAnalysis.wordLift(docs, "doc_id", "text", 40, 5).count())
     graft.Cleanup.drain() // tfidf's materialized tf relation
     docs.unpersist()
 
@@ -146,6 +155,8 @@ object ScaleProbe {
     time("events_tumbling_hourly")(Events.tumbling(events).count())
     time("events_sessions_30m")(Events.sessions(events).count())
     time("events_funnel")(Events.sessionFunnel(events).count())
+    time("events_retention_7d")(Events.cohortRetention(events).count())
+    time("events_anomaly_z2.5")(Events.anomalyZScores(events).count())
     time("events_asof_last_purchase")( {
       val purchases = events.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))

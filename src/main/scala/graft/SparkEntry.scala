@@ -307,6 +307,13 @@ object SparkEntry {
         .orderBy(col("lang"), col("bucket"))),
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNGrams(t(s, dir, "documents"), "text", 2, 20)),
+    "text_simjoin_tfidf" -> ((s, dir) =>
+      // exact weighted near-dup scoring as a df-capped sparse similarity
+      // join — the bounded-exact third leg beside minhash_lsh (approx) and
+      // ngram_jaccard (quadratic oracle); see TextAnalysis.tfidfSimJoin
+      TextAnalysis.tfidfSimJoin(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, dfCap = 20, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     "text_word_lift" -> ((s, dir) =>
       // co-occurrence mining over the top-40 vocabulary: which word pairs
       // appear together more than their frequencies predict (lift > 1) —
@@ -1616,6 +1623,24 @@ object SparkEntry {
           |JOIN supplier ON s_suppkey = f.l_suppkey
           |WHERE f.late = 1 AND stats.n_supps >= 2 AND stats.n_late = 1
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+      "text_simjoin_tfidf" ->
+        // identical gram construction (w[i:i+2] 1-based == Spark slice),
+        // identical rational weights, identical sorted-fold dot/norm order
+        s"""WITH toks AS (SELECT doc_id AS doc, $toks AS wd FROM documents),
+           |g AS (SELECT doc, array_to_string(wd[i:i+2], ' ') AS term
+           |      FROM toks, unnest(generate_series(1, greatest(len(wd)-2, 1))) AS u(i)),
+           |tf AS (SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf FROM g GROUP BY doc, term),
+           |dfq AS (SELECT term, count(*) AS df0 FROM tf GROUP BY term HAVING count(*) <= 20),
+           |w AS (SELECT doc, term, tf / CAST(df0 AS DOUBLE) AS w FROM tf JOIN dfq USING (term)),
+           |norms AS (SELECT doc, sqrt(list_reduce(list_prepend(0.0, list_sort(list(w * w))), (a, x) -> a + x)) AS nrm
+           |          FROM w GROUP BY doc),
+           |p AS (SELECT a.doc AS id_a, b.doc AS id_b,
+           |      list_reduce(list_prepend(0.0, list_sort(list(a.w * b.w))), (s, x) -> s + x) AS dot
+           |      FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine_r
+           |FROM p JOIN norms na ON na.doc = id_a JOIN norms nb ON nb.doc = id_b
+           |WHERE dot / (na.nrm * nb.nrm) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
       "text_word_lift" ->
         s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
            |dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),

@@ -484,6 +484,57 @@ object TextAnalysis {
           / (col("df_a") * col("df_b")).cast("double"), 4).as("lift_r"))
   }
 
+  /** Exact TF-IDF-weighted cosine similarity join over n-gram shingles,
+    * bounded by a document-frequency cap: terms appearing in more than
+    * `dfCap` documents are dropped BEFORE the term self-join (a hot gram
+    * carries ~zero idf weight but quadratic join fanout — discarding it
+    * changes scores negligibly and bounds the per-term pair volume at
+    * C(dfCap, 2)). This is the standard sparse similarity-join shape: the
+    * scalable EXACT alternative to both the all-pairs product (infeasible)
+    * and MinHash (approximate). Weights are the same rational tf/df used
+    * by topTermsPerDoc (no ln — cross-engine exact); dot products and
+    * norms fold their term lists in SORTED order (the meanPool
+    * discipline), so the rounded cosines hash-compare against a SQL
+    * oracle.
+    *
+    * Scale shape: exchanges carry (doc, term, w) scalars keyed on term,
+    * then (id_a, id_b) pairs — never payloads; the df-cap makes candidate
+    * volume Σ_term C(df,2) ≤ |rare terms|·C(dfCap,2), linear in the corpus
+    * for fixed cap.
+    */
+  def tfidfSimJoin(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, dfCap: Long = 20,
+                   threshold: Double = 0.5): DataFrame = {
+    // tokens materialized in a lower projection: the gram expression
+    // references the array twice (sequence bound + slice) and HOF lambdas
+    // get no codegen CSE
+    val grams = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__w"))
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), greatest(size(col("__w")) - (shingleN - 1), lit(1))),
+        i => array_join(slice(col("__w"), i, lit(shingleN)), " "))).as("term"))
+    val tf = grams.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df0"))
+      .filter(col("df0") <= dfCap)
+    val w = tf.join(dfreq, "term")
+      .select(col("doc"), col("term"), (col("tf") / col("df0").cast("double")).as("w"))
+    val norms = w.groupBy(col("doc"))
+      .agg(sqrt(aggregate(array_sort(collect_list(col("w") * col("w"))),
+        lit(0.0), (a, x) => a + x)).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(aggregate(array_sort(collect_list(col("a.w") * col("b.w"))),
+        lit(0.0), (s, x) => s + x).as("dot"))
+    val cos = col("dot") / (col("na") * col("nb"))
+    dots
+      .join(norms.select(col("doc").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("doc").as("id_b"), col("nrm").as("nb")), "id_b")
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 4).as("cosine_r"))
+  }
+
   /** Median-gated quality filter: keep documents whose composite quality
     * score is at or above their language's median. The per-language
     * medians are a 5-row aggregate broadcast back over the scan — the

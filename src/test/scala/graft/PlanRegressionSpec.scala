@@ -182,4 +182,57 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 hash exchange (shard window), got $n:\n$p")
     assert(p.contains("hashpartitioning(shard"), s"window exchange not keyed on shard:\n$p")
   }
+
+  test("q06: every predicate pushed to the scan; schema pruned to 4 columns") {
+    // FormattedMode: toString truncates long PushedFilters lists with "..."
+    val p = SparkEntry.queries("q06_forecast_revenue")(spark, sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"predicate not pushed: $f\n$p")
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+
+  test("q21: the fact join appears once — per-order rollup is a window") {
+    val p = plan("q21_waiting_supplier")
+    val liScans = "lineitem".r.findAllIn(p).length
+    assert(p.contains("Window"), "per-order rollup is not a window")
+    // one lineitem scan: the aggregate-join-back form had two
+    assert("Scan parquet ".r.findAllIn(p).length == 3,
+      s"expected exactly 3 scans (lineitem, orders, supplier):\n$p")
+    assert(liScans >= 1 && p.indexOf("lineitem") == p.lastIndexOf("lineitem"),
+      s"lineitem scanned more than once:\n$p")
+  }
+
+  test("events_retention: one event scan, cohort via window min, no join") {
+    val p = plan("events_retention")
+    assert("Scan parquet ".r.findAllIn(p).length == 1,
+      s"expected exactly 1 scan:\n$p")
+    assert(!p.contains("Join"), s"cohort must be a window, not a join:\n$p")
+    assert(p.contains("Window"), "window-min cohort missing")
+  }
+
+  test("events_anomaly: moments broadcast back; fact table never shuffled") {
+    val p = plan("events_anomaly")
+    assert(p.contains("BroadcastHashJoin"), "stats must broadcast")
+    // the only hash exchange is the 5-group moment aggregate's
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange (moment agg), got $n:\n$p")
+  }
+
+  test("emb_dim_stats: posexplode feeds a partial agg — no collect_list") {
+    val p = plan("emb_dim_stats")
+    assert(p.contains("Generate posexplode"), "posexplode missing")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    assert(!p.contains("collect_list"), "O(1)-state agg regressed to a collect")
+  }
+
+  test("word lift: pairs from a HOF, never a token-table self-join") {
+    val p = plan("text_word_lift")
+    assert(!p.contains("SortMergeJoin"), s"token self-join appeared:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "vocab/df must broadcast")
+    assert(p.contains("Generate explode"), "pair HOF explode missing")
+  }
 }

@@ -255,6 +255,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq(("x", "y", 6L, 6L, 6L, 1.0)))
   }
 
+  test("tfidfSimJoin: identical docs score 1.0; df cap prunes the join") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact twin → cosine 1.0
+      (3L, "one two three four five six"),         // disjoint: no shared gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfSimJoin(docs, "doc_id", "text", 3, dfCap = 20, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    // every shared gram has df=2 — a cap of 1 removes them all, so the
+    // join (and the result) must be empty
+    val capped = TextAnalysis.tfidfSimJoin(docs, "doc_id", "text", 3, dfCap = 1, 0.5)
+    assert(capped.count() == 0)
+  }
+
   test("qualityGate: keeps docs at/above their language's median score") {
     val good = "the quick brown fox jumps over the lazy dog again today" // 11 toks, score 1.0
     val docs = Seq(
