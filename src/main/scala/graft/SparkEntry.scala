@@ -883,6 +883,167 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q02_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H Q2's groupwise-argmin shape, adapted (no partsupp table —
+      // lineitem is the part↔supplier association; "supply cost" = the
+      // cheapest sale, exact cents). The correlated MIN subquery is
+      // decorrelated as a window MIN over the (part, supplier)-grain
+      // aggregate — one pass, no agg-joined-back recompute of the fact
+      // subtree. Ties (several suppliers at the min) are all returned,
+      // exactly like Q2. Both dims broadcast; the window runs on the
+      // already-aggregated relation, |parts ∩ filter| × |EU suppliers|
+      // rows at most — tiny next to lineitem at any scale.
+      import org.apache.spark.sql.expressions.Window
+      val cost = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cents"))
+      val eu = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      val pt = broadcast(t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_brand")))
+      cost.join(eu, col("l_suppkey") === col("s_suppkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .withColumn("best_cents",
+          min(col("cost_cents")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("cost_cents") === col("best_cents"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          col("cost_cents"))
+        .orderBy(col("cost_cents"), col("p_partkey"), col("s_name"))
+    }),
+    "q11_important_parts" -> ((s, dir) => {
+      // TPC-H Q11's HAVING-vs-global-scalar shape: per-part value among
+      // one region's suppliers, keeping parts above 1.25× the mean part
+      // value. The threshold is self-normalizing (value·nparts·4 >
+      // 5·total, all BIGINT — no doubles, no SF-dependent constant like
+      // Q11's 0.0001/SF). The global scalar derives from the SAME
+      // aggregate subtree, so the per-part exchange is planned once and
+      // consumed twice (ReuseExchange); the corpus-wide rollup to one row
+      // is O(nparts), not a second fact scan.
+      val asia = broadcast(t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey")))
+      val value = t(s, dir, "lineitem")
+        .join(asia, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_cents"))
+      val tot = value.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("nparts"))
+      value.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("nparts") * 4 > col("total_cents") * 5)
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("p_partkey"))
+    }),
+    "q12_delay_priority" -> ((s, dir) => {
+      // TPC-H Q12's conditional-count-by-class shape, adapted (no
+      // l_shipmode in the testdata — the class is the order→ship delay
+      // bucket). Fact⋈fact equi-join on the order key with the year
+      // filter pushed into the lineitem scan BEFORE the join, so the
+      // exchange carries one year, not seven. The priority split is two
+      // conditional sums in one aggregate — one pass, no pivot.
+      val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_bucket",
+          when(delay < 30, "1_fast").when(delay < 60, "2_medium")
+            .otherwise("3_slow"))
+        .groupBy(col("delay_bucket"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("delay_bucket"))
+    }),
+    "q20_excess_share" -> ((s, dir) => {
+      // TPC-H Q20's nested-agg-threshold + semi-join-chain shape:
+      // suppliers holding >12.5% of any red part's total shipped quantity,
+      // restricted to one region. The (part, supplier)-grain aggregate
+      // feeds BOTH the share probe and the per-part total; the two
+      // consumers' pruned projections canonicalize differently, so
+      // neither ReuseExchange nor AQE stage reuse dedupes them (verified
+      // — same finding as text_tfidf) and lineitem would be scanned
+      // twice. Materialize it ONCE with a lazy localCheckpoint (drained
+      // by the harness via Cleanup); at 100 TB that per-(part, supplier)
+      // relation is ~|parts|·avg-suppliers rows — tiny next to the fact.
+      // Quantities are integral doubles → BIGINT; share test is
+      // qty·8 > total, integer-exact. The supplier roster joins the
+      // excess set as LEFT SEMI — no duplicate-row blowup, no distinct
+      // needed on the probe side.
+      val ps = Cleanup.register(t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        .localCheckpoint(false))
+      val tot = ps.groupBy(col("l_partkey")).agg(sum(col("qty")).as("total_qty"))
+      val red = broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select(col("p_partkey")))
+      val excess = ps.join(tot, "l_partkey")
+        .join(red, col("l_partkey") === col("p_partkey"))
+        .filter(col("qty") * 8 > col("total_qty"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "docs_global_rank" -> ((s, dir) => {
+      // scalable GLOBAL ranking without the single-partition-window
+      // anti-pattern: row_number() OVER (ORDER BY …) with no PARTITION BY
+      // funnels the whole corpus through one task — the classic
+      // 100 TB-killer. Two-phase instead: (1) intra-key rank partitioned
+      // by the sort key (parallel, key-local); (2) key offsets = running
+      // sum over the per-key COUNTS — that window IS single-partition,
+      // but over the aggregated relation (|distinct keys| rows), not the
+      // corpus. global_rank = offset + intra. Identical to the oracle's
+      // one-window form because (n_chars, doc_id) is a total order.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val intra = row_number().over(
+        Window.partitionBy(col("n_chars")).orderBy(col("doc_id")))
+      val offsets = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(
+          sum(col("cnt")).over(Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("n_chars"), col("offset"))
+      docs.withColumn("intra", intra)
+        .join(broadcast(offsets), "n_chars")
+        .select(col("doc_id"), (col("offset") + col("intra")).as("global_rank"))
+        .orderBy(col("doc_id"))
+    }),
+    "events_ohlc" -> ((s, dir) => {
+      // time-series downsampling to OHLC bars (15-min × event_type):
+      // open/close are argmin/argmax of value over a UNIQUE bigint order
+      // key (second-floored epoch ·1e9 + event_id — ties at second
+      // granularity break deterministically by id on both engines), so
+      // min_by/max_by can never tie-pick differently from DuckDB's
+      // arg_min/arg_max. Values are selected, never arithmetic'd —
+      // bit-identical doubles. One hash aggregate, no window, no
+      // self-join: O(bars) state, scan-speed at any corpus size.
+      val es = unix_timestamp(col("ts"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (es - es % 900).as("w_start"),
+          (es * lit(1000000000L) + col("event_id")).as("ord"))
+        .groupBy(col("event_type"), col("w_start"))
+        .agg(min_by(col("value"), col("ord")).as("open_v"),
+          max(col("value")).as("high_v"),
+          min(col("value")).as("low_v"),
+          max_by(col("value"), col("ord")).as("close_v"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("w_start"))
+    }),
+
     // ---- multimodal columns ----
     "mm_media_meta" -> ((s, dir) =>
       Multimodal.fromDocuments(t(s, dir, "documents"))
@@ -1702,6 +1863,71 @@ object SparkEntry {
           |round(CAST(sum(CAST(round(xd * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4) AS mean_r,
           |round(min(xd), 4) AS min_r, round(max(xd), 4) AS max_r
           |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
+      "q02_min_cost_supplier" ->
+        """WITH cost AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+          |  FROM lineitem GROUP BY 1, 2),
+          |eu AS (SELECT s_suppkey, s_name, n_name FROM supplier
+          |       JOIN nation ON s_nationkey = n_nationkey
+          |       JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+          |best AS (
+          |  SELECT p_partkey, p_brand, s_name, n_name, cost_cents,
+          |         min(cost_cents) OVER (PARTITION BY p_partkey) AS best_cents
+          |  FROM cost JOIN eu ON l_suppkey = s_suppkey
+          |  JOIN part ON p_partkey = l_partkey AND p_size <= 15 AND p_type = 'STANDARD')
+          |SELECT p_partkey, p_brand, s_name, n_name, cost_cents
+          |FROM best WHERE cost_cents = best_cents
+          |ORDER BY cost_cents, p_partkey, s_name""".stripMargin,
+      "q11_important_parts" ->
+        """WITH val AS (
+          |  SELECT l_partkey AS p_partkey,
+          |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+          |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |  GROUP BY 1)
+          |SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM val
+          |WHERE value_cents * (SELECT count(*) FROM val) * 4
+          |      > 5 * (SELECT sum(value_cents) FROM val)
+          |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+      "q12_delay_priority" ->
+        """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN '1_fast'
+          |            WHEN date_diff('day', o_orderdate, l_shipdate) < 60 THEN '2_medium'
+          |            ELSE '3_slow' END AS delay_bucket,
+          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q20_excess_share" ->
+        """WITH ps AS (
+          |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+          |  FROM lineitem GROUP BY 1, 2),
+          |tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM ps GROUP BY 1)
+          |SELECT s_suppkey, s_name FROM supplier
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+          |  JOIN part ON p_partkey = l_partkey AND contains(p_name, 'red')
+          |  WHERE qty * 8 > total_qty)
+          |ORDER BY s_suppkey""".stripMargin,
+      "docs_global_rank" ->
+        """SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "events_ohlc" ->
+        """WITH e AS (
+          |  SELECT event_type, "value",
+          |         CAST(floor(epoch(ts)) AS BIGINT)
+          |           - CAST(floor(epoch(ts)) AS BIGINT) % 900 AS w_start,
+          |         CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 + event_id AS ord
+          |  FROM events)
+          |SELECT event_type, w_start,
+          |       arg_min("value", ord) AS open_v, max("value") AS high_v,
+          |       min("value") AS low_v, arg_max("value", ord) AS close_v,
+          |       count(*) AS n
+          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     )
   }
 }

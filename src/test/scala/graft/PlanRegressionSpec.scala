@@ -235,4 +235,61 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "vocab/df must broadcast")
     assert(p.contains("Generate explode"), "pair HOF explode missing")
   }
+
+  test("q02: argmin window runs on the aggregated grain, dims broadcast") {
+    val p = plan("q02_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), "part/supplier dims must broadcast")
+    // the correlated MIN is a window over the (part, supplier) aggregate —
+    // the window must sit ABOVE the final HashAggregate, never on raw rows
+    val iAgg = p.lastIndexOf("HashAggregate")
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && iWin < iAgg,
+      s"window not above the grain aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"), "agg-joined-back decorrelation leaked in")
+  }
+
+  test("q11: the per-part value exchange is planned once, reused at runtime") {
+    val df = SparkEntry.queries("q11_important_parts")(TestSpark.spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"global-total branch recomputed the fact subtree:\n$p")
+  }
+
+  test("q12: year filter pushed to the lineitem scan before the join") {
+    val p = plan("q12_delay_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"ship-year range not pushed:\n$p")
+    assert(p.contains("partial_sum"), "conditional counts must partial-aggregate")
+  }
+
+  test("q20: grain aggregate materialized once; roster joins as semi join") {
+    val df = SparkEntry.queries("q20_excess_share")(TestSpark.spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"(part, supplier) aggregate not checkpoint-materialized:\n$p")
+    assert(p.contains("LeftSemi"), s"excess probe must be a semi join:\n$p")
+    df.collect(); graft.Cleanup.drain()
+  }
+
+  test("global rank: corpus window is key-partitioned, offsets join broadcast") {
+    val p = plan("docs_global_rank")
+    // the corpus-side row_number must be partitioned by the sort key;
+    // the only unpartitioned window runs above a HashAggregate (per-key
+    // counts), never over the document relation itself
+    assert(p.contains("row_number() windowspecdefinition(n_chars#"),
+      s"intra-key rank missing or lost its n_chars partitioning — " +
+        s"single-task global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "offset join must broadcast")
+  }
+
+  test("ohlc: one aggregate pair over the scan — no window, no join") {
+    val p = plan("events_ohlc")
+    assert(!p.contains("Window"), s"windowed form regressed in:\n$p")
+    assert(!p.contains("Join"), s"self-join appeared:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      "map-side partial min_by missing")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange (bar agg), got $n:\n$p")
+  }
 }
