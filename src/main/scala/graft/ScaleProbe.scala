@@ -163,7 +163,18 @@ object ScaleProbe {
       Analytics.asOfJoin(events, purchases, "user_id", "p_user", "ts", "p_ts", "p_value")
         .agg(count(col("asof_val"))).collect()(0).getLong(0)
     })
+    // OHLC bars over ne events: one aggregate, O(bars) output — the
+    // probe pins that downsampling stays scan-bound at 20× doc volume
+    time("events_ohlc_15m")(Events.ohlcBars(events).count())
     events.unpersist()
+
+    // global ranking at n docs: the claim under test is that the two-phase
+    // form ranks the full corpus with the heavy window key-partitioned
+    // (text lengths collide heavily — ~hundreds of docs per key at n=1M)
+    val ranked = spark.range(n).select(col("id").as("doc_id"),
+      (pmod(xxhash64(col("id")), lit(4000L)) + 100L).as("n_chars"))
+    time("docs_global_rank")(
+      Analytics.globalRank(ranked, "n_chars", "doc_id").count())
     spark.stop()
   }
 }

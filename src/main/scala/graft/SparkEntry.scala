@@ -997,52 +997,27 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_suppkey"))
     }),
-    "docs_global_rank" -> ((s, dir) => {
-      // scalable GLOBAL ranking without the single-partition-window
-      // anti-pattern: row_number() OVER (ORDER BY …) with no PARTITION BY
-      // funnels the whole corpus through one task — the classic
-      // 100 TB-killer. Two-phase instead: (1) intra-key rank partitioned
-      // by the sort key (parallel, key-local); (2) key offsets = running
-      // sum over the per-key COUNTS — that window IS single-partition,
-      // but over the aggregated relation (|distinct keys| rows), not the
-      // corpus. global_rank = offset + intra. Identical to the oracle's
-      // one-window form because (n_chars, doc_id) is a total order.
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val intra = row_number().over(
-        Window.partitionBy(col("n_chars")).orderBy(col("doc_id")))
-      val offsets = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
-        .withColumn("offset", coalesce(
-          sum(col("cnt")).over(Window.orderBy(col("n_chars"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("n_chars"), col("offset"))
-      docs.withColumn("intra", intra)
-        .join(broadcast(offsets), "n_chars")
-        .select(col("doc_id"), (col("offset") + col("intra")).as("global_rank"))
-        .orderBy(col("doc_id"))
-    }),
-    "events_ohlc" -> ((s, dir) => {
-      // time-series downsampling to OHLC bars (15-min × event_type):
-      // open/close are argmin/argmax of value over a UNIQUE bigint order
-      // key (second-floored epoch ·1e9 + event_id — ties at second
-      // granularity break deterministically by id on both engines), so
-      // min_by/max_by can never tie-pick differently from DuckDB's
-      // arg_min/arg_max. Values are selected, never arithmetic'd —
-      // bit-identical doubles. One hash aggregate, no window, no
-      // self-join: O(bars) state, scan-speed at any corpus size.
-      val es = unix_timestamp(col("ts"))
-      t(s, dir, "events")
-        .select(col("event_type"), col("value"),
-          (es - es % 900).as("w_start"),
-          (es * lit(1000000000L) + col("event_id")).as("ord"))
-        .groupBy(col("event_type"), col("w_start"))
-        .agg(min_by(col("value"), col("ord")).as("open_v"),
-          max(col("value")).as("high_v"),
-          min(col("value")).as("low_v"),
-          max_by(col("value"), col("ord")).as("close_v"),
-          count(lit(1)).as("n"))
-        .orderBy(col("event_type"), col("w_start"))
-    }),
+    "docs_global_rank" -> ((s, dir) =>
+      // scalable GLOBAL ranking — two-phase, no single-partition corpus
+      // window (rationale in Analytics.globalRank's scaladoc); identical
+      // to the oracle's one-window form because (n_chars, doc_id) is a
+      // total order
+      Analytics.globalRank(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id")
+        .orderBy(col("doc_id"))),
+    "events_ohlc" -> ((s, dir) =>
+      // 15-min OHLC bars per event type — tie-proof argmin/argmax over a
+      // unique order key, one hash aggregate (Events.ohlcBars scaladoc)
+      Events.ohlcBars(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("w_start"))),
+    "docs_mix_interleave" -> ((s, dir) =>
+      // deterministic 3:2:1-style corpus-mixing schedule (en:fr:rest) —
+      // weighted round-robin as integer virtual time + scalable global
+      // rank (TextAnalysis.mixInterleave scaladoc)
+      TextAnalysis.mixInterleave(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 3, "fr" -> 2), defaultWeight = 1)
+        .orderBy(col("doc_id"))),
 
     // ---- multimodal columns ----
     "mm_media_meta" -> ((s, dir) =>
@@ -1916,6 +1891,17 @@ object SparkEntry {
       "docs_global_rank" ->
         """SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "docs_mix_interleave" ->
+        """WITH r AS (
+          |  SELECT doc_id, lang,
+          |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+          |  FROM documents),
+          |v AS (SELECT doc_id, lang,
+          |        rk * (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 ELSE 6 END) AS vt
+          |      FROM r)
+          |SELECT doc_id, lang, CAST(vt AS BIGINT) AS vt,
+          |       row_number() OVER (ORDER BY vt, doc_id) AS mix_pos
+          |FROM v ORDER BY doc_id""".stripMargin,
       "events_ohlc" ->
         """WITH e AS (
           |  SELECT event_type, "value",

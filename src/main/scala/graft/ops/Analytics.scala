@@ -244,4 +244,31 @@ object Analytics {
           col("__rsec").between(col("__lsec") - windowSeconds, col("__lsec")))
       .drop("__lsec", "__band", "__rsec", "__rband")
   }
+
+  /** Scalable global ranking by (keyCol, idCol) — a total order — without
+    * the single-partition-window anti-pattern (row_number() with no
+    * PARTITION BY funnels the whole corpus through one task). Two phases:
+    * intra-key row_number partitioned by the key (parallel, key-local),
+    * plus key offsets from a running sum over the per-key COUNTS — that
+    * window is single-partition but over |distinct keys| rows, not the
+    * corpus. Equal to the one-window form because (key, id) totally
+    * orders the rows.
+    */
+  def globalRank(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    globalRankAll(df, keyCol, idCol).select(col(idCol), col("global_rank"))
+
+  /** As `globalRank`, keeping every input column alongside the rank. */
+  def globalRankAll(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val intra = row_number().over(
+      Window.partitionBy(col(keyCol)).orderBy(col(idCol)))
+    val offsets = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("offset"))
+    df.withColumn("intra", intra)
+      .join(broadcast(offsets), keyCol)
+      .select(df.columns.map(col) :+
+        (col("offset") + col("intra")).as("global_rank"): _*)
+  }
 }

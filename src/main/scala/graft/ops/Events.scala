@@ -208,4 +208,48 @@ object Events {
       round(sum(col("value")).over(run), 2).as("running_value"),
       row_number().over(ord).as("seq"))
   }
+
+  /** Time-series downsampling to OHLC bars per (event_type, widthSecs
+    * window). open/close are argmin/argmax of value over a UNIQUE bigint
+    * order key (second-floored epoch ·1e9 + event_id) — ties at second
+    * granularity break deterministically by id on any engine, so
+    * min_by/max_by can never tie-pick differently from an oracle's
+    * arg_min/arg_max. Values are selected, never arithmetic'd:
+    * bit-identical doubles. One hash aggregate with map-side partials —
+    * O(bars) state, no window function, no self-join; the streaming twin
+    * (`ohlcBarsStream`) is the same aggregate behind a watermark.
+    */
+  def ohlcBars(events: DataFrame, widthSecs: Long = 900L): DataFrame = {
+    val es = unix_timestamp(col("ts"))
+    events.select(col("event_type"), col("value"),
+        (es - es % widthSecs).as("w_start"),
+        (es * lit(1000000000L) + col("event_id")).as("ord"))
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(min_by(col("value"), col("ord")).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), col("ord")).as("close_v"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Streaming OHLC: identical aggregate expressions grouped on an
+    * event-time `window()` (equal to the batch arithmetic floor for
+    * epoch-aligned widths) so the watermark can evict completed bars —
+    * state is O(open windows × types), append-mode emits each bar exactly
+    * once when its window passes the watermark.
+    */
+  def ohlcBarsStream(events: DataFrame, width: String = "15 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .withColumn("ord",
+        unix_timestamp(col("ts")) * lit(1000000000L) + col("event_id"))
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(min_by(col("value"), col("ord")).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), col("ord")).as("close_v"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("w_start"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("n"))
 }

@@ -551,4 +551,37 @@ object TextAnalysis {
       .select(col("doc_id"), col(langCol), col("quality_score"),
         round(col("med"), 2).as("lang_median"))
   }
+
+  /** Deterministic training-mixture interleaving: given per-source
+    * sampling weights, emit the position of every document in the global
+    * training order of a weighted round-robin over sources — source s
+    * with weight w contributes one doc every lcm/w virtual ticks. Pure
+    * integer construction: intra-source rank (window partitioned by
+    * source — parallel) × the source's stride (lcm(weights)/w), then one
+    * scalable global rank over the virtual time (Analytics.globalRankAll
+    * — never a single-partition corpus window). Deterministic across
+    * reshuffles/rebuilds because both ranks order by content-stable ids;
+    * changing a weight re-mixes with zero coordination. This is the
+    * corpus-mixing schedule a multi-source training run consumes (e.g.
+    * 3:2:1 web:books:code), as a relational query.
+    */
+  def mixInterleave(df: DataFrame, sourceCol: String, idCol: String,
+                    weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      "weights must be positive")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (weights.values.toSeq :+ defaultWeight)
+      .map(_.toLong).distinct.foldLeft(1L)((l, w) => l / gcd(l, w) * w)
+    val stride = weights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, w)) => acc.when(col(sourceCol) === s, lit(lcm / w))
+    }.otherwise(lit(lcm / defaultWeight))
+    val ranked = df.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
+      .withColumn("vt", col("rk") * stride)
+      .drop("rk")
+    graft.ops.Analytics.globalRankAll(ranked, "vt", idCol)
+      .withColumnRenamed("global_rank", "mix_pos")
+  }
 }
