@@ -62,6 +62,11 @@ object ScaleProbe {
         dfCap = 20, threshold = 0.5).count())
     time("word_lift_top40")(
       graft.ops.TextAnalysis.wordLift(docs, "doc_id", "text", 40, 5).count())
+    // bigram-LM scoring at 1M docs (~79M-bigram stream): the model is an
+    // aggregation of that stream and joins back on the same (w1,w2) key —
+    // the probe pins that nothing here is super-linear in the stream
+    time("lm_score_bigram")(
+      graft.ops.TextAnalysis.lmScore(docs, "doc_id", "text").count())
     graft.Cleanup.drain() // tfidf's materialized tf relation
     docs.unpersist()
 
@@ -166,6 +171,9 @@ object ScaleProbe {
     // OHLC bars over ne events: one aggregate, O(bars) output — the
     // probe pins that downsampling stays scan-bound at 20× doc volume
     time("events_ohlc_15m")(Events.ohlcBars(events).count())
+    // Markov matrix at ne events: the lag window is user-partitioned
+    // (10k keys → ~ne/10k rows per task), matrix aggs are |types|²
+    time("events_transitions")(Events.transitionMatrix(events).count())
     events.unpersist()
 
     // global ranking at n docs: the claim under test is that the two-phase
@@ -175,6 +183,15 @@ object ScaleProbe {
       (pmod(xxhash64(col("id")), lit(4000L)) + 100L).as("n_chars"))
     time("docs_global_rank")(
       Analytics.globalRank(ranked, "n_chars", "doc_id").count())
+    // two-phase prefix sum over the same corpus-scale total order — the
+    // budget-selection primitive
+    time("docs_global_cumsum")(
+      Analytics.globalCumsum(ranked, "n_chars", "doc_id", "n_chars").count())
+    // z-order key: flat 28-term bit expression, scan-speed by design
+    time("orders_zorder_key")(
+      ranked.select(Analytics.zorderKey(
+        pmod(col("doc_id"), lit(16384L)), col("n_chars"), 14).as("z"))
+        .agg(count(col("z"))).collect()(0).getLong(0))
     spark.stop()
   }
 }

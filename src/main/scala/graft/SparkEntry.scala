@@ -1018,6 +1018,40 @@ object SparkEntry {
       TextAnalysis.mixInterleave(t(s, dir, "documents"), "lang", "doc_id",
           Map("en" -> 3, "fr" -> 2), defaultWeight = 1)
         .orderBy(col("doc_id"))),
+    "docs_budget_select" -> ((s, dir) =>
+      // greedy char-budget curation cut: best-quality-first prefix whose
+      // cumulative cost fits 50k chars — prefix sum is the two-phase
+      // globalCumsum, never a single-partition corpus window
+      // (TextAnalysis.budgetSelect scaladoc)
+      TextAnalysis.budgetSelect(t(s, dir, "documents"), "text", "doc_id",
+          budget = 50000L)
+        .orderBy(col("doc_id"))),
+    "docs_lm_score" -> ((s, dir) =>
+      // corpus-trained bigram-LM scoring (the CCNet-style LM quality
+      // filter as a relational query) — exact-integer counts, nano-unit
+      // probabilities, vocab-sized model joined not broadcast
+      // (TextAnalysis.lmScore scaladoc)
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "events_transitions" -> ((s, dir) =>
+      // first-order Markov next-event matrix: per-user lag window
+      // (key-local, parallel), ppm probabilities by integer division —
+      // no doubles anywhere (Events.transitionMatrix scaladoc)
+      Events.transitionMatrix(t(s, dir, "events"))
+        .orderBy(col("prev_type"), col("event_type"))),
+    "orders_zorder" -> ((s, dir) => {
+      // Z-order (Morton) file-clustering key over (custkey, order day) —
+      // the multi-dim layout key that lets footer min/max stats prune on
+      // EITHER dimension after range-partitioning by zkey; zbucket is the
+      // coarse file assignment (Analytics.zorderKey scaladoc)
+      val b = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(16383L)).as("x"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("long").bitwiseAND(lit(16383L)).as("y"))
+      b.withColumn("zkey", Analytics.zorderKey(col("x"), col("y")))
+        .withColumn("zbucket", shiftright(col("zkey"), 18))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- multimodal columns ----
     "mm_media_meta" -> ((s, dir) =>
@@ -1891,6 +1925,69 @@ object SparkEntry {
       "docs_global_rank" ->
         """SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "docs_budget_select" ->
+        // the text_quality oracle's score construction → integer rank
+        // key → ONE-window prefix sum (the oracle form of the two-phase
+        // globalCumsum) → greedy budget cut
+        s"""WITH f AS (SELECT doc_id, length(text) AS nc, $toks AS w, $subw AS sw FROM documents),
+           |g AS (SELECT doc_id, nc, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id, nc,
+           |round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           |FROM g),
+           |k AS (SELECT doc_id, nc,
+           |  (100 - CAST(round(quality_score * 100) AS BIGINT)) * 1000 + least(nc, 999) AS rank_key
+           |FROM q),
+           |s AS (SELECT doc_id, rank_key, CAST(nc AS BIGINT) AS cost,
+           |  CAST(sum(nc) OVER (ORDER BY rank_key, doc_id) AS BIGINT) AS cum FROM k)
+           |SELECT doc_id, rank_key, cost, cum FROM s WHERE cum <= 50000
+           |ORDER BY doc_id""".stripMargin,
+      "docs_lm_score" ->
+        // identical float op order: (c12+1)/(c1+V) FIRST, then ·1e9, then
+        // floor — every double op IEEE-identical to the Spark side
+        raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+           |bg AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+           |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+           |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+           |v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(w) AS x FROM t)),
+           |m AS (SELECT w1, w2,
+           |  CAST(floor(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) * 1e9) AS BIGINT) AS p_nano
+           |FROM c12 JOIN c1 USING (w1), v)
+           |SELECT doc_id, CAST(sum(p_nano) AS BIGINT) AS score_nano,
+           |  count(*) AS n_bigrams,
+           |  CAST(sum(p_nano) // count(*) AS BIGINT) AS avg_p_nano
+           |FROM bg JOIN m USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "events_transitions" ->
+        """WITH s AS (SELECT user_id, event_type,
+          |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |FROM events),
+          |c AS (SELECT prev_type, event_type, count(*) AS cnt FROM s
+          |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          |tt AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+          |SELECT prev_type, event_type, cnt,
+          |  CAST((cnt * 1000000) // total AS BIGINT) AS p_ppm
+          |FROM c JOIN tt USING (prev_type)
+          |ORDER BY prev_type, event_type""".stripMargin,
+      "orders_zorder" -> {
+        // 14-bit Morton interleave written as 28 explicit terms — no
+        // correlated generate_series subquery, bit-identical to the
+        // unrolled Spark expression
+        val zterms = (0 until 14).map(i =>
+          s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT o_orderkey,
+           |  CAST(o_custkey AS BIGINT) & 16383 AS x,
+           |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) & 16383 AS y
+           |FROM orders)
+           |SELECT o_orderkey, x, y, CAST($zterms AS BIGINT) AS zkey,
+           |  CAST(($zterms) >> 18 AS BIGINT) AS zbucket
+           |FROM b ORDER BY o_orderkey""".stripMargin
+      },
       "docs_mix_interleave" ->
         """WITH r AS (
           |  SELECT doc_id, lang,

@@ -271,4 +271,47 @@ object Analytics {
       .select(df.columns.map(col) :+
         (col("offset") + col("intra")).as("global_rank"): _*)
   }
+
+  /** Scalable global prefix SUM over the total order (keyCol, idCol) —
+    * the sum-generalization of `globalRankAll`: intra-key running sum of
+    * `valCol` (window partitioned by key — parallel), plus key offsets
+    * from a running sum over the per-key SUBTOTALS (single-partition, but
+    * |distinct keys| rows, not the corpus). `valCol` must be integral so
+    * partial sums commute exactly. Adds `cum` = the inclusive prefix sum.
+    * This is the primitive behind budget-bounded corpus selection and
+    * token-packing at corpus scale.
+    */
+  def globalCumsum(df: DataFrame, keyCol: String, idCol: String,
+                   valCol: String): DataFrame = {
+    val intra = sum(col(valCol)).over(
+      Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val offsets = df.groupBy(col(keyCol)).agg(sum(col(valCol)).as("sub"))
+      .withColumn("offset", coalesce(
+        sum(col("sub")).over(Window.orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("offset"))
+    df.withColumn("intra", intra)
+      .join(broadcast(offsets), keyCol)
+      .select(df.columns.map(col) :+
+        (col("offset") + col("intra")).as("cum"): _*)
+  }
+
+  /** Z-order (Morton) interleave of the low `bits` bits of two integer
+    * dimensions — the multi-dimensional file-clustering key: sorting /
+    * range-partitioning 100 TB of files by z keeps BOTH dimensions
+    * locally clustered, so min/max footer stats prune scans filtered on
+    * either one (the layout trick behind Delta/Iceberg Z-ORDER,
+    * re-expressed as a plain column). Pure bit arithmetic in a fold over
+    * `sequence` — codegen'd, shuffle-free, exact on any engine.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int = 14): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // bits is compile-time — unroll into one flat codegen'd expression
+    // (no HOF, no array allocation per row)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

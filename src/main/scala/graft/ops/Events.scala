@@ -232,6 +232,31 @@ object Events {
         count(lit(1)).as("n"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count of (prev_type → type) steps and the exact per-row transition
+    * probability in parts-per-million — integer division of integer
+    * counts, no doubles anywhere, so it hash-compares on any engine.
+    * Scale shape: the lag window is PARTITIONED by user (key-local,
+    * parallel — never a global sort); the pair/total aggregations are
+    * |types|² rows. The matrix is what sessionized behavioral modeling
+    * and next-event prediction features consume.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(seq).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = steps.groupBy(col("prev_type"))
+      .agg(sum(col("cnt")).as("total"))
+    steps.join(totals, Seq("prev_type"))
+      .withColumn("p_ppm", expr("(cnt * 1000000L) div total"))
+      .select(col("prev_type"), col("event_type"), col("cnt"), col("p_ppm"))
+  }
+
   /** Streaming OHLC: identical aggregate expressions grouped on an
     * event-time `window()` (equal to the batch arithmetic floor for
     * epoch-aligned widths) so the watermark can evict completed bars —

@@ -565,6 +565,70 @@ object TextAnalysis {
     * corpus-mixing schedule a multi-source training run consumes (e.g.
     * 3:2:1 web:books:code), as a relational query.
     */
+  /** Greedy token/char-budget corpus selection: rank documents
+    * best-quality-first on an integer sort key — (100 − score·100)·1000 +
+    * length, ascending = quality desc then shorter-first — and keep the
+    * maximal prefix whose cumulative cost stays within `budget`. The
+    * prefix sum is `Analytics.globalCumsum` (two-phase — never a
+    * single-partition corpus window), so the selection scales to corpora
+    * where "sort everything on one node" is impossible. Cost here is
+    * chars (`length(text)`); any integral cost column composes the same
+    * way. This is the fixed-budget curation cut a training run makes
+    * when compute, not data, is the binding constraint.
+    */
+  def budgetSelect(df: DataFrame, textCol: String, idCol: String,
+                   budget: Long): DataFrame = {
+    val scored = qualityScore(df, textCol)
+      .withColumn("rank_key",
+        (lit(100L) - round(col("quality_score") * 100).cast("long")) * 1000L
+          + least(col("n_chars_m"), lit(999)).cast("long"))
+      .select(col(idCol), col("rank_key"), col("n_chars_m").as("cost"))
+    graft.ops.Analytics.globalCumsum(scored, "rank_key", idCol, "cost")
+      .filter(col("cum") <= budget)
+      .select(col(idCol), col("rank_key"), col("cost"), col("cum"))
+  }
+
+  /** Corpus-trained bigram language-model scoring — the relational shape
+    * of a CCNet-style LM quality filter (Wenzek et al. 2020), with the
+    * model trained on the corpus itself in the same query. Bigram counts
+    * c(w1,w2) and leading-unigram totals c(w1) are exact-integer
+    * aggregations over the exploded token stream; each bigram occurrence
+    * scores add-one-smoothed P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), clamped
+    * to integer nano-units via floor(P·1e9) — IEEE division/multiply of
+    * integer-valued doubles is deterministic on any engine, and the
+    * per-doc SUM of longs commutes, so scores hash-compare exactly.
+    * Scale shape: the token stream shuffles once on (w1,w2) for the count
+    * and REUSES that exchange for the join back (same key); c(w1) is
+    * vocab-sized (broadcast); no driver-side model state.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bg = df.select(col(idCol),
+        filter(zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))), p => p("w2").isNotNull)
+          .as("bgs"))
+      .select(col(idCol), explode(col("bgs")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = df.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    // per-bigram-TYPE probability computed in the model relation (bigram
+    // types ≪ token stream; c1 is vocab-sized so it joins the model, it
+    // is never broadcast), then one (w1,w2)-keyed join back to the stream
+    val model = c12.join(c1, Seq("w1")).crossJoin(vocab)
+      .withColumn("p_nano",
+        floor((col("c12") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double") * 1e9).cast("long"))
+      .select(col("w1"), col("w2"), col("p_nano"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("p_nano")).as("score_nano"), count(lit(1)).as("n_bigrams"))
+      // integer division (not a double-cast — Spark truncates, other
+      // engines round; `div` floors identically everywhere for positives)
+      .withColumn("avg_p_nano", expr("score_nano div n_bigrams"))
+  }
+
   def mixInterleave(df: DataFrame, sourceCol: String, idCol: String,
                     weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
     require(weights.values.forall(_ > 0) && defaultWeight > 0,

@@ -292,4 +292,39 @@ class PlanRegressionSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n == 1, s"expected 1 hash exchange (bar agg), got $n:\n$p")
   }
+
+  test("budget select: prefix-sum window is rank_key-partitioned, offsets broadcast") {
+    val p = plan("docs_budget_select")
+    // the corpus-side running sum must stay partitioned by the rank key —
+    // the single-partition window may only exist above a HashAggregate
+    // (per-key subtotals)
+    assert(p.contains("windowspecdefinition(rank_key#"),
+      s"intra-key cumsum lost its rank_key partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "offset join must broadcast")
+  }
+
+  test("lm score: model joins shuffle on bigram/w1 keys, never the payload") {
+    val p = plan("docs_lm_score")
+    // every hash exchange must key on model columns (w1/w2 or an agg of
+    // them) — the document text must never be a shuffle key
+    assert(!p.contains("hashpartitioning(text#"),
+      s"document payload used as an exchange key:\n$p")
+    assert(p.contains("partial_count"), "map-side partial count missing")
+  }
+
+  test("transitions: lag window partitioned by user, matrix aggs partial") {
+    val p = plan("events_transitions")
+    assert(p.contains("windowspecdefinition(user_id#"),
+      s"per-user lag window lost its user_id partitioning — global sort:\n$p")
+    assert(p.contains("partial_count"), "map-side partial count missing")
+  }
+
+  test("zorder: pure projection over the scan — no shuffle, no window, 3-col schema") {
+    val p = plan("orders_zorder")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"z-key computation must be shuffle-free:\n$p")
+    assert(!p.contains("Window"), s"window appeared in a pure projection:\n$p")
+    assert(p.contains("o_orderdate") && !p.contains("o_totalprice"),
+      "scan schema not pruned to the three used columns")
+  }
 }

@@ -82,4 +82,38 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(p90 - p90a) / p90 < 0.02, s"p90 sketch drifted: $p90 vs $p90a")
     }
   }
+
+  test("globalCumsum equals the single-window prefix sum on a duplicate-heavy key") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(2000).select(
+      (col("id") % 37).as("k"), col("id").as("rid"),
+      ((col("id") * 7) % 100 + 1).as("v"))
+    val got = Analytics.globalCumsum(df, "k", "rid", "v")
+      .select($"rid", $"cum").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("cum",
+        sum($"v").over(Window.orderBy($"k", $"rid")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"rid", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("zorderKey matches a reference Morton interleave; box locality holds") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = spark.range(1500).select(
+      (col("id") * 131 % 16384).as("x"), (col("id") * 37 % 16384).as("y"))
+    val got = pts.select($"x", $"y", Analytics.zorderKey($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == morton(x, y, 14), s"zorder($x,$y) = $z != ${morton(x, y, 14)}")
+    }
+    // locality: two points share a z-prefix of 2b bits iff they fall in
+    // the same 2^(14-b)-aligned box on BOTH axes
+    got.foreach { case (x, y, z) =>
+      val b = 7
+      assert((z >> (2 * b)) == morton(x >> b, y >> b, 14 - b),
+        "z prefix does not address the enclosing box")
+    }
+  }
 }

@@ -96,4 +96,22 @@ class EventsSpec extends AnyFunSuite {
     assert(rows == Set(
       (10L, 1L, 1.0, 1), (10L, 2L, 3.0, 2), (10L, 3L, 7.0, 3), (11L, 4L, 8.0, 1)))
   }
+
+  test("transitionMatrix: per-user step counts and exact ppm probabilities") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: A→B→A→C   u2: B→A   (first event of each user starts no step)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A", 0.0),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "B", 0.0),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "A", 0.0),
+      (4L, ts("2024-01-01 00:00:04"), 1L, "C", 0.0),
+      (5L, ts("2024-01-01 00:00:01"), 2L, "B", 0.0),
+      (6L, ts("2024-01-01 00:00:02"), 2L, "A", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.transitionMatrix(ev)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 1L, 500000L), ("A", "C", 1L, 500000L),
+      ("B", "A", 2L, 1000000L)))
+  }
 }

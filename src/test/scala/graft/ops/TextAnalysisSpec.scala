@@ -298,4 +298,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(c.toSeq != a.toSeq, "salt change did not reshuffle")
   }
+
+  test("budgetSelect keeps exactly the maximal in-budget quality-first prefix") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val budget = 50000L
+    val got = TextAnalysis.budgetSelect(docs, "text", "doc_id", budget)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._4)
+    assert(got.nonEmpty && got.last._4 <= budget)
+    // driver-side greedy over the same rank order must pick the same set
+    val ranked = TextAnalysis.qualityScore(docs, "text")
+      .select($"doc_id",
+        ((lit(100L) - round($"quality_score" * 100).cast("long")) * 1000L
+          + least($"n_chars_m", lit(999)).cast("long")).as("rk"),
+        $"n_chars_m".cast("long").as("cost"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    var cum = 0L
+    val expect = ranked.takeWhile { r => cum += r._3; cum <= budget }.map(_._1).toSet
+    assert(got.map(_._1).toSet == expect,
+      "selection diverges from the driver-side greedy prefix")
+    // strictly maximal: the next-ranked doc would break the budget
+    if (expect.size < ranked.length)
+      assert(got.map(_._4).max + ranked(expect.size)._3 > budget)
+  }
+
+  test("lmScore: hand-computed bigram model on a 2-doc corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
+    // P(a,b)=(1+1)/(1+2)=2/3 → 666666666   P(b,a)=(2+1)/(2+2)=3/4 → 750000000
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 666666666L + 750000000L, 2L, (666666666L + 750000000L) / 2),
+      (2L, 750000000L, 1L, 750000000L)))
+  }
 }
