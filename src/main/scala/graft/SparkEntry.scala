@@ -1039,6 +1039,33 @@ object SparkEntry {
       // no doubles anywhere (Events.transitionMatrix scaladoc)
       Events.transitionMatrix(t(s, dir, "events"))
         .orderBy(col("prev_type"), col("event_type"))),
+    "docs_quality_calibrated" -> ((s, dir) =>
+      // per-language percent-rank calibration — one threshold transfers
+      // across languages; exact ppm integers
+      // (TextAnalysis.calibrateQuality scaladoc)
+      TextAnalysis.calibrateQuality(t(s, dir, "documents"), "text", "lang")
+        .orderBy(col("doc_id"))),
+    "events_session_paths" -> ((s, dir) =>
+      // top-25 within-session event-type sequences — collect is pinned
+      // by an array_sort over (ts, event_id) structs, so the path string
+      // is deterministic on any engine (Events.sessionPaths scaladoc)
+      Events.sessionPaths(t(s, dir, "events"))),
+    "docs_snapshot_diff" -> ((s, dir) => {
+      // incremental-rebuild diff between two corpus versions (old drops
+      // doc_id≡3 mod 19; new drops ≡5 mod 23 and edits ≡2 mod 17) —
+      // sides pruned to (id, fingerprint) BEFORE the full-outer join
+      // (Analytics.snapshotDiff scaladoc)
+      val docs = t(s, dir, "documents")
+      val oldS = docs.filter(pmod(col("doc_id"), lit(19L)) =!= 3)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val newS = docs.filter(pmod(col("doc_id"), lit(23L)) =!= 5)
+        .select(col("doc_id"), TextAnalysis.fingerprint(
+          when(pmod(col("doc_id"), lit(17L)) === 2,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp"))
+      Analytics.snapshotDiff(oldS, newS, "doc_id", "fp")
+        .orderBy(col("doc_id"))
+    }),
     "orders_zorder" -> ((s, dir) => {
       // Z-order (Morton) file-clustering key over (custkey, order day) —
       // the multi-dim layout key that lets footer min/max stats prune on
@@ -1962,6 +1989,58 @@ object SparkEntry {
            |  count(*) AS n_bigrams,
            |  CAST(sum(p_nano) // count(*) AS BIGINT) AS avg_p_nano
            |FROM bg JOIN m USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "docs_quality_calibrated" ->
+        // the text_quality score construction + exact-integer per-lang
+        // percent rank (ppm)
+        s"""WITH f AS (SELECT doc_id, lang, $toks AS w, $subw AS sw FROM documents),
+           |g AS (SELECT doc_id, lang, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id, lang,
+           |round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           |FROM g)
+           |SELECT doc_id, lang, quality_score,
+           |  CAST(CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+           |    THEN ((rank() OVER (PARTITION BY lang ORDER BY quality_score) - 1) * 1000000)
+           |         // (count(*) OVER (PARTITION BY lang) - 1)
+           |    ELSE 0 END AS BIGINT) AS cal_ppm
+           |FROM q ORDER BY doc_id""".stripMargin,
+      "events_session_paths" ->
+        // the events_sessions gap construction (proven by that oracle) +
+        // order-pinned string_agg path + top-k census
+        """WITH x AS (SELECT user_id, ts, event_id, event_type,
+          |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+          |       THEN 1 ELSE 0 END AS new_s FROM events),
+          |y AS (SELECT user_id, ts, event_id, event_type,
+          |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+          |p AS (SELECT user_id, sid,
+          |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          |FROM y GROUP BY user_id, sid)
+          |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+          |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
+      "docs_snapshot_diff" -> {
+        // the text_fingerprint rolling-hash fold, applied to each
+        // snapshot's (possibly edited) text
+        def fold(x: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(1, length($x) + 1), i -> CAST(ascii(substr($x, i, 1)) AS BIGINT))),
+             |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+        s"""WITH oldv AS (SELECT doc_id, ${fold("text")} AS fp
+           |  FROM documents WHERE doc_id % 19 <> 3),
+           |newv AS (SELECT doc_id, ${fold("t2")} AS fp FROM (
+           |  SELECT doc_id, CASE WHEN doc_id % 17 = 2 THEN text || ' v2' ELSE text END AS t2
+           |  FROM documents WHERE doc_id % 23 <> 5)),
+           |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS fpo, n.fp AS fpn
+           |      FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+           |SELECT doc_id, CASE WHEN fpo IS NULL THEN 'added'
+           |  WHEN fpn IS NULL THEN 'removed' ELSE 'changed' END AS status
+           |FROM j WHERE fpo IS NULL OR fpn IS NULL OR fpo <> fpn
+           |ORDER BY doc_id""".stripMargin
+      },
       "events_transitions" ->
         """WITH s AS (SELECT user_id, event_type,
           |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

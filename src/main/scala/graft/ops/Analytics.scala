@@ -305,6 +305,27 @@ object Analytics {
     * re-expressed as a plain column). Pure bit arithmetic in a fold over
     * `sequence` — codegen'd, shuffle-free, exact on any engine.
     */
+  /** Dataset snapshot diff — added/removed/changed rows between two
+    * versions of a corpus, the incremental-rebuild primitive (what
+    * changed since the last training snapshot?). Compares CALLER-PROVIDED
+    * content fingerprints, not payloads: each side is pruned to
+    * (id, fingerprint) before the full-outer join, so the exchanges carry
+    * 16 bytes per row no matter how wide the documents are. Rows equal on
+    * both sides are dropped (`unchanged` never leaves the join stage).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   fpCol: String): DataFrame =
+    oldDf.select(col(idCol), col(fpCol).as("fp_old"))
+      .join(newDf.select(col(idCol), col(fpCol).as("fp_new")),
+        Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"))
+
   def zorderKey(x: Column, y: Column, bits: Int = 14): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // bits is compile-time — unroll into one flat codegen'd expression

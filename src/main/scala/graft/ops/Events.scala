@@ -232,6 +232,29 @@ object Events {
         count(lit(1)).as("n"))
   }
 
+  /** Clickstream path mining: the top-k most frequent within-session
+    * event-type sequences. Sessions are the same gap-based
+    * `session_window` as `sessions`; each session's path is its events'
+    * types joined in (ts, event_id) order — collect_list is UNORDERED in
+    * Spark (partial-agg merge order is nondeterministic), so the path is
+    * array_sort over (ts, event_id, type) structs BEFORE the join, which
+    * pins it on any engine. Per-session state is bounded by session
+    * length; the path census aggregates path strings (top-k via
+    * TakeOrdered, no global sort).
+    */
+  def sessionPaths(events: DataFrame, gap: String = "30 minutes",
+                   k: Int = 25): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
   /** First-order Markov transition matrix over per-user event sequences:
     * count of (prev_type → type) steps and the exact per-row transition
     * probability in parts-per-million — integer division of integer

@@ -552,6 +552,28 @@ object TextAnalysis {
         round(col("med"), 2).as("lang_median"))
   }
 
+  /** Per-language percent-rank calibration of the quality score — the
+    * distribution-relative normalization that makes one curation
+    * threshold transfer across languages (an absolute score cut keeps
+    * 80% of one language and 5% of another; the calibrated ppm rank cuts
+    * the same fraction everywhere). Exact integers: ppm =
+    * (rank−1)·1e6 div (n−1), rank/count windows share ONE language
+    * partition (key-local, single shuffle), no doubles in the output.
+    */
+  def calibrateQuality(df: DataFrame, textCol: String,
+                       langCol: String): DataFrame = {
+    val byLang = Window.partitionBy(col(langCol))
+    val scored = qualityScore(df, textCol)
+      .withColumn("rk",
+        rank().over(byLang.orderBy(col("quality_score"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+    scored.withColumn("cal_ppm",
+        when(col("n") > 1, expr("((rk - 1) * 1000000L) div (n - 1)"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col(langCol), col("quality_score"),
+        col("cal_ppm"))
+  }
+
   /** Deterministic training-mixture interleaving: given per-source
     * sampling weights, emit the position of every document in the global
     * training order of a weighted round-robin over sources — source s

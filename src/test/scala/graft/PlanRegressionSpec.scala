@@ -319,6 +319,30 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "map-side partial count missing")
   }
 
+  test("calibration: rank and count windows share ONE lang exchange") {
+    val p = plan("docs_quality_calibrated")
+    assert(p.contains("windowspecdefinition(lang#"),
+      s"calibration window lost its lang partitioning:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange (shared lang window), got $n:\n$p")
+  }
+
+  test("session paths: top-k is a TakeOrdered merge, never a global sort") {
+    val p = plan("events_session_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to a sort:\n$p")
+    assert(!p.contains("Join"), s"self-join appeared in path mining:\n$p")
+  }
+
+  test("snapshot diff: exchanges carry (id, fingerprint), never the payload") {
+    val p = plan("docs_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a full-outer join")
+    assert(!p.contains("hashpartitioning(text#"),
+      s"document payload used as an exchange key:\n$p")
+    // the fingerprint kernel is in-plan (sides reduced to (id, fp) —
+    // with no text exchange key above, it must evaluate scan-side)
+    assert(p.contains("fingerprint"), s"fingerprint kernel missing:\n$p")
+  }
+
   test("zorder: pure projection over the scan — no shuffle, no window, 3-col schema") {
     val p = plan("orders_zorder")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -97,6 +97,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("snapshotDiff emits exactly the added/removed/changed rows") {
+    val oldS = Seq((1L, 11L), (2L, 22L), (3L, 33L), (4L, 44L))
+      .toDF("id", "fp")
+    val newS = Seq((2L, 22L), (3L, 99L), (4L, 44L), (5L, 55L))
+      .toDF("id", "fp")
+    val got = Analytics.snapshotDiff(oldS, newS, "id", "fp")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (3L, "changed"), (5L, "added")))
+  }
+
   test("zorderKey matches a reference Morton interleave; box locality holds") {
     def morton(x: Long, y: Long, bits: Int): Long =
       (0 until bits).map(i =>

@@ -97,6 +97,26 @@ class EventsSpec extends AnyFunSuite {
       (10L, 1L, 1.0, 1), (10L, 2L, 3.0, 2), (10L, 3L, 7.0, 3), (11L, 4L, 8.0, 1)))
   }
 
+  test("sessionPaths: gap-split sessions yield order-pinned path strings") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: two sessions (A>B, then C after a 2h gap); u2: one session B>A
+    // — events 1 and 2 share a second, so the path order must fall back
+    // to event_id
+    val ev = Seq(
+      (2L, ts("2024-01-01 00:00:01"), 1L, "B", 0.0),
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A", 0.0),
+      (3L, ts("2024-01-01 02:30:00"), 1L, "C", 0.0),
+      (4L, ts("2024-01-01 00:00:01"), 2L, "B", 0.0),
+      (5L, ts("2024-01-01 00:10:00"), 2L, "A", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.sessionPaths(ev).as[(String, Long)].collect().toSet
+    assert(got == Set(("A>B", 1L), ("C", 1L), ("B>A", 1L)))
+    // layout-independent: a different partitioning yields the same paths
+    val re = Events.sessionPaths(ev.repartition(7)).as[(String, Long)]
+      .collect().toSet
+    assert(re == got, "path strings depend on physical layout")
+  }
+
   test("transitionMatrix: per-user step counts and exact ppm probabilities") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // u1: A→B→A→C   u2: B→A   (first event of each user starts no step)

@@ -321,6 +321,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got.map(_._4).max + ranked(expect.size)._3 > budget)
   }
 
+  test("calibrateQuality: ppm ranks are lang-local, tie-stable, and bounded") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = TextAnalysis.calibrateQuality(docs, "text", "lang")
+      .as[(Long, String, Double, Long)].collect()
+    assert(got.length == docs.count())
+    got.foreach { case (_, _, _, ppm) => assert(ppm >= 0L && ppm <= 1000000L) }
+    // within a language: equal scores → equal ppm; higher score → higher ppm
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byScore = rows.groupBy(_._3).view.mapValues(_.map(_._4).toSet)
+      byScore.foreach { case (_, ppms) =>
+        assert(ppms.size == 1, "tied scores got different ppm ranks")
+      }
+      val ordered = byScore.toSeq.sortBy(_._1).map(_._2.head)
+      assert(ordered == ordered.sorted, "ppm not monotone in score")
+      // the bottom rank is always 0 — a fixed calibrated cut has docs to
+      // drop in EVERY language
+      assert(ordered.head == 0L)
+    }
+  }
+
   test("lmScore: hand-computed bigram model on a 2-doc corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
