@@ -1039,6 +1039,13 @@ object SparkEntry {
       // no doubles anywhere (Events.transitionMatrix scaladoc)
       Events.transitionMatrix(t(s, dir, "events"))
         .orderBy(col("prev_type"), col("event_type"))),
+    "text_postings" -> ((s, dir) =>
+      // inverted-index build for the 20 highest-df terms — posting lists
+      // as sorted doc-id strings; one term-doc relation feeds df census
+      // and assembly (TextAnalysis.postings scaladoc has the segment-
+      // sharding production form)
+      TextAnalysis.postings(t(s, dir, "documents"), "doc_id", "text", 20)
+        .orderBy(col("term"))),
     "docs_quality_calibrated" -> ((s, dir) =>
       // per-language percent-rank calibration — one threshold transfers
       // across languages; exact ppm integers
@@ -1981,7 +1988,8 @@ object SparkEntry {
            |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
            |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
            |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-           |v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(w) AS x FROM t)),
+           |v AS (SELECT count(DISTINCT x) AS v FROM
+           |      (SELECT w1 AS x FROM c12 UNION SELECT w2 AS x FROM c12)),
            |m AS (SELECT w1, w2,
            |  CAST(floor(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) * 1e9) AS BIGINT) AS p_nano
            |FROM c12 JOIN c1 USING (w1), v)
@@ -1989,6 +1997,14 @@ object SparkEntry {
            |  count(*) AS n_bigrams,
            |  CAST(sum(p_nano) // count(*) AS BIGINT) AS avg_p_nano
            |FROM bg JOIN m USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_postings" ->
+        raw"""WITH td AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+           |top AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 20)
+           |SELECT term, df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+           |FROM td JOIN top USING (term) GROUP BY term, df
+           |ORDER BY term""".stripMargin,
       "docs_quality_calibrated" ->
         // the text_quality score construction + exact-integer per-lang
         // percent rank (ppm)

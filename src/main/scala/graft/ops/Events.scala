@@ -255,6 +255,25 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
 
+  /** Streaming twin of `sessionPaths`' session stage: each session's
+    * order-pinned path emits EXACTLY ONCE, when the watermark closes its
+    * session window (append mode). State is O(open sessions); the path
+    * census over closed sessions is a downstream batch/streaming agg.
+    * Same aggregate expressions as batch ⇒ parity is structural, and
+    * pinned in `StreamSessionPathSpec`.
+    */
+  def sessionPathsStream(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"), col("path"))
+
   /** First-order Markov transition matrix over per-user event sequences:
     * count of (prev_type → type) steps and the exact per-row transition
     * probability in parts-per-million — integer division of integer

@@ -552,6 +552,31 @@ object TextAnalysis {
         round(col("med"), 2).as("lang_median"))
   }
 
+  /** Inverted-index construction for the k highest-df terms: each term's
+    * posting list as a sorted doc-id string (collect_list is
+    * merge-order-nondeterministic, so sort_array pins it). Build shape:
+    * ONE distinct (term, doc) aggregate feeds both the df census and the
+    * posting assembly; the k selected terms come back as a broadcast semi
+    * join, so the full term-doc relation shuffles once. At 100 TB a hot
+    * term's posting list exceeds one row's practical size — production
+    * shards the assembly key to (term, doc_id div B) posting SEGMENTS
+    * (same plan shape, bounded rows); the query form here caps output by
+    * top-k df instead so an oracle can check it end-to-end.
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val td = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = dfs.orderBy(col("df").desc, col("term")).limit(k)
+    td.join(broadcast(top), Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("posting"))
+  }
+
   /** Per-language percent-rank calibration of the quality score — the
     * distribution-relative normalization that makes one curation
     * threshold transfer across languages (an absolute score cut keeps
@@ -619,33 +644,40 @@ object TextAnalysis {
     * to integer nano-units via floor(P·1e9) — IEEE division/multiply of
     * integer-valued doubles is deterministic on any engine, and the
     * per-doc SUM of longs commutes, so scores hash-compare exactly.
-    * Scale shape: the token stream shuffles once on (w1,w2) for the count
-    * and REUSES that exchange for the join back (same key); c(w1) is
-    * vocab-sized (broadcast); no driver-side model state.
+    * Scale shape: the corpus is scanned and tokenized ONCE into the
+    * per-doc bigram-multiplicity relation, materialized (lazy
+    * localCheckpoint, the DESIGN §8.1 two-consumer rule — it feeds both
+    * the model aggregation and the scoring join; at 100 TB it is the
+    * natural build artifact, the LM equivalent of text_tfidf's tf table).
+    * V is the bigram-participating vocabulary, derived from the model
+    * relation — no second corpus pass; c(w1) joins the model (bigram
+    * types), it is never broadcast; no driver-side model state.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val bg = df.select(col(idCol),
-        filter(zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2"))), p => p("w2").isNotNull)
-          .as("bgs"))
-      .select(col(idCol), explode(col("bgs")).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bgc = graft.Cleanup.register(
+      df.select(col(idCol),
+          filter(zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))), p => p("w2").isNotNull)
+            .as("bgs"))
+        .select(col(idCol), explode(col("bgs")).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+        .localCheckpoint(false))
+    val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = df.select(explode(toks).as("w"))
+    val vocab = c12.select(col("w1").as("w"))
+      .union(c12.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
-    // per-bigram-TYPE probability computed in the model relation (bigram
-    // types ≪ token stream; c1 is vocab-sized so it joins the model, it
-    // is never broadcast), then one (w1,w2)-keyed join back to the stream
     val model = c12.join(c1, Seq("w1")).crossJoin(vocab)
       .withColumn("p_nano",
         floor((col("c12") + 1).cast("double")
           / (col("c1") + col("v")).cast("double") * 1e9).cast("long"))
       .select(col("w1"), col("w2"), col("p_nano"))
-    bg.join(model, Seq("w1", "w2"))
+    bgc.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(sum(col("p_nano")).as("score_nano"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("m") * col("p_nano")).as("score_nano"),
+        sum(col("m")).as("n_bigrams"))
       // integer division (not a double-cast — Spark truncates, other
       // engines round; `div` floors identically everywhere for positives)
       .withColumn("avg_p_nano", expr("score_nano div n_bigrams"))

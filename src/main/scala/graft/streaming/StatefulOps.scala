@@ -85,6 +85,40 @@ object StatefulOps {
       }
   }
 
+  final case class SeqEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                            event_type: String)
+  final case class Step(user_id: Long, prev_type: String, event_type: String)
+  final case class LastEvent(ts: Timestamp, event_id: Long, event_type: String)
+
+  /** STREAMING step extraction for the Markov transition matrix (the
+    * incremental twin of the batch `events_transitions`): per-user state
+    * is exactly the LAST event seen — O(users), one small tuple each —
+    * and every arriving event emits its (prev_type → type) step,
+    * including across micro-batch boundaries. Within a batch the iterator
+    * is sorted by (ts, event_id) — the same order the batch lag window
+    * pins; across batches the op assumes per-user in-order arrival (the
+    * Kafka-partition-by-user deployment). Counting the emitted steps
+    * downstream (update-mode agg, |types|² keys) reproduces the batch
+    * matrix — pinned in `StreamTransitionSpec`.
+    */
+  def streamingTransitionSteps(events: Dataset[SeqEvent]): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Step](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SeqEvent], state: GroupState[LastEvent]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Step]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            prev.foreach(p => out += Step(user, p.event_type, e.event_type))
+            prev = Some(LastEvent(e.ts, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join: for each purchase, error events of the same
     * user within the preceding hour — the streaming counterpart of the
     * batch `q_range_join`. Watermarks bound both join-state buffers.

@@ -343,6 +343,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("fingerprint"), s"fingerprint kernel missing:\n$p")
   }
 
+  test("postings: one term-doc exchange; selected terms come back broadcast") {
+    val p = plan("text_postings")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-k term roster must broadcast, not shuffle the term-doc relation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-df selection regressed to a global sort:\n$p")
+    assert(!p.contains("hashpartitioning(text#"),
+      s"document payload used as an exchange key:\n$p")
+  }
+
   test("zorder: pure projection over the scan — no shuffle, no window, 3-col schema") {
     val p = plan("orders_zorder")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -321,6 +321,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got.map(_._4).max + ranked(expect.size)._3 > budget)
   }
 
+  test("postings: sorted lists for the top-df terms, layout-independent") {
+    val docs = Seq(
+      (3L, "apple banana"), (1L, "apple cherry"), (2L, "apple apple banana"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.postings(docs, "doc_id", "text", 2)
+      .as[(String, Long, String)].collect().toSet
+    // df: apple=3 banana=2 cherry=1 → top-2 = apple, banana; doc 2's
+    // repeated "apple" counts once (distinct term-doc)
+    assert(got == Set(("apple", 3L, "1,2,3"), ("banana", 2L, "2,3")))
+    val re = TextAnalysis.postings(docs.repartition(5), "doc_id", "text", 2)
+      .as[(String, Long, String)].collect().toSet
+    assert(re == got, "posting order depends on physical layout")
+  }
+
   test("calibrateQuality: ppm ranks are lang-local, tie-stable, and bounded") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val got = TextAnalysis.calibrateQuality(docs, "text", "lang")
