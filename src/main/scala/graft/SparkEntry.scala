@@ -199,6 +199,27 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
+    "text_langid_confusion" -> ((s, dir) =>
+      // language-ID evaluation as a confusion matrix (actual × predicted
+      // counts) — the accuracy report a curation run ships with; all
+      // reduction, |langs|² keys
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // dedup impact report: distribution of duplicate-cluster sizes
+      // (how much of the corpus is singletons vs k-way duplicates) —
+      // two tiny aggs over the component assignment
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.duplicateClusters(pairs, docs, "doc_id")
+        .groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
@@ -1172,6 +1193,19 @@ object SparkEntry {
            |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.n = e.a)
            |SELECT id AS doc_id, min(n) AS cluster_rep
            |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      "dedup_cluster_sizes" ->
+        // the dedup_clusters recursion + a size histogram on top
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($jaccardSql)),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, n) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.n = e.a),
+           |comp AS (SELECT id, min(n) AS rep FROM reach GROUP BY id),
+           |sz AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
+           |SELECT cluster_size, count(*) AS n_clusters FROM sz
+           |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
       "dedup_embedding_cosine" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
@@ -1233,6 +1267,22 @@ object SparkEntry {
            |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
            |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
            |FROM sc ORDER BY doc_id""".stripMargin,
+      "text_langid_confusion" ->
+        // the text_langid prediction CTEs + an (actual, predicted) census
+        s"""WITH s AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |  len(list_filter(w, x -> list_contains(${markers(mk("en"))}, x))) AS s_en,
+           |  len(list_filter(w, x -> list_contains(${markers(mk("fr"))}, x))) AS s_fr,
+           |  len(list_filter(w, x -> list_contains(${markers(mk("es"))}, x))) AS s_es,
+           |  len(list_filter(w, x -> list_contains(${markers(mk("de"))}, x))) AS s_de,
+           |  len(list_filter(w, x -> list_contains(${markers(mk("zh"))}, x))) AS s_zh FROM s),
+           |p AS (SELECT lang, CASE
+           |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM sc)
+           |SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred
+           |ORDER BY lang, lang_pred""".stripMargin,
       "text_quality" ->
         s"""WITH f AS (SELECT doc_id, $toks AS w, $subw AS sw, length(text) AS nc FROM documents),
            |g AS (SELECT doc_id, len(w) AS n_tokens,

@@ -268,7 +268,7 @@ object Analytics {
       .select(col(keyCol), col("offset"))
     df.withColumn("intra", intra)
       .join(broadcast(offsets), keyCol)
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         (col("offset") + col("intra")).as("global_rank"): _*)
   }
 
@@ -293,7 +293,7 @@ object Analytics {
       .select(col(keyCol), col("offset"))
     df.withColumn("intra", intra)
       .join(broadcast(offsets), keyCol)
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         (col("offset") + col("intra")).as("cum"): _*)
   }
 

@@ -645,13 +645,19 @@ object TextAnalysis {
     * integer-valued doubles is deterministic on any engine, and the
     * per-doc SUM of longs commutes, so scores hash-compare exactly.
     * Scale shape: the corpus is scanned and tokenized ONCE into the
-    * per-doc bigram-multiplicity relation, materialized (lazy
-    * localCheckpoint, the DESIGN §8.1 two-consumer rule — it feeds both
-    * the model aggregation and the scoring join; at 100 TB it is the
-    * natural build artifact, the LM equivalent of text_tfidf's tf table).
-    * V is the bigram-participating vocabulary, derived from the model
-    * relation — no second corpus pass; c(w1) joins the model (bigram
-    * types), it is never broadcast; no driver-side model state.
+    * per-doc bigram-multiplicity relation, materialized for its two
+    * consumers (the model aggregation and the scoring join — the DESIGN
+    * §8.1 two-consumer rule; at 100 TB it is the natural build artifact,
+    * the LM equivalent of text_tfidf's tf table). The materialization is
+    * a SERIALIZED memory+disk persist, not a localCheckpoint: compact
+    * columnar blocks (~40 B/token, ~3 GB at the 1M-doc/79M-token probe)
+    * that spill instead of exploding into deserialized row objects —
+    * 32-way concurrent deserialized caching OOMed a 32 GB heap at the
+    * probe scale — and keep lineage, so an evicted block recomputes
+    * instead of failing the job. V is the bigram-participating
+    * vocabulary, derived from the model relation — no second corpus
+    * pass; c(w1) joins the model (bigram types), it is never broadcast;
+    * no driver-side model state.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(lower(col(textCol)))
@@ -663,7 +669,7 @@ object TextAnalysis {
         .select(col(idCol), explode(col("bgs")).as("bg"))
         .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
-        .localCheckpoint(false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = c12.select(col("w1").as("w"))
