@@ -297,14 +297,6 @@ object Analytics {
         (col("offset") + col("intra")).as("cum"): _*)
   }
 
-  /** Z-order (Morton) interleave of the low `bits` bits of two integer
-    * dimensions — the multi-dimensional file-clustering key: sorting /
-    * range-partitioning 100 TB of files by z keeps BOTH dimensions
-    * locally clustered, so min/max footer stats prune scans filtered on
-    * either one (the layout trick behind Delta/Iceberg Z-ORDER,
-    * re-expressed as a plain column). Pure bit arithmetic in a fold over
-    * `sequence` — codegen'd, shuffle-free, exact on any engine.
-    */
   /** Dataset snapshot diff — added/removed/changed rows between two
     * versions of a corpus, the incremental-rebuild primitive (what
     * changed since the last training snapshot?). Compares CALLER-PROVIDED
@@ -326,6 +318,14 @@ object Analytics {
       .filter(col("status") =!= "unchanged")
       .select(col(idCol), col("status"))
 
+  /** Z-order (Morton) interleave of the low `bits` bits of two integer
+    * dimensions — the multi-dimensional file-clustering key: sorting /
+    * range-partitioning 100 TB of files by z keeps BOTH dimensions
+    * locally clustered, so min/max footer stats prune scans filtered on
+    * either one (the layout trick behind Delta/Iceberg Z-ORDER,
+    * re-expressed as a plain column). One flat unrolled bit expression —
+    * codegen'd, shuffle-free, exact on any engine.
+    */
   def zorderKey(x: Column, y: Column, bits: Int = 14): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // bits is compile-time — unroll into one flat codegen'd expression

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -209,6 +209,25 @@ object Events {
       row_number().over(ord).as("seq"))
   }
 
+  /** The OHLC aggregate expressions, shared verbatim by `ohlcBars` and
+    * `ohlcBarsStream` so batch/stream parity holds by construction.
+    */
+  private def ohlcAggs: Seq[Column] = Seq(
+    min_by(col("value"), col("ord")).as("open_v"),
+    max(col("value")).as("high_v"),
+    min(col("value")).as("low_v"),
+    max_by(col("value"), col("ord")).as("close_v"),
+    count(lit(1)).as("n"))
+
+  /** The order-pinned path aggregate, shared verbatim by `sessionPaths`
+    * and `sessionPathsStream` (same by-construction parity).
+    */
+  private def pathAgg: Column = array_join(
+    transform(
+      array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))),
+      x => x("event_type")), ">").as("path")
+
   /** Time-series downsampling to OHLC bars per (event_type, widthSecs
     * window). open/close are argmin/argmax of value over a UNIQUE bigint
     * order key (second-floored epoch ·1e9 + event_id) — ties at second
@@ -225,11 +244,7 @@ object Events {
         (es - es % widthSecs).as("w_start"),
         (es * lit(1000000000L) + col("event_id")).as("ord"))
       .groupBy(col("event_type"), col("w_start"))
-      .agg(min_by(col("value"), col("ord")).as("open_v"),
-        max(col("value")).as("high_v"),
-        min(col("value")).as("low_v"),
-        max_by(col("value"), col("ord")).as("close_v"),
-        count(lit(1)).as("n"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
   }
 
   /** Clickstream path mining: the top-k most frequent within-session
@@ -246,11 +261,7 @@ object Events {
                    k: Int = 25): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"),
-            col("event_type")))),
-          x => x("event_type")), ">").as("path"))
+      .agg(pathAgg)
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
@@ -266,11 +277,7 @@ object Events {
                          watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"),
-            col("event_type")))),
-          x => x("event_type")), ">").as("path"))
+      .agg(pathAgg)
       .select(col("user_id"),
         unix_timestamp(col("w.start")).as("session_start"), col("path"))
 
@@ -311,11 +318,7 @@ object Events {
       .withColumn("ord",
         unix_timestamp(col("ts")) * lit(1000000000L) + col("event_id"))
       .groupBy(window(col("ts"), width), col("event_type"))
-      .agg(min_by(col("value"), col("ord")).as("open_v"),
-        max(col("value")).as("high_v"),
-        min(col("value")).as("low_v"),
-        max_by(col("value"), col("ord")).as("close_v"),
-        count(lit(1)).as("n"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
       .select(col("event_type"),
         unix_timestamp(col("window.start")).as("w_start"),
         col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("n"))

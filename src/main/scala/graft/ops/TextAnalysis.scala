@@ -599,19 +599,6 @@ object TextAnalysis {
         col("cal_ppm"))
   }
 
-  /** Deterministic training-mixture interleaving: given per-source
-    * sampling weights, emit the position of every document in the global
-    * training order of a weighted round-robin over sources — source s
-    * with weight w contributes one doc every lcm/w virtual ticks. Pure
-    * integer construction: intra-source rank (window partitioned by
-    * source — parallel) × the source's stride (lcm(weights)/w), then one
-    * scalable global rank over the virtual time (Analytics.globalRankAll
-    * — never a single-partition corpus window). Deterministic across
-    * reshuffles/rebuilds because both ranks order by content-stable ids;
-    * changing a weight re-mixes with zero coordination. This is the
-    * corpus-mixing schedule a multi-source training run consumes (e.g.
-    * 3:2:1 web:books:code), as a relational query.
-    */
   /** Greedy token/char-budget corpus selection: rank documents
     * best-quality-first on an integer sort key — (100 − score·100)·1000 +
     * length, ascending = quality desc then shorter-first — and keep the
@@ -689,6 +676,19 @@ object TextAnalysis {
       .withColumn("avg_p_nano", expr("score_nano div n_bigrams"))
   }
 
+  /** Deterministic training-mixture interleaving: given per-source
+    * sampling weights, emit the position of every document in the global
+    * training order of a weighted round-robin over sources — source s
+    * with weight w contributes one doc every lcm/w virtual ticks. Pure
+    * integer construction: intra-source rank (window partitioned by
+    * source — parallel) × the source's stride (lcm(weights)/w), then one
+    * scalable global rank over the virtual time (Analytics.globalRankAll
+    * — never a single-partition corpus window). Deterministic across
+    * reshuffles/rebuilds because both ranks order by content-stable ids;
+    * changing a weight re-mixes with zero coordination. This is the
+    * corpus-mixing schedule a multi-source training run consumes (e.g.
+    * 3:2:1 web:books:code), as a relational query.
+    */
   def mixInterleave(df: DataFrame, sourceCol: String, idCol: String,
                     weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
     require(weights.values.forall(_ > 0) && defaultWeight > 0,
