@@ -67,7 +67,11 @@ object ScaleProbe {
     // the probe pins that nothing here is super-linear in the stream
     time("lm_score_bigram")(
       graft.ops.TextAnalysis.lmScore(docs, "doc_id", "text").count())
-    graft.Cleanup.drain() // tfidf's materialized tf relation
+    // inverted-index build: one distinct term-doc exchange + broadcast
+    // top-k roster + sorted posting assembly
+    time("postings_top20")(
+      graft.ops.TextAnalysis.postings(docs, "doc_id", "text", 20).count())
+    graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 
     // ANN at scale: CLUSTERED corpus (what real embedding spaces look like
@@ -192,6 +196,16 @@ object ScaleProbe {
       ranked.select(Analytics.zorderKey(
         pmod(col("doc_id"), lit(16384L)), col("n_chars"), 14).as("z"))
         .agg(count(col("z"))).collect()(0).getLong(0))
+
+    // snapshot diff at n docs: sides reduce to (id, 8-byte hash) before
+    // the full-outer join — the exchanges never carry text
+    val snapA = spark.range(n).filter(pmod(col("id"), lit(19L)) =!= 3)
+      .select(col("id"), xxhash64(col("id")).as("fp"))
+    val snapB = spark.range(n).filter(pmod(col("id"), lit(23L)) =!= 5)
+      .select(col("id"), xxhash64(col("id"),
+        when(pmod(col("id"), lit(17L)) === 2, lit(1)).otherwise(lit(0))).as("fp"))
+    time("docs_snapshot_diff")(
+      Analytics.snapshotDiff(snapA, snapB, "id", "fp").count())
     spark.stop()
   }
 }

@@ -509,6 +509,24 @@ object SparkEntry {
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY status, priority""".stripMargin)
     }),
+    "events_multigrain" -> ((s, dir) => {
+      // hour/day/week monitoring rollup in ONE event-log pass: GROUPING
+      // SETS plans as a single scan + Expand(×3) + one aggregation — not
+      // three scans or a union; value summed as integer cents (a sliding
+      // double sum is engine-order-dependent, cents are exact)
+      t(s, dir, "events").createOrReplaceTempView("events_mg")
+      s.sql("""SELECT event_type,
+              |  CASE WHEN grouping(h) = 0 THEN 'hour'
+              |       WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+              |  unix_timestamp(coalesce(h, d, w)) AS bucket,
+              |  count(*) AS n, sum(cents) AS cents
+              |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+              |        date_trunc('HOUR', ts) AS h, date_trunc('DAY', ts) AS d,
+              |        date_trunc('WEEK', ts) AS w
+              |      FROM events_mg)
+              |GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type, w))
+              |ORDER BY event_type, grain, bucket""".stripMargin)
+    }),
     "q_set_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
         .select(col("c_nationkey").as("nationkey"))
@@ -1615,6 +1633,18 @@ object SparkEntry {
       "q_distinct_counts" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts, count(DISTINCT l_suppkey) AS exact_supps,
           |count(*) AS n_rows FROM lineitem""".stripMargin,
+      "events_multigrain" ->
+        """SELECT event_type,
+          |  CASE WHEN grouping(h) = 0 THEN 'hour'
+          |       WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+          |  CAST(floor(epoch(coalesce(h, d, w))) AS BIGINT) AS bucket,
+          |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+          |FROM (SELECT event_type, CAST(round("value" * 100) AS BIGINT) AS cents,
+          |        date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+          |        date_trunc('week', ts) AS w
+          |      FROM events)
+          |GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type, w))
+          |ORDER BY event_type, grain, bucket""".stripMargin,
       "q_grouping_sets" ->
         """SELECT coalesce(o_orderstatus, 'ALL') AS status,
           |coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n

@@ -343,6 +343,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("fingerprint"), s"fingerprint kernel missing:\n$p")
   }
 
+  test("multigrain: three grains from ONE scan via Expand, not a union of scans") {
+    val p = plan("events_multigrain")
+    assert(p.contains("Expand"), s"grouping sets lost the Expand plan:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 event-log scan, got $scans:\n$p")
+    assert(!p.contains("Union"), s"multi-grain regressed to a union of scans:\n$p")
+  }
+
   test("postings: one term-doc exchange; selected terms come back broadcast") {
     val p = plan("text_postings")
     assert(p.contains("BroadcastHashJoin"),
