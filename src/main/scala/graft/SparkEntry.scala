@@ -220,6 +220,19 @@ object SparkEntry {
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("cluster_size"))
     }),
+    "dedup_keep_best" -> ((s, dir) => {
+      // canonicalization: pairs → clusters → keep the HIGHEST-QUALITY
+      // member of each cluster (ties to the smallest id) — the "which
+      // copy survives dedup" decision, not just "a copy survives"
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, docs, "doc_id")
+      val scored = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.keepBest(clusters, scored, "doc_id", "quality_score")
+        .orderBy(col("cluster_rep"))
+    }),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
@@ -234,6 +247,18 @@ object SparkEntry {
         .select(col("doc_id"),
           pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("bucket"),
           TextAnalysis.splitAssignment(col("text")).as("split"))
+        .orderBy(col("doc_id"))),
+    "docs_chunk" -> ((s, dir) =>
+      // RAG / context-window chunking: 120-char windows every 90 chars
+      // (25% overlap), source offsets preserved for span mapping
+      TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          size = 120, stride = 90)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    "docs_split_leakage" -> ((s, dir) =>
+      // train→held-out contamination: 3-gram containment of every
+      // val/test doc against the train split's gram set, splits from the
+      // same content-hash assignment as docs_split_assign
+      TextAnalysis.splitLeakage(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("doc_id"))),
     "text_decontaminate" -> ((s, dir) => {
       // benchmark = docs with doc_id < 10 (stand-in eval set); flags any
@@ -1224,6 +1249,33 @@ object SparkEntry {
            |sz AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
            |SELECT cluster_size, count(*) AS n_clusters FROM sz
            |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+      "dedup_keep_best" ->
+        // the dedup_clusters recursion joined with the text_quality score
+        // fold; keeper = row_number over (score DESC, id ASC) per cluster
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($jaccardSql)),
+           |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, n) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.n = e.a),
+           |comp AS (SELECT id, min(n) AS rep FROM reach GROUP BY id),
+           |f AS (SELECT doc_id, $toks AS w FROM documents),
+           |q AS (SELECT doc_id, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |  FROM f),
+           |sc AS (SELECT doc_id,
+           |  round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |    + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |    + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score FROM q),
+           |j AS (SELECT c.rep, c.id, s.quality_score FROM comp c JOIN sc s ON c.id = s.doc_id),
+           |r AS (SELECT rep, id, quality_score,
+           |  row_number() OVER (PARTITION BY rep ORDER BY quality_score DESC, id ASC) AS rn,
+           |  count(*) OVER (PARTITION BY rep) AS csize FROM j)
+           |SELECT rep AS cluster_rep, id AS keeper_id, quality_score AS keeper_score,
+           |CAST(csize AS BIGINT) AS cluster_size
+           |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
       "dedup_embedding_cosine" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
@@ -1329,6 +1381,36 @@ object SparkEntry {
           |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
           |CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
           |FROM f ORDER BY doc_id""".stripMargin,
+      "docs_chunk" ->
+        // list-form generate_series (lateral-unnested) has the same
+        // inclusive-stop semantics as Spark's sequence(); the stop bound
+        // min(len, len-size+stride)-1 emits a chunk only when it adds new
+        // characters; substr past the end truncates in both engines
+        """SELECT doc_id, CAST(s // 90 AS BIGINT) AS chunk_id,
+          |CAST(s AS BIGINT) AS chunk_start,
+          |substr(text, CAST(s AS INT) + 1, 120) AS chunk_text,
+          |CAST(length(substr(text, CAST(s AS INT) + 1, 120)) AS BIGINT) AS chunk_len
+          |FROM documents, unnest(generate_series(0,
+          |  greatest(least(length(text), length(text) - 120 + 90) - 1, 0), 90)) AS g(s)
+          |ORDER BY doc_id, chunk_id""".stripMargin,
+      "docs_split_leakage" ->
+        // the docs_split_assign bucket fold gates the text_decontaminate
+        // containment CTEs: train grams = bucket < 90, probes = the rest
+        s"""WITH f AS (SELECT doc_id, text, list_reduce(
+           |  list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           |  (h, c) -> (h * 31 + c) % 1000000007) % 100 AS bucket FROM documents),
+           |t AS (SELECT doc_id, bucket, $toks AS w FROM f),
+           |grams AS (SELECT DISTINCT doc_id, bucket, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+           |train AS (SELECT DISTINCT g FROM grams WHERE bucket < 90),
+           |c AS (SELECT doc_id, count(*) AS n_grams,
+           |      count(*) FILTER (g IN (SELECT g FROM train)) AS train_hits
+           |      FROM grams WHERE bucket >= 90 GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |CAST(train_hits AS BIGINT) AS train_hits,
+           |round(train_hits * 1.0 / greatest(n_grams, 1), 4) AS containment
+           |FROM c ORDER BY doc_id""".stripMargin,
       "text_decontaminate" ->
         s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
            |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g

@@ -408,6 +408,32 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Canonicalization — the step after clustering: pick ONE keeper per
+    * duplicate cluster, the highest-scoring member with ties broken to the
+    * smallest id (fully deterministic under any partitioning). A single
+    * hash aggregation with `max_by` over the (score, −id) order key:
+    * partial aggregation runs map-side, so the exchange carries at most
+    * one candidate per (cluster × input partition) — never the raw
+    * membership — which is why this beats a row_number window (full
+    * per-cluster sort) at 100 TB.
+    *
+    * @param clusters (id, rep) labels from [[duplicateClusters]]
+    * @param scored   idCol + scoreCol, one row per id (e.g. quality score)
+    */
+  def keepBest(clusters: DataFrame, scored: DataFrame,
+               idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scored.select(col(idCol).as("id"), col(scoreCol)), "id")
+      .groupBy(col("rep"))
+      .agg(
+        max_by(struct(col("id"), col(scoreCol)),
+          struct(col(scoreCol), negate(col("id")))).as("__k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("rep").as("cluster_rep"),
+        col("__k.id").as("keeper_id"),
+        col(s"__k.$scoreCol").as("keeper_score"),
+        col("cluster_size"))
+
   /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes —
     * native expression (graft.functions.SimHash64), one pass over tokens.
     */

@@ -141,6 +141,57 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Fixed-size overlapping character chunking — the RAG / context-window
+    * primitive: split every document into `size`-char windows starting
+    * every `stride` chars (stride < size ⇒ overlap), keeping the source
+    * offset so downstream spans map back into the original document. Pure
+    * generator expressions (sequence → posexplode → substr): shuffle-free,
+    * whole-stage codegen'd, runs at scan speed. Output volume is
+    * ~size/stride × the input bytes — at 100 TB pick stride close to size
+    * and let the sink repartition by hash(id) if chunk locality matters.
+    * Start positions are 0, stride, 2·stride, … < min(len, len−size+stride):
+    * a chunk is emitted only if it CONTRIBUTES NEW CHARACTERS — a start
+    * whose window is fully inside the previous chunk (e.g. start 90 on a
+    * 120-char doc at size 120) or past the end of the text is skipped.
+    * Every document (even an empty one) yields at least one chunk, and the
+    * last chunk may be shorter than `size`.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive, got $size/$stride")
+    val len = length(col(textCol))
+    df.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0),
+          greatest(least(len, len - size + stride) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col(textCol).substr(col("chunk_start") + 1, lit(size)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Train→held-out contamination metric: distinct-n-gram containment of
+    * every val/test document against the TRAIN split's gram set, with the
+    * splits derived from the same content-hash [[splitAssignment]] the
+    * pipeline ships. This composition catches the leakage class per-corpus
+    * decontamination can't see: NEAR-copies that landed on opposite sides
+    * of the split boundary (exact copies can't leak here by construction —
+    * identical text hashes to the same bucket). Same broadcast shape as
+    * [[decontaminationScore]]; when the train side outgrows a broadcast at
+    * 100 TB, swap in the Bloom variant unchanged.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int): DataFrame = {
+    require(!df.columns.contains("__split"),
+      "splitLeakage uses '__split' as a temp column; input must not contain it")
+    val withSplit = df.withColumn("__split", splitAssignment(col(textCol)))
+    val train = withSplit.filter(col("__split") === "train")
+    val heldOut = withSplit.filter(col("__split") =!= "train")
+    decontaminationScore(heldOut, train, idCol, textCol, shingleN)
+      .withColumnsRenamed(Map("bench_hits" -> "train_hits"))
+  }
+
   /** Benchmark decontamination: per document, the n-gram CONTAINMENT
     * against a benchmark corpus — |shingles(doc) ∩ benchmarkShingles| /
     * |shingles(doc)| — the standard check that training data doesn't leak

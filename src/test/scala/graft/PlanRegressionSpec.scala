@@ -361,6 +361,31 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"document payload used as an exchange key:\n$p")
   }
 
+  test("chunk: generator directly over the pruned scan — no hash exchange, no join") {
+    val p = plan("docs_chunk")
+    assert(p.contains("Generate"), s"posexplode generator missing:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must be shuffle-free (only the orderBy range exchange):\n$p")
+    assert(!p.contains("Join"), s"join appeared in a per-row generator op:\n$p")
+    assert(!p.contains("n_chars"), "scan schema not pruned to (doc_id, text)")
+  }
+
+  test("keep best: one map-side-partial max_by aggregation, never a window sort") {
+    val p = plan("dedup_keep_best")
+    assert(p.contains("partial_max_by"),
+      s"keeper selection must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"keeper selection regressed to a per-cluster window sort:\n$p")
+  }
+
+  test("split leakage: train gram set broadcasts; the doc payload is never a shuffle key") {
+    val p = plan("docs_split_leakage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"train grams must broadcast to the probe side:\n$p")
+    assert(!p.contains("hashpartitioning(text#"),
+      s"document payload used as an exchange key:\n$p")
+  }
+
   test("zorder: pure projection over the scan — no shuffle, no window, 3-col schema") {
     val p = plan("orders_zorder")
     assert(!p.contains("Exchange hashpartitioning"),

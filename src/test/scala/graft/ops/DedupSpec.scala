@@ -175,6 +175,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("keepBest: highest score wins, ties break to the smallest id") {
+    // cluster 1 = {1,2,3}: 3 has the top score → keeper despite max id;
+    // cluster 10 = {10,11}: tied scores → keeper is min id 10;
+    // cluster 20 = {20}: singleton keeps itself
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "rep")
+    val scored = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (10L, 0.4), (11L, 0.4),
+      (20L, 0.1)).toDF("doc_id", "quality_score")
+    val got = Dedup.keepBest(clusters, scored, "doc_id", "quality_score")
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 0.9, 3L)))
+    assert(got(10L) == ((10L, 10L, 0.4, 2L)))
+    assert(got(20L) == ((20L, 20L, 0.1, 1L)))
+  }
+
   test("duplicatedSpans: cross-doc positions flagged, within-doc-only repeats are not") {
     val df = Seq(
       (1L, "a b c d e f g"),     // shares gram "c d e" with doc 2 at pos 2

@@ -355,6 +355,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: coverage, overlap, offsets, and edge lengths") {
+    // len 250 → starts 0,90,180 (chunks 120/120/70); len 120 → ONE full
+    // chunk (a start at 90 would add no new chars — skipped); len 121 →
+    // second 31-char chunk at 90; empty → one empty chunk
+    val docs = Seq(
+      (1L, "x" * 250), (2L, "y" * 120), (3L, "z" * 121), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text", size = 120, stride = 90)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(1L).map(c => (c._2, c._3, c._5)).toSeq ==
+      Seq((0L, 0L, 120L), (1L, 90L, 120L), (2L, 180L, 70L)))
+    assert(got(2L).map(c => (c._3, c._5)).toSeq == Seq((0L, 120L)))
+    assert(got(3L).map(c => (c._3, c._5)).toSeq == Seq((0L, 120L), (90L, 31L)))
+    assert(got(4L).map(c => (c._3, c._4)).toSeq == Seq((0L, "")))
+    // reconstruction: dropping the overlap, concatenated chunks == source
+    val doc1 = got(1L).sortBy(_._2)
+    val rebuilt = doc1.head._4 + doc1.tail.map(_._4.drop(120 - 90)).mkString
+    assert(rebuilt == "x" * 250)
+  }
+
+  test("splitLeakage: planted near-copy across the split boundary is caught") {
+    def bucket(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L) % 100L
+    // deterministic search: a base text landing in train, and a one-word
+    // extension of it landing in val/test — a NEAR-copy the content-hash
+    // split cannot co-locate, i.e. exactly the leak this metric exists for
+    val vocab = (0 until 400).map(i => s"w$i")
+    val train = vocab.map(w => s"alpha beta gamma delta epsilon zeta $w")
+      .find(t => bucket(t) < 90L).get
+    val leaked = vocab.map(w => s"alpha beta gamma delta epsilon zeta $w extra")
+      .find(t => bucket(t) >= 90L).get
+    val clean = vocab.map(w => s"nine ten eleven twelve thirteen $w")
+      .find(t => bucket(t) >= 90L).get
+    val docs = Seq((1L, train), (2L, leaked), (3L, clean)).toDF("doc_id", "text")
+    val got = TextAnalysis.splitLeakage(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(2L, 3L), "only held-out docs are scored")
+    // leaked doc: 6 of its distinct 3-grams (8 tokens → 6 grams) appear in
+    // the train doc's gram set → containment 4/6 at minimum; exact value:
+    // grams not containing the two novel tail tokens = 4 → 4/6 = 0.6667
+    assert(got(2L)._3 >= 4L && got(2L)._4 >= 0.6666)
+    assert(got(3L)._3 == 0L && got(3L)._4 == 0.0)
+  }
+
   test("lmScore: hand-computed bigram model on a 2-doc corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
