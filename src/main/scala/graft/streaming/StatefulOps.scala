@@ -132,4 +132,20 @@ object StatefulOps {
         h_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts
       """))
   }
+
+  /** Stream-STATIC dimension enrichment — the third join shape Structured
+    * Streaming supports (beside stream-stream and self-joins): a streaming
+    * fact joined to a bounded dimension table. The static side is
+    * broadcast, so the stream never shuffles and NO join state accrues in
+    * the state store (unlike stream-stream joins there is nothing to
+    * buffer — each micro-batch joins against the same relation). Left
+    * join, so facts with no dimension row survive with nulls — an
+    * enrichment must never drop stream rows. At 100 TB/day this is how
+    * per-event lookups (user tier, geo, model route) attach at scan speed;
+    * the static side is re-read per micro-batch, so a slowly-changing
+    * dimension can be swapped on disk without restarting the query.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -89,4 +89,30 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(got == Set((100L, 200L), (100L, 203L)))
     q.stop()
   }
+
+  test("stream-static enrichment: dim attaches per batch, unmatched facts survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val facts = MemoryStream[(Long, Double)]
+    val q = enrichWithDim(facts.toDF().toDF("user_id", "amount"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      facts.addData((1L, 10.0), (3L, 7.0)) // user 3 has no dim row
+      q.processAllAvailable()
+      facts.addData((2L, 5.0)) // later batch joins the same static relation
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(got == Set((1L, 10.0, Some("gold")), (3L, 7.0, None),
+        (2L, 5.0, Some("basic"))), s"got: $got")
+    } finally q.stop()
+    // no state store involvement: the static side re-joins per batch, so
+    // there is nothing to buffer — and the batch plan shape is broadcast
+    // (the stream side never shuffles for the join)
+    val batchPlan = enrichWithDim(
+      Seq((1L, 1.0)).toDF("user_id", "amount"), dim, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
+  }
 }

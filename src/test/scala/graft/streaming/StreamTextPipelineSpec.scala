@@ -150,4 +150,24 @@ class StreamTextPipelineSpec extends AnyFunSuite {
         s"pipeline emitted: $rows")
     } finally q.stop()
   }
+
+  test("chunking streams: stateless generators emit batch-identical chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a" * 250), (2L, "b" * 40))
+    val in = MemoryStream[(Long, String)]
+    val chunked = graft.ops.TextAnalysis.chunkDocs(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", size = 120, stride = 90)
+    val q = chunked.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+      val batch = graft.ops.TextAnalysis.chunkDocs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", size = 120, stride = 90)
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+      assert(streamed == batch && batch.size == 4, s"stream/batch diverged")
+    } finally q.stop()
+  }
 }
