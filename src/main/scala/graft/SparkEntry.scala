@@ -88,6 +88,12 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_semantic" -> ((s, dir) => // k-means-seeded: rows-only oracle
+      // SemDeDup: within-k-means-cluster cosine dedup with the keep-min
+      // rule; recall vs the brute all-pairs set is spec-pinned
+      Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.45,
+          nlist = 8, trainIters = 2)
+        .orderBy(col("vec_id"))),
     "dedup_embedding_cosine" -> ((s, dir) =>
       // LSH-bucketed scale path; equality with the brute-force all-pairs
       // oracle (cosineNearDupPairs) is proven in SimilaritySpec at every

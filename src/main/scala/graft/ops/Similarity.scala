@@ -251,6 +251,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine_r"))
   }
 
+  /** SemDeDup-style semantic dedup [Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv 2023]:
+    * k-means-cluster the embedding space, then look for near-duplicates
+    * ONLY within a cluster — the O(n²) all-pairs cosine shrinks to
+    * Σ|cluster|² ≈ n²/nlist for balanced clusters. This is the scale path
+    * when the dup criterion is SEMANTIC (threshold well below the regime
+    * where sign-bit banding prunes, cf. `cosineNearDupLsh`'s 0.45-floor
+    * caveat): the quantizer concentrates comparisons where dups live.
+    * Approximate BY DESIGN — cross-cluster pairs go unseen, the same miss
+    * the paper accepts; recall on the test corpus is spec-pinned.
+    *
+    * Returns every corpus row as (id, bucket, keep): keep=false iff a
+    * same-cluster neighbor with cosine ≥ threshold and a SMALLER id
+    * exists — the deterministic keep-min rule (each pair's minimum
+    * survives; a connected group's least id is always kept).
+    *
+    * Scale notes: centroids are O(nlist·dim) driver state; assignment is
+    * one narrow kernel pass; the pair join shuffles (bucket, id, vec) once
+    * on the bucket key. `probes` > 1 is the boundary-miss remedy IVF uses:
+    * each vector also participates in its 2nd..k-th nearest clusters, so a
+    * pair split by a Voronoi edge still meets in one of them — comparisons
+    * grow ×probes², recall grows with it. Recall is THRESHOLD-dependent:
+    * at a production semantic-dup threshold (≥0.9 — near-identical
+    * vectors) duplicates share a primary cell and recovery is exact
+    * (spec-pinned on planted int8-twin pairs); at an adversarially low
+    * 0.45 (~63° apart, barely associated) pairs genuinely scatter across
+    * cells and probes 2 lifts recovery 2/7 → 4/7 on the test corpus
+    * (spec-pinned floor) — more probes buy more, at ×probes² cost. The
+    * reported bucket is always the PRIMARY (nearest) cluster. Guard rail as in the paper:
+    * pick nlist so the expected cluster fits comfortably in a task
+    * (n/nlist ≈ 10⁴–10⁵), and dot ≥ t·|a|·|b| replaces division in the
+    * hot filter.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double, nlist: Int,
+                    trainIters: Int = 2, probes: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0, s"keep-min semantics need a positive threshold, got $threshold")
+    require(probes >= 1 && probes <= nlist, s"probes must be in [1, nlist], got $probes")
+    val (ids, mat) = kmeansCentroids(df, nlist, trainIters, sampleMult = 32, idCol, vecCol)
+    val assigned = assignTo(df, ids, mat, idCol, vecCol)
+    // pair-search relation: one row per (vector, probed cluster)
+    val probed = df.select(col(idCol), col(vecCol),
+      explode(graft.functions.VectorFunctions.nearestCentroids(
+        col(vecCol), ids, mat, probes)).as("bucket"))
+    val a = probed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val b = probed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    val dropped = a.join(b, "bucket")
+      .filter(col("id_b") > col("id_a") &&
+        dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("bucket"))
+      .join(dropped.withColumn("__dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("bucket"), col("__dup").isNull.as("keep"))
+  }
+
   /** Group-wise embedding mean pooling (per-cluster / per-shard centroids):
     * one output row per (group, dimension) with the component mean — the
     * building block for corpus-level centroid computation, cluster

@@ -24,7 +24,8 @@ class SparkEntrySpec extends AnyFunSuite {
     // exact at the test SFs, so it shares the exact-Jaccard SQL)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("dedup_simhash", "sim_topk_ivf", "q_approx_distinct",
-      "q_percentiles_approx", "text_decontaminate_bloom", "dedup_minhash_estimate"))
+      "q_percentiles_approx", "text_decontaminate_bloom", "dedup_minhash_estimate",
+      "dedup_semantic"))
   }
 
   test("oracle-only queries are declared, oracle-bearing, and few") {
