@@ -53,6 +53,31 @@ object ScaleProbe {
         .select(col("doc_id"), graft.ops.TextAnalysis.splitAssignment(col("norm")))
         .count()
     })
+    // chunking at scale: pure generators — the claim is scan-speed with
+    // output ~size/stride × input
+    time("docs_chunk_400x300")(
+      graft.ops.TextAnalysis.chunkDocs(docs, "doc_id", "text", 400, 300).count())
+    // split leakage at scale uses the BLOOM path (the exact broadcast of a
+    // 90%-of-corpus gram set cannot broadcast at 1M docs — exactly the
+    // swap the splitLeakage scaladoc prescribes): train-split grams into a
+    // distributed-built sketch, held-out docs probe it in a HOF filter
+    time("split_leakage_bloom")( {
+      val withSplit = docs.withColumn("__split",
+        graft.ops.TextAnalysis.splitAssignment(col("text")))
+      val bloom = graft.ops.TextAnalysis.benchmarkBloom(
+        withSplit.filter(col("__split") === "train"), "text", 3, fpp = 1e-4)
+      graft.ops.TextAnalysis.decontaminationScoreBloom(
+        withSplit.filter(col("__split") =!= "train"), bloom, "doc_id", "text", 3).count()
+    })
+    // keeper selection on top of the full pair→cluster pipeline: the
+    // incremental cost over duplicateClusters alone is ONE max_by exchange
+    time("keep_best_canonical")( {
+      val pairs = graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      val clusters = graft.ops.Dedup.duplicateClusters(pairs, docs, "doc_id")
+      val scored = docs.select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(1000L)).cast("double") / 1000.0).as("score"))
+      graft.ops.Dedup.keepBest(clusters, scored, "doc_id", "score").count()
+    })
     // round-6 text ops at 1M docs: the df-capped similarity join's
     // candidate volume is Σ_term C(df,2) — with the planted twins every
     // non-dup gram is unique (df≈1) and twin grams have df 2, so the join
@@ -149,6 +174,34 @@ object ScaleProbe {
     })
     println(f"SCALE embedding_lsh_recall: ${planted.toDouble / (n / 2)}%.3f")
     emb2.unpersist()
+
+    // SemDeDup at the production threshold on planted twins. Pair volume
+    // is Σ|cell|²·probes² ≈ n²/nlist·probes² — the probe size and nlist
+    // are chosen to keep the expected cell ≈100 rows (the same guard rail
+    // the operator's scaladoc prescribes: nlist scales WITH n, so the
+    // per-cell work is constant and total work linear in n·cellSize).
+    // Recall vs the planted ground truth (odd twin dropped, even kept).
+    val nSem = n.min(200000L)
+    val embS = spark.range(nSem).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val base = (pmod(xxhash64(col("id") - pmod(col("id"), lit(2)), i), lit(2001L))
+          .cast("double") - 1000.0) / 1000.0
+        val noise = (pmod(xxhash64(col("id"), i, lit(7)), lit(2001L))
+          .cast("double") - 1000.0) / 1000.0
+        base + when(pmod(col("id"), lit(2)) === 1, noise * 0.3).otherwise(lit(0.0))
+      }).as("embedding")).cache()
+    embS.count()
+    var semDropsOdd = 0L
+    time(s"semantic_dedup_t0.9_n$nSem")( {
+      val drops = graft.ops.Similarity.semanticDedup(embS, 0.9,
+          nlist = (nSem / 100).toInt, trainIters = 2, probes = 2)
+        .filter(!col("keep")).select(col("vec_id")).collect().map(_.getLong(0))
+      semDropsOdd = drops.count(_ % 2 == 1)
+      drops.length.toLong
+    })
+    println(f"SCALE semantic_dedup_recall: ${semDropsOdd.toDouble / (nSem / 2)}%.3f")
+    embS.unpersist()
 
     // Event-time ops at scale: ne synthetic events over 30 days, 10k users
     val ne = (n * 20).min(50000000L)

@@ -1143,6 +1143,34 @@ object SparkEntry {
       Analytics.snapshotDiff(oldS, newS, "doc_id", "fp")
         .orderBy(col("doc_id"))
     }),
+    "docs_incremental_curation" -> ((s, dir) => {
+      // the incremental-rebuild pattern end-to-end: diff two corpus
+      // versions on (id, fingerprint), then run curation (quality score +
+      // keep cut) ONLY on the added/changed delta — the unchanged bulk of
+      // a 100 TB corpus is never rescanned past the fingerprint project;
+      // removed docs surface as retractions (null score, keep_flag 0)
+      val docs = t(s, dir, "documents")
+      val oldS = docs.filter(pmod(col("doc_id"), lit(19L)) =!= 3)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(23L)) =!= 5)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(17L)) === 2,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      val newS = newDocs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val delta = Analytics.snapshotDiff(oldS, newS, "doc_id", "fp")
+      val toCurate = newDocs.join(
+        delta.filter(col("status") =!= "removed").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val curated = TextAnalysis.qualityScore(toCurate, "text")
+        .select(col("doc_id"), col("quality_score"))
+      delta.join(curated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"), col("quality_score"),
+          (col("status") =!= "removed" && col("quality_score") >= 0.5)
+            .cast("int").as("keep_flag"))
+        .orderBy(col("doc_id"))
+    }),
     "orders_zorder" -> ((s, dir) => {
       // Z-order (Morton) file-clustering key over (custkey, order day) —
       // the multi-dim layout key that lets footer min/max stats prune on
@@ -2224,6 +2252,41 @@ object SparkEntry {
            |  WHEN fpn IS NULL THEN 'removed' ELSE 'changed' END AS status
            |FROM j WHERE fpo IS NULL OR fpn IS NULL OR fpo <> fpn
            |ORDER BY doc_id""".stripMargin
+      },
+      "docs_incremental_curation" -> {
+        // the docs_snapshot_diff CTEs + the text_quality fold, applied
+        // only to the added/changed delta (removed rows keep null score)
+        def fold(x: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(1, length($x) + 1), i -> CAST(ascii(substr($x, i, 1)) AS BIGINT))),
+             |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+        s"""WITH oldv AS (SELECT doc_id, ${fold("text")} AS fp
+           |  FROM documents WHERE doc_id % 19 <> 3),
+           |newdocs AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 2 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 23 <> 5),
+           |newv AS (SELECT doc_id, ${fold("text")} AS fp FROM newdocs),
+           |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS fpo, n.fp AS fpn
+           |      FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id),
+           |delta AS (SELECT doc_id, CASE WHEN fpo IS NULL THEN 'added'
+           |  WHEN fpn IS NULL THEN 'removed' ELSE 'changed' END AS status
+           |  FROM j WHERE fpo IS NULL OR fpn IS NULL OR fpo <> fpn),
+           |f AS (SELECT d.doc_id, $toks AS w
+           |      FROM newdocs JOIN delta d ON newdocs.doc_id = d.doc_id
+           |      WHERE d.status <> 'removed'),
+           |q AS (SELECT doc_id, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |  FROM f),
+           |sc AS (SELECT doc_id,
+           |  round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |    + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |    + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score FROM q)
+           |SELECT d.doc_id, d.status, sc.quality_score,
+           |CAST(CASE WHEN d.status <> 'removed' AND sc.quality_score >= 0.5
+           |     THEN 1 ELSE 0 END AS INT) AS keep_flag
+           |FROM delta d LEFT JOIN sc ON d.doc_id = sc.doc_id
+           |ORDER BY d.doc_id""".stripMargin
       },
       "events_transitions" ->
         """WITH s AS (SELECT user_id, event_type,

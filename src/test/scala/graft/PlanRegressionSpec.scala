@@ -386,6 +386,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"document payload used as an exchange key:\n$p")
   }
 
+  test("incremental curation: quality stage gated by a semi join on the delta") {
+    val p = plan("docs_incremental_curation")
+    assert(p.contains("LeftSemi"),
+      s"curation must run on the diff delta only, via semi join:\n$p")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"snapshot diff must be a full-outer join on (id, fingerprint):\n$p")
+  }
+
   test("zorder: pure projection over the scan — no shuffle, no window, 3-col schema") {
     val p = plan("orders_zorder")
     assert(!p.contains("Exchange hashpartitioning"),
