@@ -78,6 +78,12 @@ object ScaleProbe {
         (pmod(xxhash64(col("doc_id")), lit(1000L)).cast("double") / 1000.0).as("score"))
       graft.ops.Dedup.keepBest(clusters, scored, "doc_id", "score").count()
     })
+    // BPE trainer at 1M docs: the corpus-scale phase is ONE word-count
+    // aggregation; the 5 merge rounds then run over the ~505k-word
+    // weighted vocab (the planted per-doc "extraword<id>" tokens make the
+    // vocab corpus-sized here — the adversarial case for the vocab loop)
+    time("bpe_merges_5")(
+      graft.ops.TextAnalysis.bpeMerges(docs, "text", 5).count())
     // round-6 text ops at 1M docs: the df-capped similarity join's
     // candidate volume is Σ_term C(df,2) — with the planted twins every
     // non-dup gram is unique (df≈1) and twin grams have df 2, so the join

@@ -327,6 +327,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           pmod(TextAnalysis.fingerprint(col("text")), lit(1000L)).as("bucket"))
         .orderBy(col("doc_id"))),
+    "vocab_bpe_merges" -> ((s, dir) => // iterative trainer: rows-only oracle
+      // BPE tokenizer induction: one corpus-scale word count, then 20
+      // merge rounds over the small weighted vocab; deterministic
+      // (lexicographic tie-break) — the trace is spec-pinned by hand
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 20)
+        .orderBy(col("rank"))),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rnk"))),

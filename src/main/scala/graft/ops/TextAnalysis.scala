@@ -759,4 +759,71 @@ object TextAnalysis {
     graft.ops.Analytics.globalRankAll(ranked, "vt", idCol)
       .withColumnRenamed("global_rank", "mix_pos")
   }
+
+  /** BPE merge-table induction — tokenizer TRAINING as a pipeline op
+    * [Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL 2016 — the standard byte-pair-encoding trainer].
+    * Spark-first cost split: the only corpus-scale work is ONE word-count
+    * aggregation (the same shuffle shape as `topNGrams`); the merge loop
+    * then runs over the WEIGHTED DISTINCT VOCAB — thousands of rows
+    * regardless of corpus size, which is exactly how production BPE
+    * trainers are structured. Each round counts adjacent symbol pairs
+    * (weighted by word frequency), picks the most frequent (ties:
+    * lexicographic (left, right) — fully deterministic), and rewrites the
+    * vocab with a greedy left-to-right single-pass merge (an `aggregate`
+    * HOF fold, no UDF). The driver holds one (l, r, freq) row per round
+    * plus the ≤`nMerges`-row merge table — never the vocab.
+    *
+    * Returns (rank, left, right, pair_freq): the ordered merge table a
+    * tokenizer applies at encode time. Stops early when no pair reaches
+    * `minPairFreq`.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+                minPairFreq: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // corpus-scale phase: weighted distinct vocab, words split to chars
+    var vocab = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint() // truncate: each round folds over the LAST vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = vocab
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      best.headOption.filter(_.getLong(2) >= minPairFreq) match {
+        case None => done = true
+        case Some(row) =>
+          val (l, r, freq) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((rank, l, r, freq))
+          // greedy left-to-right single-pass rewrite: a fresh merge result
+          // does NOT immediately re-pair with the next symbol (standard
+          // BPE semantics for one round); overlapping runs like "aaa"
+          // therefore merge to [aa, a]
+          vocab = vocab.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, s) =>
+                // try_element_at: null (not an ANSI error) on the empty acc
+                when(try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(l + r))))
+                  .otherwise(concat(acc, array(s)))).as("syms"),
+            col("cnt"))
+            .localCheckpoint()
+          rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
 }

@@ -400,6 +400,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L)._3 == 0L && got(3L)._4 == 0.0)
   }
 
+  test("bpeMerges: hand-computed merge trace on the classic low/lower corpus") {
+    // vocab with counts: low×5, lower×2, newest×6, widest×3
+    // round 0: (e,s) 6+3=9 ties (s,t) 9 → lexicographic → (e,s)
+    // round 1: (es,t) 9      round 2: (l,o) 5+2=7
+    // round 3: (lo,w) 7      round 4: (e,w) 6 ties (n,e), (w,est) → (e,w)
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest")
+    ).flatten.mkString(" ")
+    val got = TextAnalysis.bpeMerges(Seq(docs).toDF("text"), "text", 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "e", "s", 9L),
+      (1, "es", "t", 9L),
+      (2, "l", "o", 7L),
+      (3, "lo", "w", 7L),
+      (4, "e", "w", 6L)))
+  }
+
+  test("bpeMerges: overlapping runs merge left-to-right; early stop below minPairFreq") {
+    // "aaa" ×3: round 0 counts (a,a) twice per word = 6 → merge to [aa, a]
+    // round 1: (aa,a) 3 → [aaa]; then no pairs remain → early stop at 2
+    val got = TextAnalysis.bpeMerges(Seq("aaa aaa aaa").toDF("text"), "text", 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((0, "a", "a", 6L), (1, "aa", "a", 3L)))
+    // determinism under ties: (a,b) and (c,d) both freq 2 → lexicographic
+    val tied = TextAnalysis.bpeMerges(Seq("ab ab cd cd").toDF("text"), "text", 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(tied == Seq((0, "a", "b", 2L)))
+  }
+
   test("lmScore: hand-computed bigram model on a 2-doc corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
