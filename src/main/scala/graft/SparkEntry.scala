@@ -1149,6 +1149,13 @@ object SparkEntry {
       Analytics.snapshotDiff(oldS, newS, "doc_id", "fp")
         .orderBy(col("doc_id"))
     }),
+    "orders_profile" -> ((s, dir) =>
+      // single-pass data-validation profile: per-column null/distinct/
+      // numeric-range stats from ONE scan (Expand, plan-pinned)
+      Analytics.profileTable(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name"))),
     "docs_incremental_curation" -> ((s, dir) => {
       // the incremental-rebuild pattern end-to-end: diff two corpus
       // versions on (id, fingerprint), then run curation (quality score +
@@ -2258,6 +2265,21 @@ object SparkEntry {
            |  WHEN fpn IS NULL THEN 'removed' ELSE 'changed' END AS status
            |FROM j WHERE fpo IS NULL OR fpn IS NULL OR fpo <> fpn
            |ORDER BY doc_id""".stripMargin
+      },
+      "orders_profile" -> {
+        // one UNION ALL block per column; numeric min/max as DOUBLE,
+        // NULL for non-numerics (string/timestamp renderings are
+        // engine-dependent; counts and cardinalities are not)
+        val profCols = Seq(("o_orderkey", true), ("o_custkey", true),
+          ("o_orderstatus", false), ("o_totalprice", true),
+          ("o_orderdate", false), ("o_orderpriority", false))
+        profCols.map { case (c, num) =>
+          val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS non_null,
+             |count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+             |$mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
       },
       "docs_incremental_curation" -> {
         // the docs_snapshot_diff CTEs + the text_quality fold, applied

@@ -305,6 +305,45 @@ object Analytics {
     * 16 bytes per row no matter how wide the documents are. Rows equal on
     * both sides are dropped (`unchanged` never leaves the join stage).
     */
+  /** Single-pass table profiler — the data-validation primitive a
+    * pipeline runs before/after every stage (the Deequ/expectations
+    * shape): per column, non-null count, null count, EXACT distinct
+    * cardinality, and numeric min/max, all from ONE scan. The multiple
+    * COUNT(DISTINCT) aggregates plan as a single Expand(×|cols|+1) over
+    * the scan — the same one-pass trick as the GROUPING SETS rollup —
+    * never |cols| separate scans, which is the difference between one
+    * pass and a dozen over 100 TB. min/max are emitted as doubles for
+    * numeric columns and null otherwise (string min/max renderings are
+    * engine-dependent; counts and cardinalities are not). At sketch
+    * scale, swap countDistinct for approx_count_distinct (HLL, mergeable)
+    * unchanged — the exact form is what the DuckDB oracle can check.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val numeric: Set[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__min_$c"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__max_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__nn_$c").as("non_null"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"),
+        col(s"__max_$c").as("max_num"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    fpCol: String): DataFrame =
     oldDf.select(col(idCol), col(fpCol).as("fp_old"))

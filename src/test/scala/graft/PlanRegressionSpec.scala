@@ -386,6 +386,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"document payload used as an exchange key:\n$p")
   }
 
+  test("profile: all per-column aggregates fed by ONE scan via Expand") {
+    val p = plan("orders_profile")
+    assert(p.contains("Expand"),
+      s"multi-distinct profile must plan as Expand, not separate scans:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profiler re-scanned the table:\n$p")
+  }
+
   test("incremental curation: quality stage gated by a semi join on the delta") {
     val p = plan("docs_incremental_curation")
     assert(p.contains("LeftSemi"),

@@ -126,4 +126,19 @@ class AnalyticsSpec extends AnyFunSuite {
         "z prefix does not address the enclosing box")
     }
   }
+
+  test("profileTable: nulls, exact distincts, numeric ranges from one pass") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(1L), None, Some(-1.0)),
+      (Some(3L), Some("b"), None)
+    ).toDF("k", "s", "v")
+    val got = Analytics.profileTable(df, Seq("k", "s", "v"))
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 3L, 3L, 0L, 2L, Some(1.0), Some(3.0))))
+    assert(got("s") == (("s", 3L, 2L, 1L, 2L, None, None)),
+      "string column must report null min/max")
+    assert(got("v") == (("v", 3L, 2L, 1L, 2L, Some(-1.0), Some(2.5))))
+  }
 }
