@@ -127,3 +127,39 @@ print("top_ngrams rank-20/21 doc_freq tie:", con.sql(r"""
         FROM grams GROUP BY g)
   SELECT (SELECT f FROM c WHERE rnk=20) = (SELECT f FROM c WHERE rnk=21)""").fetchone()[0],
   "(gram-tiebroken, engine-safe)")
+
+# ---- round-6-final queries ----
+# split_leakage: containment dp4 rounding boundary over the held-out docs
+print("split_leakage containment dp4 boundary dist:", dist_to_round_boundary(con.sql(r"""
+  WITH f AS (SELECT doc_id, text, list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+    (h, c) -> (h * 31 + c) % 1000000007) % 100 AS bucket FROM documents),
+  t AS (SELECT doc_id, bucket, string_split_regex(trim(text), '\s+') AS w FROM f),
+  grams AS (SELECT DISTINCT doc_id, bucket, array_to_string(w[i:i+2], ' ') AS g
+            FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+  train AS (SELECT DISTINCT g FROM grams WHERE bucket < 90),
+  c AS (SELECT doc_id, count(*) n, count(*) FILTER (g IN (SELECT g FROM train)) h
+        FROM grams WHERE bucket >= 90 GROUP BY doc_id)
+  SELECT h*1.0/greatest(n,1) FROM c""").fetchall(), 4))
+# keep_best: quality-score ties inside a cluster are SAFE by design (both
+# engines break on min id); measure how far scores sit from the discrete
+# {0, .3, .4, .6, .7, 1.0} lattice — any value OFF the lattice would mean
+# the score arithmetic itself diverged
+q6 = con.sql(r"""
+  WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+  q AS (SELECT len(w) AS n,
+    round(list_sum(list_transform(w, x -> length(x)))*1.0/greatest(len(w),1), 4) AS atl,
+    round(len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','it','that','for','on'], lower(x))))*1.0/greatest(len(w),1), 4) AS sw
+    FROM t)
+  SELECT DISTINCT round((CASE WHEN n BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN atl BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN sw > 0.0 THEN 0.3 ELSE 0.0 END), 2) FROM q""").fetchall()
+lattice = {0.0, 0.3, 0.4, 0.6, 0.7, 1.0}
+scores = sorted(float(v) for (v,) in q6)  # DuckDB round() yields Decimal
+print("keep_best quality scores on the discrete lattice:",
+      set(scores) <= lattice, scores)
+# incremental curation: min |quality - 0.5| over the keep cut — the lattice
+# has no 0.5 member, so this must be >= 0.1
+print("incremental_curation min |quality-0.5|:",
+      min(abs(v - 0.5) for v in scores))
