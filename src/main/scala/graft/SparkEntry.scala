@@ -506,6 +506,23 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) =>
       Analytics.smallQuantityRevenue(s, dir, Seq("Brand#2", "Brand#4"))),
     "q_set_except" -> ((s, dir) => Analytics.customerOnlyNations(s, dir)),
+    "q_set_except_all" -> ((s, dir) => {
+      // MULTISET difference (EXCEPT ALL): each supplier occurrence
+      // cancels ONE customer occurrence per nation — max(m−n, 0) copies
+      // survive, the cardinality-aware semantics DISTINCT set ops lose;
+      // counted per key so the multiplicities are what the oracle hashes
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(su).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    }),
+    "q_set_intersect_all" -> ((s, dir) => {
+      // MULTISET intersection (INTERSECT ALL): min(m, n) copies per key
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(su).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    }),
     "q_union_all" -> ((s, dir) => {
       // explicit UNION ALL surface: one tagged account roster from two
       // tables, counted per (nation, role) — the router's dual (merge n
@@ -1736,6 +1753,18 @@ object SparkEntry {
           |(SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
           | EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000)
           |ORDER BY nationkey""".stripMargin,
+      "q_set_except_all" ->
+        """SELECT nationkey, count(*) AS n FROM (
+          |  SELECT c_nationkey AS nationkey FROM customer
+          |  EXCEPT ALL
+          |  SELECT s_nationkey FROM supplier)
+          |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+      "q_set_intersect_all" ->
+        """SELECT nationkey, count(*) AS n FROM (
+          |  SELECT c_nationkey AS nationkey FROM customer
+          |  INTERSECT ALL
+          |  SELECT s_nationkey FROM supplier)
+          |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
       "q_union_all" ->
         """SELECT nationkey, role, count(*) AS n FROM (
           |  SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
