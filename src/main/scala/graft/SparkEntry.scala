@@ -2372,6 +2372,9 @@ object SparkEntry {
            |FROM b ORDER BY o_orderkey""".stripMargin
       },
       "docs_mix_interleave" ->
+        // tie order (vt, lang) — matches the analytic per-source position
+        // formula's source-ascending tie-break (mixInterleave scaladoc);
+        // within a source vts are distinct, so this is a total order
         """WITH r AS (
           |  SELECT doc_id, lang,
           |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
@@ -2380,7 +2383,7 @@ object SparkEntry {
           |        rk * (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 ELSE 6 END) AS vt
           |      FROM r)
           |SELECT doc_id, lang, CAST(vt AS BIGINT) AS vt,
-          |       row_number() OVER (ORDER BY vt, doc_id) AS mix_pos
+          |       row_number() OVER (ORDER BY vt, lang) AS mix_pos
           |FROM v ORDER BY doc_id""".stripMargin,
       "events_ohlc" ->
         """WITH e AS (

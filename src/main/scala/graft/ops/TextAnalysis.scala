@@ -437,20 +437,44 @@ object TextAnalysis {
     * and changing the salt is a fresh epoch-level reshuffle with zero
     * coordination.
     *
-    * Scale shape: one exchange on the shard key + a per-shard sort (the
-    * write path's natural layout — each shard is one output stream). The
-    * window is PARTITIONED by shard; parallelism = nShards, so size
-    * nShards to the cluster (thousands at 100 TB), never single digits.
+    * Scale shape: the intra-shard position is TWO-PHASE so parallelism
+    * never degrades to nShards — a plain per-shard row_number window
+    * funnels n/nShards rows through one task when shards are few. The
+    * salted fingerprint lands in [0, 1e9+7), so each shard is cut into
+    * `posBuckets` fp-range sub-buckets: positions within a (shard,
+    * bucket) come from a window keyed on BOTH (parallelism = nShards ×
+    * posBuckets), and each bucket's starting offset is a running count
+    * over the nShards×posBuckets-row bucket-census — histogram rows, not
+    * corpus rows. Buckets are fp-range-aligned, so offset + intra equals
+    * the one-window (fp, id) rank exactly. Sub-bucketing composes with
+    * any shard count; production still sizes nShards to the output
+    * stream layout (thousands at 100 TB).
     */
   def shuffleShards(df: DataFrame, idCol: String, textCol: String,
-                    nShards: Int, salt: String = "shuffle-v1"): DataFrame = {
+                    nShards: Int, salt: String = "shuffle-v1",
+                    posBuckets: Int = 64): DataFrame = {
     require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
-    val w = Window.partitionBy(col("shard")).orderBy(col("fp"), col(idCol))
-    df.select(col(idCol),
+    require(posBuckets >= 1, s"shuffleShards: posBuckets must be >= 1, got $posBuckets")
+    // fingerprint's modulus (see VectorFunctions.fingerprint): fp range
+    // is [0, 1e9+7), so ceil-width buckets cover it with no overflow
+    val fpMod = 1000000007L
+    val width = (fpMod + posBuckets - 1) / posBuckets
+    val base = df.select(col(idCol),
         fingerprint(concat(col(textCol), lit(":" + salt))).as("fp"))
       .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w))
-      .select(col(idCol), col("shard"), col("pos"))
+      .withColumn("__b", expr(s"fp div $width"))
+    val intra = row_number().over(
+      Window.partitionBy(col("shard"), col("__b")).orderBy(col("fp"), col(idCol)))
+    val offsets = base.groupBy(col("shard"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.partitionBy(col("shard")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__b"), col("__off"))
+    base.withColumn("__i", intra)
+      .join(broadcast(offsets), Seq("shard", "__b"))
+      .select(col(idCol), col("shard"),
+        (col("__off") + col("__i")).cast("int").as("pos"))
   }
 
   /** Corpus-level heavy hitters: the k most document-frequent word n-grams.
@@ -586,17 +610,51 @@ object TextAnalysis {
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cosine_r"))
   }
 
+  /** Per-(language, score) count histogram with per-language cumulative
+    * counts and totals — the bounded summary both distribution-relative
+    * quality ops derive their statistics from. quality_score is rounded to
+    * 2 dp BY CONSTRUCTION (qualityScore), so the histogram has at most
+    * 101·|langs| rows no matter the corpus size: the aggregation state is
+    * O(1) per group and the per-language running-count window runs over
+    * histogram rows, never corpus rows. This is what replaces both exact
+    * `percentile` (which buffers every group value in one task) and
+    * whole-language rank windows (which sort a language through one task)
+    * at 100 TB — same exact integers, bounded state.
+    */
+  private def scoreHistogram(qs: DataFrame, langCol: String): DataFrame = {
+    val byLang = Window.partitionBy(col(langCol))
+    qs.groupBy(col(langCol), col("quality_score"))
+      .agg(count(lit(1)).as("cnt"))
+      // scores are distinct within a language here, so the default RANGE
+      // frame has no peers — cum is the inclusive running count
+      .withColumn("cum", sum(col("cnt")).over(byLang.orderBy(col("quality_score"))))
+      .withColumn("n", sum(col("cnt")).over(byLang))
+  }
+
   /** Median-gated quality filter: keep documents whose composite quality
     * score is at or above their language's median. The per-language
-    * medians are a 5-row aggregate broadcast back over the scan — the
-    * "distribution-relative quality cut" a curation pipeline applies when
-    * absolute thresholds don't transfer across languages. quality_score is
-    * already rounded to 2 dp, so the >= comparison is noise-free.
+    * medians come from the bounded `scoreHistogram` — NOT from exact
+    * `percentile(0.5)`, whose aggregation state buffers every value of a
+    * group in one task (the dominant language's group is O(corpus) at
+    * 100 TB). From the histogram the exact interpolated median is the
+    * value at 1-indexed position ⌈n/2⌉ averaged with the one at
+    * ⌊n/2⌋+1 (equal when n is odd): value-at-position is a conditional
+    * min over cumulative counts, so the whole computation is a ≤101-row-
+    * per-language aggregate broadcast back over the scan — identical
+    * doubles to percentile()'s lo+(hi−lo)/2 after the 2 dp rounding, and
+    * the >= gate can never flip (a 2-dp score is ≥0.004 away from any
+    * two-value midpoint). Spec-pinned equal to the percentile form.
     */
   def qualityGate(df: DataFrame, textCol: String, langCol: String = "lang"): DataFrame = {
     val qs = qualityScore(df, textCol)
-    val med = qs.groupBy(col(langCol))
-      .agg(expr("percentile(quality_score, 0.5)").as("med"))
+    val med = scoreHistogram(qs, langCol)
+      .groupBy(col(langCol))
+      .agg(
+        // floor(): Column `/` on longs is DOUBLE division — without it the
+        // even-n lower position (n+1)/2 = x.5 would shift up to the higher
+        min(when(col("cum") >= floor((col("n") + 1) / 2), col("quality_score"))).as("v_lo"),
+        min(when(col("cum") >= floor(col("n") / 2) + 1, col("quality_score"))).as("v_hi"))
+      .select(col(langCol), ((col("v_lo") + col("v_hi")) / 2).as("med"))
     qs.join(broadcast(med), langCol)
       .filter(col("quality_score") >= col("med"))
       .select(col("doc_id"), col(langCol), col("quality_score"),
@@ -633,18 +691,23 @@ object TextAnalysis {
     * threshold transfer across languages (an absolute score cut keeps
     * 80% of one language and 5% of another; the calibrated ppm rank cuts
     * the same fraction everywhere). Exact integers: ppm =
-    * (rank−1)·1e6 div (n−1), rank/count windows share ONE language
-    * partition (key-local, single shuffle), no doubles in the output.
+    * (rank−1)·1e6 div (n−1), with rank() DERIVED from the bounded
+    * `scoreHistogram` instead of a whole-language window — rank = 1 +
+    * count of strictly-smaller rows = (cum − cnt) + 1, so (rank−1) is the
+    * histogram's exclusive running count. A Window.partitionBy(lang)
+    * rank sorts an entire language through one task at 100 TB; the
+    * histogram join is a broadcast of ≤101·|langs| rows over the scan,
+    * same exact integers. Spec-pinned equal to the rank-window form.
     */
   def calibrateQuality(df: DataFrame, textCol: String,
                        langCol: String): DataFrame = {
-    val byLang = Window.partitionBy(col(langCol))
     val scored = qualityScore(df, textCol)
-      .withColumn("rk",
-        rank().over(byLang.orderBy(col("quality_score"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(byLang))
-    scored.withColumn("cal_ppm",
-        when(col("n") > 1, expr("((rk - 1) * 1000000L) div (n - 1)"))
+    val ranks = scoreHistogram(scored, langCol)
+      .select(col(langCol), col("quality_score"),
+        (col("cum") - col("cnt")).as("__rk0"), col("n").as("__n"))
+    scored.join(broadcast(ranks), Seq(langCol, "quality_score"))
+      .withColumn("cal_ppm",
+        when(col("__n") > 1, expr("(__rk0 * 1000000) div (__n - 1)"))
           .otherwise(lit(0L)))
       .select(col("doc_id"), col(langCol), col("quality_score"),
         col("cal_ppm"))
@@ -732,13 +795,24 @@ object TextAnalysis {
     * training order of a weighted round-robin over sources — source s
     * with weight w contributes one doc every lcm/w virtual ticks. Pure
     * integer construction: intra-source rank (window partitioned by
-    * source — parallel) × the source's stride (lcm(weights)/w), then one
-    * scalable global rank over the virtual time (Analytics.globalRankAll
-    * — never a single-partition corpus window). Deterministic across
-    * reshuffles/rebuilds because both ranks order by content-stable ids;
-    * changing a weight re-mixes with zero coordination. This is the
-    * corpus-mixing schedule a multi-source training run consumes (e.g.
-    * 3:2:1 web:books:code), as a relational query.
+    * source — parallel) × the source's stride (lcm(weights)/w) gives the
+    * virtual time; the GLOBAL position is then computed ANALYTICALLY, not
+    * ranked: a row at virtual time v is preceded by exactly
+    * min(⌊v_adj/stride_s'⌋, n_s') rows of each source s' (v_adj = v for
+    * sources ordered before it, v−1 after — the (vt, source) tie order),
+    * so mix_pos is a Σ-over-sources projection built from the
+    * |sources|-row per-source count table, collected once. No second
+    * shuffle, no corpus-cardinality rank (an earlier form fed
+    * globalRankAll a ~corpus-distinct vt key, making its offsets window
+    * and broadcast O(n) at scale), no broadcast at all — the only
+    * exchange is the per-source rank window, which is key-local and
+    * parallel. |sources| is a mixture schedule's handful (the projection
+    * is |sources| terms); vt stays < 2⁵³ for any real corpus so the
+    * floor-division is exact. Deterministic across reshuffles/rebuilds
+    * because the intra-source rank orders by content-stable ids; changing
+    * a weight re-mixes with zero coordination. This is the corpus-mixing
+    * schedule a multi-source training run consumes (e.g. 3:2:1
+    * web:books:code), as a relational query.
     */
   def mixInterleave(df: DataFrame, sourceCol: String, idCol: String,
                     weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
@@ -755,9 +829,27 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
       .withColumn("vt", col("rk") * stride)
-      .drop("rk")
-    graft.ops.Analytics.globalRankAll(ranked, "vt", idCol)
-      .withColumnRenamed("global_rank", "mix_pos")
+    // bounded build step (the ivfBuild precedent): per-source doc counts,
+    // |sources| rows, collected once and folded into the projection
+    val srcStats: Seq[(String, Long, Long)] = ranked
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .toIndexedSeq
+      .map(r => {
+        val src = r.get(0).toString
+        (src, r.getLong(1), lcm / weights.getOrElse(src, defaultWeight).toLong)
+      })
+      .sortBy(_._1)
+    // Σ over sources of the preceded-row count; own source contributes
+    // its intra rank exactly (vt/stride_s == rk, never capped)
+    val pos = srcStats.map { case (s2, n2, str2) =>
+      // ties at equal vt order by source ascending: sources sorting
+      // BEFORE this row's count rows with vt' <= vt, those AFTER vt' < vt
+      val vAdj = col("vt") - when(lit(s2) > col(sourceCol), 1L).otherwise(0L)
+      when(col(sourceCol) === s2, col("rk").cast("long"))
+        .otherwise(least(lit(n2), floor(vAdj / lit(str2.toDouble)).cast("long")))
+    }.reduce(_ + _)
+    ranked.select(col(idCol), col(sourceCol), col("vt"), pos.as("mix_pos"))
   }
 
   /** BPE merge-table induction — tokenizer TRAINING as a pipeline op
@@ -827,3 +919,4 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 }
+

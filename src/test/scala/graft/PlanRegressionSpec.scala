@@ -176,11 +176,54 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"1-row corpus-stats join not a broadcast cross join:\n$p")
   }
 
-  test("shuffle shards: exactly one data exchange, keyed on the shard") {
+  test("shuffle shards: two-phase position — the data window keys (shard, bucket)") {
     val p = plan("docs_shuffle_shards")
-    val n = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(n == 1, s"expected exactly 1 hash exchange (shard window), got $n:\n$p")
-    assert(p.contains("hashpartitioning(shard"), s"window exchange not keyed on shard:\n$p")
+    // the corpus-sized window must be partitioned by BOTH shard and the
+    // fp-range sub-bucket (parallelism nShards × posBuckets, never a
+    // whole n/nShards shard through one task)
+    val i = p.indexOf("windowspecdefinition(shard")
+    assert(i >= 0, s"data window lost its shard partitioning:\n$p")
+    assert(p.substring(i, i + 60).contains("__b"),
+      s"data window not sub-bucketed — one task per shard at scale:\n$p")
+    // bucket offsets are a histogram-sized relation that rejoins broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets did not rejoin as a broadcast:\n$p")
+  }
+
+  test("mix interleave: analytic position — one key-local window, no join") {
+    val p = plan("docs_mix_interleave")
+    // the global position is a pure projection from driver-folded
+    // per-source counts: a join or broadcast here means the O(n)
+    // corpus-cardinality rank crept back
+    assert(!p.contains("Join"), s"analytic mix position must not join:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"mix position must not broadcast (offsets relation was O(corpus)):\n$p")
+    val n = "windowspecdefinition".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly the intra-source rank window, got $n:\n$p")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"intra-source rank lost its source partitioning:\n$p")
+  }
+
+  test("quality gate: histogram median — no buffering percentile aggregate") {
+    val p = plan("docs_quality_gate")
+    // exact percentile() holds every group value in one task's agg buffer
+    // — the median must come from the bounded (lang, score) histogram
+    assert(!p.contains("percentile"), s"buffering percentile crept back:\n$p")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"running-count window lost its language partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-language medians did not rejoin as a broadcast:\n$p")
+  }
+
+  test("quality calibration: ppm from the histogram — no whole-language rank window") {
+    val p = plan("docs_quality_calibrated")
+    // rank() over partitionBy(lang) sorts an entire language through one
+    // task; ppm must derive from the histogram's exclusive running count
+    assert(!p.contains("rank("), s"whole-language rank window crept back:\n$p")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"histogram running-count window lost its language partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"histogram ranks did not rejoin as a broadcast:\n$p")
   }
 
   test("q06: every predicate pushed to the scan; schema pruned to 4 columns") {
@@ -319,12 +362,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "map-side partial count missing")
   }
 
-  test("calibration: rank and count windows share ONE lang exchange") {
+  test("calibration: hash exchanges carry only the bounded histogram") {
     val p = plan("docs_quality_calibrated")
-    assert(p.contains("windowspecdefinition(lang#"),
-      s"calibration window lost its lang partitioning:\n$p")
-    val n = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(n == 1, s"expected 1 hash exchange (shared lang window), got $n:\n$p")
+    // the histogram side shuffles twice — the (lang, score) groupBy and the
+    // lang running-count window — both over ≤101·|langs| rows; the corpus
+    // side must reach the join without a hash exchange of its own
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)[#,]".r
+      .findAllMatchIn(p).map(_.group(1)).toList.sorted
+    assert(keys == List("lang", "lang"),
+      s"expected exactly the two histogram exchanges (lang[,score]), got $keys:\n$p")
   }
 
   test("session paths: top-k is a TakeOrdered merge, never a global sort") {

@@ -335,6 +335,77 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re == got, "posting order depends on physical layout")
   }
 
+  test("qualityGate histogram median == exact percentile(0.5) on the corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = TextAnalysis.qualityGate(docs, "text")
+      .as[(Long, String, Double, Double)].collect().toSet
+    // the replaced form: buffering exact percentile — equal output proves
+    // the histogram interpolation is the same statistic
+    val qs = TextAnalysis.qualityScore(docs, "text")
+    val med = qs.groupBy($"lang").agg(expr("percentile(quality_score, 0.5)").as("med"))
+    val expect = qs.join(broadcast(med), "lang")
+      .filter($"quality_score" >= $"med")
+      .select($"doc_id", $"lang", $"quality_score", round($"med", 2).as("lang_median"))
+      .as[(Long, String, Double, Double)].collect().toSet
+    assert(got == expect, "histogram median diverges from exact percentile")
+  }
+
+  test("calibrateQuality histogram ppm == rank()-window ppm on the corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = TextAnalysis.calibrateQuality(docs, "text", "lang")
+      .as[(Long, String, Double, Long)].collect().toSet
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val expect = TextAnalysis.qualityScore(docs, "text")
+      .withColumn("rk", rank().over(byLang.orderBy($"quality_score")).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("cal_ppm",
+        when($"n" > 1, expr("((rk - 1) * 1000000L) div (n - 1)")).otherwise(lit(0L)))
+      .select($"doc_id", $"lang", $"quality_score", $"cal_ppm")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == expect, "histogram ppm diverges from the rank-window form")
+  }
+
+  test("shuffleShards two-phase position == single-window (fp, id) rank") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Int)].collect().toSet
+    // posBuckets=1 degenerates to the one-window-per-shard form (offset
+    // join is a no-op: every offset is 0) — the two-phase split must be
+    // invisible in the output
+    val one = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8, posBuckets = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == one, "sub-bucketed positions diverge from the one-window rank")
+  }
+
+  test("mixInterleave analytic position == rank over (vt, source)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val weights = Map("en" -> 3, "fr" -> 2)
+    val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // the replaced form: a global row_number over (vt, source) — correct
+    // but single-partition; the analytic Σ-over-sources must equal it
+    val stride = when($"lang" === "en", 2L).when($"lang" === "fr", 3L).otherwise(6L)
+    val w = org.apache.spark.sql.expressions.Window
+    val expect = docs.select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(
+        w.partitionBy($"lang").orderBy($"doc_id")))
+      .withColumn("vt", $"rk" * stride)
+      .withColumn("mix_pos", row_number().over(
+        w.orderBy($"vt", $"lang")).cast("long"))
+      .select($"doc_id", $"lang", $"vt", $"mix_pos")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect, "analytic mix position diverges from the global rank")
+    // schedule sanity: within the first full cycle (vt ≤ lcm = 6), en
+    // (weight 3) contributes 3 docs, fr (weight 2) contributes 2, every
+    // other source exactly 1 — position-prefix counts would depend on the
+    // alphabetical tie order at vt = 6, the cycle boundary
+    val cycle1 = got.toSeq.filter(_._3 <= 6).map(_._2)
+    assert(cycle1.count(_ == "en") == 3 && cycle1.count(_ == "fr") == 2,
+      s"first-cycle mixture off: $cycle1")
+    val others = cycle1.filterNot(l => l == "en" || l == "fr")
+    assert(others.distinct.size == others.size, s"a default-weight source repeated in cycle 1: $others")
+  }
+
   test("calibrateQuality: ppm ranks are lang-local, tie-stable, and bounded") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val got = TextAnalysis.calibrateQuality(docs, "text", "lang")
