@@ -135,33 +135,66 @@ object Bench {
       .map { case (r, ms, rps) => s""","stream_router":{"rows":$r,"exec_ms":$ms,"rows_per_sec":$rps}""" }
       .getOrElse("")
 
-    // 4-decimal (0.1 ms) timings: full-precision doubles made the JSON
-    // line ~3 KB and the driver's log-tail capture truncated it mid-line
-    // two rounds running (BENCH_r01/r02 "parsed": null) — sub-ms digits
-    // are GC noise anyway
+    // 4-decimal (0.1 ms) timings for the on-disk payload; 2-decimal for
+    // the stdout line, whose size is a hard constraint (below)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
-    def obj(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    def obj(entries: Seq[(String, Double)], f: Double => String): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val tailCommon =
+      s""""sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec}$streamJson}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"oracles":${obj(oracleResults)},"sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec}$streamJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results, fmt)},"oracles":${obj(oracleResults, fmt)},""" + tailCommon
 
-    // Emit the result three ways so the driver can't miss it (round 1 lost
-    // the single println in log noise): BENCH_OUT (a repo-root file,
-    // committed per round), the sentinel-prefixed copy, then the bare JSON
-    // line LAST (the stated contract) — all after logging is fully
-    // silenced and BEFORE spark.stop() so nothing interleaves. Sentinel
-    // grammar (also in README §Benchmarks): a line matching
-    //   GRAFT_BENCH_JSON <one-line JSON object>
-    // possibly wrapped in an sbt "[info] " prefix; tools/extract_bench.py
-    // extracts and validates it from a raw sbt log.
+    // The driver keeps only the LAST 2000 characters of the sbt log (plus
+    // sbt's ~81-char "[success] ..." trailer lands after us), so the final
+    // stdout line must fit COMPLETELY inside ~1900 chars or the driver
+    // records parsed:null — which the full 121-query map (~3.3 KB) never
+    // can. The stdout line therefore carries a stable HEADLINE subset
+    // (importance-ordered: the TPC-H shapes + the flagship pipeline ops)
+    // at 2-decimal precision, with n_queries + a pointer to the full
+    // payload; the complete 4-decimal result always goes to BENCH_OUT
+    // (bench_out.json, committed per round) and to the sentinel line for
+    // tools/extract_bench.py, which reads whole logs, not tails.
+    val headline: Seq[String] = Seq(
+      "q01_pricing_summary", "q03_shipping_priority", "q05_revenue_by_nation",
+      "q06_forecast_revenue", "q09_profit_by_nation", "q18_large_volume",
+      "q21_waiting_supplier", "text_simjoin_tfidf", "dedup_clusters",
+      "dedup_cluster_sizes", "dedup_keep_best", "dedup_minhash_lsh",
+      "dedup_exact_groups", "dedup_embedding_cosine_t90", "docs_lm_score",
+      "vocab_bpe_merges", "docs_mix_interleave", "docs_quality_gate",
+      "docs_quality_calibrated", "docs_shuffle_shards", "docs_curation_pipeline",
+      "sim_topk_bruteforce", "sim_topk_ivf", "text_bm25", "text_decontaminate",
+      "text_dup_spans", "events_funnel", "events_sessions", "route_first_match",
+      "q02_min_cost_supplier", "q04_priority_late", "q07_volume_shipping",
+      "q08_market_share", "q10_returned_items", "q11_important_parts",
+      "q12_delay_priority", "q13_custdist", "q14_promo_revenue",
+      "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue",
+      "q19_or_of_ands", "q20_excess_share", "q22_prospects")
+    val byName = results.toMap
+    def compactJson(n: Int): String = {
+      val subset = headline.take(n).flatMap(q => byName.get(q).map(q -> _))
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":${obj(subset, fmt2)},"n_queries":${results.size},"full":"bench_out.json","oracles":${obj(oracleResults, fmt2)},""" + tailCommon
+    }
+    // deterministic fit guard: drop least-important headline entries until
+    // the line is comfortably inside the tail window
+    val compact = Iterator.range(headline.size, 0, -1).map(compactJson)
+      .find(_.length <= 1800).getOrElse(compactJson(0))
+
+    // Emission order matters for the tail window: BENCH_OUT file first,
+    // then the full-payload sentinel line (grammar, also in README
+    // §Benchmarks: `GRAFT_BENCH_JSON <one-line JSON object>`, possibly
+    // sbt-"[info]"-wrapped), then the compact bare JSON line LAST — all
+    // after logging is fully silenced and BEFORE spark.stop() so nothing
+    // interleaves.
     spark.sparkContext.setLogLevel("OFF")
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(s"GRAFT_BENCH_JSON $json")
-    println(json)
+    println(compact)
     System.out.flush()
     spark.stop()
   }
