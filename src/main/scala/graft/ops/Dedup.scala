@@ -434,6 +434,32 @@ object Dedup {
         col(s"__k.$scoreCol").as("keeper_score"),
         col("cluster_size"))
 
+  /** Build the duplicate-cluster assignment artifact — MinHash LSH
+    * candidates verified by exact Jaccard, then connected components —
+    * in ONE pass, as the dedup analogue of [[graft.ops.Similarity.ivfBuild]].
+    * The (id, rep) assignment is the expensive once-per-corpus half of
+    * dedup; every downstream consumer ([[clusterSizeHistogram]],
+    * [[keepBest]], cluster listings, per-cluster sampling) is a cheap
+    * aggregation over it. At 100 TB the build job writes this table to
+    * parquet and consumers read it — nobody recomputes connected
+    * components per report.
+    */
+  def clusterBuild(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame =
+    duplicateClusters(
+      minHashNearDups(docs, idCol, textCol, shingleN, bands, rowsPerBand, threshold),
+      docs, idCol)
+
+  /** Dedup impact report over a built cluster assignment: how much of the
+    * corpus sits in singletons vs k-way duplicate clusters. Two hash
+    * aggregations (assignment → per-rep size → size histogram), both with
+    * map-side partials; output is ≤ max-cluster-size rows.
+    */
+  def clusterSizeHistogram(assign: DataFrame): DataFrame =
+    assign.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** SimHash (64-bit) of the token multiset: per-bit vote of token hashes —
     * native expression (graft.functions.SimHash64), one pass over tokens.
     */

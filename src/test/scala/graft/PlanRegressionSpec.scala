@@ -424,6 +424,17 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"keeper selection regressed to a per-cluster window sort:\n$p")
   }
 
+  test("cluster consumers read the build-once assignment artifact") {
+    // the three cluster queries must share ONE persisted (id, rep)
+    // assignment — a consumer whose plan lacks the in-memory artifact
+    // scan is silently re-running MinHash + connected components
+    for (q <- Seq("dedup_clusters", "dedup_cluster_sizes", "dedup_keep_best")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q does not read the shared cluster artifact:\n$p")
+    }
+  }
+
   test("split leakage: train gram set broadcasts; the doc payload is never a shuffle key") {
     val p = plan("docs_split_leakage")
     assert(p.contains("BroadcastHashJoin"),

@@ -35,6 +35,20 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("clusterBuild artifact + clusterSizeHistogram match the inline pipeline") {
+    val assign = Dedup.clusterBuild(docs, "doc_id", "text")
+    val viaArtifact = Dedup.clusterSizeHistogram(assign)
+      .as[(Long, Long)].collect().toSet
+    val inline = Dedup.duplicateClusters(
+        Dedup.minHashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5),
+        docs, "doc_id")
+      .groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaArtifact == inline && viaArtifact.nonEmpty,
+      "consumer over the build artifact diverges from the inline pipeline")
+  }
+
   test("simhash pigeonhole banding finds ALL pairs within maxHamming") {
     val viaBanding = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
