@@ -103,12 +103,31 @@ object SparkEntry {
       clusterArtifact(s, dir)
         .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy(col("doc_id"))),
-    "dedup_semantic" -> ((s, dir) => // k-means-seeded: rows-only oracle
-      // SemDeDup: within-k-means-cluster cosine dedup with the keep-min
-      // rule; recall vs the brute all-pairs set is spec-pinned
-      Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.45,
-          nlist = 8, trainIters = 2)
-        .orderBy(col("vec_id"))),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (within-k-means-cell cosine dedup, keep-min rule) on its
+      // EXACT leg, hash-checked by DuckDB: corpus = originals ∪ int8-
+      // dequantized twins (twin id = vec_id + 10M) at the production 0.9
+      // threshold. Every twin sits at cosine ≈ 0.9999 of its original and
+      // every cross pair stays below 0.62 (measured; SimilaritySpec pins
+      // recall exact), so the unique correct output is "keep every
+      // original, drop every twin" — deterministic and oracle-expressible
+      // even though cell seeding is hash-based. The seed-dependent
+      // `bucket` column is deliberately not emitted. The derived corpus is
+      // materialized once (localCheckpoint, harness-drained): semanticDedup
+      // reads its input from 4 plan branches (sampling, assignment, both
+      // pair-search sides).
+      val emb = t(s, dir, "embeddings")
+      val orig = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = emb
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          Similarity.dequantizeInt8(col("qz")).as("embedding"))
+      val corpus = Cleanup.register(orig.unionByName(twins).localCheckpoint(false))
+      Similarity.semanticDedup(corpus, threshold = 0.9, nlist = 8, trainIters = 2)
+        .select(col("vec_id"), col("keep").cast("int").as("keep_flag"))
+        .orderBy(col("vec_id"))
+    }),
     "dedup_embedding_cosine" -> ((s, dir) =>
       // LSH-bucketed scale path; equality with the brute-force all-pairs
       // oracle (cosineNearDupPairs) is proven in SimilaritySpec at every
@@ -1369,6 +1388,15 @@ object SparkEntry {
           |FROM c a JOIN c b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_semantic" ->
+        // the exact leg's unique correct outcome (see the query comment):
+        // with twins at cosine ≈ 0.9999 and all cross pairs < 0.62, a 0.9
+        // cut with the keep-min rule keeps every original and drops every
+        // twin — no similarity computation needed oracle-side
+        """SELECT vec_id, CAST(1 AS INT) AS keep_flag FROM embeddings
+          |UNION ALL
+          |SELECT vec_id + 10000000 AS vec_id, CAST(0 AS INT) AS keep_flag FROM embeddings
+          |ORDER BY vec_id""".stripMargin,
       "sim_topk_bruteforce" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -25,7 +25,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("dedup_simhash", "sim_topk_ivf", "q_approx_distinct",
       "q_percentiles_approx", "text_decontaminate_bloom", "dedup_minhash_estimate",
-      "dedup_semantic", "vocab_bpe_merges"))
+      "vocab_bpe_merges"))
   }
 
   test("oracle-only queries are declared, oracle-bearing, and few") {
