@@ -2420,11 +2420,16 @@ object SparkEntry {
           |       row_number() OVER (ORDER BY vt, lang) AS mix_pos
           |FROM v ORDER BY doc_id""".stripMargin,
       "events_ohlc" ->
+        // (sec, event_id) lexicographic order key mirrored as a HUGEINT
+        // composite (DuckDB's arg_min takes scalar keys only): the 2e19
+        // multiplier exceeds any BIGINT event_id, so no id can alias into
+        // a later second and 128-bit arithmetic cannot overflow — the
+        // same total order as the Spark side's struct(s, i) key
         """WITH e AS (
           |  SELECT event_type, "value",
           |         CAST(floor(epoch(ts)) AS BIGINT)
           |           - CAST(floor(epoch(ts)) AS BIGINT) % 900 AS w_start,
-          |         CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 + event_id AS ord
+          |         CAST(floor(epoch(ts)) AS HUGEINT) * 20000000000000000000 + event_id AS ord
           |  FROM events)
           |SELECT event_type, w_start,
           |       arg_min("value", ord) AS open_v, max("value") AS high_v,

@@ -229,20 +229,26 @@ object Events {
       x => x("event_type")), ">").as("path")
 
   /** Time-series downsampling to OHLC bars per (event_type, widthSecs
-    * window). open/close are argmin/argmax of value over a UNIQUE bigint
-    * order key (second-floored epoch ·1e9 + event_id) — ties at second
-    * granularity break deterministically by id on any engine, so
-    * min_by/max_by can never tie-pick differently from an oracle's
-    * arg_min/arg_max. Values are selected, never arithmetic'd:
-    * bit-identical doubles. One hash aggregate with map-side partials —
-    * O(bars) state, no window function, no self-join; the streaming twin
-    * (`ohlcBarsStream`) is the same aggregate behind a watermark.
+    * window). open/close are argmin/argmax of value over a UNIQUE
+    * lexicographic order key — struct(second-floored epoch, event_id) —
+    * so ties at second granularity break deterministically by id on any
+    * engine and min_by/max_by can never tie-pick differently from an
+    * oracle's arg_min/arg_max. A struct, NOT the arithmetic composite
+    * sec·1e9 + id: that form silently aliases ids ≥ 1e9 into later
+    * seconds (wrong open/close at production id ranges) and can overflow
+    * under ANSI; the struct is exact for any id. (An engine whose argmin
+    * takes only scalar keys mirrors this with a 128-bit composite — the
+    * DuckDB oracle uses HUGEINT.) Values are selected, never
+    * arithmetic'd: bit-identical doubles. One hash aggregate with
+    * map-side partials — O(bars) state, no window function, no
+    * self-join; the streaming twin (`ohlcBarsStream`) is the same
+    * aggregate behind a watermark.
     */
   def ohlcBars(events: DataFrame, widthSecs: Long = 900L): DataFrame = {
     val es = unix_timestamp(col("ts"))
     events.select(col("event_type"), col("value"),
         (es - es % widthSecs).as("w_start"),
-        (es * lit(1000000000L) + col("event_id")).as("ord"))
+        struct(es.as("s"), col("event_id").as("i")).as("ord"))
       .groupBy(col("event_type"), col("w_start"))
       .agg(ohlcAggs.head, ohlcAggs.tail: _*)
   }
@@ -316,7 +322,7 @@ object Events {
                      watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .withColumn("ord",
-        unix_timestamp(col("ts")) * lit(1000000000L) + col("event_id"))
+        struct(unix_timestamp(col("ts")).as("s"), col("event_id").as("i")))
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(ohlcAggs.head, ohlcAggs.tail: _*)
       .select(col("event_type"),

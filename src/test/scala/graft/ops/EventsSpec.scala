@@ -18,6 +18,20 @@ class EventsSpec extends AnyFunSuite {
     (4L, t("2024-01-01 02:00:00"), 11L, "click", 8.0, """{"k": 4}"""),
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("ohlcBars: open/close correct for event_ids >= 1e9 (no second-aliasing)") {
+    // the replaced sec*1e9 + id composite aliased id 2e9 two seconds
+    // forward, flipping open/close against this true (sec, id) order:
+    // A (s, 2e9) orders BEFORE B (s+1, 0) — old key said B first
+    val ev = Seq(
+      (2000000000L, t("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"), // A: open
+      (0L, t("2024-01-01 00:00:01"), 1L, "click", 2.0, "{}"),          // B: close
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bar = Events.ohlcBars(ev).select("open_v", "close_v", "n")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(bar == Seq((1.0, 2.0, 2L)),
+      s"struct order key mis-picked open/close: $bar")
+  }
+
   test("cohortRetention: users count toward their first-day cohort at each offset") {
     val ev = Seq(
       (1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"), // u1 cohort d0
