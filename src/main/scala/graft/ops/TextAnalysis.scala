@@ -631,6 +631,22 @@ object TextAnalysis {
       .withColumn("n", sum(col("cnt")).over(byLang))
   }
 
+  /** The narrow (doc_id, lang, quality_score) relation both
+    * distribution-relative quality ops consume TWICE (histogram side +
+    * output join side), materialized once — tokenizing the corpus is the
+    * dominant cost, and without this seam each consumer re-runs the full
+    * text scan + tokenize (the DESIGN §8.1 two-consumer rule; measured
+    * 3.4× on docs_quality_calibrated at sf0.1). Serialized persist of
+    * three scalar columns: ~1% of corpus bytes, spills gracefully;
+    * harness-drained via Cleanup.
+    */
+  private def scoredNarrow(df: DataFrame, textCol: String,
+                           langCol: String): DataFrame =
+    graft.Cleanup.register(
+      qualityScore(df, textCol)
+        .select(col("doc_id"), col(langCol), col("quality_score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
   /** Median-gated quality filter: keep documents whose composite quality
     * score is at or above their language's median. The per-language
     * medians come from the bounded `scoreHistogram` — NOT from exact
@@ -646,7 +662,7 @@ object TextAnalysis {
     * two-value midpoint). Spec-pinned equal to the percentile form.
     */
   def qualityGate(df: DataFrame, textCol: String, langCol: String = "lang"): DataFrame = {
-    val qs = qualityScore(df, textCol)
+    val qs = scoredNarrow(df, textCol, langCol)
     val med = scoreHistogram(qs, langCol)
       .groupBy(col(langCol))
       .agg(
@@ -701,7 +717,7 @@ object TextAnalysis {
     */
   def calibrateQuality(df: DataFrame, textCol: String,
                        langCol: String): DataFrame = {
-    val scored = qualityScore(df, textCol)
+    val scored = scoredNarrow(df, textCol, langCol)
     val ranks = scoreHistogram(scored, langCol)
       .select(col(langCol), col("quality_score"),
         (col("cum") - col("cnt")).as("__rk0"), col("n").as("__n"))
