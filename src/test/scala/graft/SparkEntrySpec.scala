@@ -28,6 +28,14 @@ class SparkEntrySpec extends AnyFunSuite {
       "vocab_bpe_merges"))
   }
 
+  test("bench headline subset names only real, production (non-oracle) queries") {
+    val unknown = Bench.headline.filterNot(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"headline entries with no query: $unknown")
+    val oracleOnly = Bench.headline.filter(SparkEntry.oracleOnly)
+    assert(oracleOnly.isEmpty, s"oracle-only queries in the headline: $oracleOnly")
+    assert(Bench.headline.distinct.size == Bench.headline.size, "duplicate headline entries")
+  }
+
   test("oracle-only queries are declared, oracle-bearing, and few") {
     // the deliberately-quadratic oracles must stay a recognized subset so
     // Bench can report them outside the production totals
