@@ -87,6 +87,18 @@ object SparkEntry {
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_cross_corpus" -> ((s, dir) => {
+      // dedup the "fresh crawl" (odd doc ids) against the "training set"
+      // (even ids): asymmetric LSH band join + exact-Jaccard verify; one
+      // row per flagged new doc with its best reference match. Recall is
+      // exact at test SFs (same banding regime dedup_minhash_lsh proves).
+      val d = t(s, dir, "documents")
+      Dedup.crossCorpusNearDups(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.5)
+        .orderBy(col("id_new"))
+    }),
     "dedup_minhash_estimate" -> ((s, dir) => // hash-seeded: rows-only oracle
       // the verification-free path: signature-agreement Jaccard estimate
       // for every LSH candidate pair; accuracy spec-pinned vs the exact op
@@ -410,6 +422,12 @@ object SparkEntry {
       // language's median quality score (absolute thresholds don't
       // transfer across languages)
       TextAnalysis.qualityGate(t(s, dir, "documents"), "text")
+        .orderBy(col("doc_id"))),
+    "docs_source_cap" -> ((s, dir) =>
+      // per-source contribution cap: at most 10 docs per source,
+      // best-quality-first, doc-id tie-break — histogram threshold +
+      // boundary-bucket rank, never a whole-source sort window
+      TextAnalysis.sourceCap(t(s, dir, "documents"), "text", 10)
         .orderBy(col("doc_id"))),
     "text_pii_redact" -> ((s, dir) =>
       // PII scrub over documents AUGMENTED with synthetic addresses (the
@@ -1313,6 +1331,24 @@ object SparkEntry {
         "SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 80)) ORDER BY doc_id",
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_minhash_lsh" -> jaccardSql,
+      "dedup_cross_corpus" ->
+        // exact cross-half Jaccard (even ids = reference, odd = new),
+        // best reference per new doc by (jaccard desc, ref id asc) — the
+        // brute-force specification of the asymmetric LSH path
+        s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+           |inter AS (SELECT b.doc_id AS id_new, a.doc_id AS id_ref, count(*) AS c
+           |          FROM grams a JOIN grams b ON a.g = b.g
+           |          WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
+           |jac AS (SELECT id_new, id_ref, c * 1.0 / (sa.n + sb.n - c) AS j
+           |        FROM inter JOIN sizes sa ON sa.doc_id = id_ref JOIN sizes sb ON sb.doc_id = id_new
+           |        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+           |r AS (SELECT id_new, id_ref, j,
+           |      row_number() OVER (PARTITION BY id_new ORDER BY j DESC, id_ref) AS rn FROM jac)
+           |SELECT id_new, id_ref AS matched_ref, round(j, 4) AS best_jaccard
+           |FROM r WHERE rn = 1 ORDER BY id_new""".stripMargin,
       "dedup_clusters" ->
         // connected components over the exact-Jaccard pair graph (== the
         // LSH pairs, spec-proven) via transitive-closure recursion
@@ -2148,6 +2184,25 @@ object SparkEntry {
            |m AS (SELECT lang, quantile_cont(quality_score, 0.5) AS med FROM q GROUP BY lang)
            |SELECT doc_id, q.lang, quality_score, round(med, 2) AS lang_median
            |FROM q JOIN m USING (lang) WHERE quality_score >= med
+           |ORDER BY doc_id""".stripMargin,
+      "docs_source_cap" ->
+        // same score construction, then top-10 per source by
+        // (quality_score desc, doc_id asc) — the window form IS the
+        // specification; the Spark side computes the identical set via
+        // the bounded histogram threshold + boundary-bucket rank
+        s"""WITH f AS (SELECT doc_id, source, $toks AS w FROM documents),
+           |g AS (SELECT doc_id, source, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id, source,
+           |round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           |FROM g),
+           |r AS (SELECT doc_id, source, quality_score,
+           |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn FROM q)
+           |SELECT doc_id, source, quality_score FROM r WHERE rn <= 10
            |ORDER BY doc_id""".stripMargin,
       "events_retention" ->
         """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

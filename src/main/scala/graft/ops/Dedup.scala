@@ -194,6 +194,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate detection: flag documents in `corpus`
+    * (the fresh crawl) whose shingle Jaccard with ANY document in
+    * `reference` (the existing training set) reaches `threshold` —
+    * dedup-the-new-data-against-what-you-already-have, the asymmetric
+    * sibling of `minHashNearDups`' full-corpus self-sweep. Both sides
+    * band identically (same signature kernel, same band hashing), the
+    * candidate join is (band, bucket)-local reference×corpus — no
+    * self-pairs, no a<b halving — and exact Jaccard verifies candidates
+    * only. Output is one row per flagged corpus doc with its best
+    * reference match (ties: highest Jaccard, then smallest reference id
+    * — a lexicographic struct max, one map-side-partial hash agg), so
+    * the consumer anti-joins it to keep the clean remainder; the
+    * reference side is never rewritten.
+    *
+    * 100 TB notes: the reference is usually the big side and changes
+    * slowly — its (band, bucket, id) relation and shingle sets are
+    * build-once artifacts persisted across crawl batches (the
+    * `ivfBuild`/`ivfQuery` seam; rebanding 100 TB per crawl would
+    * dominate the whole job). Shuffle keys are (band, bucket) and ids,
+    * never payloads; `maxBucketSize` (0 = off) drops degenerate buckets
+    * by COMBINED membership before pair generation, same guard as
+    * `bucketCandidatePairs`.
+    */
+  def crossCorpusNearDups(corpus: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    val nb = lshBuckets(corpus, idCol, textCol, shingleN, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("id_new"))
+    val rb = lshBuckets(reference, idCol, textCol, shingleN, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col(idCol).as("id_ref"))
+    val (nbB, rbB) =
+      if (maxBucketSize <= 0) (nb, rb)
+      else {
+        val ok = nb.select(col("band"), col("bucket"))
+          .unionByName(rb.select(col("band"), col("bucket")))
+          .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        (nb.join(ok, Seq("band", "bucket"), "leftsemi"),
+          rb.join(ok, Seq("band", "bucket"), "leftsemi"))
+      }
+    val cand = nbB.join(rbB, Seq("band", "bucket"))
+      .select(col("id_new"), col("id_ref")).distinct()
+    val shN = corpus.select(col(idCol).as("id_new"),
+      shingles(col(textCol), shingleN).as("sh_n"))
+    val shR = reference.select(col(idCol).as("id_ref"),
+      shingles(col(textCol), shingleN).as("sh_r"))
+    cand.join(shN, "id_new").join(shR, "id_ref")
+      .withColumn("__inter", size(array_intersect(col("sh_n"), col("sh_r"))))
+      .withColumn("__jac", col("__inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_r")) - col("__inter")))
+      .filter(col("__jac") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("__jac").as("j"), (-col("id_ref")).as("ni"))).as("__best"))
+      .select(col("id_new"), (-col("__best.ni")).as("matched_ref"),
+        round(col("__best.j"), 4).as("best_jaccard"))
+  }
+
   /** STREAMING near-duplicate candidate detection: MinHash-LSH banding as
     * a watermark-bounded stream-stream SELF-join — each arriving document
     * is banded into (band, bucket) keys and joined against other documents

@@ -677,6 +677,55 @@ object TextAnalysis {
         round(col("med"), 2).as("lang_median"))
   }
 
+  /** Per-source contribution cap — keep at most k documents per source,
+    * best-quality-first with doc-id ascending as the deterministic
+    * tie-break: the curation guard against any single source/domain
+    * dominating a training mix (the per-domain analogue of
+    * `budgetSelect`'s global budget cut). Selection ≡ top-k per source
+    * by (quality_score desc, doc_id asc), computed WITHOUT a
+    * whole-source sort window: the per-(source, score) count histogram
+    * (bounded — scores are 2 dp by construction, ≤101 rows per source)
+    * yields each source's threshold score and the remaining room in the
+    * threshold bucket; rows strictly above the threshold pass with no
+    * per-row ranking at all, and only the threshold BUCKET's rows — one
+    * histogram bucket per source — take an intra-bucket row_number on
+    * doc_id. A plain `Window.partitionBy(source)` top-k re-sorts every
+    * source's full row set; here the sorted work is one bucket, and the
+    * partition key is `source`, whose production cardinality (domains)
+    * is large — the per-task slice is min(bucket, source) rows. The
+    * threshold relation is |sources| rows, broadcast. DESIGN §10's
+    * order-statistic-on-the-lattice rule applied to top-k.
+    */
+  def sourceCap(df: DataFrame, textCol: String, k: Int,
+                srcCol: String = "source"): DataFrame = {
+    require(k > 0, s"per-source cap must be positive, got $k")
+    val qs = scoredNarrow(df, textCol, srcCol)
+    val hist = qs.groupBy(col(srcCol), col("quality_score"))
+      .agg(count(lit(1)).as("cnt"))
+      // scores are distinct within a source here, so the default RANGE
+      // frame has no peers — cum_desc is the best-first running count
+      .withColumn("cum_desc", sum(col("cnt")).over(
+        Window.partitionBy(col(srcCol)).orderBy(col("quality_score").desc)))
+    // threshold bucket = the HIGHEST score whose best-first running count
+    // reaches k; a source with fewer than k docs has none (keep all, the
+    // left join's null-threshold branch below)
+    val thr = hist.filter(col("cum_desc") >= k)
+      .groupBy(col(srcCol))
+      .agg(max(col("quality_score")).as("thr"),
+        (lit(k) - expr("max_by(cum_desc - cnt, quality_score)")).as("room"))
+    val withThr = qs.join(broadcast(thr), Seq(srcCol), "left")
+    val above = withThr
+      .filter(col("thr").isNull || col("quality_score") > col("thr"))
+    val boundary = withThr
+      .filter(col("quality_score") === col("thr"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(srcCol)).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= col("room"))
+      .drop("__rn")
+    above.unionByName(boundary)
+      .select(col("doc_id"), col(srcCol), col("quality_score"))
+  }
+
   /** Inverted-index construction for the k highest-df terms: each term's
     * posting list as a sorted doc-id string (collect_list is
     * merge-order-nondeterministic, so sort_array pins it). Build shape:

@@ -35,6 +35,31 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("crossCorpusNearDups == brute-force cross-half jaccard best-match") {
+    val newer = docs.filter($"doc_id" % 2 === 1)
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val got = Dedup.crossCorpusNearDups(newer, ref, "doc_id", "text",
+        3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute-force spec: all cross-parity pairs from the exact self-sweep
+    // at threshold 0, re-thresholded, best ref per odd doc by
+    // (jaccard desc, ref id asc)
+    val allPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val crossPairs = allPairs.flatMap { case (a, b, j) =>
+      if (a % 2 != b % 2) {
+        val (n, r) = if (a % 2 == 1) (a, b) else (b, a)
+        Some((n, r, j))
+      } else None
+    }
+    val expect = crossPairs.groupBy(_._1).map { case (n, ms) =>
+      val best = ms.minBy(m => (-m._3, m._2))
+      (n, best._2, best._3)
+    }.toSet
+    assert(got == expect, "asymmetric LSH path diverges from brute force")
+    assert(got.nonEmpty, "planted dups must cross the parity split")
+  }
+
   test("clusterBuild artifact + clusterSizeHistogram match the inline pipeline") {
     val assign = Dedup.clusterBuild(docs, "doc_id", "text")
     val viaArtifact = Dedup.clusterSizeHistogram(assign)

@@ -365,6 +365,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == expect, "histogram ppm diverges from the rank-window form")
   }
 
+  test("sourceCap histogram top-k == whole-source window top-k") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"quality_score".desc, $"doc_id")
+    def windowForm(k: Int) = TextAnalysis.qualityScore(docs, "text")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"source", $"quality_score")
+      .as[(Long, String, Double)].collect().toSet
+    // k below the source sizes exercises the threshold + boundary path
+    // (the coarse 6-value score lattice makes the boundary bucket the
+    // common case); k above them exercises the null-threshold keep-all leg
+    for (k <- Seq(1, 2, 5)) {
+      val got = TextAnalysis.sourceCap(docs, "text", k)
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == windowForm(k), s"sourceCap(k=$k) diverges from the window form")
+    }
+    val kAll = 1000000
+    val all = TextAnalysis.sourceCap(docs, "text", kAll)
+      .as[(Long, String, Double)].collect().toSet
+    assert(all == windowForm(kAll), "keep-all leg (cap above every source size)")
+    assert(all.size == docs.count(), "cap above every source size keeps the corpus")
+    // selection must not depend on physical layout
+    val re = TextAnalysis.sourceCap(docs.repartition(7), "text", 2)
+      .as[(Long, String, Double)].collect().toSet
+    assert(re == windowForm(2), "sourceCap depends on physical layout")
+  }
+
   test("shuffleShards two-phase position == single-window (fp, id) rank") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val got = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8)
