@@ -709,10 +709,15 @@ object TextAnalysis {
     // threshold bucket = the HIGHEST score whose best-first running count
     // reaches k; a source with fewer than k docs has none (keep all, the
     // left join's null-threshold branch below)
-    val thr = hist.filter(col("cum_desc") >= k)
-      .groupBy(col(srcCol))
-      .agg(max(col("quality_score")).as("thr"),
-        (lit(k) - expr("max_by(cum_desc - cnt, quality_score)")).as("room"))
+    // |sources| rows, consumed by BOTH union branches below — persisted so
+    // the corpus-scale histogram aggregation feeding it runs once, not
+    // once per branch
+    val thr = graft.Cleanup.register(
+      hist.filter(col("cum_desc") >= k)
+        .groupBy(col(srcCol))
+        .agg(max(col("quality_score")).as("thr"),
+          (lit(k) - expr("max_by(cum_desc - cnt, quality_score)")).as("room"))
+        .persist())
     val withThr = qs.join(broadcast(thr), Seq(srcCol), "left")
     val above = withThr
       .filter(col("thr").isNull || col("quality_score") > col("thr"))
