@@ -126,6 +126,23 @@ object ScaleProbe {
     // parallelism is nShards × posBuckets, not nShards
     time("shuffle_shards_8")(
       graft.ops.TextAnalysis.shuffleShards(docs, "doc_id", "text", 8).count())
+    // per-source top-k at 1M docs over an adversarial FEW-source domain
+    // (20 sources ≈ 50k docs each, coarse 6-value score lattice → the
+    // boundary bucket is large): the claim is that above-threshold rows
+    // take no ranking work and the only sorted slice is one bucket
+    time("source_cap_10k")( {
+      val docsS = docs.withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(7)), lit(20))))
+      graft.ops.TextAnalysis.sourceCap(docsS, "text", 10000, "source").count()
+    })
+    // cross-corpus near-dedup at 500k vs 500k (the parity split of the
+    // planted-pair corpus): asymmetric band join + verify-candidates-only
+    // — every planted (even, odd) twin pair crosses the split
+    time("cross_corpus_neardups")(
+      graft.ops.Dedup.crossCorpusNearDups(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", 3, 16, 4, 0.5).count())
     graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 

@@ -115,6 +115,42 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus flags == batch crossCorpusNearDups pairs") {
+    // the stream-static twin must flag exactly the (new, ref) pairs the
+    // batch sweep verifies — parity on the sf0.001 corpus's parity split:
+    // even ids are the static reference, odd ids arrive as a stream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val flags = graft.ops.Dedup.streamingCrossCorpusFlags(
+      in.toDF().toDF("ts", "doc_id", "text"), ref,
+      "ts", "doc_id", "text", watermark = "1 hour")
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_cross_flags").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val newDocs = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(newDocs.map { case (id, tx) => (t0, id, tx) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 999999L,
+        "watermark advancer row zzz"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_new, id_ref FROM stream_cross_flags")
+        .as[(Long, Long)].collect().toSet
+      // batch op aggregates to best-match; its pre-aggregate pair set is
+      // what the stream emits — recompute it from the brute-force spec
+      val expect = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .as[(Long, Long, Double)].collect()
+        .flatMap { case (a, b, _) =>
+          if (a % 2 != b % 2) Some(if (a % 2 == 1) (a, b) else (b, a)) else None
+        }.toSet
+      assert(got == expect, "stream-static flags diverge from the batch pair set")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("normalize → streaming dedup → route: three ops chained end-to-end under a watermark") {
     // the full ingest stage (DESIGN.md §5) as ONE incremental pipeline:
     // clean the payload, drop exact re-deliveries within the watermark
