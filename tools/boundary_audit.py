@@ -163,3 +163,42 @@ print("keep_best quality scores on the discrete lattice:",
 # has no 0.5 member, so this must be >= 0.1
 print("incremental_curation min |quality-0.5|:",
       min(abs(v - 0.5) for v in scores))
+
+# ---- round-7 queries ----
+# docs_source_cap: the cap selects top-10 per source by (score desc, id asc).
+# Scores live on the discrete lattice, so rank-10/11 ties are COMMON and the
+# id tie-break must resolve them in both engines (it does: row_number vs the
+# boundary-bucket rank use the same (score, id) order). Count how many
+# sources actually exercise the tie path — if 0, the boundary logic is
+# untested by this data; if >0, the green hash proves the tie-break.
+r7 = con.sql(r"""
+  WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+  q AS (SELECT doc_id, source,
+    round((CASE WHEN len(w) BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN round(list_sum(list_transform(w, x -> length(x)))*1.0/greatest(len(w),1),4) BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN round(len(list_filter(w, x -> list_contains(['the','a','and','of','fast','slow'], lower(x))))*1.0/greatest(len(w),1),4) > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS s
+    FROM t),
+  r AS (SELECT source, s, row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id) rn FROM q)
+  SELECT count(*) FROM (
+    SELECT source FROM r WHERE rn IN (10, 11) GROUP BY source
+    HAVING count(DISTINCT s) = 1 AND count(*) = 2)""").fetchone()
+print("source_cap sources with a score tie ACROSS the rank-10/11 cut "
+      "(id tie-break exercised):", r7[0])
+# dedup_cross_corpus: margin of every cross-parity jaccard from the 0.5
+# threshold, and best-match ties per new doc (two refs at the same jaccard
+# — resolved by min ref id in both engines)
+jac = con.sql(r"""
+  WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+  grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+            FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+  sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY doc_id),
+  inter AS (SELECT b.doc_id id_new, a.doc_id id_ref, count(*) c FROM grams a
+            JOIN grams b ON a.g = b.g WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1,2),
+  jac AS (SELECT id_new, id_ref, c*1.0/(sa.n+sb.n-c) j FROM inter
+          JOIN sizes sa ON sa.doc_id=id_ref JOIN sizes sb ON sb.doc_id=id_new)
+  SELECT min(abs(j - 0.5)),
+         (SELECT count(*) FROM (SELECT id_new FROM jac WHERE j >= 0.5
+            GROUP BY id_new, j HAVING count(*) > 1))
+  FROM jac""").fetchone()
+print("cross_corpus min |jaccard-0.5| margin:", jac[0],
+      "| best-match jaccard ties (id-resolved):", jac[1])
