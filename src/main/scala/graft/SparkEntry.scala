@@ -185,6 +185,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "emb_cross_corpus" -> ((s, dir) => {
+      // embedding-space decontamination: flag re-encodes of the reference
+      // set arriving in a new batch. reference = the original vectors,
+      // corpus = their int8-dequantized twins (id + 10M) — every twin
+      // sits at cosine ≈ 0.9999 to exactly its own original (all cross
+      // pairs ≤ 0.62 measured), so threshold 0.9 must flag every twin
+      // with its original as the best match. Same two-level quantize
+      // projection + materialize-the-derived-corpus rules as the t90
+      // query (scaladoc there).
+      val emb = t(s, dir, "embeddings")
+      val orig = Cleanup.register(emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .localCheckpoint(false))
+      val twins = Cleanup.register(emb
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          Similarity.dequantizeInt8(col("qz")).as("embedding"))
+        .localCheckpoint(false))
+      Similarity.crossCorpusCosineFlags(twins, orig, 0.9, dim = 64,
+          bitsPerBand = 16, bands = 8)
+        .orderBy(col("id_new"))
+    }),
+
     // ---- similarity search ----
     "sim_topk_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1424,6 +1447,24 @@ object SparkEntry {
           |FROM c a JOIN c b ON a.vec_id < b.vec_id
           |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
+      "emb_cross_corpus" ->
+        // brute-force cross cosine (twins × originals) at 0.9, best
+        // original per twin by (cosine desc, ref id asc) — the
+        // specification of the asymmetric sign-bit LSH path; quantize
+        // arithmetic identical to the t90/emb_quant_error oracles
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+          |           2.2250738585072014e-308) AS scale FROM e),
+          |d AS (SELECT vec_id + 10000000 AS vec_id,
+          |  list_transform(v, x -> round(x / scale) * scale) AS v FROM s),
+          |p AS (SELECT d.vec_id AS id_new, e.vec_id AS id_ref,
+          |  list_cosine_similarity(d.v, e.v) AS c
+          |  FROM d JOIN e ON list_cosine_similarity(d.v, e.v) >= 0.9),
+          |r AS (SELECT id_new, id_ref, c,
+          |  row_number() OVER (PARTITION BY id_new ORDER BY c DESC, id_ref) AS rn FROM p)
+          |SELECT id_new, id_ref AS matched_ref, round(c, 4) AS best_cosine
+          |FROM r WHERE rn = 1 ORDER BY id_new""".stripMargin,
       "dedup_semantic" ->
         // the exact leg's unique correct outcome (see the query comment):
         // with twins at cosine ≈ 0.9999 and all cross pairs < 0.62, a 0.9

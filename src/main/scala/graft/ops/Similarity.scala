@@ -452,6 +452,65 @@ object Similarity {
     * thresholds (≥0.85, e.g. the t90 quantized-twin query) the S-curve
     * margin is orders of magnitude and this fragility disappears.
     */
+  /** Cross-corpus embedding near-dup flags: mark vectors in `corpus` (the
+    * fresh batch) whose cosine with ANY vector in `reference` (the
+    * existing training set / eval suite) reaches `threshold` — the
+    * embedding-space sibling of `Dedup.crossCorpusNearDups`, e.g. "drop
+    * new embeddings that near-duplicate the eval set before they enter
+    * training". Asymmetric sign-bit LSH: both sides band through the
+    * same hyperplane kernel (identical planes ⇒ near vectors collide
+    * cross-side exactly as they would in the self-join), the candidate
+    * join is (band, bucket)-local reference×corpus — no self-pairs —
+    * and the exact cosine verifies candidates only. One row per flagged
+    * corpus vector with its best reference match (highest cosine, then
+    * smallest reference id; lexicographic struct max = one
+    * map-side-partial aggregation).
+    *
+    * 100 TB notes: the reference's (band, bucket, id) relation is a
+    * build-once artifact across batches (the same seam as
+    * `crossCorpusNearDups` — rebanding the corpus per batch is the cost
+    * to avoid); shuffles carry fixed-width keys, vectors join back to
+    * candidate ids only. Same (bitsPerBand, bands) honesty as
+    * `cosineNearDupLsh`: production thresholds ≥0.85 support 12–16-bit
+    * bands with sublinear candidates; near-floor thresholds don't.
+    */
+  def crossCorpusCosineFlags(corpus: DataFrame, reference: DataFrame,
+                             threshold: Double, dim: Int,
+                             bitsPerBand: Int = 16, bands: Int = 8,
+                             maxBucketSize: Int = 0,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      posexplode(signBandBuckets(col(vecCol), bitsPerBand, bands, dim)).as(Seq("band", "bucket")))
+    val nb = banded(corpus, "id_new")
+    val rb = banded(reference, "id_ref")
+    val (nbB, rbB) =
+      if (maxBucketSize <= 0) (nb, rb)
+      else {
+        val ok = nb.select(col("band"), col("bucket"))
+          .unionByName(rb.select(col("band"), col("bucket")))
+          .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        (nb.join(ok, Seq("band", "bucket"), "leftsemi"),
+          rb.join(ok, Seq("band", "bucket"), "leftsemi"))
+      }
+    val cand = nbB.join(rbB, Seq("band", "bucket"))
+      .select(col("id_new"), col("id_ref")).distinct()
+    val vn = corpus.select(col(idCol).as("id_new"), col(vecCol).as("__vn"),
+      norm(col(vecCol)).as("__nn"))
+    val vr = reference.select(col(idCol).as("id_ref"), col(vecCol).as("__vr"),
+      norm(col(vecCol)).as("__nr"))
+    cand.join(vn, "id_new").join(vr, "id_ref")
+      .withColumn("__cos", dot(col("__vn"), col("__vr")) / (col("__nn") * col("__nr")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("__cos").as("c"), (-col("id_ref")).as("ni"))).as("__best"))
+      .select(col("id_new"), (-col("__best.ni")).as("matched_ref"),
+        round(col("__best.c"), 4).as("best_cosine"))
+  }
+
   def cosineNearDupLsh(df: DataFrame, threshold: Double, dim: Int,
                        bitsPerBand: Int = 5, bands: Int = 48,
                        maxBucketSize: Int = 0,

@@ -213,6 +213,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("crossCorpusCosineFlags == brute cross-force best-match on planted twins") {
+    // reference = originals, corpus = int8-dequantized twins: every twin
+    // must flag with exactly its own original as the best match
+    val orig = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val twins = emb.select(($"vec_id" + 10000000L).as("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("embedding"))
+    val got = Similarity.crossCorpusCosineFlags(twins, orig, 0.9, dim = 64,
+        bitsPerBand = 16, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute-force spec: all cross cosines >= 0.9, best per twin by
+    // (cosine desc, ref id asc)
+    val o = orig.as[(Long, Seq[Double])].collect()
+    val t = twins.as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = t.flatMap { case (tid, tv) =>
+      val hits = o.map { case (oid, ov) => (oid, cos(tv, ov)) }.filter(_._2 >= 0.9)
+      if (hits.isEmpty) None
+      else {
+        val best = hits.minBy { case (oid, c) => (-c, oid) }
+        Some((tid, best._1, math.rint(best._2 * 10000) / 10000))
+      }
+    }.toSet
+    assert(got == expect, s"LSH flags != brute (missing ${(expect -- got).size}, " +
+      s"extra ${(got -- expect).size})")
+    assert(got.size == emb.count(), "every twin must flag against its original")
+    assert(got.forall { case (tid, ref, _) => tid == ref + 10000000L },
+      "each twin's best match must be its own original")
+  }
+
   test("dimStats: exact micro-unit means with true min/max per dimension") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f)),
