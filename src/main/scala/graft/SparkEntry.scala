@@ -1211,6 +1211,19 @@ object SparkEntry {
       // (TextAnalysis.calibrateQuality scaladoc)
       TextAnalysis.calibrateQuality(t(s, dir, "documents"), "text", "lang")
         .orderBy(col("doc_id"))),
+    "docs_calibrate_apply" -> ((s, dir) => {
+      // the train/apply split: build the calibration CDF model on the
+      // even-id half, rank the odd-id half against it — new data scored
+      // against the TRAINED distribution, not its own (the model is the
+      // build-once artifact; the apply is a broadcast join that runs
+      // unchanged on a stream)
+      val d = t(s, dir, "documents")
+      val model = TextAnalysis.qualityCalibrationBuild(
+        d.filter(col("doc_id") % 2 === 0), "text", "lang")
+      TextAnalysis.calibrateQualityWith(
+          d.filter(col("doc_id") % 2 === 1), model, "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
     "events_session_paths" -> ((s, dir) =>
       // top-25 within-session event-type sequences — collect is pinned
       // by an array_sort over (ts, event_id) structs, so the path string
@@ -2392,6 +2405,31 @@ object SparkEntry {
            |         // (count(*) OVER (PARTITION BY lang) - 1)
            |    ELSE 0 END AS BIGINT) AS cal_ppm
            |FROM q ORDER BY doc_id""".stripMargin,
+      "docs_calibrate_apply" ->
+        // same score construction; odd-id docs ranked against the even-id
+        // half's distribution: below = strict-below count in the
+        // reference, n = reference language total; unseen language → NULL
+        s"""WITH f AS (SELECT doc_id, lang, $toks AS w FROM documents),
+           |g AS (SELECT doc_id, lang, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id, lang,
+           |round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           |FROM g),
+           |ref AS (SELECT * FROM q WHERE doc_id % 2 = 0),
+           |nw AS (SELECT * FROM q WHERE doc_id % 2 = 1),
+           |m AS (SELECT lang, count(*) AS n FROM ref GROUP BY lang),
+           |b AS (SELECT nw.doc_id, count(r.doc_id) AS below FROM nw
+           |      LEFT JOIN ref r ON r.lang = nw.lang AND r.quality_score < nw.quality_score
+           |      GROUP BY nw.doc_id)
+           |SELECT nw.doc_id, nw.lang, nw.quality_score,
+           |  CAST(CASE WHEN m.n > 1 THEN (b.below * 1000000) // (m.n - 1)
+           |            WHEN m.n IS NOT NULL THEN 0 END AS BIGINT) AS cal_ppm
+           |FROM nw JOIN b ON b.doc_id = nw.doc_id LEFT JOIN m ON m.lang = nw.lang
+           |ORDER BY nw.doc_id""".stripMargin,
       "events_session_paths" ->
         // the events_sessions gap construction (proven by that oracle) +
         // order-pinned string_agg path + top-k census

@@ -783,6 +783,64 @@ object TextAnalysis {
         col("cal_ppm"))
   }
 
+  /** Build-once calibration MODEL from a reference corpus: one row per
+    * (language, 2-dp score lattice point) carrying the reference
+    * distribution's strict-below count and total — the score CDF,
+    * densified over the whole 0.00–1.00 lattice so that applying it is
+    * an exact integer equi-join for ANY incoming score, including
+    * values the reference never produced. This is the train/apply split
+    * for distribution-relative quality ops (the `ivfBuild`/
+    * `clusterBuild` seam): build on the reference ONCE (the only
+    * corpus-scale work — one histogram aggregation), persist/write the
+    * ≤101·|langs|-row model, and apply it to any batch OR stream.
+    * Join keys are integer cents — no double equality anywhere.
+    */
+  def qualityCalibrationBuild(reference: DataFrame, textCol: String,
+                              langCol: String): DataFrame = {
+    val hist = scoreHistogram(
+        qualityScore(reference, textCol)
+          .select(col("doc_id"), col(langCol), col("quality_score")),
+        langCol)
+      .select(col(langCol),
+        round(col("quality_score") * 100).cast("long").as("cents"),
+        col("cum"), col("n"))
+    val lattice = hist.select(col(langCol), col("n")).distinct()
+      .select(col(langCol), col("n"),
+        explode(sequence(lit(0L), lit(100L))).as("cents"))
+    // strict-below count at lattice point v = the inclusive running count
+    // of the largest histogram score BELOW v (0 when none) — a ≤101×101
+    // per-language triangle join over the tiny histogram, built once
+    lattice.as("l").join(hist.as("h"),
+        col(s"l.$langCol") === col(s"h.$langCol") &&
+          col("h.cents") < col("l.cents"), "left")
+      .groupBy(col(s"l.$langCol").as(langCol), col("l.cents").as("cents"),
+        col("l.n").as("n"))
+      .agg(coalesce(max(col("h.cum")), lit(0L)).as("below"))
+  }
+
+  /** Apply a `qualityCalibrationBuild` model to a corpus or STREAM: score
+    * each document, look its (lang, score-cents) up in the broadcast
+    * model, and emit the reference-distribution ppm rank — the "calibrate
+    * new data against the trained distribution" step (CCNet-style apply).
+    * Stateless: a projection plus a broadcast equi-join, so the same call
+    * works unchanged on a streaming DataFrame (the model side is static;
+    * re-read per micro-batch at worst). Documents in languages the model
+    * has never seen emit a null `cal_ppm` — surfacing them beats silently
+    * ranking against nothing. Self-application reproduces
+    * `calibrateQuality` exactly (spec-pinned).
+    */
+  def calibrateQualityWith(df: DataFrame, model: DataFrame, textCol: String,
+                           langCol: String): DataFrame =
+    qualityScore(df, textCol)
+      .select(col("doc_id"), col(langCol), col("quality_score"),
+        round(col("quality_score") * 100).cast("long").as("cents"))
+      .join(broadcast(model), Seq(langCol, "cents"), "left")
+      .withColumn("cal_ppm",
+        when(col("n") > 1, expr("(below * 1000000) div (n - 1)"))
+          .otherwise(when(col("n").isNotNull, lit(0L))))
+      .select(col("doc_id"), col(langCol), col("quality_score"),
+        col("cal_ppm"))
+
   /** Greedy token/char-budget corpus selection: rank documents
     * best-quality-first on an integer sort key — (100 − score·100)·1000 +
     * length, ascending = quality desc then shorter-first — and keep the

@@ -365,6 +365,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == expect, "histogram ppm diverges from the rank-window form")
   }
 
+  test("calibration model self-application == calibrateQuality; unseen lang is null") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val model = TextAnalysis.qualityCalibrationBuild(docs, "text", "lang")
+    val applied = TextAnalysis.calibrateQualityWith(docs, model, "text", "lang")
+      .as[(Long, String, Double, Long)].collect().toSet
+    val inline = TextAnalysis.calibrateQuality(docs, "text", "lang")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(applied == inline,
+      "applying the built model to its own reference diverges from the inline op")
+    // a language the model never saw must surface as null, not rank 0
+    val alien = Seq((900001L, "xx", "the fast thing and the slow thing again"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.calibrateQualityWith(alien, model, "text", "lang")
+      .select($"cal_ppm").collect()
+    assert(got.length == 1 && got(0).isNullAt(0), "unseen language must emit null")
+  }
+
   test("sourceCap histogram top-k == whole-source window top-k") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val w = org.apache.spark.sql.expressions.Window

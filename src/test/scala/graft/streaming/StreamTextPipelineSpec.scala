@@ -151,6 +151,34 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming calibration apply == batch apply against the same static model") {
+    // the apply is a stateless projection + broadcast join, so the same
+    // call runs on a stream: arriving docs rank against the TRAINED
+    // reference distribution, no state anywhere
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val model = graft.ops.TextAnalysis.qualityCalibrationBuild(
+      docs.filter($"doc_id" % 2 === 0), "text", "lang")
+    val in = MemoryStream[(Long, String, String)]
+    val applied = graft.ops.TextAnalysis.calibrateQualityWith(
+      in.toDF().toDF("doc_id", "lang", "text"), model, "text", "lang")
+    val q = applied.writeStream.format("memory")
+      .queryName("stream_calibrated").outputMode("append").start()
+    try {
+      val newDocs = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      in.addData(newDocs.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, lang, quality_score, cal_ppm FROM stream_calibrated")
+        .as[(Long, String, Double, Long)].collect().toSet
+      val batch = graft.ops.TextAnalysis.calibrateQualityWith(
+          docs.filter($"doc_id" % 2 === 1), model, "text", "lang")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(got == batch, "streaming apply diverges from the batch apply")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("normalize → streaming dedup → route: three ops chained end-to-end under a watermark") {
     // the full ingest stage (DESIGN.md §5) as ONE incremental pipeline:
     // clean the payload, drop exact re-deliveries within the watermark
