@@ -30,7 +30,8 @@ object Bench {
     "q12_delay_priority", "q13_custdist", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_variety", "q17_small_qty_revenue",
     "q19_or_of_ands", "q20_excess_share", "q22_prospects",
-    "docs_source_cap", "dedup_cross_corpus")
+    "docs_source_cap", "dedup_cross_corpus", "emb_cross_corpus",
+    "docs_calibrate_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
