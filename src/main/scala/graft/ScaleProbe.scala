@@ -126,6 +126,12 @@ object ScaleProbe {
     // parallelism is nShards × posBuckets, not nShards
     time("shuffle_shards_8")(
       graft.ops.TextAnalysis.shuffleShards(docs, "doc_id", "text", 8).count())
+    // two-phase token packing over FEW keys (3 langs ≈ 333k docs each):
+    // the claim is that no language funnels through one cumsum task —
+    // parallelism is |langs| × posBuckets
+    time("pack_bins_3lang")(
+      graft.ops.TextAnalysis.packBins(docsL7, "doc_id", "text", 4096L,
+        Seq("lang")).count())
     // per-source top-k at 1M docs over an adversarial FEW-source domain
     // (20 sources ≈ 50k docs each, coarse 6-value score lattice → the
     // boundary bucket is large): the claim is that above-threshold rows

@@ -496,13 +496,36 @@ object TextAnalysis {
     * bin is the one its FIRST token lands in:
     * bin = floor((cum_tokens − n_tokens) / budget).
     *
-    * Scale note: the window is PARTITIONED (the wired query packs per
-    * language) — an unpartitioned global cumsum serializes into a single
-    * task at 100 TB. Pack within natural shards (language, source,
-    * date...) and the window parallelizes per shard.
+    * Scale shape: the cumulative sum is TWO-PHASE, the same decomposition
+    * as `shuffleShards` positions — a plain per-key cumsum window funnels
+    * an entire partition key (a whole language in the wired query)
+    * through one task at 100 TB. Each key is cut into `posBuckets`
+    * id-RANGE sub-buckets (bounds from a |keys|-row min/max aggregate,
+    * broadcast back; width computed division-first so arbitrary long ids
+    * can't overflow): the running sum within a (key, bucket) comes from a
+    * window keyed on BOTH — parallelism = |keys| × posBuckets — and each
+    * bucket's starting offset is a running total over the bucket-census
+    * rows, histogram not corpus. Buckets are id-range-aligned, so
+    * offset + intra equals the one-window cumsum EXACTLY (spec-pinned).
+    * Skewed id spaces degrade toward fewer effective buckets, never past
+    * the one-window form.
     */
   def packBins(df: DataFrame, idCol: String, textCol: String, budget: Long,
-               partitionCols: Seq[String]): DataFrame = {
+               partitionCols: Seq[String], posBuckets: Int = 64): DataFrame = {
+    require(budget > 0, s"packBins: budget must be positive, got $budget")
+    require(posBuckets >= 1, s"packBins: posBuckets must be >= 1, got $posBuckets")
+    Seq("__b", "__mn", "__mx", "__w", "__i", "__off", "__cnt").foreach(c =>
+      require(!df.columns.contains(c),
+        s"packBins uses '$c' as a temp column; input must not contain it"))
+    val pcols = partitionCols.map(col)
+    val base = df.withColumn("n_tokens", tokenCount(col(textCol)))
+    val bounds = base.groupBy(pcols: _*)
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+    val bucketed = base.join(broadcast(bounds), partitionCols)
+      .withColumn("__w", expr(s"(__mx - __mn) div $posBuckets + 1"))
+      .withColumn("__b", expr(s"($idCol - __mn) div __w"))
+      .drop("__mn", "__mx", "__w")
+    val bcols = pcols :+ col("__b")
     // explicit ROWS frame: Spark's default frame with an orderBy is RANGE,
     // which merges peer rows (duplicate ids) into one cumulative value and
     // diverges from the oracle's ROWS UNBOUNDED PRECEDING on ties.
@@ -511,13 +534,23 @@ object TextAnalysis {
     // same-id docs with different token counts could swap bins between
     // runs; (id, n_tokens) pins every tie the cumsum can observe —
     // same-id same-count rows are interchangeable in cum_tokens and bin.
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(idCol), col("n_tokens"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // (Duplicate ids co-locate in one bucket — __b is a function of id —
+    // so the tie argument is unchanged by the two-phase split.)
+    val intra = sum(col("n_tokens")).over(
+      Window.partitionBy(bcols: _*).orderBy(col(idCol), col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val offsets = bucketed.groupBy(bcols: _*)
+      .agg(sum(col("n_tokens")).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.partitionBy(pcols: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((bcols :+ col("__off")): _*)
+    bucketed.withColumn("__i", intra)
+      .join(broadcast(offsets), partitionCols :+ "__b")
+      .withColumn("cum_tokens", col("__off") + col("__i"))
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget))
+      .drop("__b", "__i", "__off")
   }
 
   /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to

@@ -365,6 +365,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == expect, "histogram ppm diverges from the rank-window form")
   }
 
+  test("packBins two-phase cumsum == single per-key window (incl. 1 bucket, many buckets)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def windowForm = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id", $"n_tokens")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("bin",
+          floor(($"cum_tokens" - $"n_tokens").cast("double") / 4096L))
+        .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens", $"bin")
+        .as[(Long, String, Int, Long, Long)].collect().toSet
+    }
+    val expect = windowForm
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = TextAnalysis.packBins(docs, "doc_id", "text", 4096L,
+          Seq("lang"), posBuckets = buckets)
+        .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens", $"bin")
+        .as[(Long, String, Int, Long, Long)].collect().toSet
+      assert(got == expect, s"two-phase packBins (posBuckets=$buckets) != window cumsum")
+    }
+    // layout invariance
+    val re = TextAnalysis.packBins(docs.repartition(5), "doc_id", "text", 4096L, Seq("lang"))
+      .select($"doc_id", $"lang", $"cum_tokens", $"bin")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(re == expect.map(t => (t._1, t._2, t._4, t._5)),
+      "packBins depends on physical layout")
+  }
+
   test("calibration model self-application == calibrateQuality; unseen lang is null") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val model = TextAnalysis.qualityCalibrationBuild(docs, "text", "lang")
