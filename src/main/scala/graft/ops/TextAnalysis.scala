@@ -428,6 +428,27 @@ object TextAnalysis {
     agged.select(col("id").as(idCol), round(total, 4).as("bm25"), col("n_hit_terms"))
   }
 
+  /** Bounded rows-probe deciding whether the two-phase window
+    * decomposition pays for itself: below `autoDegradeBelow` TOTAL rows,
+    * every partition key trivially fits one task (a ≤64k-row sort is
+    * milliseconds) and the two-phase census/join stages are pure overhead
+    * — measured 2.2× on `text_pack_bins` at sf0.1 — so the op degrades to
+    * the one-window form. The probe is a limit-capped count: it scans at
+    * most `autoDegradeBelow`+1 rows at any corpus size, then stops — at
+    * 100 TB it reads one partition's worth and keeps the two-phase form.
+    * `autoDegradeBelow` ≤ 0 disables the probe (always two-phase —
+    * what the plan specs pin). Degrading on TOTAL rows is the
+    * conservative direction: per-key counts are only smaller, so the
+    * scale form is never dropped when any key could be large.
+    */
+  private def twoPhaseWorthIt(df: DataFrame, posBuckets: Int,
+                              autoDegradeBelow: Long): Boolean = {
+    require(autoDegradeBelow < Int.MaxValue,
+      s"autoDegradeBelow must fit a limit(), got $autoDegradeBelow")
+    posBuckets > 1 && (autoDegradeBelow <= 0 ||
+      df.limit(autoDegradeBelow.toInt + 1).count() > autoDegradeBelow)
+  }
+
   /** Deterministic global shuffle + sharding — the "randomize example
     * order for training" step, content-keyed so it is reproducible:
     * shard = fingerprint(text ‖ salt) mod nShards, position = rank of
@@ -448,21 +469,30 @@ object TextAnalysis {
     * corpus rows. Buckets are fp-range-aligned, so offset + intra equals
     * the one-window (fp, id) rank exactly. Sub-bucketing composes with
     * any shard count; production still sizes nShards to the output
-    * stream layout (thousands at 100 TB).
+    * stream layout (thousands at 100 TB). Below `autoDegradeBelow` total
+    * rows the op degrades to the one-window form (`twoPhaseWorthIt`
+    * scaladoc — the census stages are pure overhead at toy scale);
+    * pass 0 to force the two-phase shape.
     */
   def shuffleShards(df: DataFrame, idCol: String, textCol: String,
                     nShards: Int, salt: String = "shuffle-v1",
-                    posBuckets: Int = 64): DataFrame = {
+                    posBuckets: Int = 64,
+                    autoDegradeBelow: Long = 65536L): DataFrame = {
     require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
     require(posBuckets >= 1, s"shuffleShards: posBuckets must be >= 1, got $posBuckets")
+    val base0 = df.select(col(idCol),
+        fingerprint(concat(col(textCol), lit(":" + salt))).as("fp"))
+      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+    if (!twoPhaseWorthIt(df, posBuckets, autoDegradeBelow))
+      return base0
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("fp"), col(idCol))))
+        .select(col(idCol), col("shard"), col("pos"))
     // fingerprint's modulus (see VectorFunctions.fingerprint): fp range
     // is [0, 1e9+7), so ceil-width buckets cover it with no overflow
     val fpMod = 1000000007L
     val width = (fpMod + posBuckets - 1) / posBuckets
-    val base = df.select(col(idCol),
-        fingerprint(concat(col(textCol), lit(":" + salt))).as("fp"))
-      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
-      .withColumn("__b", expr(s"fp div $width"))
+    val base = base0.withColumn("__b", expr(s"fp div $width"))
     val intra = row_number().over(
       Window.partitionBy(col("shard"), col("__b")).orderBy(col("fp"), col(idCol)))
     val offsets = base.groupBy(col("shard"), col("__b"))
@@ -508,10 +538,13 @@ object TextAnalysis {
     * rows, histogram not corpus. Buckets are id-range-aligned, so
     * offset + intra equals the one-window cumsum EXACTLY (spec-pinned).
     * Skewed id spaces degrade toward fewer effective buckets, never past
-    * the one-window form.
+    * the one-window form. Below `autoDegradeBelow` total rows the op
+    * takes the one-window form directly (`twoPhaseWorthIt` scaladoc);
+    * pass 0 to force the two-phase shape.
     */
   def packBins(df: DataFrame, idCol: String, textCol: String, budget: Long,
-               partitionCols: Seq[String], posBuckets: Int = 64): DataFrame = {
+               partitionCols: Seq[String], posBuckets: Int = 64,
+               autoDegradeBelow: Long = 65536L): DataFrame = {
     require(budget > 0, s"packBins: budget must be positive, got $budget")
     require(posBuckets >= 1, s"packBins: posBuckets must be >= 1, got $posBuckets")
     Seq("__b", "__mn", "__mx", "__w", "__i", "__off", "__cnt").foreach(c =>
@@ -519,6 +552,15 @@ object TextAnalysis {
         s"packBins uses '$c' as a temp column; input must not contain it"))
     val pcols = partitionCols.map(col)
     val base = df.withColumn("n_tokens", tokenCount(col(textCol)))
+    if (!twoPhaseWorthIt(df, posBuckets, autoDegradeBelow)) {
+      // ROWS frame + (id, n_tokens) tie key: same discipline as the
+      // two-phase branch below (comments there)
+      val w = Window.partitionBy(pcols: _*).orderBy(col(idCol), col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget))
+    }
     val bounds = base.groupBy(pcols: _*)
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
     val bucketed = base.join(broadcast(bounds), partitionCols)
@@ -955,30 +997,47 @@ object TextAnalysis {
     * sampling weights, emit the position of every document in the global
     * training order of a weighted round-robin over sources — source s
     * with weight w contributes one doc every lcm/w virtual ticks. Pure
-    * integer construction: intra-source rank (window partitioned by
-    * source — parallel) × the source's stride (lcm(weights)/w) gives the
-    * virtual time; the GLOBAL position is then computed ANALYTICALLY, not
-    * ranked: a row at virtual time v is preceded by exactly
-    * min(⌊v_adj/stride_s'⌋, n_s') rows of each source s' (v_adj = v for
-    * sources ordered before it, v−1 after — the (vt, source) tie order),
-    * so mix_pos is a Σ-over-sources projection built from the
-    * |sources|-row per-source count table, collected once. No second
-    * shuffle, no corpus-cardinality rank (an earlier form fed
-    * globalRankAll a ~corpus-distinct vt key, making its offsets window
-    * and broadcast O(n) at scale), no broadcast at all — the only
-    * exchange is the per-source rank window, which is key-local and
-    * parallel. |sources| is a mixture schedule's handful (the projection
-    * is |sources| terms); vt stays < 2⁵³ for any real corpus so the
-    * floor-division is exact. Deterministic across reshuffles/rebuilds
-    * because the intra-source rank orders by content-stable ids; changing
-    * a weight re-mixes with zero coordination. This is the corpus-mixing
-    * schedule a multi-source training run consumes (e.g. 3:2:1
-    * web:books:code), as a relational query.
+    * integer construction: intra-source rank × the source's stride
+    * (lcm(weights)/w) gives the virtual time; the GLOBAL position is then
+    * computed ANALYTICALLY, not ranked: a row at virtual time v is
+    * preceded by exactly min(⌊v_adj/stride_s'⌋, n_s') rows of each source
+    * s' (v_adj = v for sources ordered before it, v−1 after — the
+    * (vt, source) tie order), so mix_pos is a Σ-over-sources projection
+    * built from the |sources|-row per-source stats table, collected once.
+    * No corpus-cardinality rank (an earlier form fed globalRankAll a
+    * ~corpus-distinct vt key, making its offsets window and broadcast
+    * O(n) at scale). |sources| is a mixture schedule's handful (the
+    * projection is |sources| terms); vt stays < 2⁵³ for any real corpus
+    * so the floor-division is exact.
+    *
+    * Scale shape: the intra-source rank is TWO-PHASE, the packBins
+    * decomposition — a plain `row_number() over partitionBy(source)`
+    * funnels corpus/|sources| rows through ONE task, because the
+    * partition key is the config-scale source set, not a data-scale id
+    * (the round-7 sweep gap: "key-local" is only parallel across KEYS).
+    * Each source is cut into `posBuckets` id-RANGE sub-buckets (bounds
+    * from the same |sources|-row stats collect that feeds the position
+    * projection; width division-first so arbitrary long id ranges can't
+    * overflow): the rank within a (source, bucket) comes from a window
+    * keyed on BOTH — parallelism |sources| × posBuckets — and each
+    * bucket's starting offset is a running count over the bucket-census
+    * rows, histogram not corpus. Buckets are id-range-aligned, so
+    * offset + intra equals the one-window rank EXACTLY (spec-pinned).
+    * Non-integral id types degrade to the one-window form (posBuckets is
+    * ignored) — range-bucketing needs id arithmetic.
+    *
+    * Deterministic across reshuffles/rebuilds because the intra-source
+    * rank orders by content-stable ids; changing a weight re-mixes with
+    * zero coordination. This is the corpus-mixing schedule a multi-source
+    * training run consumes (e.g. 3:2:1 web:books:code), as a relational
+    * query.
     */
   def mixInterleave(df: DataFrame, sourceCol: String, idCol: String,
-                    weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
+                    weights: Map[String, Int], defaultWeight: Int = 1,
+                    posBuckets: Int = 64): DataFrame = {
     require(weights.values.forall(_ > 0) && defaultWeight > 0,
       "weights must be positive")
+    require(posBuckets >= 1, s"mixInterleave: posBuckets must be >= 1, got $posBuckets")
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcm = (weights.values.toSeq :+ defaultWeight)
@@ -986,31 +1045,71 @@ object TextAnalysis {
     val stride = weights.foldLeft(when(lit(false), lit(0L))) {
       case (acc, (s, w)) => acc.when(col(sourceCol) === s, lit(lcm / w))
     }.otherwise(lit(lcm / defaultWeight))
-    val ranked = df.select(col(idCol), col(sourceCol))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
-      .withColumn("vt", col("rk") * stride)
-    // bounded build step (the ivfBuild precedent): per-source doc counts,
-    // |sources| rows, collected once and folded into the projection
-    val srcStats: Seq[(String, Long, Long)] = ranked
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      .collect()
-      .toIndexedSeq
-      .map(r => {
+    val base = df.select(col(idCol), col(sourceCol))
+    val idIntegral = base.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // bounded build step (the ivfBuild precedent): per-source doc count
+    // and id bounds — |sources| rows, collected once; feeds BOTH the
+    // analytic position projection and the sub-bucket widths
+    val statRows = base.groupBy(col(sourceCol)).agg(
+        count(lit(1)).as("__n"),
+        (if (idIntegral) min(col(idCol)).cast("long")
+         else lit(null).cast("long")).as("__mn"),
+        (if (idIntegral) max(col(idCol)).cast("long")
+         else lit(null).cast("long")).as("__mx"))
+      .collect().toIndexedSeq
+    val srcStats: Seq[(String, Long, Long)] = statRows
+      .map { r =>
         val src = r.get(0).toString
         (src, r.getLong(1), lcm / weights.getOrElse(src, defaultWeight).toLong)
-      })
+      }
       .sortBy(_._1)
+    val ranked = if (!idIntegral || posBuckets == 1) {
+      base.withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))).cast("long"))
+    } else {
+      val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+        base.schema(sourceCol),
+        org.apache.spark.sql.types.StructField("__mn",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__w",
+          org.apache.spark.sql.types.LongType)))
+      val metaRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(statRows.map { r =>
+          val mn = r.getLong(2); val mx = r.getLong(3)
+          org.apache.spark.sql.Row(r.get(0), mn, (mx - mn) / posBuckets + 1)
+        }: _*)
+      val meta = df.sparkSession.createDataFrame(metaRows, metaSchema)
+      val bucketed = base.join(broadcast(meta), Seq(sourceCol))
+        .withColumn("__b", expr(s"($idCol - __mn) div __w"))
+        .drop("__mn", "__w")
+      val intra = row_number().over(
+        Window.partitionBy(col(sourceCol), col("__b")).orderBy(col(idCol)))
+      val offsets = bucketed.groupBy(col(sourceCol), col("__b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__off", coalesce(
+          sum(col("__cnt")).over(Window.partitionBy(col(sourceCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(sourceCol), col("__b"), col("__off"))
+      bucketed.withColumn("__i", intra)
+        .join(broadcast(offsets), Seq(sourceCol, "__b"))
+        .withColumn("rk", col("__off") + col("__i"))
+        .drop("__b", "__i", "__off")
+    }
+    val vted = ranked.withColumn("vt", col("rk") * stride)
     // Σ over sources of the preceded-row count; own source contributes
     // its intra rank exactly (vt/stride_s == rk, never capped)
     val pos = srcStats.map { case (s2, n2, str2) =>
       // ties at equal vt order by source ascending: sources sorting
       // BEFORE this row's count rows with vt' <= vt, those AFTER vt' < vt
       val vAdj = col("vt") - when(lit(s2) > col(sourceCol), 1L).otherwise(0L)
-      when(col(sourceCol) === s2, col("rk").cast("long"))
+      when(col(sourceCol) === s2, col("rk"))
         .otherwise(least(lit(n2), floor(vAdj / lit(str2.toDouble)).cast("long")))
     }.reduce(_ + _)
-    ranked.select(col(idCol), col(sourceCol), col("vt"), pos.as("mix_pos"))
+    vted.select(col(idCol), col(sourceCol), col("vt"), pos.as("mix_pos"))
   }
 
   /** BPE merge-table induction — tokenizer TRAINING as a pipeline op

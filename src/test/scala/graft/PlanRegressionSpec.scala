@@ -176,8 +176,13 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"1-row corpus-stats join not a broadcast cross join:\n$p")
   }
 
-  test("shuffle shards: two-phase position — the data window keys (shard, bucket)") {
-    val p = plan("docs_shuffle_shards")
+  test("shuffle shards: forced two-phase — the data window keys (shard, bucket)") {
+    // autoDegradeBelow = 0 forces the SCALE shape regardless of test-corpus
+    // size — this is the plan a 100 TB run executes
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.ops.TextAnalysis.shuffleShards(docs, "doc_id", "text", 8,
+        autoDegradeBelow = 0)
+      .queryExecution.executedPlan.toString
     // the corpus-sized window must be partitioned by BOTH shard and the
     // fp-range sub-bucket (parallelism nShards × posBuckets, never a
     // whole n/nShards shard through one task)
@@ -190,18 +195,53 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"bucket offsets did not rejoin as a broadcast:\n$p")
   }
 
-  test("mix interleave: analytic position — one key-local window, no join") {
-    val p = plan("docs_mix_interleave")
-    // the global position is a pure projection from driver-folded
-    // per-source counts: a join or broadcast here means the O(n)
-    // corpus-cardinality rank crept back
-    assert(!p.contains("Join"), s"analytic mix position must not join:\n$p")
-    assert(!p.contains("BroadcastExchange"),
-      s"mix position must not broadcast (offsets relation was O(corpus)):\n$p")
+  test("pack bins: forced two-phase — the cumsum window keys (lang, bucket)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.ops.TextAnalysis.packBins(docs, "doc_id", "text", 4096L,
+        Seq("lang"), autoDegradeBelow = 0)
+      .queryExecution.executedPlan.toString
+    val i = p.indexOf("windowspecdefinition(lang")
+    assert(i >= 0, s"cumsum window lost its key partitioning:\n$p")
+    assert(p.substring(i, i + 60).contains("__b"),
+      s"cumsum window not sub-bucketed — one task per key at scale:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-census offsets did not rejoin as a broadcast:\n$p")
+  }
+
+  test("shuffle shards wired: probe-degraded to ONE clean shard window at toy scale") {
+    val p = plan("docs_shuffle_shards")
+    // 500 test rows sit far below the degrade threshold: the wired query
+    // must take the one-window form with NO census stages (the 2.2×
+    // toy-scale overhead the round-7 bench measured on pack_bins)
+    assert(p.contains("windowspecdefinition(shard"),
+      s"degraded form lost its shard partitioning:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"census join present despite probe degrade:\n$p")
     val n = "windowspecdefinition".r.findAllIn(p).length
-    assert(n == 1, s"expected exactly the intra-source rank window, got $n:\n$p")
-    assert(p.contains("windowspecdefinition(lang"),
-      s"intra-source rank lost its source partitioning:\n$p")
+    assert(n == 1, s"expected exactly the per-shard rank window, got $n:\n$p")
+  }
+
+  test("mix interleave: two-phase intra-source rank; analytic position stays a projection") {
+    val p = plan("docs_mix_interleave")
+    // the corpus-sized rank window must be partitioned by BOTH source and
+    // the id-range sub-bucket — parallelism |sources| × posBuckets, never
+    // a whole source through one task (the round-7 scale defect)
+    val i = p.indexOf("windowspecdefinition(lang")
+    assert(i >= 0, s"intra-source rank lost its source partitioning:\n$p")
+    assert(p.substring(i, i + 60).contains("__b"),
+      s"rank window not sub-bucketed — one task per source at scale:\n$p")
+    // bucket offsets are a histogram-sized census that rejoins broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-census offsets did not rejoin as a broadcast:\n$p")
+    // the GLOBAL position must stay the analytic |sources|-term projection:
+    // exactly the two rank windows (corpus intra-bucket + census cumsum),
+    // and no exchange keyed on the ~corpus-distinct virtual time
+    val n = "windowspecdefinition".r.findAllIn(p).length
+    assert(n == 2, s"expected intra-bucket rank + census cumsum windows, got $n:\n$p")
+    assert(!p.contains("hashpartitioning(vt"),
+      s"O(corpus) global rank on virtual time crept back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized relation joined non-broadcast:\n$p")
   }
 
   test("quality gate: histogram median — no buffering percentile aggregate") {

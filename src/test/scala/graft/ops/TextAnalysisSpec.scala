@@ -380,15 +380,23 @@ class TextAnalysisSpec extends AnyFunSuite {
         .as[(Long, String, Int, Long, Long)].collect().toSet
     }
     val expect = windowForm
+    // autoDegradeBelow = 0 forces the two-phase path (500 test rows would
+    // otherwise probe-degrade to the window form and test nothing)
     for (buckets <- Seq(1, 7, 64)) {
       val got = TextAnalysis.packBins(docs, "doc_id", "text", 4096L,
-          Seq("lang"), posBuckets = buckets)
+          Seq("lang"), posBuckets = buckets, autoDegradeBelow = 0)
         .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens", $"bin")
         .as[(Long, String, Int, Long, Long)].collect().toSet
       assert(got == expect, s"two-phase packBins (posBuckets=$buckets) != window cumsum")
     }
+    // the probe-degraded form (default threshold ≫ 500 rows) is the same
+    val degraded = TextAnalysis.packBins(docs, "doc_id", "text", 4096L, Seq("lang"))
+      .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens", $"bin")
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    assert(degraded == expect, "auto-degraded packBins != window cumsum")
     // layout invariance
-    val re = TextAnalysis.packBins(docs.repartition(5), "doc_id", "text", 4096L, Seq("lang"))
+    val re = TextAnalysis.packBins(docs.repartition(5), "doc_id", "text", 4096L,
+        Seq("lang"), autoDegradeBelow = 0)
       .select($"doc_id", $"lang", $"cum_tokens", $"bin")
       .as[(Long, String, Long, Long)].collect().toSet
     assert(re == expect.map(t => (t._1, t._2, t._4, t._5)),
@@ -442,7 +450,9 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("shuffleShards two-phase position == single-window (fp, id) rank") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val got = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8)
+    // autoDegradeBelow = 0 forces the two-phase path at 500 test rows
+    val got = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8,
+        autoDegradeBelow = 0)
       .as[(Long, Long, Int)].collect().toSet
     // posBuckets=1 degenerates to the one-window-per-shard form (offset
     // join is a no-op: every offset is 0) — the two-phase split must be
@@ -450,13 +460,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val one = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8, posBuckets = 1)
       .as[(Long, Long, Int)].collect().toSet
     assert(got == one, "sub-bucketed positions diverge from the one-window rank")
+    // and the probe-degraded default (500 rows ≪ threshold) matches both
+    val degraded = TextAnalysis.shuffleShards(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(degraded == one, "auto-degraded positions diverge from the one-window rank")
   }
 
   test("mixInterleave analytic position == rank over (vt, source)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val weights = Map("en" -> 3, "fr" -> 2)
-    val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
-      .as[(Long, String, Long, Long)].collect().toSet
     // the replaced form: a global row_number over (vt, source) — correct
     // but single-partition; the analytic Σ-over-sources must equal it
     val stride = when($"lang" === "en", 2L).when($"lang" === "fr", 3L).otherwise(6L)
@@ -469,7 +481,21 @@ class TextAnalysisSpec extends AnyFunSuite {
         w.orderBy($"vt", $"lang")).cast("long"))
       .select($"doc_id", $"lang", $"vt", $"mix_pos")
       .as[(Long, String, Long, Long)].collect().toSet
-    assert(got == expect, "analytic mix position diverges from the global rank")
+    // posBuckets 1 = the one-window intra-source rank; >1 = the two-phase
+    // id-range sub-bucket decomposition — both must equal the global rank
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights,
+          posBuckets = buckets)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == expect,
+        s"analytic mix position (posBuckets=$buckets) diverges from the global rank")
+    }
+    // layout invariance of the two-phase rank
+    val re = TextAnalysis.mixInterleave(docs.repartition(7), "lang", "doc_id", weights)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(re == expect, "mixInterleave depends on physical layout")
+    val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
+      .as[(Long, String, Long, Long)].collect().toSet
     // schedule sanity: within the first full cycle (vt ≤ lcm = 6), en
     // (weight 3) contributes 3 docs, fr (weight 2) contributes 2, every
     // other source exactly 1 — position-prefix counts would depend on the
