@@ -604,17 +604,21 @@ object SparkEntry {
     }),
     "q_window_ntile" -> ((s, dir) => {
       // ranking-distribution window functions: quartile (ntile) and
-      // percent_rank per priority. percent_rank = (rank-1)/(n-1) is a
-      // ratio of integers — engine-exact, hash-safe (same rule as tfidf)
+      // percent_rank of each customer's orders by price. percent_rank =
+      // (rank-1)/(n-1) is a ratio of integers — engine-exact, hash-safe
+      // (same rule as tfidf). The partition key is the DATA-SCALE
+      // customer key: a handful-valued key (the earlier per-priority
+      // form) funnels corpus/|keys| rows through one task at 100 TB —
+      // the WindowKeySweepSpec rule, caught by the round-8 sweep.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
+      val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"),
+        .select(col("o_custkey"), col("o_orderkey"),
           ntile(4).over(w).as("quartile"),
           round(percent_rank().over(w), 6).as("pct_rank"))
         .filter(col("quartile") === 1)
-        .orderBy(col("o_orderpriority"), col("pct_rank"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("pct_rank"), col("o_orderkey"))
     }),
     "q_anti_join" -> ((s, dir) =>
       Analytics.customersWithoutOrders(s, dir).orderBy(col("c_mktsegment"))),
@@ -1896,13 +1900,13 @@ object SparkEntry {
           |  SELECT s_nationkey AS nationkey, 'supplier' AS role FROM supplier)
           |GROUP BY nationkey, role ORDER BY nationkey, role""".stripMargin,
       "q_window_ntile" ->
-        """SELECT o_orderpriority, o_orderkey,
+        """SELECT o_custkey, o_orderkey,
           |ntile(4) OVER w AS quartile,
           |round(percent_rank() OVER w, 6) AS pct_rank
           |FROM orders
-          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
           |QUALIFY quartile = 1
-          |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin,
+          |ORDER BY o_custkey, pct_rank, o_orderkey""".stripMargin,
       "q_anti_join" ->
         """SELECT c_mktsegment, count(*) AS n_customers FROM customer
           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)

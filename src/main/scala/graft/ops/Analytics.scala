@@ -184,14 +184,18 @@ object Analytics {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                rightVal: String): DataFrame = {
-    val l = left.select(col(leftKey).as("k"), col(leftTime).as("t"),
+    // the unified key keeps the LEFT side's name (not an opaque temp): the
+    // window below partitions on it, and plan audits (WindowKeySweepSpec)
+    // classify window keys by name — "user_id" is visibly data-scale,
+    // "k" is not
+    val l = left.select(col(leftKey), col(leftTime).as("t"),
       lit(1).as("is_left"), lit(null).cast(right.schema(rightVal).dataType).as("rv"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("lrow"))
-    val r = right.select(col(rightKey).as("k"), col(rightTime).as("t"),
+    val r = right.select(col(rightKey).as(leftKey), col(rightTime).as("t"),
       lit(0).as("is_left"), col(rightVal).as("rv"),
       lit(null).cast(l.schema("lrow").dataType).as("lrow"))
     // right rows sort before left rows at equal t => "at or before" semantics
-    val w = Window.partitionBy(col("k"))
+    val w = Window.partitionBy(col(leftKey))
       .orderBy(col("t").asc, col("is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
