@@ -215,11 +215,33 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
-    "sim_topk_ivf" -> ((s, dir) => { // approximate: rows-only oracle
+    "sim_topk_ivf" -> ((s, dir) => {
+      // IVF top-k on its EXACT leg, hash-checked by DuckDB (the
+      // dedup_semantic promotion pattern: find the leg where the correct
+      // answer is forced): corpus = originals ∪ int8-dequantized twins
+      // (twin id = vec_id + 10M), queries = the first 20 originals, k = 1.
+      // Every twin sits at cosine ≈ 0.9999 of its original while every
+      // cross pair stays below 0.62 (measured), so the unique correct
+      // top-1 neighbor of each query is its own twin regardless of the
+      // hash-seeded quantizer; nprobe 4 of nlist 8 covers the twin's cell
+      // with the same margin semanticDedup's probes=2 leg proves. IVF
+      // recall on RAW corpora remains approximate and is spec-pinned
+      // instead (SimilaritySpec vs brute force, the 1M clustered probe).
+      // Derived corpus materialized once (localCheckpoint, harness-
+      // drained): ivfBuild reads it from several plan branches.
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 10, nlist = 20, nprobe = 4)
+      val orig = Cleanup.register(emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .localCheckpoint(false))
+      val twins = emb
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          Similarity.dequantizeInt8(col("qz")).as("embedding"))
+      val corpus = Cleanup.register(orig.unionByName(twins).localCheckpoint(false))
+      Similarity.ivfTopK(corpus, orig.filter(col("vec_id") < 20), 1,
+          nlist = 8, nprobe = 4, trainIters = 2)
         .withColumnRenamed("rank", "rnk")
-        .orderBy(col("query_id"), col("rnk"))
+        .orderBy(col("query_id"))
     }),
 
     "emb_mean_pool" -> ((s, dir) =>
@@ -1329,10 +1351,12 @@ object SparkEntry {
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash /
-    * dedup_minhash_estimate, the approximate sim_topk_ivf /
-    * q_approx_distinct / q_percentiles_approx, and the sketch-probing
+    * dedup_minhash_estimate, the approximate q_approx_distinct /
+    * q_percentiles_approx, and the sketch-probing
     * text_decontaminate_bloom — those get the driver's rows-only check and
     * are instead validated against exact counterparts in the spec suite.
+    * (sim_topk_ivf DOES carry an oracle since its round-8 promotion to
+    * the planted-twin exact leg — see the query comment.)
     * (dedup_minhash_lsh and dedup_embedding_cosine DO carry oracles: their
     * LSH recall is exact on the test corpora, spec-proven, so they share
     * their brute-force counterparts' SQL.)
@@ -1491,6 +1515,23 @@ object SparkEntry {
           |UNION ALL
           |SELECT vec_id + 10000000 AS vec_id, CAST(0 AS INT) AS keep_flag FROM embeddings
           |ORDER BY vec_id""".stripMargin,
+      "sim_topk_ivf" ->
+        // the exact leg's unique correct outcome (see the query comment):
+        // each query's top-1 is its own int8-dequantized twin, with the
+        // twin cosine computed by the same quantize arithmetic as the
+        // emb_quant_error / emb_cross_corpus oracles
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |           FROM embeddings WHERE vec_id < 20),
+          |s AS (SELECT vec_id, v,
+          |  greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+          |           2.2250738585072014e-308) AS scale FROM e),
+          |d AS (SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS deq
+          |      FROM s)
+          |SELECT e.vec_id AS query_id, CAST(1 AS INT) AS rnk,
+          |  e.vec_id + 10000000 AS neighbor_id,
+          |  round(list_cosine_similarity(d.deq, e.v), 4) AS cosine_r
+          |FROM e JOIN d ON e.vec_id = d.vec_id
+          |ORDER BY query_id""".stripMargin,
       "sim_topk_bruteforce" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
