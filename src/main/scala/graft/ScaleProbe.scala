@@ -149,6 +149,39 @@ object ScaleProbe {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", 3, 16, 4, 0.5).count())
+    // round-8 artifact seam: the 500k reference is banded+shingled ONCE
+    // (timed as _build, persisted), then TWO disjoint 250k crawl batches
+    // pay only their own banding + the probe join — per-batch cost must
+    // sit well under the raw op's (which rebands the reference per call)
+    val ccIdx = graft.ops.Dedup.crossCorpusBuild(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      3, 16, 4).persist()
+    time("cross_corpus_build_once")(
+      ccIdx.refBuckets.count() + ccIdx.refShingles.count())
+    time("cross_corpus_batch1_vs_artifact")(
+      graft.ops.Dedup.crossCorpusNearDupsWith(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 1), ccIdx,
+        "doc_id", "text", 0.5, maxBucketSize = 1000).count())
+    time("cross_corpus_batch2_vs_artifact")(
+      graft.ops.Dedup.crossCorpusNearDupsWith(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3), ccIdx,
+        "doc_id", "text", 0.5, maxBucketSize = 1000).count())
+    ccIdx.unpersist()
+    // planted hot bucket (the maxBucketSize guard): 10k byte-identical
+    // boilerplate docs split across the halves collide in ONE bucket per
+    // band — uncapped that bucket alone is 5k×5k×16 ≈ 4×10⁸ candidate
+    // pairs (infeasible); with the wired cap the run must stay at the
+    // clean-corpus cost, dropping exactly the boilerplate flags
+    time("cross_corpus_hot_bucket_capped")( {
+      val boiler = spark.range(10000).select(
+        (col("id") + 50000000L).as("doc_id"),
+        lit("identical boilerplate navigation header and footer page block").as("text"))
+      val withB = docs.select(col("doc_id"), col("text")).unionByName(boiler)
+      graft.ops.Dedup.crossCorpusNearDups(
+        withB.filter(pmod(col("doc_id"), lit(2)) === 1),
+        withB.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", 3, 16, 4, 0.5, maxBucketSize = 1000).count()
+    })
     graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 

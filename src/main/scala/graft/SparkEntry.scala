@@ -92,11 +92,18 @@ object SparkEntry {
       // (even ids): asymmetric LSH band join + exact-Jaccard verify; one
       // row per flagged new doc with its best reference match. Recall is
       // exact at test SFs (same banding regime dedup_minhash_lsh proves).
+      // maxBucketSize wired NON-ZERO (round-8): a degenerate boilerplate
+      // bucket of B members is B²·bands candidate pairs — quadratic in
+      // the hot bucket. 1000 is ~20× the largest legitimate near-dup
+      // cluster the corpus generator plants (probed: max combined bucket
+      // size is 4 at sf0.1), so recall is untouched at every SF while a
+      // mass-duplicated page can never blow the candidate join (DESIGN
+      // §11 sizing rule; planted-hot-bucket leg in ScaleProbe).
       val d = t(s, dir, "documents")
       Dedup.crossCorpusNearDups(
           d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
-          threshold = 0.5)
+          threshold = 0.5, maxBucketSize = 1000)
         .orderBy(col("id_new"))
     }),
     "dedup_minhash_estimate" -> ((s, dir) => // hash-seeded: rows-only oracle
@@ -203,8 +210,10 @@ object SparkEntry {
         .select((col("vec_id") + lit(10000000L)).as("vec_id"),
           Similarity.dequantizeInt8(col("qz")).as("embedding"))
         .localCheckpoint(false))
+      // maxBucketSize: same quadratic-hot-bucket guard as
+      // dedup_cross_corpus (comment there); 1000 ≫ any test bucket
       Similarity.crossCorpusCosineFlags(twins, orig, 0.9, dim = 64,
-          bitsPerBand = 16, bands = 8)
+          bitsPerBand = 16, bands = 8, maxBucketSize = 1000)
         .orderBy(col("id_new"))
     }),
 

@@ -210,21 +210,70 @@ object Dedup {
     *
     * 100 TB notes: the reference is usually the big side and changes
     * slowly — its (band, bucket, id) relation and shingle sets are
-    * build-once artifacts persisted across crawl batches (the
-    * `ivfBuild`/`ivfQuery` seam; rebanding 100 TB per crawl would
-    * dominate the whole job). Shuffle keys are (band, bucket) and ids,
-    * never payloads; `maxBucketSize` (0 = off) drops degenerate buckets
-    * by COMBINED membership before pair generation, same guard as
-    * `bucketCandidatePairs`.
+    * build-once artifacts persisted across crawl batches:
+    * `crossCorpusBuild` + `crossCorpusNearDupsWith` below ARE that seam
+    * (this raw-DataFrame form re-derives them per plan — correct, and
+    * fine when the reference is small, but rebanding 100 TB per crawl
+    * would dominate the whole job). Shuffle keys are (band, bucket) and
+    * ids, never payloads; `maxBucketSize` (0 = off) drops degenerate
+    * buckets by COMBINED membership before pair generation, same guard
+    * as `bucketCandidatePairs` — wire it non-zero in production: one
+    * boilerplate bucket of B members is B²·bands candidate pairs (the
+    * sizing rule and the planted-hot-bucket probe live in DESIGN §11).
     */
   def crossCorpusNearDups(corpus: DataFrame, reference: DataFrame,
                           idCol: String, textCol: String,
                           shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                          threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
-    val nb = lshBuckets(corpus, idCol, textCol, shingleN, bands, rowsPerBand)
+                          threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame =
+    crossCorpusNearDupsWith(corpus,
+      crossCorpusBuild(reference, idCol, textCol, shingleN, bands, rowsPerBand),
+      idCol, textCol, threshold, maxBucketSize)
+
+  /** The build-once reference artifact for cross-corpus near-dedup: the
+    * (band, bucket, id_ref) LSH relation and the (id_ref, shingles)
+    * verification relation, plus the banding parameters they were built
+    * with (a query banded differently would never collide). In production
+    * both DataFrames are persisted/written ONCE per reference snapshot
+    * (parquet keyed by (band, bucket) / id_ref) and every crawl batch
+    * reads them — `persist()` below is the in-session form the ScaleProbe
+    * exercises across two batches.
+    */
+  case class CrossCorpusIndex(refBuckets: DataFrame, refShingles: DataFrame,
+                              shingleN: Int, bands: Int, rowsPerBand: Int) {
+    def persist(): this.type = { refBuckets.persist(); refShingles.persist(); this }
+    def unpersist(): this.type = { refBuckets.unpersist(); refShingles.unpersist(); this }
+  }
+
+  /** Band + shingle the reference corpus once — the expensive
+    * per-reference-snapshot half of cross-corpus dedup (the
+    * `ivfBuild`/`ivfQuery` seam; rebanding 100 TB of reference per crawl
+    * batch is the cost this split exists to avoid).
+    */
+  def crossCorpusBuild(reference: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 16,
+                       rowsPerBand: Int = 4): CrossCorpusIndex =
+    CrossCorpusIndex(
+      lshBuckets(reference, idCol, textCol, shingleN, bands, rowsPerBand)
+        .select(col("band"), col("bucket"), col(idCol).as("id_ref")),
+      reference.select(col(idCol).as("id_ref"),
+        shingles(col(textCol), shingleN).as("sh_r")),
+      shingleN, bands, rowsPerBand)
+
+  /** Cross-corpus near-dedup against a PREBUILT reference index — the
+    * per-batch half: band the (small) fresh batch, probe the artifact's
+    * (band, bucket) relation, exact-verify candidates against the
+    * artifact's shingle sets. Work is linear in the batch, not the
+    * reference. Semantics identical to `crossCorpusNearDups`
+    * (spec-pinned artifact-path == raw-path).
+    */
+  def crossCorpusNearDupsWith(corpus: DataFrame, index: CrossCorpusIndex,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.5,
+                              maxBucketSize: Int = 0): DataFrame = {
+    val nb = lshBuckets(corpus, idCol, textCol,
+        index.shingleN, index.bands, index.rowsPerBand)
       .select(col("band"), col("bucket"), col(idCol).as("id_new"))
-    val rb = lshBuckets(reference, idCol, textCol, shingleN, bands, rowsPerBand)
-      .select(col("band"), col("bucket"), col(idCol).as("id_ref"))
+    val rb = index.refBuckets
     val (nbB, rbB) =
       if (maxBucketSize <= 0) (nb, rb)
       else {
@@ -239,10 +288,8 @@ object Dedup {
     val cand = nbB.join(rbB, Seq("band", "bucket"))
       .select(col("id_new"), col("id_ref")).distinct()
     val shN = corpus.select(col(idCol).as("id_new"),
-      shingles(col(textCol), shingleN).as("sh_n"))
-    val shR = reference.select(col(idCol).as("id_ref"),
-      shingles(col(textCol), shingleN).as("sh_r"))
-    cand.join(shN, "id_new").join(shR, "id_ref")
+      shingles(col(textCol), index.shingleN).as("sh_n"))
+    cand.join(shN, "id_new").join(index.refShingles, "id_ref")
       .withColumn("__inter", size(array_intersect(col("sh_n"), col("sh_r"))))
       .withColumn("__jac", col("__inter").cast("double") /
         (size(col("sh_n")) + size(col("sh_r")) - col("__inter")))
@@ -325,12 +372,12 @@ object Dedup {
     * flags the doc); consumers needing one row per doc aggregate the
     * bounded per-watermark output downstream.
     *
-    * 100 TB notes: the reference relations (`refBuckets` =
-    * `lshBuckets(reference, ...)`, `refShingles`) are the same build-once
+    * 100 TB notes: the reference relations are the same build-once
     * artifacts the batch op uses — compute them ONCE per reference
-    * snapshot, persist/write them, and pass them to every micro-batch;
-    * handing this function the raw reference DataFrame re-derives them
-    * per PLAN (correct, but rebanding 100 TB per crawl stream is the
+    * snapshot with `crossCorpusBuild`, persist/write them, and hand the
+    * index to `streamingCrossCorpusFlagsWith` for every micro-batch;
+    * handing THIS function the raw reference DataFrame re-derives them
+    * per plan (correct, but rebanding 100 TB per crawl stream is the
     * cost the artifact seam exists to avoid). Both are static DataFrames
     * re-read per micro-batch at worst, broadcast or shuffle-joined by
     * Catalyst on (band, bucket) / id_ref fixed-width keys.
@@ -340,30 +387,40 @@ object Dedup {
                                 watermark: String,
                                 shingleN: Int = 3, bands: Int = 16,
                                 rowsPerBand: Int = 4,
-                                threshold: Double = 0.5): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = minHashSignature(shingles(col(textCol), shingleN), k)
+                                threshold: Double = 0.5): DataFrame =
+    streamingCrossCorpusFlagsWith(stream,
+      crossCorpusBuild(reference, idCol, textCol, shingleN, bands, rowsPerBand),
+      tsCol, idCol, textCol, watermark, threshold)
+
+  /** Streaming cross-corpus flags against a PREBUILT reference index —
+    * the production form: the reference is banded/shingled once per
+    * snapshot (`crossCorpusBuild`, persisted), and each micro-batch only
+    * bands its own rows and probes the static relations. Semantics
+    * identical to `streamingCrossCorpusFlags` (parity spec).
+    */
+  def streamingCrossCorpusFlagsWith(stream: DataFrame, index: CrossCorpusIndex,
+                                    tsCol: String, idCol: String, textCol: String,
+                                    watermark: String,
+                                    threshold: Double = 0.5): DataFrame = {
+    val k = index.bands * index.rowsPerBand
+    val sig = minHashSignature(shingles(col(textCol), index.shingleN), k)
     val streamBucketed = stream
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id_new"),
-        shingles(col(textCol), shingleN).as("sh_n"), sig.as("sig"))
+        shingles(col(textCol), index.shingleN).as("sh_n"), sig.as("sig"))
       .select(col("ts"), col("id_new"), col("sh_n"),
         explode(
           transform(
-            sequence(lit(0), lit(bands - 1)),
+            sequence(lit(0), lit(index.bands - 1)),
             b => struct(b.as("band"),
-              xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("bucket")),
+              xxhash64(array_join(slice(col("sig"), b * index.rowsPerBand + 1, lit(index.rowsPerBand)), ",")).as("bucket")),
           )
         ).as("bb"))
       .select(col("ts"), col("id_new"), col("sh_n"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val refBuckets = lshBuckets(reference, idCol, textCol, shingleN, bands, rowsPerBand)
-      .select(col("band"), col("bucket"), col(idCol).as("id_ref"))
-    val refShingles = reference.select(col(idCol).as("id_ref"),
-      shingles(col(textCol), shingleN).as("sh_r"))
     streamBucketed
-      .join(refBuckets, Seq("band", "bucket")) // stream-static: no state
-      .join(refShingles, "id_ref")             // stream-static: no state
+      .join(index.refBuckets, Seq("band", "bucket")) // stream-static: no state
+      .join(index.refShingles, "id_ref")             // stream-static: no state
       .withColumn("__inter", size(array_intersect(col("sh_n"), col("sh_r"))))
       .withColumn("jaccard", round(col("__inter").cast("double") /
         (size(col("sh_n")) + size(col("sh_r")) - col("__inter")), 4))

@@ -467,10 +467,11 @@ object Similarity {
     * map-side-partial aggregation).
     *
     * 100 TB notes: the reference's (band, bucket, id) relation is a
-    * build-once artifact across batches (the same seam as
-    * `crossCorpusNearDups` — rebanding the corpus per batch is the cost
-    * to avoid); shuffles carry fixed-width keys, vectors join back to
-    * candidate ids only. Same (bitsPerBand, bands) honesty as
+    * build-once artifact across batches — `cosineBandBuild` +
+    * `crossCorpusCosineFlagsWith` below are that seam (this raw form
+    * re-derives it per plan; rebanding the reference per batch is the
+    * cost to avoid); shuffles carry fixed-width keys, vectors join back
+    * to candidate ids only. Same (bitsPerBand, bands) honesty as
     * `cosineNearDupLsh`: production thresholds ≥0.85 support 12–16-bit
     * bands with sublinear candidates; near-floor thresholds don't.
     */
@@ -479,12 +480,56 @@ object Similarity {
                              bitsPerBand: Int = 16, bands: Int = 8,
                              maxBucketSize: Int = 0,
                              idCol: String = "vec_id",
-                             vecCol: String = "embedding"): DataFrame = {
-    def banded(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
-      posexplode(signBandBuckets(col(vecCol), bitsPerBand, bands, dim)).as(Seq("band", "bucket")))
-    val nb = banded(corpus, "id_new")
-    val rb = banded(reference, "id_ref")
+                             vecCol: String = "embedding"): DataFrame =
+    crossCorpusCosineFlagsWith(corpus,
+      cosineBandBuild(reference, dim, bitsPerBand, bands, idCol, vecCol),
+      threshold, maxBucketSize, idCol, vecCol)
+
+  /** The build-once reference artifact for embedding cross-corpus flags:
+    * the (band, bucket, id_ref) sign-bit relation and the
+    * (id_ref, vector, norm) verification relation, plus the banding
+    * parameters (the hyperplane matrix is derived deterministically from
+    * (bitsPerBand, bands, dim), so parameter equality IS plane equality).
+    * Persist both per reference snapshot; every batch probes them.
+    */
+  case class CosineBandIndex(refBands: DataFrame, refVecs: DataFrame,
+                             bitsPerBand: Int, bands: Int, dim: Int) {
+    def persist(): this.type = { refBands.persist(); refVecs.persist(); this }
+    def unpersist(): this.type = { refBands.unpersist(); refVecs.unpersist(); this }
+  }
+
+  /** Band + norm the reference embeddings once — the per-reference-
+    * snapshot half of `crossCorpusCosineFlags` (the `ivfBuild` seam).
+    */
+  def cosineBandBuild(reference: DataFrame, dim: Int,
+                      bitsPerBand: Int = 16, bands: Int = 8,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): CosineBandIndex =
+    CosineBandIndex(
+      reference.select(col(idCol).as("id_ref"),
+        posexplode(signBandBuckets(col(vecCol), bitsPerBand, bands, dim))
+          .as(Seq("band", "bucket")))
+        .select(col("band"), col("bucket"), col("id_ref")),
+      reference.select(col(idCol).as("id_ref"), col(vecCol).as("__vr"),
+        norm(col(vecCol)).as("__nr")),
+      bitsPerBand, bands, dim)
+
+  /** Embedding cross-corpus flags against a PREBUILT reference index —
+    * the per-batch half: band the fresh vectors through the SAME
+    * hyperplane kernel, probe the artifact's (band, bucket) relation,
+    * exact-cosine-verify candidates against the artifact's vectors.
+    * Spec-pinned identical to the raw-DataFrame form.
+    */
+  def crossCorpusCosineFlagsWith(corpus: DataFrame, index: CosineBandIndex,
+                                 threshold: Double,
+                                 maxBucketSize: Int = 0,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val nb = corpus.select(
+      col(idCol).as("id_new"),
+      posexplode(signBandBuckets(col(vecCol), index.bitsPerBand, index.bands, index.dim))
+        .as(Seq("band", "bucket")))
+    val rb = index.refBands
     val (nbB, rbB) =
       if (maxBucketSize <= 0) (nb, rb)
       else {
@@ -500,9 +545,7 @@ object Similarity {
       .select(col("id_new"), col("id_ref")).distinct()
     val vn = corpus.select(col(idCol).as("id_new"), col(vecCol).as("__vn"),
       norm(col(vecCol)).as("__nn"))
-    val vr = reference.select(col(idCol).as("id_ref"), col(vecCol).as("__vr"),
-      norm(col(vecCol)).as("__nr"))
-    cand.join(vn, "id_new").join(vr, "id_ref")
+    cand.join(vn, "id_new").join(index.refVecs, "id_ref")
       .withColumn("__cos", dot(col("__vn"), col("__vr")) / (col("__nn") * col("__nr")))
       .filter(col("__cos") >= threshold)
       .groupBy(col("id_new"))

@@ -60,6 +60,61 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted dups must cross the parity split")
   }
 
+  test("cross-corpus artifact path == raw path; wired cap has wide headroom") {
+    val newer = docs.filter($"doc_id" % 2 === 1)
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val raw = Dedup.crossCorpusNearDups(newer, ref, "doc_id", "text",
+        3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // build once, query twice (build-once/query-many): both batches must
+    // see exactly the raw-path semantics, with and without the wired cap
+    val idx = Dedup.crossCorpusBuild(ref, "doc_id", "text", 3, 16, 4).persist()
+    try {
+      val viaIdx = Dedup.crossCorpusNearDupsWith(newer, idx, "doc_id", "text", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaIdx == raw, "prebuilt-artifact path diverges from the raw path")
+      val viaIdxCapped = Dedup.crossCorpusNearDupsWith(newer, idx, "doc_id", "text",
+          0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaIdxCapped == raw, "the wired cap (1000) changed test-scale output")
+      // headroom measurement backing the wired maxBucketSize = 1000: the
+      // largest COMBINED (band, bucket) membership must sit far below it
+      val maxBucket = Dedup.lshBuckets(newer, "doc_id", "text", 3, 16, 4)
+        .select($"band", $"bucket")
+        .unionByName(idx.refBuckets.select($"band", $"bucket"))
+        .groupBy($"band", $"bucket").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).as[Long].collect()(0)
+      assert(maxBucket < 100,
+        s"wired cap assumes ≥10× headroom over the largest test bucket, got $maxBucket")
+    } finally idx.unpersist()
+  }
+
+  test("maxBucketSize drops a planted hot bucket; clean buckets unaffected") {
+    // 60 byte-identical boilerplate docs split across the halves: their
+    // bucket hits the cap in EVERY band (identical signature), so capping
+    // removes exactly those flags and nothing else — the documented trade
+    // (mass-duplicated boilerplate belongs to exact dedup upstream)
+    val boiler = spark.range(60).select(($"id" + 100000L).as("doc_id"),
+      lit("identical boilerplate navigation header and footer page block").as("text"))
+    val withB = docs.select($"doc_id", $"text").unionByName(boiler)
+    val newer = withB.filter($"doc_id" % 2 === 1)
+    val ref = withB.filter($"doc_id" % 2 === 0)
+    val capped = Dedup.crossCorpusNearDups(newer, ref, "doc_id", "text",
+        3, 16, 4, 0.5, maxBucketSize = 20)
+      .as[(Long, Long, Double)].collect().toSet
+    val clean = Dedup.crossCorpusNearDups(
+        docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == clean,
+      "cap must drop exactly the hot-bucket flags and keep every clean flag")
+    // sanity: uncapped, the boilerplate twins DO flag (the bucket is real)
+    val uncapped = Dedup.crossCorpusNearDups(newer, ref, "doc_id", "text",
+        3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.exists(_._1 >= 100000L), "planted hot bucket never collided")
+  }
+
   test("clusterBuild artifact + clusterSizeHistogram match the inline pipeline") {
     val assign = Dedup.clusterBuild(docs, "doc_id", "text")
     val viaArtifact = Dedup.clusterSizeHistogram(assign)

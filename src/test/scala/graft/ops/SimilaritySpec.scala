@@ -246,6 +246,35 @@ class SimilaritySpec extends AnyFunSuite {
       "each twin's best match must be its own original")
   }
 
+  test("cosine cross-corpus artifact path == raw path across two batches") {
+    val orig = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val twins = emb.select(($"vec_id" + 10000000L).as("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("embedding"))
+    val raw = Similarity.crossCorpusCosineFlags(twins, orig, 0.9, dim = 64,
+        bitsPerBand = 16, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    // band the reference ONCE, probe it with two disjoint batches — the
+    // union of batch outputs must equal the one-shot raw path
+    val idx = Similarity.cosineBandBuild(orig, dim = 64,
+      bitsPerBand = 16, bands = 8).persist()
+    try {
+      val b1 = Similarity.crossCorpusCosineFlagsWith(
+          twins.filter($"vec_id" % 2 === 0), idx, 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      val b2 = Similarity.crossCorpusCosineFlagsWith(
+          twins.filter($"vec_id" % 2 === 1), idx, 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      assert((b1 ++ b2) == raw,
+        "two batches against the prebuilt band index diverge from the raw path")
+      // the wired cap must be invisible at test scale
+      val capped = Similarity.crossCorpusCosineFlagsWith(twins, idx, 0.9,
+          maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(capped == raw, "the wired cap (1000) changed test-scale output")
+    } finally idx.unpersist()
+  }
+
   test("dimStats: exact micro-unit means with true min/max per dimension") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f)),

@@ -151,6 +151,42 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus flags against a PREBUILT index == raw-reference form") {
+    // the production seam: the reference is banded/shingled once
+    // (crossCorpusBuild, persisted) and every micro-batch probes the
+    // static artifact — output must be identical to handing the raw
+    // reference DataFrame to the streaming op
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val idx = graft.ops.Dedup.crossCorpusBuild(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text").persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val flags = graft.ops.Dedup.streamingCrossCorpusFlagsWith(
+      in.toDF().toDF("ts", "doc_id", "text"), idx,
+      "ts", "doc_id", "text", watermark = "1 hour")
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_cross_flags_idx").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val newDocs = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(newDocs.map { case (id, tx) => (t0, id, tx) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 999999L,
+        "watermark advancer row zzz"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_new, id_ref FROM stream_cross_flags_idx")
+        .as[(Long, Long)].collect().toSet
+      val expect = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .as[(Long, Long, Double)].collect()
+        .flatMap { case (a, b, _) =>
+          if (a % 2 != b % 2) Some(if (a % 2 == 1) (a, b) else (b, a)) else None
+        }.toSet
+      assert(got == expect, "indexed stream flags diverge from the batch pair set")
+      assert(got.nonEmpty)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming calibration apply == batch apply against the same static model") {
     // the apply is a stateless projection + broadcast join, so the same
     // call runs on a stream: arriving docs rank against the TRAINED
