@@ -1240,6 +1240,14 @@ object SparkEntry {
       // sharding production form)
       TextAnalysis.postings(t(s, dir, "documents"), "doc_id", "text", 20)
         .orderBy(col("term"))),
+    "text_postings_segments" -> ((s, dir) =>
+      // the production posting form: assembly key (term, doc_id div 100)
+      // bounds every row/agg-buffer at segSize ids even for a hot term;
+      // segSize 100 exercises multiple segments per term at every SF
+      // (TextAnalysis.postingsSegments scaladoc)
+      TextAnalysis.postingsSegments(t(s, dir, "documents"), "doc_id", "text",
+          20, segSize = 100L)
+        .orderBy(col("term"), col("seg"))),
     "docs_quality_calibrated" -> ((s, dir) =>
       // per-language percent-rank calibration — one threshold transfers
       // across languages; exact ppm integers
@@ -2440,6 +2448,15 @@ object SparkEntry {
            |SELECT term, df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
            |FROM td JOIN top USING (term) GROUP BY term, df
            |ORDER BY term""".stripMargin,
+      "text_postings_segments" ->
+        raw"""WITH td AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           |  FROM documents),
+           |dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+           |top AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 20)
+           |SELECT term, df, doc_id // 100 AS seg, count(*) AS seg_df,
+           |string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+           |FROM td JOIN top USING (term) GROUP BY term, df, seg
+           |ORDER BY term, seg""".stripMargin,
       "docs_quality_calibrated" ->
         // the text_quality score construction + exact-integer per-lang
         // percent rank (ppm)

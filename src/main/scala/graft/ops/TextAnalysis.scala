@@ -831,6 +831,41 @@ object TextAnalysis {
           x => x.cast("string")), ",").as("posting"))
   }
 
+  /** Posting SEGMENTS — the production form the `postings` scaladoc
+    * names: the assembly key is (term, doc_id div segSize), so one output
+    * row carries at most `segSize` doc ids no matter how
+    * document-frequent the term. At 100 TB a hot term's whole posting
+    * list exceeds any practical row/buffer size — `postings`' per-term
+    * collect_list buffers df ids in ONE aggregation state; here the
+    * buffer is capped at segSize and hot terms spread across df/segSize
+    * parallel states. Segments reassemble losslessly: ids are
+    * range-aligned by the div, so concatenating segments in `seg` order
+    * equals the whole sorted list EXACTLY (spec-pinned against the
+    * capped form). k > 0 keeps the top-k-df roster (broadcast, the
+    * oracle-checkable surface); k <= 0 indexes EVERY term — the true
+    * production build, where the df census joins back on the data-scale
+    * term key instead of broadcasting a roster. Output:
+    * (term, df, seg, seg_df, posting).
+    */
+  def postingsSegments(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, segSize: Long = 1024L): DataFrame = {
+    require(segSize > 0, s"postingsSegments: segSize must be positive, got $segSize")
+    val td = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sel =
+      if (k > 0) td.join(broadcast(dfs.orderBy(col("df").desc, col("term")).limit(k)), Seq("term"))
+      else td.join(dfs, Seq("term"))
+    sel
+      .withColumn("seg", expr(s"doc_id div $segSize"))
+      .groupBy(col("term"), col("df"), col("seg"))
+      .agg(count(lit(1)).as("seg_df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("posting"))
+  }
+
   /** Per-language percent-rank calibration of the quality score — the
     * distribution-relative normalization that makes one curation
     * threshold transfer across languages (an absolute score cut keeps

@@ -447,6 +447,20 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"document payload used as an exchange key:\n$p")
   }
 
+  test("postings segments: the assembly exchange keys include the segment") {
+    val p = plan("text_postings_segments")
+    // the posting assembly must never key on term alone — (term, seg)
+    // bounds each aggregation buffer at segSize ids for any term
+    assert("hashpartitioning\\(term#\\d+, df#\\d+L?, seg#".r.findFirstIn(p).isDefined,
+      s"assembly exchange not keyed (term, df, seg):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-df roster selection regressed to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-k term roster must broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(text#"),
+      s"document payload used as an exchange key:\n$p")
+  }
+
   test("chunk: generator directly over the pruned scan — no hash exchange, no join") {
     val p = plan("docs_chunk")
     assert(p.contains("Generate"), s"posexplode generator missing:\n$p")

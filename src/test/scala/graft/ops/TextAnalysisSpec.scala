@@ -448,6 +448,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re == windowForm(2), "sourceCap depends on physical layout")
   }
 
+  test("postingsSegments concat in seg order == capped postings; segments bounded") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val segSize = 64L
+    val segs = TextAnalysis.postingsSegments(docs, "doc_id", "text", 20, segSize)
+      .select($"term", $"df", $"seg", $"seg_df", $"posting")
+      .as[(String, Long, Long, Long, String)].collect()
+    val whole = TextAnalysis.postings(docs, "doc_id", "text", 20)
+      .as[(String, Long, String)].collect()
+      .map(t => (t._1, (t._2, t._3))).toMap
+    // ids are range-aligned by the div, so concat of sorted segments in
+    // seg order must equal the whole sorted list EXACTLY
+    val rebuilt = segs.groupBy(_._1).map { case (term, rows) =>
+      (term, (rows.head._2, rows.sortBy(_._3).map(_._5).mkString(",")))
+    }
+    assert(rebuilt == whole, "segment concat diverges from the whole posting list")
+    // every segment honors the row/buffer bound and its own census
+    segs.foreach { case (term, _, _, segDf, posting) =>
+      assert(segDf <= segSize, s"$term: segment exceeds segSize")
+      assert(posting.split(",").length == segDf, s"$term: seg_df != posting length")
+    }
+    assert(segs.groupBy(_._1).values.exists(_.size > 1),
+      "segSize must actually split at least one term at test scale")
+    // k <= 0 = index EVERY term: the top-k rows are a subset with equal df
+    val all = TextAnalysis.postingsSegments(docs, "doc_id", "text", 0, segSize)
+      .select($"term", $"df", $"seg", $"seg_df", $"posting")
+      .as[(String, Long, Long, Long, String)].collect()
+    val allKeyed = all.map(r => ((r._1, r._3), r)).toMap
+    segs.foreach { r =>
+      assert(allKeyed.get((r._1, r._3)).contains(r),
+        s"full-index row for (${r._1}, ${r._3}) diverges from the capped form")
+    }
+  }
+
   test("shuffleShards two-phase position == single-window (fp, id) rank") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     // autoDegradeBelow = 0 forces the two-phase path at 500 test rows
