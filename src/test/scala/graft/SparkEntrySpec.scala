@@ -21,9 +21,10 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the hash-seeded/approximate ops") {
     // dedup_minhash_lsh graduated to a full oracle in round 2 (recall is
-    // exact at the test SFs, so it shares the exact-Jaccard SQL)
+    // exact at the test SFs, so it shares the exact-Jaccard SQL);
+    // sim_topk_ivf graduated in round 8 on its planted-twin exact leg
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("dedup_simhash", "sim_topk_ivf", "q_approx_distinct",
+    assert(rowsOnly == Set("dedup_simhash", "q_approx_distinct",
       "q_percentiles_approx", "text_decontaminate_bloom", "dedup_minhash_estimate",
       "vocab_bpe_merges"))
   }
