@@ -40,7 +40,12 @@ class WindowKeySweepSpec extends AnyFunSuite {
     "o_orderkey", "l_orderkey", "o_custkey", "c_custkey",
     "p_partkey", "ps_partkey", "l_partkey", "s_suppkey", "ps_suppkey",
     "l_suppkey", "fp", "term", "gram", "g", "w1", "w2", "shingle",
-    "n_chars", "rank_key", "bucket")
+    "n_chars", "rank_key", "bucket",
+    // internal doc-id aliases of the text ops (tfidf/simjoin/wordLift
+    // select col(idCol).as("doc"/"__doc")): grouping on them makes every
+    // buffer document-sized, i.e. corpus/|docs| — data-scale by
+    // construction
+    "doc", "__doc")
 
   /** Sub-bucket terms that restore parallelism under a config-scale key
     * (the two-phase window decomposition and the salted join).
@@ -82,6 +87,59 @@ class WindowKeySweepSpec extends AnyFunSuite {
               _: Window | _: RepartitionOperation) =>
       boundedGrain(n.children.head)
     case _ => false
+  }
+
+  /** Collect-aggregate buffers audited as bounded despite an unbounded
+    * per-group row count on paper. Same contract as `auditedExceptions`.
+    */
+  private val auditedCollects: Map[(String, Seq[String]), String] = Map(
+    ("emb_mean_pool", Seq("grp", "pos")) ->
+      ("deterministic sorted-fold mean: collecting per (group, dimension) " +
+        "is the price of a bit-exact oracle hash across partitionings — " +
+        "the meanPool scaladoc documents plain avg() (O(1) mergeable " +
+        "state, same value modulo fp summation order) as the production " +
+        "variant; the 8-bucket grp here is the wired test shape, not the " +
+        "op's contract"))
+
+  test("every collect_list/collect_set buffer is segment-keyed, bounded-grain, or audited") {
+    // the aggregation-state twin of the window rule (DESIGN §11): a
+    // collect over group key K buffers rows-per-K in ONE aggregation
+    // state — `postings`' whole-term list was the round-8 instance, fixed
+    // by segmenting the key. A collect is fine when (a) its key set
+    // includes a data-scale id — per-group size is then corpus/|ids|,
+    // i.e. document/session-sized, not corpus-sized; (b) a segment/
+    // sub-bucket term caps the group; or (c) the input grain is already
+    // a bounded aggregate. Config-scale-keyed collects over corpus rows
+    // must carry a written audit entry.
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seenAudited = scala.collection.mutable.Set.empty[(String, Seq[String])]
+    val collectFns = Set("collect_list", "collect_set")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+      Cleanup.drain()
+      plan.foreach {
+        case a: Aggregate if a.aggregateExpressions.exists(_.collectFirst {
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => f
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet => f
+          }.nonEmpty) =>
+          val keys = a.groupingExpressions
+            .flatMap(_.references.toSeq.collect { case at: Attribute => at.name })
+            .distinct.sorted
+          val ok = keys.exists(dataScaleKeys) ||
+            keys.exists(k => subBucketKeys(k) || k == "seg") ||
+            boundedGrain(a.child)
+          if (!ok) {
+            if (auditedCollects.contains((name, keys))) seenAudited += ((name, keys))
+            else violations += s"$name: collect over groupBy(${keys.mkString(", ")}) " +
+              s"— unbounded per-group buffer at scale"
+          }
+        case _ =>
+      }
+    }
+    assert(violations.isEmpty,
+      s"unbounded collect buffers:\n  ${violations.mkString("\n  ")}")
+    val stale = auditedCollects.keySet -- seenAudited
+    assert(stale.isEmpty, s"audited collects no longer present: $stale")
   }
 
   test("every wired window is data-scale, sub-bucketed, bounded-grain, or audited") {

@@ -540,6 +540,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(others.distinct.size == others.size, s"a default-weight source repeated in cycle 1: $others")
   }
 
+  test("mixInterleave: non-integral ids degrade to the one-window rank, same schedule") {
+    // string ids can't be range-bucketed; the op must fall back to the
+    // single per-source window and still produce the exact schedule
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(format_string("doc_%05d", $"doc_id").as("doc_id"), $"lang")
+    val weights = Map("en" -> 3, "fr" -> 2)
+    val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
+      .as[(String, String, Long, Long)].collect().toSet
+    val stride = when($"lang" === "en", 2L).when($"lang" === "fr", 3L).otherwise(6L)
+    val w = org.apache.spark.sql.expressions.Window
+    val expect = docs
+      .withColumn("rk", row_number().over(w.partitionBy($"lang").orderBy($"doc_id")))
+      .withColumn("vt", $"rk" * stride)
+      .withColumn("mix_pos", row_number().over(w.orderBy($"vt", $"lang")).cast("long"))
+      .select($"doc_id", $"lang", $"vt", $"mix_pos")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expect, "string-id fallback diverges from the global rank")
+  }
+
   test("calibrateQuality: ppm ranks are lang-local, tie-stable, and bounded") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val got = TextAnalysis.calibrateQuality(docs, "text", "lang")
