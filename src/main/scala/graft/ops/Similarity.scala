@@ -554,6 +554,40 @@ object Similarity {
         round(col("__best.c"), 4).as("best_cosine"))
   }
 
+  /** STREAMING embedding cross-corpus flags: each arriving vector bands
+    * through the SAME hyperplane kernel as the prebuilt reference index
+    * and joins the static (band, bucket) and vector relations — online
+    * "drop new embeddings that near-duplicate the eval/training set"
+    * while they arrive, the embedding sibling of
+    * `Dedup.streamingCrossCorpusFlagsWith`. Every join is stream-static,
+    * so banding, candidate lookup and cosine verification are all
+    * STATELESS; the only state is the band-collision output dedup,
+    * bounded by the watermark. Emits (ts, id_new, id_ref, cosine) pairs,
+    * not best-per-vector — any verified hit ≥ threshold decides the
+    * drop, and a best-match aggregate would hold per-vector state
+    * (same argument as the text twin's scaladoc).
+    */
+  def streamingCrossCorpusCosineFlagsWith(stream: DataFrame, index: CosineBandIndex,
+                                          tsCol: String, threshold: Double,
+                                          watermark: String,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding"): DataFrame = {
+    val banded = stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"), col(idCol).as("id_new"),
+        col(vecCol).as("__vn"), norm(col(vecCol)).as("__nn"),
+        posexplode(signBandBuckets(col(vecCol), index.bitsPerBand, index.bands, index.dim))
+          .as(Seq("band", "bucket")))
+    banded
+      .join(index.refBands, Seq("band", "bucket")) // stream-static: no state
+      .join(index.refVecs, "id_ref")               // stream-static: no state
+      .withColumn("cosine",
+        round(dot(col("__vn"), col("__vr")) / (col("__nn") * col("__nr")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("ts"), col("id_new"), col("id_ref"), col("cosine"))
+      .dropDuplicatesWithinWatermark(Seq("id_new", "id_ref"))
+  }
+
   def cosineNearDupLsh(df: DataFrame, threshold: Double, dim: Int,
                        bitsPerBand: Int = 5, bands: Int = 48,
                        maxBucketSize: Int = 0,

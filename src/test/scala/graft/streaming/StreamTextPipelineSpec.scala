@@ -187,6 +187,45 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("streaming embedding cross-corpus flags == batch pairs against the same index") {
+    // the embedding sibling of the indexed text twin: originals are the
+    // static banded reference, their int8-dequantized twins arrive as a
+    // stream — every twin must flag exactly its own original (cosine
+    // ≈ 0.9999 vs < 0.62 for every cross pair)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val orig = emb.select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding", x => x.cast("double"))
+        .as("embedding"))
+    val idx = Similarity.cosineBandBuild(orig, dim = 64,
+      bitsPerBand = 16, bands = 8).persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val flags = Similarity.streamingCrossCorpusCosineFlagsWith(
+      in.toDF().toDF("ts", "vec_id", "embedding"), idx,
+      "ts", threshold = 0.9, watermark = "1 hour")
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_cosine_flags").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val twins = emb.select(($"vec_id" + 10000000L).as("vec_id"),
+          Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("embedding"))
+        .as[(Long, Seq[Double])].collect()
+      in.addData(twins.map { case (id, v) => (t0, id, v) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 999999L,
+        Seq.fill(64)(0.0)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_new, id_ref FROM stream_cosine_flags")
+        .as[(Long, Long)].collect().toSet
+      val expect = twins.map(_._1).map(id => (id, id - 10000000L)).toSet
+      assert(got == expect,
+        s"stream flags != planted twin pairs (missing ${(expect -- got).size}, " +
+          s"extra ${(got -- expect).size})")
+      assert(got.nonEmpty)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming calibration apply == batch apply against the same static model") {
     // the apply is a stateless projection + broadcast join, so the same
     // call runs on a stream: arriving docs rank against the TRAINED
