@@ -688,21 +688,27 @@ object Dedup {
     * Relational shape instead of a suffix array: positioned n-grams
     * (explode) → gram-keyed doc-frequency aggregate → semi join back →
     * per-doc aggregate. At 100 TB the gram relation is the big exchange;
-    * production would shuffle xxhash64(gram) (8-byte keys, collisions
-    * irrelevant at df-threshold granularity) rather than gram strings —
-    * the strings are kept here so a SQL oracle can reproduce the result
+    * `hashGrams = true` is the production keying — every exchange and
+    * join carries xxhash64(gram) 8-byte keys instead of gram strings (a
+    * collision can only merge two grams' doc counts, irrelevant at the
+    * df ≥ 2 cut; spec-pinned output-identical on the test corpora). The
+    * default keeps strings so the SQL oracle reproduces the relation
     * exactly. Every position of a duplicated gram counts, including
     * repeats inside one document: span coverage, not pair counting.
     */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"duplicatedSpans: n-gram order must be >= 1, got $n")
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
     // positioned grams: pos is the 0-based token offset of the gram start
-    val positioned = base.filter(size(col("w")) >= n)
+    val worded = base.filter(size(col("w")) >= n)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("w")) - n),
           i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
       .withColumnRenamed("col", "gram")
+    val positioned = if (hashGrams)
+      worded.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
+    else worded
     val dupGrams = positioned
       .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -320,9 +320,10 @@ object Similarity {
     * Determinism: the per-(group, pos) mean folds its values in SORTED
     * order (array_sort(collect_list)) so floating-point summation order
     * can't vary between runs/partitionings — the same discipline as
-    * kmeansCentroids, and what makes the DuckDB oracle hash-exact. A
-    * production variant that doesn't need bit-exact reproducibility would
-    * use plain avg() and skip the sort's per-group O(g log g).
+    * kmeansCentroids, and what makes the DuckDB oracle hash-exact. The
+    * production variant that doesn't need bit-exact reproducibility is
+    * `meanPoolAvg` below — plain avg(), O(1) mergeable state, no
+    * per-group list.
     */
   def meanPool(df: DataFrame, groupExpr: Column,
                vecCol: String = "embedding"): DataFrame =
@@ -334,6 +335,23 @@ object Similarity {
         count(lit(1)).as("n"))
       .select(col("grp"), col("pos").cast("long").as("pos"),
         round(col("sx") / col("n"), 4).as("mean_r"))
+
+  /** PRODUCTION mean pooling: plain avg() per (group, dimension) —
+    * O(1) mergeable aggregation state (sum + count), map-side partials,
+    * no per-group list ever materializes, so a group can be the whole
+    * corpus. Same output schema as `meanPool`; values can differ from
+    * the sorted-fold only by floating-point summation order (ulp-scale
+    * — spec-pinned equal after the 4-dp rounding on the test corpora).
+    * Use this at scale; `meanPool` exists for the bit-exact oracle hash.
+    */
+  def meanPoolAvg(df: DataFrame, groupExpr: Column,
+                  vecCol: String = "embedding"): DataFrame =
+    df.select(groupExpr.as("grp"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        round(col("m"), 4).as("mean_r"))
 
   /** Per-dimension corpus statistics (count, mean, min, max) — the
     * embedding-health profile run before quantization/normalization

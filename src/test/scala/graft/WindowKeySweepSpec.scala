@@ -96,10 +96,9 @@ class WindowKeySweepSpec extends AnyFunSuite {
     ("emb_mean_pool", Seq("grp", "pos")) ->
       ("deterministic sorted-fold mean: collecting per (group, dimension) " +
         "is the price of a bit-exact oracle hash across partitionings — " +
-        "the meanPool scaladoc documents plain avg() (O(1) mergeable " +
-        "state, same value modulo fp summation order) as the production " +
-        "variant; the 8-bucket grp here is the wired test shape, not the " +
-        "op's contract"))
+        "`meanPoolAvg` is the implemented production variant (plain avg, " +
+        "O(1) mergeable state, spec-pinned equal after rounding); the " +
+        "8-bucket grp here is the wired test shape, not the op's contract"))
 
   test("every collect_list/collect_set buffer is segment-keyed, bounded-grain, or audited") {
     // the aggregation-state twin of the window rule (DESIGN §11): a

@@ -115,6 +115,21 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.exists(_._1 >= 100000L), "planted hot bucket never collided")
   }
 
+  test("duplicatedSpans hashed-gram keying == string keying; exchanges carry longs") {
+    val str = Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .collect().map(_.toString).toSet
+    val hashed = Dedup.duplicatedSpans(docs, "doc_id", "text", 3, hashGrams = true)
+      .collect().map(_.toString).toSet
+    assert(hashed == str, "8-byte gram keying changed the span profile")
+    // the production plan must not exchange gram STRINGS: the df aggregate
+    // and semi join key on the xxhash64 long
+    val p = Dedup.duplicatedSpans(docs, "doc_id", "text", 3, hashGrams = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), s"gram hashing missing from the plan:\n$p")
+    assert("hashpartitioning\\(gram#\\d+L".r.findFirstIn(p).isDefined,
+      s"exchange not keyed on the 8-byte gram hash:\n$p")
+  }
+
   test("clusterBuild artifact + clusterSizeHistogram match the inline pipeline") {
     val assign = Dedup.clusterBuild(docs, "doc_id", "text")
     val viaArtifact = Dedup.clusterSizeHistogram(assign)

@@ -275,6 +275,23 @@ class SimilaritySpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("meanPoolAvg (production O(1)-state) == sorted-fold meanPool after rounding") {
+    // fp summation order differs; at 4-dp rounding the outputs must agree
+    // on the test corpus (fold-vs-avg divergence is ulp-scale)
+    val grp = org.apache.spark.sql.functions.pmod($"vec_id",
+      org.apache.spark.sql.functions.lit(8L))
+    val exact = Similarity.meanPool(emb, grp)
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Similarity.meanPoolAvg(emb, grp)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == exact, "avg-based pooling diverges from the sorted fold")
+    // and the production plan must carry NO collect_list buffer
+    val p = Similarity.meanPoolAvg(emb, grp).queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), s"production pooling buffers a list:\n$p")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      s"map-side partial aggregation missing:\n$p")
+  }
+
   test("dimStats: exact micro-unit means with true min/max per dimension") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f)),
