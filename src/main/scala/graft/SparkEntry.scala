@@ -1353,6 +1353,18 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeStub(Multimodal.fromDocuments(t(s, dir, "documents")))
         .orderBy(col("media_id"))),
+    "mm_phash_neardups" -> ((s, dir) => {
+      // perceptual (average-hash) near-dup pairs over the media payloads —
+      // integer-exact 48-bit hash, pigeonhole chunk banding, exact hamming
+      // verification on candidates only (Multimodal.phashNearDups scaladoc).
+      // Byte-identical planted twins (media_id + 10M) guarantee hamming-0
+      // pairs at EVERY SF — natural ≤3-bit pairs only exist at sf0.1 —
+      // while the op still surfaces every close pair among originals too.
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val twins = media.withColumn("media_id", col("media_id") + lit(10000000L))
+      Multimodal.phashNearDups(media.unionByName(twins), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** Queries that exist ONLY as correctness oracles for a scale-path
@@ -2043,6 +2055,30 @@ object SparkEntry {
           |CAST(list_sum(list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
           |CAST(0 AS BIGINT) AS n_high_bytes
           |FROM documents ORDER BY media_id""".stripMargin,
+      "mm_phash_neardups" ->
+        // the 48-bit average-hash recomputed byte-exactly (ASCII corpus:
+        // ascii(char) == byte, proven by mm_features' n_high_bytes = 0),
+        // block threshold integer-cross-multiplied exactly as the op;
+        // brute-force hamming join stands in for the pigeonhole banding
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS a,
+          |    CAST(length(text) AS BIGINT) AS n
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id,
+          |    CAST(coalesce(list_sum(list_transform(range(0, 48), k ->
+          |      CASE WHEN coalesce(list_sum(a[CAST(k * n // 48 AS INT) + 1 : CAST((k + 1) * n // 48 AS INT)]), 0) * n
+          |              > coalesce(list_sum(a), 0) * ((k + 1) * n // 48 - k * n // 48)
+          |           THEN 1::BIGINT << k ELSE 0 END)), 0) AS BIGINT) AS phash
+          |  FROM b),
+          |h2 AS (SELECT doc_id AS mid, phash FROM h
+          |       UNION ALL SELECT doc_id + 10000000 AS mid, phash FROM h)
+          |SELECT x.mid AS id_a, y.mid AS id_b,
+          |  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+          |FROM h2 x JOIN h2 y ON x.mid < y.mid
+          |WHERE bit_count(xor(x.phash, y.phash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
       "mm_resize" ->
         """SELECT doc_id AS media_id,
           |CAST(n_chars % 640 + 32 AS INT) AS src_width,

@@ -110,6 +110,83 @@ object Multimodal {
     )
   }
 
+  /** Perceptual fingerprint (average-hash) over the decoded byte plane —
+    * image near-duplicate detection as a pipeline op. Classic aHash: cut
+    * the plane into `bits` equal byte blocks, bit b = 1 iff block b's
+    * mean exceeds the global mean. The comparison is INTEGER
+    * cross-multiplied (blockSum·n > totalSum·blockLen) so no float ever
+    * rounds differently between engines — the hash is oracle-exact.
+    * 48 bits keeps the value strictly positive in a signed 64-bit long,
+    * so hamming arithmetic (xor + bit_count) is sign-safe in Spark AND
+    * DuckDB.
+    *
+    * FAKE-DECODE caveat (same as `extractFeatures`): the "plane" here is
+    * the payload bytes; a real implementation decodes pixels (and
+    * normalizes via the resize step) before hashing — the blocking,
+    * thresholding and all downstream banding are unchanged. JVM hash via
+    * the mapPartitions batch seam; per-partition decoder init slots in.
+    */
+  def perceptualHash(media: DataFrame, bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"perceptualHash: bits must be in [1, 62], got $bits")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType),
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val n = p.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += (p(i) & 0xFF); i += 1 }
+          var hash = 0L
+          var b = 0
+          while (b < bits) {
+            val lo = b.toLong * n / bits
+            val hi = (b + 1).toLong * n / bits
+            var bs = 0L
+            var j = lo.toInt
+            while (j < hi) { bs += (p(j) & 0xFF); j += 1 }
+            // strict >: an all-equal plane (or an empty block) hashes 0
+            if (bs * n > total * (hi - lo)) hash |= 1L << b
+            b += 1
+          }
+          Row(r.getAs[Long]("media_id"), hash)
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-duplicate pairs via pigeonhole banding on the aHash
+    * — the image-space sibling of `Dedup.simHashNearDups`: the 48-bit
+    * hash splits into `maxHamming + 1` (rounded up to a divisor) 12-bit
+    * chunks; two hashes within `maxHamming` bits must agree on ≥1 whole
+    * chunk (pigeonhole), so candidates are a (chunk, value)-local join —
+    * fixed-width keys, never all-pairs — and the exact hamming verifies
+    * candidates only. At 100 TB the chunk relation is 4 rows per image
+    * and each bucket holds n/2¹² of a chunk's images in expectation.
+    */
+  def phashNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 48; val nChunks = 4; val w = bits / nChunks
+    require(maxHamming >= 0 && maxHamming < nChunks,
+      s"pigeonhole needs maxHamming < $nChunks chunks, got $maxHamming")
+    val hashed = perceptualHash(media, bits)
+    val chunked = hashed.select(col("media_id").as("id"), col("phash"),
+        explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
+      .withColumn("ck", expr(s"shiftright(phash, chunk * $w) & ${(1L << w) - 1}"))
+    val l = chunked.select(col("chunk"), col("ck"),
+      col("id").as("id_a"), col("phash").as("h_a"))
+    val r = chunked.select(col("chunk"), col("ck"),
+      col("id").as("id_b"), col("phash").as("h_b"))
+    l.join(r, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames" and emit every `stride`-th frame index with its byte slice —
     * the shape of video frame extraction, minus the codec. Pure Catalyst

@@ -43,4 +43,37 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("phashNearDups pigeonhole banding == brute-force hamming over all hashes") {
+    // identical payloads must hash identically (hamming 0); the banded
+    // join must find EXACTLY the brute-force ≤maxHamming pair set
+    val twins = media.withColumn("media_id", $"media_id" + 10000000L)
+    val all = media.unionByName(twins)
+    val got = Multimodal.phashNearDups(all, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val hashes = Multimodal.perceptualHash(all)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == brute, s"banded pairs != brute force " +
+      s"(missing ${(brute -- got).size}, extra ${(got -- brute).size})")
+    // every planted twin pair is present at hamming 0
+    val planted = hashes.map(_._1).filter(_ < 10000000L)
+      .map(id => (id, id + 10000000L, 0)).toSet
+    assert(planted.subsetOf(got), "a byte-identical twin pair is missing")
+  }
+
+  test("perceptualHash: 48-bit, integer-exact threshold, constant plane hashes 0") {
+    val df = Seq(
+      (1L, Array.fill[Byte](96)(65)),               // constant plane: no block above mean
+      (2L, (Array.fill[Byte](48)(1) ++ Array.fill[Byte](48)(127))), // step: top half above
+    ).toDF("media_id", "payload")
+    val h = Multimodal.perceptualHash(df).as[(Long, Long)].collect().toMap
+    assert(h(1L) == 0L, "all-equal plane must hash to 0 (strict > threshold)")
+    assert(h(2L) != 0L && h(2L) > 0L, "48-bit hash must stay sign-positive")
+    assert((h(2L) & ((1L << 24) - 1)) == 0L,
+      "low half of the step plane sits below the mean — its bits must be 0")
+  }
 }
