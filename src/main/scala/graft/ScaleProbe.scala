@@ -189,6 +189,18 @@ object ScaleProbe {
         withB.filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", 3, 16, 4, 0.5, maxBucketSize = 1000).count()
     })
+    // perceptual-hash near-dup at 1M media rows (500k originals + 500k
+    // planted byte-identical twins — hamming 0 guaranteed): the corpus-
+    // size chunk configuration (3 × 16-bit values) keeps buckets at
+    // ~n/65536 so the candidate join stays near-linear, the scale trade
+    // the phashNearDups scaladoc prescribes
+    time("phash_neardups_1M")( {
+      val media = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      val twins = media.withColumn("media_id", col("media_id") + lit(60000000L))
+      graft.ops.Multimodal.phashNearDups(media.unionByName(twins),
+        maxHamming = 2, nChunks = 3).count()
+    })
     graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 

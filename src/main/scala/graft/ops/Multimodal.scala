@@ -160,15 +160,25 @@ object Multimodal {
 
   /** Perceptual near-duplicate pairs via pigeonhole banding on the aHash
     * — the image-space sibling of `Dedup.simHashNearDups`: the 48-bit
-    * hash splits into `maxHamming + 1` (rounded up to a divisor) 12-bit
-    * chunks; two hashes within `maxHamming` bits must agree on ≥1 whole
-    * chunk (pigeonhole), so candidates are a (chunk, value)-local join —
-    * fixed-width keys, never all-pairs — and the exact hamming verifies
-    * candidates only. At 100 TB the chunk relation is 4 rows per image
-    * and each bucket holds n/2¹² of a chunk's images in expectation.
+    * hash splits into `nChunks` equal chunks; two hashes within
+    * `maxHamming` bits must agree on ≥1 whole chunk (pigeonhole needs
+    * maxHamming < nChunks), so candidates are a (chunk, value)-local
+    * join — fixed-width keys, never all-pairs — and the exact hamming
+    * verifies candidates only.
+    *
+    * The chunk count is the scale dial: expected bucket size is
+    * n/2^(48/nChunks), so FEWER chunks prune harder but tolerate less
+    * hamming — nChunks 4 (12-bit values, ≤3 bits) suits corpus sizes up
+    * to ~10⁵; at 10⁶+ use nChunks 3 (16-bit values, ≤2 bits, buckets
+    * n/65536 — the 1M probe's configuration) or widen the hash. Same
+    * arithmetic as simhash's pigeonhole (Dedup scaladoc).
     */
-  def phashNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bits = 48; val nChunks = 4; val w = bits / nChunks
+  def phashNearDups(media: DataFrame, maxHamming: Int = 3,
+                    nChunks: Int = 4): DataFrame = {
+    val bits = 48
+    require(nChunks >= 1 && bits % nChunks == 0,
+      s"phashNearDups: nChunks must divide $bits, got $nChunks")
+    val w = bits / nChunks
     require(maxHamming >= 0 && maxHamming < nChunks,
       s"pigeonhole needs maxHamming < $nChunks chunks, got $maxHamming")
     val hashed = perceptualHash(media, bits)

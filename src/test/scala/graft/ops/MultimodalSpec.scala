@@ -59,6 +59,11 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (ia, ib, d)).toSet
     assert(got == brute, s"banded pairs != brute force " +
       s"(missing ${(brute -- got).size}, extra ${(got -- brute).size})")
+    // the corpus-scale chunk configuration (3 × 16-bit) must find the
+    // same pairs at its tighter hamming bound
+    val got3 = Multimodal.phashNearDups(all, maxHamming = 2, nChunks = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got3 == brute.filter(_._3 <= 2), "16-bit-chunk banding != brute force")
     // every planted twin pair is present at hamming 0
     val planted = hashes.map(_._1).filter(_ < 10000000L)
       .map(id => (id, id + 10000000L, 0)).toSet
