@@ -190,17 +190,26 @@ object ScaleProbe {
         "doc_id", "text", 3, 16, 4, 0.5, maxBucketSize = 1000).count()
     })
     // perceptual-hash near-dup at 1M media rows (500k originals + 500k
-    // planted byte-identical twins — hamming 0 guaranteed): the corpus-
-    // size chunk configuration (3 × 16-bit values) keeps buckets at
-    // ~n/65536 so the candidate join stays near-linear, the scale trade
-    // the phashNearDups scaladoc prescribes
-    time("phash_neardups_1M")( {
-      val media = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
-      val twins = media.withColumn("media_id", col("media_id") + lit(60000000L))
-      graft.ops.Multimodal.phashNearDups(media.unionByName(twins),
-        maxHamming = 2, nChunks = 3).count()
-    })
+    // planted byte-identical twins — hamming 0 guaranteed). This corpus
+    // is ADVERSARIAL for aHash: word-salad byte planes are statistically
+    // homogeneous, so hash entropy is low and distances concentrate near
+    // 0 — the exact-match leg (nChunks=1: bucket = whole hash) groups
+    // ~3.1M pairs and the hamming≤2 leg (3 × 16-bit chunks) verifies
+    // ~36M — and what the probe pins is that the banding join and exact
+    // verification SURVIVE that collision regime at bounded memory
+    // (~22 s / ~110 s). Real image planes separate far better; hash
+    // CORRECTNESS (banding == brute force) is spec-pinned at test scale,
+    // where the wired query's pair set is selective.
+    val mediaP = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val mediaTw = mediaP.withColumn("media_id", col("media_id") + lit(60000000L))
+      .unionByName(mediaP)
+    time("phash_exact_match_1M")(
+      graft.ops.Multimodal.phashNearDups(mediaTw,
+        maxHamming = 0, nChunks = 1).count())
+    time("phash_neardups_1M")(
+      graft.ops.Multimodal.phashNearDups(mediaTw,
+        maxHamming = 2, nChunks = 3).count())
     graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 
