@@ -187,21 +187,25 @@ object Analytics {
     // the unified key keeps the LEFT side's name (not an opaque temp): the
     // window below partitions on it, and plan audits (WindowKeySweepSpec)
     // classify window keys by name — "user_id" is visibly data-scale,
-    // "k" is not
-    val l = left.select(col(leftKey), col(leftTime).as("t"),
-      lit(1).as("is_left"), lit(null).cast(right.schema(rightVal).dataType).as("rv"),
-      struct(left.columns.toIndexedSeq.map(col): _*).as("lrow"))
-    val r = right.select(col(rightKey).as(leftKey), col(rightTime).as("t"),
-      lit(0).as("is_left"), col(rightVal).as("rv"),
-      lit(null).cast(l.schema("lrow").dataType).as("lrow"))
+    // "k" is not. All OTHER internals are __asof_-prefixed so a caller
+    // key named "t"/"is_left"/... can't collide into ambiguity.
+    require(!leftKey.startsWith("__asof_"),
+      s"asOfJoin reserves the __asof_ prefix for temp columns, got $leftKey")
+    val l = left.select(col(leftKey), col(leftTime).as("__asof_t"),
+      lit(1).as("__asof_left"),
+      lit(null).cast(right.schema(rightVal).dataType).as("__asof_rv"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__asof_lrow"))
+    val r = right.select(col(rightKey).as(leftKey), col(rightTime).as("__asof_t"),
+      lit(0).as("__asof_left"), col(rightVal).as("__asof_rv"),
+      lit(null).cast(l.schema("__asof_lrow").dataType).as("__asof_lrow"))
     // right rows sort before left rows at equal t => "at or before" semantics
     val w = Window.partitionBy(col(leftKey))
-      .orderBy(col("t").asc, col("is_left").asc)
+      .orderBy(col("__asof_t").asc, col("__asof_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("asof_val", last(col("rv"), ignoreNulls = true).over(w))
-      .filter(col("is_left") === 1)
-      .select(col("lrow.*"), col("asof_val"))
+      .withColumn("asof_val", last(col("__asof_rv"), ignoreNulls = true).over(w))
+      .filter(col("__asof_left") === 1)
+      .select(col("__asof_lrow.*"), col("asof_val"))
   }
 
   /** Skew-mitigating equi-join (salting): the skewed probe side gets a

@@ -181,7 +181,13 @@ object Multimodal {
     val w = bits / nChunks
     require(maxHamming >= 0 && maxHamming < nChunks,
       s"pigeonhole needs maxHamming < $nChunks chunks, got $maxHamming")
-    val hashed = perceptualHash(media, bits)
+    // materialize the hashes ONCE (narrow (id, long) relation): both join
+    // sides read it, and without the persist the mapPartitions byte-plane
+    // scan — the op's dominant cost at real payload sizes — runs twice
+    // (harness-drained, the lmScore persist pattern)
+    val hashed = graft.Cleanup.register(
+      perceptualHash(media, bits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val chunked = hashed.select(col("media_id").as("id"), col("phash"),
         explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
       .withColumn("ck", expr(s"shiftright(phash, chunk * $w) & ${(1L << w) - 1}"))

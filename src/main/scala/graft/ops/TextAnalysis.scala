@@ -433,11 +433,16 @@ object TextAnalysis {
     * every partition key trivially fits one task (a ≤64k-row sort is
     * milliseconds) and the two-phase census/join stages are pure overhead
     * — measured 2.2× on `text_pack_bins` at sf0.1 — so the op degrades to
-    * the one-window form. The probe is a limit-capped count: it scans at
+    * the one-window form. The probe is a limit-capped count, run EAGERLY
+    * at operator-construction time: on a scan-rooted input it reads at
     * most `autoDegradeBelow`+1 rows at any corpus size, then stops — at
     * 100 TB it reads one partition's worth and keeps the two-phase form.
-    * `autoDegradeBelow` ≤ 0 disables the probe (always two-phase —
-    * what the plan specs pin). Degrading on TOTAL rows is the
+    * CAVEAT for derived inputs: limit() cannot prune through a shuffle,
+    * so probing a join/aggregate-rooted DataFrame executes its upstream
+    * plan once before the real query runs it again — callers feeding an
+    * expensive derived relation should pass `autoDegradeBelow` = 0
+    * (always two-phase, no probe; also the setting the plan specs pin)
+    * or materialize the input first. Degrading on TOTAL rows is the
     * conservative direction: per-key counts are only smaller, so the
     * scale form is never dropped when any key could be large.
     */
@@ -547,7 +552,7 @@ object TextAnalysis {
                autoDegradeBelow: Long = 65536L): DataFrame = {
     require(budget > 0, s"packBins: budget must be positive, got $budget")
     require(posBuckets >= 1, s"packBins: posBuckets must be >= 1, got $posBuckets")
-    Seq("__b", "__mn", "__mx", "__w", "__i", "__off", "__cnt").foreach(c =>
+    Seq("__b", "__mn", "__mx", "__w", "__i", "__off", "__cnt", "__safe").foreach(c =>
       require(!df.columns.contains(c),
         s"packBins uses '$c' as a temp column; input must not contain it"))
     val pcols = partitionCols.map(col)
@@ -564,9 +569,19 @@ object TextAnalysis {
     val bounds = base.groupBy(pcols: _*)
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
     val bucketed = base.join(broadcast(bounds), partitionCols)
-      .withColumn("__w", expr(s"(__mx - __mn) div $posBuckets + 1"))
-      .withColumn("__b", expr(s"($idCol - __mn) div __w"))
-      .drop("__mn", "__mx", "__w")
+      // span guard (DOUBLE compare — huge margin, precision irrelevant):
+      // a key whose id range exceeds ~4e18 would overflow (__mx - __mn)
+      // and ($idCol - __mn) under ANSI; such keys collapse to one bucket
+      // (__b = 0 — the one-window form for THAT key, still exact).
+      // CaseWhen branches evaluate lazily, so the guarded arithmetic
+      // never runs on unsafe rows.
+      .withColumn("__safe",
+        col("__mx").cast("double") - col("__mn").cast("double") <= lit(4.0e18))
+      .withColumn("__w",
+        when(col("__safe"), expr(s"(__mx - __mn) div $posBuckets + 1")))
+      .withColumn("__b",
+        when(col("__safe"), expr(s"($idCol - __mn) div __w")).otherwise(lit(0L)))
+      .drop("__mn", "__mx", "__w", "__safe")
     val bcols = pcols :+ col("__b")
     // explicit ROWS frame: Spark's default frame with an orderBy is RANGE,
     // which merges peer rows (duplicate ids) into one cumulative value and
@@ -592,7 +607,11 @@ object TextAnalysis {
       .withColumn("cum_tokens", col("__off") + col("__i"))
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget))
-      .drop("__b", "__i", "__off")
+      // pin the output column ORDER to the degraded branch's (input
+      // columns first): the using-column join above moved partitionCols
+      // to the front, and a positional consumer must not see a different
+      // schema the day the corpus crosses the degrade threshold
+      .select((df.columns.map(col) :+ col("n_tokens") :+ col("cum_tokens") :+ col("bin")): _*)
   }
 
   /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to
@@ -1052,8 +1071,9 @@ object TextAnalysis {
     * (the round-7 sweep gap: "key-local" is only parallel across KEYS).
     * Each source is cut into `posBuckets` id-RANGE sub-buckets (bounds
     * from the same |sources|-row stats collect that feeds the position
-    * projection; width division-first so arbitrary long id ranges can't
-    * overflow): the rank within a (source, bucket) comes from a window
+    * projection; a span guard degrades sources whose id range exceeds
+    * half the signed-64 space to the one-window form — see the inline
+    * comment): the rank within a (source, bucket) comes from a window
     * keyed on BOTH — parallelism |sources| × posBuckets — and each
     * bucket's starting offset is a running count over the bucket-census
     * rows, histogram not corpus. Buckets are id-range-aligned, so
@@ -1102,7 +1122,16 @@ object TextAnalysis {
         (src, r.getLong(1), lcm / weights.getOrElse(src, defaultWeight).toLong)
       }
       .sortBy(_._1)
-    val ranked = if (!idIntegral || posBuckets == 1) {
+    // sub-bucketing needs (mx − mn) and (id − mn) inside signed-64
+    // arithmetic: the driver-side width would WRAP silently and the
+    // in-plan subtraction throws under ANSI. Ids spanning > ~4.6e18 per
+    // source — only adversarial full-range hash ids — degrade to the
+    // one-window form (pre-map such ids, e.g. pmod, to keep two-phase).
+    val spanSafe = statRows.forall { r =>
+      r.isNullAt(2) ||
+        BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <= BigInt(Long.MaxValue / 2)
+    }
+    val ranked = if (!idIntegral || posBuckets == 1 || !spanSafe) {
       base.withColumn("rk", row_number().over(
         Window.partitionBy(col(sourceCol)).orderBy(col(idCol))).cast("long"))
     } else {

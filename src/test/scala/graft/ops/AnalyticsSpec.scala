@@ -27,6 +27,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None))
   }
 
+  test("asOfJoin: caller key names that collide with old temps still work") {
+    // the internals are __asof_-prefixed, so a left key literally named
+    // "t" (or "rv"/"is_left") must not become an ambiguous reference
+    val left = Seq((1L, 10L, t("2024-01-01 05:00:00"))).toDF("lid", "t", "lt")
+    val right = Seq((10L, t("2024-01-01 04:00:00"), 100.0)).toDF("rk", "rt", "rv")
+    val got = Analytics.asOfJoin(left, right, "t", "rk", "lt", "rt", "rv")
+      .select($"lid", $"asof_val").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(100.0)))
+  }
+
   test("asOfJoin: right row at EXACTLY left time is included ('at or before')") {
     val left = Seq((1L, 5L, t("2024-01-01 06:00:00"))).toDF("lid", "k", "lt")
     val right = Seq((5L, t("2024-01-01 06:00:00"), 42.0)).toDF("rk", "rt", "rv")

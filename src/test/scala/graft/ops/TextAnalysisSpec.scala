@@ -540,6 +540,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(others.distinct.size == others.size, s"a default-weight source repeated in cycle 1: $others")
   }
 
+  test("packBins: two-phase and degraded branches emit the SAME column order") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val forced = TextAnalysis.packBins(docs, "doc_id", "text", 4096L,
+      Seq("lang"), autoDegradeBelow = 0)
+    val degraded = TextAnalysis.packBins(docs, "doc_id", "text", 4096L, Seq("lang"))
+    assert(forced.columns.toSeq == degraded.columns.toSeq,
+      s"positional consumers would mis-bind when the corpus crosses the " +
+        s"degrade threshold: ${forced.columns.toSeq} vs ${degraded.columns.toSeq}")
+  }
+
+  test("mixInterleave: full-range hash ids degrade safely, schedule still exact") {
+    // ids spanning more than half the signed-64 space would overflow the
+    // sub-bucket arithmetic; the span guard must fall back to the
+    // one-window form and still produce the exact weighted schedule
+    val docs = Seq(
+      (Long.MinValue + 1, "en"), (-1L, "en"), (7L, "en"), (Long.MaxValue - 1, "en"),
+      (Long.MinValue + 2, "fr"), (0L, "fr"), (Long.MaxValue - 2, "fr"),
+    ).toDF("doc_id", "lang")
+    val weights = Map("en" -> 3, "fr" -> 2)
+    val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val one = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights,
+        posBuckets = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == one, "span-guarded path diverges from the one-window rank")
+    assert(got.map(_._4) == (1L to 7L).toSet, "mix positions must be 1..n")
+  }
+
   test("mixInterleave: non-integral ids degrade to the one-window rank, same schedule") {
     // string ids can't be range-bucketed; the op must fall back to the
     // single per-source window and still produce the exact schedule
