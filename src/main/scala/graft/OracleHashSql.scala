@@ -1,0 +1,175 @@
+package graft
+
+/** DuckDB-SQL recomputation of the repo's seeded-hash primitives, used to
+  * promote hash-seeded operators (`dedup_simhash`, `dedup_minhash_estimate`)
+  * from rows-only checks to full value-hash oracles on the RAW corpus — no
+  * planted-twin restriction needed, natural near-pairs included.
+  *
+  * The crux is Spark's `xxhash64(string)` (XXH64 of the UTF-8 bytes, seed
+  * 42 — the SQL default seed): DuckDB has no compatible hash, but XXH64's
+  * short-input path (< 32 bytes: no stripe accumulators — seed-derived
+  * state, at most three 8-byte rounds, one 4-byte round, three tail bytes,
+  * then the avalanche) unrolls into pure closed-form SQL. All 64-bit
+  * wrap-around arithmetic runs in HUGEINT mod 2^64; a*b mod 2^64 splits the
+  * multiplicand into 32-bit halves so no intermediate exceeds 2^97 (HUGEINT
+  * is 128-bit and errors on overflow rather than wrapping); rotl becomes
+  * shift-mod + integer division (disjoint bit ranges, so `+` is `|`).
+  *
+  * Corpus preconditions, enforced IN the SQL via error() so a testdata
+  * regeneration that breaks them fails loudly rather than hash-mismatching:
+  * every hashed string is ASCII (char count == byte count — byte access via
+  * ascii(substr)) and < 32 bytes. Measured: max token 8 bytes, max 3-word
+  * shingle 26 bytes, zero non-ASCII chars at sf0.001/0.01/0.1.
+  *
+  * MinHash lane constants (a_j, b_j) are SplitMix64-derived exactly as in
+  * `functions.MinHashAgg` / the MinHashSig kernel; they are computed here
+  * by calling the same `SplitMix.mix64` and inlined as literals, so the
+  * oracle can never drift from the implementation's seeding.
+  *
+  * One deliberate divergence, candidate-set-equivalent: the Spark LSH join
+  * keys band buckets on xxhash64 of the comma-joined signature slice (an
+  * 8-byte exchange key — the 100 TB shape); the oracle joins on the joined
+  * slice STRING itself. Equal strings imply equal hashes, so the sets can
+  * differ only on an xxhash64 collision between distinct 64-long-slice
+  * strings (~1e-10 at sf0.1 volumes; a collision would surface as a visible
+  * row-count mismatch, not silent corruption).
+  */
+object OracleHashSql {
+  private val M = "18446744073709551616::HUGEINT" // 2^64
+  private def mul64(a: String, b: String): String =
+    s"(((( ($a) // 4294967296::HUGEINT) * ($b)) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      s" + (($a) % 4294967296::HUGEINT) * ($b)) % $M"
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${1L << r}::HUGEINT) % $M + (($x) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}::HUGEINT))"
+  private def xor(a: String, b: String): String = s"xor($a, $b)"
+  // XXH64 primes, as unsigned decimal HUGEINT literals
+  private val P1 = "11400714785074694791::HUGEINT"
+  private val P2 = "14029467366897019727::HUGEINT"
+  private val P3 = "1609587929392839161::HUGEINT"
+  private val P4 = "9650029242287828579::HUGEINT"
+  private val P5 = "2870177450012600261::HUGEINT"
+
+  /** CTE chain computing `hu` (unsigned HUGEINT) and `h` (signed BIGINT,
+    * == Spark xxhash64) for each row of `srcCte(id, w)`. Returns
+    * (cteClauses, finalCteName).
+    */
+  def xxhChain(srcCte: String): (Seq[(String, String)], String) = {
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def S(name: String, expr: String): Unit = steps += ((name, expr))
+    def read8(off: Int): String = // little-endian: byte j weighted 256^j = 2^(8j)
+      (0 until 8).map(j => s"ba[${off + j + 1}]::HUGEINT * ${1L << (8 * j)}::HUGEINT")
+        .mkString("(", " + ", ")")
+    def read4(offExpr: String): String =
+      (0 until 4).map(j => s"ba[($offExpr)+${j + 1}]::HUGEINT * ${1L << (8 * j)}::HUGEINT")
+        .mkString("(", " + ", ")")
+    S("h0", s"(42::HUGEINT + $P5 + n::HUGEINT) % $M")
+    for (r <- 0 until 3) { // 8-byte rounds, unrolled (n < 32 => at most 3)
+      val prev = if (r == 0) "h0" else s"r$r"
+      S(s"k${r}a", mul64(read8(8 * r), P2))
+      S(s"k${r}b", rotl(s"k${r}a", 31))
+      S(s"k${r}c", mul64(s"k${r}b", P1))
+      S(s"x$r", xor(prev, s"k${r}c"))
+      S(s"y$r", s"(${mul64(rotl(s"x$r", 27), P1)} + $P4) % $M")
+      S(s"r${r + 1}", s"CASE WHEN n >= ${8 * (r + 1)} THEN y$r ELSE $prev END")
+    }
+    S("off4", "(n // 8) * 8")
+    S("f4a", xor("r3", mul64(read4("off4"), P1)))
+    S("f4b", s"(${mul64(rotl("f4a", 23), P2)} + $P3) % $M")
+    S("h4", "CASE WHEN n % 8 >= 4 THEN f4b ELSE r3 END")
+    S("tb", "off4 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END")
+    for (t <- 0 until 3) { // tail bytes, unrolled (at most n%4 <= 3)
+      val prev = if (t == 0) "h4" else s"t$t"
+      S(s"u$t", xor(prev, mul64(s"ba[tb+${t + 1}]::HUGEINT", P5)))
+      S(s"v$t", mul64(rotl(s"u$t", 11), P1))
+      S(s"t${t + 1}", s"CASE WHEN n - tb >= ${t + 1} THEN v$t ELSE $prev END")
+    }
+    S("a1", xor("t3", s"t3 // ${1L << 33}::HUGEINT"))
+    S("a2", mul64("a1", P2))
+    S("a3", xor("a2", s"a2 // ${1L << 29}::HUGEINT"))
+    S("a4", mul64("a3", P3))
+    S("hu", xor("a4", s"a4 // ${1L << 32}::HUGEINT"))
+    S("h", "CASE WHEN hu >= 9223372036854775808::HUGEINT THEN (hu - 18446744073709551616::HUGEINT)::BIGINT ELSE hu::BIGINT END")
+
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    ctes += (("g0",
+      s"SELECT id, w, octet_length(CAST(w AS BLOB)) AS n, " +
+        "list_transform(range(1, 33), i -> CASE WHEN i <= length(w) THEN ascii(substr(w, CAST(i AS INT), 1)) ELSE 0 END) AS ba " +
+        s"FROM $srcCte"))
+    // loud precondition: short ASCII only (see scaladoc)
+    ctes += (("g1",
+      "SELECT * FROM g0 WHERE CASE WHEN n >= 32 OR n <> length(w) " +
+        "THEN error('xxh64 oracle: token not short-ASCII') ELSE true END"))
+    var prev = "g1"
+    var bi = 2
+    steps.grouped(4).foreach { batch =>
+      val cols = batch.map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")
+      ctes += ((s"g$bi", s"SELECT *, $cols FROM $prev"))
+      prev = s"g$bi"
+      bi += 1
+    }
+    (ctes.toSeq, prev)
+  }
+
+  private def cteStr(ctes: Seq[(String, String)]): String =
+    ctes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+
+  private val pow2List: String =
+    (0 until 64).map(b => s"${java.lang.Long.toUnsignedString(1L << b)}::HUGEINT").mkString("[", ",", "]")
+
+  /** Full-value oracle for `dedup_simhash` (Dedup.simHashNearDups on
+    * documents, maxHamming = 3): recompute each doc's 64-bit SimHash
+    * (per-bit vote of xxhash64(token)) and brute-force the hamming<=3 pair
+    * join — pigeonhole banding has EXACT recall, so brute force is the
+    * banding's semantics (same stand-in the mm_phash oracle uses).
+    */
+  def simhashNearDupsSql(maxHamming: Int = 3): String = {
+    val (ctes, last) = xxhChain("tok")
+    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+       |tok AS (SELECT id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM docs),
+       |${cteStr(ctes)},
+       |votes AS (
+       |  SELECT id, r.b AS b,
+       |         sum(CASE WHEN (hu // ($pow2List)[r.b + 1]) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM $last, range(0, 64) r(b) GROUP BY 1, 2),
+       |simu AS (SELECT id, coalesce(sum(CASE WHEN v > 0 THEN ($pow2List)[b + 1] ELSE 0::HUGEINT END), 0::HUGEINT) AS su FROM votes GROUP BY id),
+       |sims AS (SELECT id, CASE WHEN su >= 9223372036854775808::HUGEINT THEN (su - 18446744073709551616::HUGEINT)::BIGINT ELSE su::BIGINT END AS sim FROM simu)
+       |SELECT x.id AS id_a, y.id AS id_b, CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+       |FROM sims x JOIN sims y ON x.id < y.id
+       |WHERE bit_count(xor(x.sim, y.sim)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full-value oracle for `dedup_minhash_estimate`
+    * (Dedup.minHashEstimatedPairs on documents, 16 bands x 4 rows):
+    * recompute the 64-lane MinHash signatures ((a_j*h + b_j) mod p over the
+    * distinct 3-word shingle set), generate LSH candidates by band-slice
+    * equality, and emit the lane-agreement estimate for each pair.
+    */
+  def minHashEstimateSql(shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): String = {
+    val k = bands * rowsPerBand
+    val p = 2147483647L
+    val laneVals = (0 until k).map { j =>
+      val a = Math.floorMod(functions.SplitMix.mix64(j.toLong), p - 1) + 1L
+      val b = Math.floorMod(functions.SplitMix.mix64(j.toLong + 0x51AF_E00DL), p)
+      s"($j, $a::BIGINT, $b::BIGINT)"
+    }.mkString(", ")
+    val (ctes, last) = xxhChain("sh")
+    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+       |tk AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM docs),
+       |sh AS (SELECT id, unnest(list_distinct(list_transform(range(0, greatest(len(ts) - $shingleN, 0) + 1),
+       |        i -> array_to_string(ts[i + 1 : least(i + $shingleN, len(ts))], ' ')))) AS w FROM tk),
+       |${cteStr(ctes)},
+       |hh AS (SELECT id, ((h % $p) + $p) % $p AS hp FROM $last),
+       |ln(j, a, b) AS (VALUES $laneVals),
+       |sigv AS (SELECT id, j, min((a * hp + b) % $p) AS v FROM hh, ln GROUP BY 1, 2),
+       |sigs AS (SELECT id, array_agg(v ORDER BY j) AS sig FROM sigv GROUP BY id),
+       |bb AS (SELECT id, r.b AS band, array_to_string(sig[r.b * $rowsPerBand + 1 : (r.b + 1) * $rowsPerBand], ',') AS bkt
+       |       FROM sigs, range(0, $bands) r(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bb x JOIN bb y ON x.band = y.band AND x.bkt = y.bkt AND x.id < y.id)
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST(list_sum(list_transform(range(1, ${k + 1}), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $k, 4) AS jaccard_est
+       |FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

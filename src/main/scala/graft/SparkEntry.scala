@@ -106,12 +106,18 @@ object SparkEntry {
           threshold = 0.5, maxBucketSize = 1000)
         .orderBy(col("id_new"))
     }),
-    "dedup_minhash_estimate" -> ((s, dir) => // hash-seeded: rows-only oracle
+    "dedup_minhash_estimate" -> ((s, dir) => // full oracle since round 9:
       // the verification-free path: signature-agreement Jaccard estimate
-      // for every LSH candidate pair; accuracy spec-pinned vs the exact op
+      // for every LSH candidate pair. The DuckDB oracle recomputes the
+      // xxhash64-seeded signatures exactly (OracleHashSql), so the
+      // estimates are value-hash-checked; accuracy vs exact Jaccard stays
+      // spec-pinned.
       Dedup.minHashEstimatedPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
-    "dedup_simhash" -> ((s, dir) => // hash-based: rows-only oracle
+    "dedup_simhash" -> ((s, dir) => // full oracle since round 9: the DuckDB
+      // oracle recomputes the 64-bit SimHash (xxhash64 per-token votes)
+      // exactly and brute-forces the hamming<=3 join — pigeonhole banding
+      // recall is exact, so brute force IS the op's semantics.
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_clusters" -> ((s, dir) =>
@@ -1379,13 +1385,16 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** DuckDB SQL equivalents. Omitted for the hash-seeded dedup_simhash /
-    * dedup_minhash_estimate, the approximate q_approx_distinct /
-    * q_percentiles_approx, and the sketch-probing
-    * text_decontaminate_bloom — those get the driver's rows-only check and
-    * are instead validated against exact counterparts in the spec suite.
+  /** DuckDB SQL equivalents. Omitted for the approximate q_approx_distinct
+    * / q_percentiles_approx, the sketch-probing text_decontaminate_bloom,
+    * and the iterative vocab_bpe_merges — those get the driver's rows-only
+    * check and are instead validated against exact counterparts in the
+    * spec suite.
     * (sim_topk_ivf DOES carry an oracle since its round-8 promotion to
-    * the planted-twin exact leg — see the query comment.)
+    * the planted-twin exact leg — see the query comment. dedup_simhash and
+    * dedup_minhash_estimate DO carry oracles since round 9: OracleHashSql
+    * recomputes the xxhash64 dialect in DuckDB, so their hash-seeded
+    * values are exactly reproducible.)
     * (dedup_minhash_lsh and dedup_embedding_cosine DO carry oracles: their
     * LSH recall is exact on the test corpora, spec-proven, so they share
     * their brute-force counterparts' SQL.)
@@ -1424,6 +1433,12 @@ object SparkEntry {
         "SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 80)) ORDER BY doc_id",
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_minhash_lsh" -> jaccardSql,
+      // round-9 promotions: the seeded-hash pair ops get FULL value oracles
+      // by recomputing Spark's xxhash64 dialect in DuckDB SQL (XXH64
+      // short-input path unrolled — see OracleHashSql scaladoc). Raw
+      // corpus, natural near-pairs included; no planted-twin restriction.
+      "dedup_simhash" -> OracleHashSql.simhashNearDupsSql(maxHamming = 3),
+      "dedup_minhash_estimate" -> OracleHashSql.minHashEstimateSql(),
       "dedup_cross_corpus" ->
         // exact cross-half Jaccard (even ids = reference, odd = new),
         // best reference per new doc by (jaccard desc, ref id asc) — the
