@@ -450,7 +450,10 @@ object TextAnalysis {
                               autoDegradeBelow: Long): Boolean = {
     require(autoDegradeBelow < Int.MaxValue,
       s"autoDegradeBelow must fit a limit(), got $autoDegradeBelow")
-    posBuckets > 1 && (autoDegradeBelow <= 0 ||
+    // a streaming DataFrame cannot be probe-counted (limit+count throws);
+    // take the two-phase scale form — the safe direction for unbounded
+    // inputs, and the only one that returns instead of crashing
+    posBuckets > 1 && (autoDegradeBelow <= 0 || df.isStreaming ||
       df.limit(autoDegradeBelow.toInt + 1).count() > autoDegradeBelow)
   }
 
@@ -485,6 +488,10 @@ object TextAnalysis {
                     autoDegradeBelow: Long = 65536L): DataFrame = {
     require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
     require(posBuckets >= 1, s"shuffleShards: posBuckets must be >= 1, got $posBuckets")
+    // the op keeps only idCol from the input, so the sole collision risk
+    // is the id column itself shadowing a derived/output name
+    require(!Seq("fp", "shard", "pos", "__b", "__cnt", "__off", "__i").contains(idCol),
+      s"shuffleShards derives columns fp/shard/pos; idCol must not be named '$idCol'")
     val base0 = df.select(col(idCol),
         fingerprint(concat(col(textCol), lit(":" + salt))).as("fp"))
       .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
@@ -536,8 +543,9 @@ object TextAnalysis {
     * an entire partition key (a whole language in the wired query)
     * through one task at 100 TB. Each key is cut into `posBuckets`
     * id-RANGE sub-buckets (bounds from a |keys|-row min/max aggregate,
-    * broadcast back; width computed division-first so arbitrary long ids
-    * can't overflow): the running sum within a (key, bucket) comes from a
+    * broadcast back; the bucket map runs in decimal(20,0) so ids of ANY
+    * span — full-range fingerprints included — can't overflow): the
+    * running sum within a (key, bucket) comes from a
     * window keyed on BOTH — parallelism = |keys| × posBuckets — and each
     * bucket's starting offset is a running total over the bucket-census
     * rows, histogram not corpus. Buckets are id-range-aligned, so
@@ -552,9 +560,13 @@ object TextAnalysis {
                autoDegradeBelow: Long = 65536L): DataFrame = {
     require(budget > 0, s"packBins: budget must be positive, got $budget")
     require(posBuckets >= 1, s"packBins: posBuckets must be >= 1, got $posBuckets")
-    Seq("__b", "__mn", "__mx", "__w", "__i", "__off", "__cnt", "__safe").foreach(c =>
+    // reserve the OUTPUT names too: an input column named n_tokens /
+    // cum_tokens / bin would be silently overwritten (and the two-phase
+    // branch's final select would then emit it twice)
+    Seq("__b", "__mn", "__mx", "__i", "__off", "__cnt",
+        "n_tokens", "cum_tokens", "bin").foreach(c =>
       require(!df.columns.contains(c),
-        s"packBins uses '$c' as a temp column; input must not contain it"))
+        s"packBins uses '$c' as a temp/output column; input must not contain it"))
     val pcols = partitionCols.map(col)
     val base = df.withColumn("n_tokens", tokenCount(col(textCol)))
     if (!twoPhaseWorthIt(df, posBuckets, autoDegradeBelow)) {
@@ -569,19 +581,16 @@ object TextAnalysis {
     val bounds = base.groupBy(pcols: _*)
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
     val bucketed = base.join(broadcast(bounds), partitionCols)
-      // span guard (DOUBLE compare — huge margin, precision irrelevant):
-      // a key whose id range exceeds ~4e18 would overflow (__mx - __mn)
-      // and ($idCol - __mn) under ANSI; such keys collapse to one bucket
-      // (__b = 0 — the one-window form for THAT key, still exact).
-      // CaseWhen branches evaluate lazily, so the guarded arithmetic
-      // never runs on unsafe rows.
-      .withColumn("__safe",
-        col("__mx").cast("double") - col("__mn").cast("double") <= lit(4.0e18))
-      .withColumn("__w",
-        when(col("__safe"), expr(s"(__mx - __mn) div $posBuckets + 1")))
-      .withColumn("__b",
-        when(col("__safe"), expr(s"($idCol - __mn) div __w")).otherwise(lit(0L)))
-      .drop("__mn", "__mx", "__w", "__safe")
+      // bucket arithmetic in decimal(20,0): the monotone map
+      // (id − mn)·posBuckets div (span + 1) lands ANY id span — including
+      // full-range fingerprint ids — in [0, posBuckets) with no long
+      // overflow (the earlier double-compare span guard collapsed such
+      // keys to ONE bucket, i.e. the one-window form for exactly the
+      // corpora that need the parallelism; same fix as mixInterleave).
+      .withColumn("__b", expr(
+        s"((cast($idCol as decimal(20,0)) - cast(__mn as decimal(20,0))) * $posBuckets)" +
+          " div (cast(__mx as decimal(20,0)) - cast(__mn as decimal(20,0)) + 1)"))
+      .drop("__mn", "__mx")
     val bcols = pcols :+ col("__b")
     // explicit ROWS frame: Spark's default frame with an orderBy is RANGE,
     // which merges peer rows (duplicate ids) into one cumulative value and
@@ -877,7 +886,12 @@ object TextAnalysis {
       if (k > 0) td.join(broadcast(dfs.orderBy(col("df").desc, col("term")).limit(k)), Seq("term"))
       else td.join(dfs, Seq("term"))
     sel
-      .withColumn("seg", expr(s"doc_id div $segSize"))
+      // FLOOR division, not trunc: with mixed-sign doc ids a truncating
+      // div would give segment 0 the double-width span (−segSize, segSize)
+      // — up to 2·segSize−1 ids in one buffer, breaking the documented
+      // per-segment bound. Floor keeps every segment exactly segSize wide.
+      .withColumn("seg", expr(
+        s"doc_id div $segSize - (CASE WHEN doc_id % $segSize < 0 THEN 1 ELSE 0 END)"))
       .groupBy(col("term"), col("df"), col("seg"))
       .agg(count(lit(1)).as("seg_df"),
         array_join(
@@ -1071,9 +1085,10 @@ object TextAnalysis {
     * (the round-7 sweep gap: "key-local" is only parallel across KEYS).
     * Each source is cut into `posBuckets` id-RANGE sub-buckets (bounds
     * from the same |sources|-row stats collect that feeds the position
-    * projection; a span guard degrades sources whose id range exceeds
-    * half the signed-64 space to the one-window form — see the inline
-    * comment): the rank within a (source, bucket) comes from a window
+    * projection; the bucket arithmetic runs in decimal(20,0) so ANY id
+    * span — including full-range xxhash64 fingerprint ids — stays
+    * two-phase, see the inline comment): the rank within a (source,
+    * bucket) comes from a window
     * keyed on BOTH — parallelism |sources| × posBuckets — and each
     * bucket's starting offset is a running count over the bucket-census
     * rows, histogram not corpus. Buckets are id-range-aligned, so
@@ -1122,33 +1137,35 @@ object TextAnalysis {
         (src, r.getLong(1), lcm / weights.getOrElse(src, defaultWeight).toLong)
       }
       .sortBy(_._1)
-    // sub-bucketing needs (mx − mn) and (id − mn) inside signed-64
-    // arithmetic: the driver-side width would WRAP silently and the
-    // in-plan subtraction throws under ANSI. Ids spanning > ~4.6e18 per
-    // source — only adversarial full-range hash ids — degrade to the
-    // one-window form (pre-map such ids, e.g. pmod, to keep two-phase).
-    val spanSafe = statRows.forall { r =>
-      r.isNullAt(2) ||
-        BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <= BigInt(Long.MaxValue / 2)
-    }
-    val ranked = if (!idIntegral || posBuckets == 1 || !spanSafe) {
+    // sub-bucketing computes (id − mn) div width; a fingerprint-keyed
+    // corpus (xxhash64 doc ids — this repo's own text_fingerprint
+    // convention) spans the FULL signed-64 range by construction, where
+    // long arithmetic would wrap driver-side and throw in-plan under
+    // ANSI. So the bucket arithmetic runs in decimal(20,0): the width is
+    // BigInt-derived, mn/width ride the broadcast meta as decimals, and
+    // the subtraction/div never overflow for ANY id span — full-range
+    // hash ids keep the two-phase shape (spec-pinned; the round-8 span
+    // guard silently degraded exactly those corpora to the one-window
+    // scale-killer).
+    val ranked = if (!idIntegral || posBuckets == 1) {
       base.withColumn("rk", row_number().over(
         Window.partitionBy(col(sourceCol)).orderBy(col(idCol))).cast("long"))
     } else {
+      val dec20 = org.apache.spark.sql.types.DecimalType(20, 0)
       val metaSchema = org.apache.spark.sql.types.StructType(Seq(
         base.schema(sourceCol),
-        org.apache.spark.sql.types.StructField("__mn",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__w",
-          org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.StructField("__mn", dec20),
+        org.apache.spark.sql.types.StructField("__w", dec20)))
       val metaRows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(statRows.map { r =>
-          val mn = r.getLong(2); val mx = r.getLong(3)
-          org.apache.spark.sql.Row(r.get(0), mn, (mx - mn) / posBuckets + 1)
+          val mn = BigInt(r.getLong(2)); val mx = BigInt(r.getLong(3))
+          org.apache.spark.sql.Row(r.get(0),
+            new java.math.BigDecimal(mn.bigInteger),
+            new java.math.BigDecimal(((mx - mn) / posBuckets + 1).bigInteger))
         }: _*)
       val meta = df.sparkSession.createDataFrame(metaRows, metaSchema)
       val bucketed = base.join(broadcast(meta), Seq(sourceCol))
-        .withColumn("__b", expr(s"($idCol - __mn) div __w"))
+        .withColumn("__b", expr(s"(cast($idCol as decimal(20,0)) - __mn) div __w"))
         .drop("__mn", "__w")
       val intra = row_number().over(
         Window.partitionBy(col(sourceCol), col("__b")).orderBy(col(idCol)))

@@ -550,22 +550,37 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"degrade threshold: ${forced.columns.toSeq} vs ${degraded.columns.toSeq}")
   }
 
-  test("mixInterleave: full-range hash ids degrade safely, schedule still exact") {
-    // ids spanning more than half the signed-64 space would overflow the
-    // sub-bucket arithmetic; the span guard must fall back to the
-    // one-window form and still produce the exact weighted schedule
-    val docs = Seq(
-      (Long.MinValue + 1, "en"), (-1L, "en"), (7L, "en"), (Long.MaxValue - 1, "en"),
-      (Long.MinValue + 2, "fr"), (0L, "fr"), (Long.MaxValue - 2, "fr"),
-    ).toDF("doc_id", "lang")
+  test("mixInterleave: full-range hash ids STAY two-phase, schedule still exact") {
+    // fingerprint-keyed corpora (xxhash64 doc ids — the repo's own
+    // text_fingerprint convention) span the full signed-64 range by
+    // construction. The decimal(20,0) bucket arithmetic must keep the
+    // two-phase (source, __b) rank window — the round-8 span guard
+    // silently degraded exactly these ids to the one-window scale-killer
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(xxhash64($"doc_id").as("doc_id"), $"lang")
     val weights = Map("en" -> 3, "fr" -> 2)
-    val got = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
-      .as[(Long, String, Long, Long)].collect().toSet
+    val two = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights)
+    val plan = two.queryExecution.optimizedPlan.toString
+    val i = plan.indexOf("windowspecdefinition(lang")
+    assert(i >= 0 && plan.substring(i, i + 60).contains("__b"),
+      s"full-range ids lost the (source, __b) sub-bucketed rank window:\n$plan")
+    val got = two.as[(Long, String, Long, Long)].collect().toSet
     val one = TextAnalysis.mixInterleave(docs, "lang", "doc_id", weights,
         posBuckets = 1)
       .as[(Long, String, Long, Long)].collect().toSet
-    assert(got == one, "span-guarded path diverges from the one-window rank")
-    assert(got.map(_._4) == (1L to 7L).toSet, "mix positions must be 1..n")
+    assert(got == one, "two-phase positions diverge from the one-window rank")
+    // extremal spans too: mn = MinValue+1, mx = MaxValue-1 in one source
+    val extreme = Seq(
+      (Long.MinValue + 1, "en"), (-1L, "en"), (7L, "en"), (Long.MaxValue - 1, "en"),
+      (Long.MinValue + 2, "fr"), (0L, "fr"), (Long.MaxValue - 2, "fr"),
+    ).toDF("doc_id", "lang")
+    val g2 = TextAnalysis.mixInterleave(extreme, "lang", "doc_id", weights)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val o2 = TextAnalysis.mixInterleave(extreme, "lang", "doc_id", weights,
+        posBuckets = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(g2 == o2, "extremal-span positions diverge from the one-window rank")
+    assert(g2.map(_._4) == (1L to 7L).toSet, "mix positions must be 1..n")
   }
 
   test("mixInterleave: non-integral ids degrade to the one-window rank, same schedule") {
