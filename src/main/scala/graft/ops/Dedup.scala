@@ -265,6 +265,14 @@ object Dedup {
     * artifact's shingle sets. Work is linear in the batch, not the
     * reference. Semantics identical to `crossCorpusNearDups`
     * (spec-pinned artifact-path == raw-path).
+    *
+    * `maxBucketSize` counts REFERENCE-side membership only, which makes
+    * the keep/drop decision batch-invariant — splitting a crawl into
+    * micro-batches can never flip a bucket that the one-shot run keeps
+    * (a combined count would shrink with each split) — and bounds every
+    * kept bucket's fan-out at `maxBucketSize` reference rows per new
+    * row: candidates <= |batch| x bands x cap, linear in the batch even
+    * against a degenerate self-similar reference.
     */
   def crossCorpusNearDupsWith(corpus: DataFrame, index: CrossCorpusIndex,
                               idCol: String, textCol: String,
@@ -277,13 +285,13 @@ object Dedup {
     val (nbB, rbB) =
       if (maxBucketSize <= 0) (nb, rb)
       else {
-        val ok = nb.select(col("band"), col("bucket"))
-          .unionByName(rb.select(col("band"), col("bucket")))
-          .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucketSize)
+        // reference-side membership only: batch-invariant (see scaladoc)
+        val hot = rb.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
           .select(col("band"), col("bucket"))
-        (nb.join(ok, Seq("band", "bucket"), "leftsemi"),
-          rb.join(ok, Seq("band", "bucket"), "leftsemi"))
+        (nb.join(hot, Seq("band", "bucket"), "leftanti"),
+          rb.join(hot, Seq("band", "bucket"), "leftanti"))
       }
     val cand = nbB.join(rbB, Seq("band", "bucket"))
       .select(col("id_new"), col("id_ref")).distinct()

@@ -138,6 +138,13 @@ object Multimodal {
         rows.map { r =>
           val p = r.getAs[Array[Byte]]("payload")
           val n = p.length
+          // the block-mean compare below cross-multiplies (bs*n vs
+          // total*(hi-lo)); both sides stay under 2^63 only while
+          // 255·n·(n/bits+1) does — ~190 MB per payload at bits=48.
+          // Oversized planes must fail LOUDLY, not hash wrong bits.
+          require(n == 0 || 255L * n <= Long.MaxValue / (n.toLong / bits + 1),
+            s"perceptualHash: payload of $n bytes would overflow the " +
+              "integer block-mean compare; decode/downsample before hashing")
           var total = 0L
           var i = 0
           while (i < n) { total += (p(i) & 0xFF); i += 1 }
