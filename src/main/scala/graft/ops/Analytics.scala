@@ -261,24 +261,33 @@ object Analytics {
     * window is single-partition but over |distinct keys| rows, not the
     * corpus. Equal to the one-window form because (key, id) totally
     * orders the rows.
+    *
+    * TIE SUB-BUCKETING (round 9, surfaced by the measured window sweep):
+    * a VALUE key's distinct count saturates while its tie groups grow
+    * with the corpus — n_chars has a bounded range, so at 100 TB one
+    * length value funnels corpus/|values| rows through a single task.
+    * Above `autoDegradeBelow` rows the intra window is therefore keyed
+    * (key, __b) where __b is a GLOBAL id-range sub-bucket (decimal
+    * arithmetic — any id span), and offsets come from one exclusive
+    * running sum over the (key, __b) census in (key, __b) order — census
+    * rows (≤ |keys| × posBuckets), not corpus rows. Lexicographic
+    * (key, bucket) order is consistent with (key, id) order because
+    * buckets are id-monotone within a key, so the composition equals the
+    * one-window rank EXACTLY (spec-pinned). Below the threshold the
+    * tie-local form stands (`twoPhaseWorthIt` scaladoc; census stages
+    * are pure overhead at toy scale); pass 0 to force the scale shape.
     */
-  def globalRank(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    globalRankAll(df, keyCol, idCol).select(col(idCol), col("global_rank"))
+  def globalRank(df: DataFrame, keyCol: String, idCol: String,
+                 posBuckets: Int = 64, autoDegradeBelow: Long = 65536L): DataFrame =
+    globalRankAll(df, keyCol, idCol, posBuckets, autoDegradeBelow)
+      .select(col(idCol), col("global_rank"))
 
   /** As `globalRank`, keeping every input column alongside the rank. */
-  def globalRankAll(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val intra = row_number().over(
-      Window.partitionBy(col(keyCol)).orderBy(col(idCol)))
-    val offsets = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(
-        sum(col("cnt")).over(Window.orderBy(col(keyCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(keyCol), col("offset"))
-    df.withColumn("intra", intra)
-      .join(broadcast(offsets), keyCol)
-      .select(df.columns.toIndexedSeq.map(col) :+
-        (col("offset") + col("intra")).as("global_rank"): _*)
-  }
+  def globalRankAll(df: DataFrame, keyCol: String, idCol: String,
+                    posBuckets: Int = 64,
+                    autoDegradeBelow: Long = 65536L): DataFrame =
+    twoPhaseOrdered(df, keyCol, idCol, posBuckets, autoDegradeBelow,
+      outCol = "global_rank", valCol = None)
 
   /** Scalable global prefix SUM over the total order (keyCol, idCol) —
     * the sum-generalization of `globalRankAll`: intra-key running sum of
@@ -287,22 +296,83 @@ object Analytics {
     * |distinct keys| rows, not the corpus). `valCol` must be integral so
     * partial sums commute exactly. Adds `cum` = the inclusive prefix sum.
     * This is the primitive behind budget-bounded corpus selection and
-    * token-packing at corpus scale.
+    * token-packing at corpus scale. Tie groups sub-bucket above
+    * `autoDegradeBelow` rows exactly as in `globalRank` (scaladoc there).
     */
   def globalCumsum(df: DataFrame, keyCol: String, idCol: String,
-                   valCol: String): DataFrame = {
-    val intra = sum(col(valCol)).over(
-      Window.partitionBy(col(keyCol)).orderBy(col(idCol))
-        .rowsBetween(Window.unboundedPreceding, 0))
-    val offsets = df.groupBy(col(keyCol)).agg(sum(col(valCol)).as("sub"))
-      .withColumn("offset", coalesce(
-        sum(col("sub")).over(Window.orderBy(col(keyCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(keyCol), col("offset"))
-    df.withColumn("intra", intra)
-      .join(broadcast(offsets), keyCol)
-      .select(df.columns.toIndexedSeq.map(col) :+
-        (col("offset") + col("intra")).as("cum"): _*)
+                   valCol: String, posBuckets: Int = 64,
+                   autoDegradeBelow: Long = 65536L): DataFrame =
+    twoPhaseOrdered(df, keyCol, idCol, posBuckets, autoDegradeBelow,
+      outCol = "cum", valCol = Some(valCol))
+
+  /** Shared core of `globalRankAll` (valCol = None: counts/row_number)
+    * and `globalCumsum` (valCol = Some: sums/running sum): exact global
+    * rank/prefix-sum over the (key, id) total order, tie-sub-bucketed
+    * at scale per the `globalRank` scaladoc.
+    */
+  private def twoPhaseOrdered(df: DataFrame, keyCol: String, idCol: String,
+                              posBuckets: Int, autoDegradeBelow: Long,
+                              outCol: String, valCol: Option[String]): DataFrame = {
+    Seq("__b", "__cnt", "__off", "__i", "intra", "offset", outCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"global rank/cumsum uses '$c' as a temp/output column; input must not contain it"))
+    def contrib = valCol.map(v => col(v)).getOrElse(lit(1L))
+    val idIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bounds =
+      if (idIntegral && TextAnalysis.twoPhaseWorthIt(df, posBuckets, autoDegradeBelow))
+        df.agg(min(col(idCol).cast("long")).as("mn"),
+          max(col(idCol).cast("long")).as("mx")).head() match {
+          case r if r.isNullAt(0) => None // empty input: form is irrelevant
+          case r => Some((BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+        }
+      else None
+    bounds match {
+      case None => // tie-local form: one window per key value
+        val intra = valCol match {
+          case None => row_number().over(
+            Window.partitionBy(col(keyCol)).orderBy(col(idCol))).cast("long")
+          case Some(v) => sum(col(v)).over(
+            Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+              .rowsBetween(Window.unboundedPreceding, 0))
+        }
+        val offsets = df.groupBy(col(keyCol)).agg(sum(contrib).as("__cnt"))
+          .withColumn("offset", coalesce(
+            sum(col("__cnt")).over(Window.orderBy(col(keyCol))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(keyCol), col("offset"))
+        df.withColumn("intra", intra)
+          .join(broadcast(offsets), keyCol)
+          .select(df.columns.toIndexedSeq.map(col) :+
+            (col("offset") + col("intra")).as(outCol): _*)
+      case Some((mn, mx)) => // (key, __b) two-phase form
+        val span1 = mx - mn + 1
+        val withB = df.withColumn("__b", expr(
+          s"((cast($idCol as decimal(20,0)) - cast($mn as decimal(20,0))) * $posBuckets)" +
+            s" div cast($span1 as decimal(20,0))"))
+        val intra = valCol match {
+          case None => row_number().over(
+            Window.partitionBy(col(keyCol), col("__b")).orderBy(col(idCol))).cast("long")
+          case Some(v) => sum(col(v)).over(
+            Window.partitionBy(col(keyCol), col("__b")).orderBy(col(idCol))
+              .rowsBetween(Window.unboundedPreceding, 0))
+        }
+        // ONE exclusive running sum over the census in (key, __b) order —
+        // consistent with (key, id) order since __b is id-monotone per key
+        val offsets = withB.groupBy(col(keyCol), col("__b"))
+          .agg(sum(contrib).as("__cnt"))
+          .withColumn("__off", coalesce(
+            sum(col("__cnt")).over(Window.orderBy(col(keyCol), col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(keyCol), col("__b"), col("__off"))
+        withB.withColumn("__i", intra)
+          .join(broadcast(offsets), Seq(keyCol, "__b"))
+          .select(df.columns.toIndexedSeq.map(col) :+
+            (col("__off") + col("__i")).as(outCol): _*)
+    }
   }
 
   /** Dataset snapshot diff — added/removed/changed rows between two

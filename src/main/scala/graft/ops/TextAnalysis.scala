@@ -446,8 +446,8 @@ object TextAnalysis {
     * conservative direction: per-key counts are only smaller, so the
     * scale form is never dropped when any key could be large.
     */
-  private def twoPhaseWorthIt(df: DataFrame, posBuckets: Int,
-                              autoDegradeBelow: Long): Boolean = {
+  private[ops] def twoPhaseWorthIt(df: DataFrame, posBuckets: Int,
+                                   autoDegradeBelow: Long): Boolean = {
     require(autoDegradeBelow < Int.MaxValue,
       s"autoDegradeBelow must fit a limit(), got $autoDegradeBelow")
     // a streaming DataFrame cannot be probe-counted (limit+count throws);

@@ -20,4 +20,6 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  // the growth-measurement twin (WindowKeySweepSpec): 10× the corpus
+  val sf01 = "/root/testdata/sf0.1"
 }

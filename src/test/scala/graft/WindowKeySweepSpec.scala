@@ -1,7 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Mechanical closure of the round-7 sweep gap: the manual anti-pattern
@@ -9,53 +10,61 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * `packBins`, and then mis-graded `mixInterleave`'s per-source rank as
   * "key-local" — a config-scale key (|sources| ≈ a handful) that funnels
   * corpus/|sources| rows through one task at 100 TB. This spec applies
-  * the cardinality test to EVERY window in EVERY wired query, so the next
-  * config-scale window can't slip through on prose.
+  * the cardinality test to EVERY window and collect buffer in EVERY wired
+  * query, so the next config-scale window can't slip through on prose.
   *
-  * Classification of each window's partition keys (optimized logical
-  * plan, so what Catalyst will actually execute):
-  *   - DATA-SCALE: a key whose cardinality grows with the corpus
-  *     (doc ids, user ids, join-side ids, content fingerprints, …) —
-  *     parallelism grows with the data; fine.
-  *   - SUB-BUCKETED: a config-scale key paired with an id/fp-range
-  *     sub-bucket term (`__b`, `__salt`, `bucket`) — the two-phase
-  *     decomposition; parallelism = |keys| × buckets; fine.
-  *   - BOUNDED GRAIN: the window's input grain is an Aggregate (score
-  *     histograms, bucket censuses, per-key stats) or carries a
-  *     WindowGroupLimit (per-partition top-k pushed below the exchange)
-  *     — the window sees histogram rows or ≤k rows per key, not corpus
-  *     rows; fine.
-  *   - Anything else is a CONFIG-SCALE window over corpus rows — the
-  *     scale defect this spec exists to catch. It must either be fixed
-  *     (sub-bucket it) or appear in `auditedExceptions` with a written
-  *     justification.
+  * Round-9 upgrade: classification is MEASURED, not name-trusted. The
+  * round-8 version keyed "data-scale" off a column-name allowlist ("id",
+  * "term", "bucket", …) — DESIGN §11's own lesson is that name-based
+  * auditing broke once already (the `asOfJoin` rename hid a data-scale
+  * key behind "k"), and the inverse failure — a config-scale column that
+  * happens to be NAMED `id` — passed silently. Now every non-exempt
+  * window/collect key set is measured against the corpus at TWO scales
+  * (sf0.001 and sf0.1) on the node's actual optimized-plan input:
+  *
+  *   - if the input row count doesn't grow with the corpus, the grain is
+  *     bounded (a census/histogram the structural check can't always
+  *     see) — fine at any key cardinality;
+  *   - if the key's distinct count grows with the corpus, parallelism
+  *     grows with the data — fine (doc ids, user ids, fingerprints, and
+  *     any rename of them pass on measurement alone);
+  *   - an input that GROWS under a key that DOESN'T is the config-scale
+  *     funnel this spec exists to catch — flagged regardless of name,
+  *     fixed by sub-bucketing or carried as a written audit entry.
+  *
+  * Growth, not absolute count, is the test because the synthetic corpus
+  * makes single-SF counts lie in both directions: the generator
+  * vocabulary is ~flat (a genuinely data-scale `term` key measures ~30
+  * distinct at every SF), while a config-scale (grp × dim) product
+  * measures 512 — larger than the sf0.001 doc count.
+  *
+  * Structural exemptions stay: sub-bucket terms (`__b`, `__salt`, `seg`)
+  * are the two-phase decomposition by construction, and an Aggregate /
+  * WindowGroupLimit input bounds the grain plan-visibly. (For reference,
+  * the keys the retired allowlist named: doc/vec/user/query/event/
+  * session ids, join keys, fingerprints, terms/grams/shingles, bucket —
+  * all of these now pass by measured growth instead of by name.)
   */
 class WindowKeySweepSpec extends AnyFunSuite {
-  import TestSpark.{spark, sf0001}
-
-  /** Keys whose distinct-value count grows with corpus size. */
-  private val dataScaleKeys: Set[String] = Set(
-    "doc_id", "vec_id", "user_id", "query_id", "event_id", "session_id",
-    "id", "id_a", "id_b", "id_new", "id_ref", "cluster_rep", "rep",
-    "o_orderkey", "l_orderkey", "o_custkey", "c_custkey",
-    "p_partkey", "ps_partkey", "l_partkey", "s_suppkey", "ps_suppkey",
-    "l_suppkey", "fp", "term", "gram", "g", "w1", "w2", "shingle",
-    "n_chars", "rank_key", "bucket",
-    // internal doc-id aliases of the text ops (tfidf/simjoin/wordLift
-    // select col(idCol).as("doc"/"__doc")): grouping on them makes every
-    // buffer document-sized, i.e. corpus/|docs| — data-scale by
-    // construction
-    "doc", "__doc")
+  import TestSpark.{spark, sf0001, sf01}
 
   /** Sub-bucket terms that restore parallelism under a config-scale key
-    * (the two-phase window decomposition and the salted join).
+    * (the two-phase window decomposition, the salted join, and posting
+    * segmentation) — structural, not data-dependent.
     */
-  private val subBucketKeys: Set[String] = Set("__b", "__salt")
+  private val subBucketKeys: Set[String] = Set("__b", "__salt", "seg")
 
-  /** Windows audited by hand as bounded despite a config-scale key over a
-    * non-aggregate input. Keyed by (query, sorted partition-key names);
-    * value = the justification the audit rests on. Adding an entry here
-    * requires the same written argument these carry.
+  /** Growth factor separating "grows with the corpus" from "flat". The
+    * corpus grows 10× from sf0.001 to sf0.1 (docs 500→5000); config
+    * dimensions (langs, sources, shards, grid cells) grow 1×. 2× is the
+    * midpoint with margin for sampling effects on sparse keys.
+    */
+  private val growMin = 2.0
+
+  /** Windows/collects audited by hand as bounded despite a measured
+    * config-scale key over a growing input. Keyed by (query, sorted
+    * partition-key names); value = the justification the audit rests on.
+    * Adding an entry here requires the same written argument these carry.
     */
   private val auditedExceptions: Map[(String, Seq[String]), String] = Map(
     ("docs_source_cap", Seq("source")) ->
@@ -70,14 +79,40 @@ class WindowKeySweepSpec extends AnyFunSuite {
         "PlanRegressionSpec (autoDegradeBelow = 0)"),
     ("text_pack_bins", Seq("lang")) ->
       ("probe-degraded one-window cumsum, same argument as " +
-        "docs_shuffle_shards; two-phase shape plan-pinned separately"))
+        "docs_shuffle_shards; two-phase shape plan-pinned separately"),
+    ("emb_mean_pool", Seq("grp", "pos")) ->
+      ("deterministic sorted-fold mean: collecting per (group, dimension) " +
+        "is the price of a bit-exact oracle hash across partitionings — " +
+        "`meanPoolAvg` is the implemented production variant (plain avg, " +
+        "O(1) mergeable state, spec-pinned equal after rounding); the " +
+        "8-bucket grp here is the wired test shape, not the op's contract"),
+    ("docs_global_rank", Seq("n_chars")) ->
+      ("probe-degraded tie-local rank at ≤64k measured rows. The measured " +
+        "sweep surfaced this in round 9: a VALUE key's distinct count " +
+        "saturates (n_chars 316→590 under 10× corpus growth) while its tie " +
+        "groups grow — the config-scale funnel. Fixed in " +
+        "Analytics.twoPhaseOrdered: above the probe threshold the rank is " +
+        "keyed (key, __b) by global id-range; forced shape plan-pinned in " +
+        "PlanRegressionSpec, equality spec-pinned in AnalyticsSpec"),
+    ("docs_budget_select", Seq("rank_key")) ->
+      ("probe-degraded tie-local cumsum, same argument and same " +
+        "twoPhaseOrdered fix as docs_global_rank (rank_key is a rounded " +
+        "score — a saturating value key); forced (key, __b) shape " +
+        "plan-pinned, equality spec-pinned"),
+    ("text_postings", Seq("df", "term")) ->
+      ("whole-list postings are the top-k oracle surface: the k=20 " +
+        "broadcast roster bounds the GROUP COUNT (measured flat), but " +
+        "each kept term's buffer is its full df — growing with the " +
+        "corpus by design here; the production form is " +
+        "text_postings_segments, whose seg key caps every buffer at " +
+        "segSize (postingsSegments scaladoc)"))
 
   /** Descend from a window's input through row-preserving nodes to decide
-    * whether the grain is bounded: an Aggregate (histogram/census — its
-    * output cardinality is the group-key lattice, not the corpus) or a
-    * WindowGroupLimit (per-partition top-k: ≤k rows per key reach the
-    * window). Project/Filter/Sort/aliasing don't change the argument;
-    * another Window doesn't either (windows are row-preserving).
+    * whether the grain is bounded plan-structurally: an Aggregate
+    * (histogram/census — its output cardinality is the group-key lattice,
+    * not the corpus) or a WindowGroupLimit (per-partition top-k: ≤k rows
+    * per key reach the window). Project/Filter/Sort/aliasing don't change
+    * the argument; another Window doesn't either (row-preserving).
     */
   @annotation.tailrec
   private def boundedGrain(p: LogicalPlan): Boolean = p match {
@@ -89,94 +124,129 @@ class WindowKeySweepSpec extends AnyFunSuite {
     case _ => false
   }
 
-  /** Collect-aggregate buffers audited as bounded despite an unbounded
-    * per-group row count on paper. Same contract as `auditedExceptions`.
-    */
-  private val auditedCollects: Map[(String, Seq[String]), String] = Map(
-    ("emb_mean_pool", Seq("grp", "pos")) ->
-      ("deterministic sorted-fold mean: collecting per (group, dimension) " +
-        "is the price of a bit-exact oracle hash across partitionings — " +
-        "`meanPoolAvg` is the implemented production variant (plain avg, " +
-        "O(1) mergeable state, spec-pinned equal after rounding); the " +
-        "8-bucket grp here is the wired test shape, not the op's contract"))
+  private case class WNode(kind: String, keys: Seq[String],
+                           keyExprs: Seq[Expression], child: LogicalPlan)
 
-  test("every collect_list/collect_set buffer is segment-keyed, bounded-grain, or audited") {
-    // the aggregation-state twin of the window rule (DESIGN §11): a
-    // collect over group key K buffers rows-per-K in ONE aggregation
-    // state — `postings`' whole-term list was the round-8 instance, fixed
-    // by segmenting the key. A collect is fine when (a) its key set
-    // includes a data-scale id — per-group size is then corpus/|ids|,
-    // i.e. document/session-sized, not corpus-sized; (b) a segment/
-    // sub-bucket term caps the group; or (c) the input grain is already
-    // a bounded aggregate. Config-scale-keyed collects over corpus rows
-    // must carry a written audit entry.
-    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
-    val seenAudited = scala.collection.mutable.Set.empty[(String, Seq[String])]
-    val collectFns = Set("collect_list", "collect_set")
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
-      Cleanup.drain()
-      plan.foreach {
-        case a: Aggregate if a.aggregateExpressions.exists(_.collectFirst {
-            case f: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => f
-            case f: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet => f
-          }.nonEmpty) =>
-          val keys = a.groupingExpressions
-            .flatMap(_.references.toSeq.collect { case at: Attribute => at.name })
-            .distinct.sorted
-          val ok = keys.exists(dataScaleKeys) ||
-            keys.exists(k => subBucketKeys(k) || k == "seg") ||
-            boundedGrain(a.child)
-          if (!ok) {
-            if (auditedCollects.contains((name, keys))) seenAudited += ((name, keys))
-            else violations += s"$name: collect over groupBy(${keys.mkString(", ")}) " +
-              s"— unbounded per-group buffer at scale"
-          }
-        case _ =>
-      }
-    }
-    assert(violations.isEmpty,
-      s"unbounded collect buffers:\n  ${violations.mkString("\n  ")}")
-    val stale = auditedCollects.keySet -- seenAudited
-    assert(stale.isEmpty, s"audited collects no longer present: $stale")
+  private def hasCollect(a: Aggregate): Boolean =
+    a.aggregateExpressions.exists(_.collectFirst {
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => f
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet => f
+    }.nonEmpty)
+
+  private def keyNames(es: Seq[Expression]): Seq[String] =
+    es.flatMap(_.references.toSeq.collect { case a: Attribute => a.name })
+      .distinct.sorted
+
+  /** Partitioned windows and collect-aggregates, in deterministic
+    * pre-order — the unit of classification.
+    */
+  private def wnodes(plan: LogicalPlan): Seq[WNode] = plan.collect {
+    case w: Window if w.partitionSpec.nonEmpty =>
+      WNode("window", keyNames(w.partitionSpec), w.partitionSpec, w.child)
+    case a: Aggregate if hasCollect(a) =>
+      WNode("collect", keyNames(a.groupingExpressions), a.groupingExpressions, a.child)
   }
 
-  test("every wired window is data-scale, sub-bucketed, bounded-grain, or audited") {
-    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
-    val seenAudited = scala.collection.mutable.Set.empty[(String, Seq[String])]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
-      Cleanup.drain()
-      plan.foreach {
-        case w: Window if w.partitionSpec.nonEmpty =>
-          val keys = w.partitionSpec
-            .flatMap(_.references.toSeq.collect { case a: Attribute => a.name })
-            .distinct.sorted
-          val ok = keys.exists(dataScaleKeys) ||
-            keys.exists(subBucketKeys) ||
-            boundedGrain(w.child)
-          if (!ok) {
-            val audited = auditedExceptions.contains((name, keys))
-            if (audited) seenAudited += ((name, keys))
-            else violations += s"$name: Window.partitionBy(${keys.mkString(", ")}) " +
-              s"over a non-aggregate input — config-scale key, corpus rows " +
-              s"through |keys| tasks at scale"
-          }
-        case w: Window =>
-          // empty partitionSpec = a GLOBAL single-task window; only legal
-          // above a bounded grain (census cumsum over histogram rows)
-          if (!boundedGrain(w.child))
-            violations += s"$name: UNPARTITIONED window over a non-aggregate " +
-              s"input — whole-corpus single task"
-        case _ =>
+  /** (input rows, distinct key values) of `keys` over `child`, executed
+    * through the session — the measured ground truth the classification
+    * rests on.
+    */
+  private def measure(child: LogicalPlan, keys: Seq[Expression]): (Long, Long) = {
+    val n = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false), "__n")()
+    val d = Alias(AggregateExpression(Count(keys), Complete, isDistinct = true), "__d")()
+    val row = spark.sessionState.executePlan(Aggregate(Nil, Seq(n, d), child))
+      .executedPlan.executeCollect().head
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def structurallyOk(nd: WNode): Boolean =
+    nd.keys.exists(subBucketKeys) || boundedGrain(nd.child)
+
+  /** The measured rule (scaladoc): flag iff the input grows while the key
+    * set stays flat. Tiny inputs at the large SF are never flagged — the
+    * growth signal is meaningless under ~100 rows.
+    */
+  private def measuredOk(n1: Long, d1: Long, nL: Long, dL: Long): Boolean =
+    nL < 100 || nL < 2L * n1 || dL >= growMin * d1
+
+  /** Classify every window/collect of one query build; returns violation
+    * strings. Shared by the wired-surface sweep and the planted-defect
+    * tests so both exercise the same code path.
+    */
+  private def classify(name: String, build: String => org.apache.spark.sql.DataFrame,
+                       seenAudited: scala.collection.mutable.Set[(String, Seq[String])])
+      : Seq[String] = {
+    val p1 = build(sf0001).queryExecution.optimizedPlan
+    val ns1 = wnodes(p1)
+    val unpart = p1.collect {
+      case w: Window if w.partitionSpec.isEmpty && !boundedGrain(w.child) =>
+        s"$name: UNPARTITIONED window over a non-aggregate input — " +
+          "whole-corpus single task"
+    }
+    val pending = ns1.zipWithIndex.filter { case (nd, _) =>
+      !structurallyOk(nd) && {
+        val audited = auditedExceptions.contains((name, nd.keys))
+        if (audited) seenAudited += ((name, nd.keys))
+        !audited
       }
     }
+    if (pending.isEmpty) { Cleanup.drain(); return unpart }
+    val m1 = pending.map { case (nd, _) => measure(nd.child, nd.keyExprs) }
+    Cleanup.drain()
+    val pL = build(sf01).queryExecution.optimizedPlan
+    val nsL = wnodes(pL)
+    assert(nsL.length == ns1.length &&
+      ns1.map(n => (n.kind, n.keys)) == nsL.map(n => (n.kind, n.keys)),
+      s"$name: plan shape differs between sf0.001 and sf0.1 — " +
+        s"${ns1.map(_.keys)} vs ${nsL.map(_.keys)}; align the branches or " +
+        "audit the SF-dependent form")
+    val out = pending.zip(m1).flatMap { case ((nd, idx), (n1, d1)) =>
+      val (nL, dL) = measure(nsL(idx).child, nsL(idx).keyExprs)
+      if (measuredOk(n1, d1, nL, dL)) None
+      else Some(s"$name: ${nd.kind} over (${nd.keys.mkString(", ")}) — input " +
+        s"grows $n1→$nL rows while the key stays $d1→$dL distinct: " +
+        "config-scale funnel at 100 TB (sub-bucket it or write an audit entry)")
+    }
+    Cleanup.drain()
+    unpart ++ out
+  }
+
+  test("every wired window and collect buffer is sub-bucketed, bounded-grain, measured data-scale, or audited") {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seenAudited = scala.collection.mutable.Set.empty[(String, Seq[String])]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      violations ++= classify(name, dir => fn(spark, dir), seenAudited)
     assert(violations.isEmpty,
-      s"config-scale windows over corpus rows:\n  ${violations.mkString("\n  ")}")
+      s"config-scale windows/collects over corpus rows:\n  ${violations.mkString("\n  ")}")
     // stale-allowlist guard: every audited exception must still exist —
     // an entry that stops matching is either fixed (delete it) or renamed
     // (re-audit it)
     val stale = auditedExceptions.keySet -- seenAudited
     assert(stale.isEmpty, s"audited exceptions no longer present: $stale")
+  }
+
+  test("planted config-scale window named 'id' IS flagged; odd-named data-scale key is NOT") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val seen = scala.collection.mutable.Set.empty[(String, Seq[String])]
+    // the allowlist's inverse failure: a 5-value key that HAPPENS to be
+    // named like a doc id — the round-8 sweep passed this silently
+    val planted = classify("planted_config_scale", dir => {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 5).as("id"), col("n_chars"))
+      d.withColumn("rk", row_number().over(W.partitionBy(col("id")).orderBy(col("n_chars"))))
+    }, seen)
+    assert(planted.exists(_.contains("planted_config_scale")),
+      s"a config-scale window keyed 'id' must be flagged by measurement, got: $planted")
+    // and the mirror: a genuinely data-scale key with a name no allowlist
+    // would bless must pass on measurement alone
+    val renamed = classify("planted_data_scale", dir => {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("zz_opaque_handle"), col("n_chars"))
+      d.withColumn("rk", row_number().over(
+        W.partitionBy(col("zz_opaque_handle")).orderBy(col("n_chars"))))
+    }, seen)
+    assert(renamed.isEmpty,
+      s"a data-scale key must pass regardless of its name, got: $renamed")
   }
 }

@@ -107,6 +107,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("globalRank/globalCumsum: forced (key, __b) two-phase equals the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate-heavy value key (37 values over 2000 rows — the tie-group
+    // funnel the round-9 measured sweep flagged) + full-range hash ids so
+    // the decimal bucket arithmetic is exercised end to end
+    val df = spark.range(2000).select(
+      (col("id") % 37).as("k"), xxhash64(col("id")).as("rid"),
+      ((col("id") * 7) % 100 + 1).as("v"))
+    val wantRank = df.withColumn("global_rank",
+        row_number().over(Window.orderBy($"k", $"rid")).cast("long"))
+      .select($"rid", $"global_rank").as[(Long, Long)].collect().toMap
+    for (buckets <- Seq(3, 64)) {
+      val got = Analytics.globalRankAll(df, "k", "rid",
+          posBuckets = buckets, autoDegradeBelow = 0)
+        .select($"rid", $"global_rank").as[(Long, Long)].collect().toMap
+      assert(got == wantRank, s"two-phase rank (posBuckets=$buckets) diverges")
+    }
+    val wantCum = df.withColumn("cum",
+        sum($"v").over(Window.orderBy($"k", $"rid")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"rid", $"cum").as[(Long, Long)].collect().toMap
+    val gotCum = Analytics.globalCumsum(df, "k", "rid", "v",
+        autoDegradeBelow = 0)
+      .select($"rid", $"cum").as[(Long, Long)].collect().toMap
+    assert(gotCum == wantCum, "two-phase cumsum diverges from the one-window form")
+    // the forced plan carries the sub-bucketed window
+    val p = Analytics.globalRankAll(df, "k", "rid", autoDegradeBelow = 0)
+      .queryExecution.optimizedPlan.toString
+    val i = p.indexOf("windowspecdefinition(k")
+    assert(i >= 0 && p.substring(i, i + 60).contains("__b"),
+      s"forced two-phase rank lost its (key, __b) window:\n$p")
+  }
+
   test("snapshotDiff emits exactly the added/removed/changed rows") {
     val oldS = Seq((1L, 11L), (2L, 22L), (3L, 33L), (4L, 44L))
       .toDF("id", "fp")
