@@ -210,6 +210,23 @@ object ScaleProbe {
     time("phash_neardups_1M")(
       graft.ops.Multimodal.phashNearDups(mediaTw,
         maxHamming = 2, nChunks = 3).count())
+    // round-9 artifact seam: the 500k-reference plane scan + hash runs
+    // ONCE (timed as _build, persisted); two disjoint 250k crawl batches
+    // then pay only their own hashing + the (chunk, ck) probe join.
+    // Exact-match leg (nChunks=1): the regime where this adversarial
+    // text-plane corpus keeps bounded buckets (see the phash_exact probe
+    // note above); per-batch cost must sit well under build + batch.
+    val phIdx = graft.ops.Multimodal.phashBuild(mediaP, nChunks = 1).persist()
+    time("phash_build_once_500k")(phIdx.refChunks.count())
+    time("phash_batch1_vs_artifact")(
+      graft.ops.Multimodal.phashNearDupsWith(
+        mediaTw.filter(pmod(col("media_id"), lit(4)) === 0), phIdx,
+        maxHamming = 0).count())
+    time("phash_batch2_vs_artifact")(
+      graft.ops.Multimodal.phashNearDupsWith(
+        mediaTw.filter(pmod(col("media_id"), lit(4)) === 2), phIdx,
+        maxHamming = 0).count())
+    phIdx.unpersist()
     graft.Cleanup.drain() // materialized tf and bigram relations
     docs.unpersist()
 

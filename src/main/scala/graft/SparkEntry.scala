@@ -1371,6 +1371,22 @@ object SparkEntry {
       Multimodal.phashNearDups(media.unionByName(twins), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "mm_phash_cross_corpus" -> ((s, dir) => {
+      // cross-corpus image near-dup against a PREBUILT reference index
+      // (Multimodal.phashBuild / phashNearDupsWith — the round-9 artifact
+      // seam): even media ids are the static reference, the batch is the
+      // odd half plus byte-identical twins of the reference, so every
+      // twin forces a hamming-0 best-match flag at EVERY SF while odd-id
+      // naturals only flag where genuinely close. maxBucketSize stays 0
+      // here so the oracle is the plain brute-force best match; the cap's
+      // semantics are spec-pinned (MultimodalSpec) and probed at 1M.
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val ref = media.filter(col("media_id") % 2 === 0)
+      val batch = media.filter(col("media_id") % 2 === 1)
+        .unionByName(ref.withColumn("media_id", col("media_id") + lit(10000000L)))
+      Multimodal.phashNearDupsWith(batch, Multimodal.phashBuild(ref), maxHamming = 3)
+        .orderBy(col("id_new"))
+    }),
   )
 
   /** Queries that exist ONLY as correctness oracles for a scale-path
@@ -2094,6 +2110,32 @@ object SparkEntry {
           |FROM h2 x JOIN h2 y ON x.mid < y.mid
           |WHERE bit_count(xor(x.phash, y.phash)) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
+      "mm_phash_cross_corpus" ->
+        // same byte-exact hash CTE; brute-force (new × ref) hamming join
+        // then best match per new image (min hamming, ties smallest ref
+        // id) stands in for the chunk-banded artifact probe
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS a,
+          |    CAST(length(text) AS BIGINT) AS n
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id,
+          |    CAST(coalesce(list_sum(list_transform(range(0, 48), k ->
+          |      CASE WHEN coalesce(list_sum(a[CAST(k * n // 48 AS INT) + 1 : CAST((k + 1) * n // 48 AS INT)]), 0) * n
+          |              > coalesce(list_sum(a), 0) * ((k + 1) * n // 48 - k * n // 48)
+          |           THEN 1::BIGINT << k ELSE 0 END)), 0) AS BIGINT) AS phash
+          |  FROM b),
+          |ref AS (SELECT doc_id AS id_ref, phash AS h_ref FROM h WHERE doc_id % 2 = 0),
+          |nw AS (SELECT doc_id AS id_new, phash AS h_new FROM h WHERE doc_id % 2 = 1
+          |       UNION ALL SELECT doc_id + 10000000 AS id_new, phash AS h_new FROM h WHERE doc_id % 2 = 0),
+          |pairs AS (
+          |  SELECT id_new, id_ref, CAST(bit_count(xor(h_new, h_ref)) AS INT) AS hamming
+          |  FROM nw JOIN ref ON bit_count(xor(h_new, h_ref)) <= 3)
+          |SELECT id_new, id_ref AS matched_ref, hamming
+          |FROM (SELECT *, row_number() OVER (PARTITION BY id_new ORDER BY hamming, id_ref) AS rn
+          |      FROM pairs)
+          |WHERE rn = 1 ORDER BY id_new""".stripMargin,
       "mm_resize" ->
         """SELECT doc_id AS media_id,
           |CAST(n_chars % 640 + 32 AS INT) AS src_width,

@@ -67,11 +67,27 @@ object Multimodal {
     (payload.length.toLong, sum, nonAscii)
   }
 
+  /** The decoder-injection seam: a FACTORY invoked once per partition
+    * inside `mapPartitions` whose product maps the raw payload to the
+    * decoded byte plane every downstream kernel (features, aHash) reads.
+    * Production wires `() => { val codec = loadNativeCodec(); bytes =>
+    * codec.decodePixels(bytes) }` — the expensive handle is built once
+    * per partition, never per row, and never serialized (only the
+    * factory closure ships to executors). The default is the identity
+    * plane — the honest fake-decode documented on the object scaladoc.
+    */
+  type DecoderFactory = () => Array[Byte] => Array[Byte]
+
+  /** Default decoder: the payload bytes ARE the plane (fake decode). */
+  val rawPlane: DecoderFactory = () => (p: Array[Byte]) => p
+
   /** Partition-wise batch feature extraction over media payloads: the
     * Scala analogue of a `mapInPandas` batch UDF. One row in → one feature
-    * row out; per-partition (not per-row) decoder setup.
+    * row out; `mkDecoder` is invoked ONCE per partition (per-partition,
+    * not per-row, decoder setup — spec-pinned).
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame,
+                      mkDecoder: DecoderFactory = rawPlane): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -83,9 +99,9 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (native lib handle etc.)
+        val decode = mkDecoder() // per-partition decoder init (native lib handle etc.)
         rows.map { r =>
-          val (len, sum, hi) = fakeDecodeFeatures(r.getAs[Array[Byte]]("payload"))
+          val (len, sum, hi) = fakeDecodeFeatures(decode(r.getAs[Array[Byte]]("payload")))
           Row(r.getAs[Long]("media_id"), r.getAs[String]("format"), len, sum, hi)
         }
       }(enc)
@@ -126,7 +142,8 @@ object Multimodal {
     * thresholding and all downstream banding are unchanged. JVM hash via
     * the mapPartitions batch seam; per-partition decoder init slots in.
     */
-  def perceptualHash(media: DataFrame, bits: Int = 48): DataFrame = {
+  def perceptualHash(media: DataFrame, bits: Int = 48,
+                     mkDecoder: DecoderFactory = rawPlane): DataFrame = {
     require(bits >= 1 && bits <= 62, s"perceptualHash: bits must be in [1, 62], got $bits")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -135,34 +152,43 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
+        val decode = mkDecoder() // per-partition decoder init
         rows.map { r =>
-          val p = r.getAs[Array[Byte]]("payload")
-          val n = p.length
-          // the block-mean compare below cross-multiplies (bs*n vs
-          // total*(hi-lo)); both sides stay under 2^63 only while
-          // 255·n·(n/bits+1) does — ~190 MB per payload at bits=48.
-          // Oversized planes must fail LOUDLY, not hash wrong bits.
-          require(n == 0 || 255L * n <= Long.MaxValue / (n.toLong / bits + 1),
-            s"perceptualHash: payload of $n bytes would overflow the " +
-              "integer block-mean compare; decode/downsample before hashing")
-          var total = 0L
-          var i = 0
-          while (i < n) { total += (p(i) & 0xFF); i += 1 }
-          var hash = 0L
-          var b = 0
-          while (b < bits) {
-            val lo = b.toLong * n / bits
-            val hi = (b + 1).toLong * n / bits
-            var bs = 0L
-            var j = lo.toInt
-            while (j < hi) { bs += (p(j) & 0xFF); j += 1 }
-            // strict >: an all-equal plane (or an empty block) hashes 0
-            if (bs * n > total * (hi - lo)) hash |= 1L << b
-            b += 1
-          }
-          Row(r.getAs[Long]("media_id"), hash)
+          Row(r.getAs[Long]("media_id"),
+            aHash(decode(r.getAs[Array[Byte]]("payload")), bits))
         }
       }(enc)
+  }
+
+  /** The integer-exact average-hash kernel over one decoded plane —
+    * shared by every phash entry point so batch, cross-corpus and
+    * streaming forms hash bit-identically.
+    */
+  private def aHash(p: Array[Byte], bits: Int): Long = {
+    val n = p.length
+    // the block-mean compare below cross-multiplies (bs*n vs
+    // total*(hi-lo)); both sides stay under 2^63 only while
+    // 255·n·(n/bits+1) does — ~190 MB per payload at bits=48.
+    // Oversized planes must fail LOUDLY, not hash wrong bits.
+    require(n == 0 || 255L * n <= Long.MaxValue / (n.toLong / bits + 1),
+      s"perceptualHash: payload of $n bytes would overflow the " +
+        "integer block-mean compare; decode/downsample before hashing")
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (p(i) & 0xFF); i += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < bits) {
+      val lo = b.toLong * n / bits
+      val hi = (b + 1).toLong * n / bits
+      var bs = 0L
+      var j = lo.toInt
+      while (j < hi) { bs += (p(j) & 0xFF); j += 1 }
+      // strict >: an all-equal plane (or an empty block) hashes 0
+      if (bs * n > total * (hi - lo)) hash |= 1L << b
+      b += 1
+    }
+    hash
   }
 
   /** Perceptual near-duplicate pairs via pigeonhole banding on the aHash
@@ -181,7 +207,8 @@ object Multimodal {
     * arithmetic as simhash's pigeonhole (Dedup scaladoc).
     */
   def phashNearDups(media: DataFrame, maxHamming: Int = 3,
-                    nChunks: Int = 4): DataFrame = {
+                    nChunks: Int = 4,
+                    mkDecoder: DecoderFactory = rawPlane): DataFrame = {
     val bits = 48
     require(nChunks >= 1 && bits % nChunks == 0,
       s"phashNearDups: nChunks must divide $bits, got $nChunks")
@@ -193,7 +220,7 @@ object Multimodal {
     // scan — the op's dominant cost at real payload sizes — runs twice
     // (harness-drained, the lmScore persist pattern)
     val hashed = graft.Cleanup.register(
-      perceptualHash(media, bits)
+      perceptualHash(media, bits, mkDecoder)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val chunked = hashed.select(col("media_id").as("id"), col("phash"),
         explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
@@ -208,6 +235,168 @@ object Multimodal {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The build-once reference artifact for cross-corpus image near-dup:
+    * the (chunk, ck, id_ref, h_ref) chunked-hash relation plus the
+    * banding parameters it was built with. Unlike the text index
+    * (`Dedup.CrossCorpusIndex`) there is NO separate verification
+    * relation: the 48-bit hash IS the verification payload (8 bytes), so
+    * carrying `h_ref` inline in the chunk relation saves the second join
+    * the shingle-set form needs. Persist/write once per reference
+    * snapshot (parquet keyed by (chunk, ck)); every crawl batch probes
+    * it — re-decoding and re-hashing 100 TB of reference images per
+    * batch is the cost this seam exists to avoid (the
+    * `crossCorpusBuild`/`cosineBandBuild` convention).
+    */
+  case class PhashIndex(refChunks: DataFrame, bits: Int, nChunks: Int) {
+    def persist(): this.type = { refChunks.persist(); this }
+    def unpersist(): this.type = { refChunks.unpersist(); this }
+  }
+
+  /** Decode + hash + chunk the reference media once — the expensive
+    * per-reference-snapshot half of cross-corpus image near-dup. The
+    * byte-plane scan (the op's dominant cost at real payload sizes)
+    * touches the reference exactly once per snapshot.
+    */
+  def phashBuild(reference: DataFrame, nChunks: Int = 4,
+                 mkDecoder: DecoderFactory = rawPlane): PhashIndex = {
+    val bits = 48
+    require(nChunks >= 1 && bits % nChunks == 0,
+      s"phashBuild: nChunks must divide $bits, got $nChunks")
+    val w = bits / nChunks
+    PhashIndex(
+      perceptualHash(reference, bits, mkDecoder)
+        .select(col("media_id").as("id_ref"), col("phash").as("h_ref"),
+          explode(sequence(lit(0), lit(nChunks - 1))).as("chunk"))
+        .withColumn("ck", expr(s"shiftright(h_ref, chunk * $w) & ${(1L << w) - 1}"))
+        .select(col("chunk"), col("ck"), col("id_ref"), col("h_ref")),
+      bits, nChunks)
+  }
+
+  /** Cross-corpus image near-dup: flag each corpus image whose perceptual
+    * hash sits within `maxHamming` bits of some REFERENCE image — "is
+    * this crawl image a near-copy of the training set" — the image
+    * sibling of `Dedup.crossCorpusNearDups` / `Similarity
+    * .crossCorpusCosineFlags`. Raw-DataFrame convenience form: re-derives
+    * the reference artifact per plan (fine when the reference is small;
+    * production builds once with `phashBuild`).
+    */
+  def crossCorpusPhashFlags(corpus: DataFrame, reference: DataFrame,
+                            maxHamming: Int = 3, nChunks: Int = 4,
+                            mkDecoder: DecoderFactory = rawPlane): DataFrame =
+    phashNearDupsWith(corpus, phashBuild(reference, nChunks, mkDecoder),
+      maxHamming, 0, mkDecoder)
+
+  /** Cross-corpus image near-dup against a PREBUILT reference index — the
+    * per-batch half: hash + chunk the fresh batch, probe the artifact's
+    * (chunk, ck) relation, exact-hamming the hash pair carried by the
+    * join (no second verification join — the hash is the whole object).
+    * Work is linear in the batch, not the reference. Emits one row per
+    * flagged corpus image with its best reference match (min hamming,
+    * ties → smallest reference id, a lexicographic struct min — one
+    * map-side-partial hash agg), so the consumer anti-joins to keep the
+    * clean remainder. Spec-pinned identical to `crossCorpusPhashFlags`.
+    *
+    * `maxBucketSize` counts REFERENCE-side membership only — the
+    * keep/drop decision is batch-invariant (the
+    * `crossCorpusNearDupsWith` argument) and bounds every kept chunk
+    * bucket's fan-out at `maxBucketSize` reference rows per new row.
+    */
+  def phashNearDupsWith(corpus: DataFrame, index: PhashIndex,
+                        maxHamming: Int = 3, maxBucketSize: Int = 0,
+                        mkDecoder: DecoderFactory = rawPlane): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < index.nChunks,
+      s"pigeonhole needs maxHamming < ${index.nChunks} chunks, got $maxHamming")
+    val w = index.bits / index.nChunks
+    val nb = perceptualHash(corpus, index.bits, mkDecoder)
+      .select(col("media_id").as("id_new"), col("phash").as("h_new"),
+        explode(sequence(lit(0), lit(index.nChunks - 1))).as("chunk"))
+      .withColumn("ck", expr(s"shiftright(h_new, chunk * $w) & ${(1L << w) - 1}"))
+    val rb = index.refChunks
+    val (nbB, rbB) =
+      if (maxBucketSize <= 0) (nb, rb)
+      else {
+        // reference-side membership only: batch-invariant (see scaladoc)
+        val hot = rb.groupBy(col("chunk"), col("ck"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("chunk"), col("ck"))
+        (nb.join(hot, Seq("chunk", "ck"), "leftanti"),
+          rb.join(hot, Seq("chunk", "ck"), "leftanti"))
+      }
+    nbB.join(rbB, Seq("chunk", "ck"))
+      .select(col("id_new"), col("id_ref"),
+        bit_count(col("h_new").bitwiseXOR(col("h_ref"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_new"))
+      .agg(min(struct(col("hamming").as("h"), col("id_ref").as("ri"))).as("__best"))
+      .select(col("id_new"), col("__best.ri").as("matched_ref"),
+        col("__best.h").as("hamming"))
+  }
+
+  /** STREAMING cross-corpus image flags: each arriving image is decoded +
+    * hashed through the SAME aHash kernel, chunked, and joined against
+    * the prebuilt static reference index — "flag new images that
+    * near-duplicate the training set" WHILE they arrive, the image
+    * sibling of `Dedup.streamingCrossCorpusFlagsWith` /
+    * `Similarity.streamingCrossCorpusCosineFlagsWith`. Raw-reference
+    * convenience form; production hands a persisted `phashBuild` index
+    * to `streamingPhashFlagsWith`.
+    */
+  def streamingPhashFlags(stream: DataFrame, reference: DataFrame,
+                          tsCol: String, watermark: String,
+                          maxHamming: Int = 3, nChunks: Int = 4,
+                          mkDecoder: DecoderFactory = rawPlane): DataFrame =
+    streamingPhashFlagsWith(stream, phashBuild(reference, nChunks, mkDecoder),
+      tsCol, watermark, maxHamming, mkDecoder)
+
+  /** Streaming image flags against a PREBUILT index — the production
+    * form. The hash runs through the same `mapPartitions` decoder seam
+    * (per-partition decoder init holds on the stream too); the watermark
+    * is declared on the hashed relation's event-time column (typed
+    * `mapPartitions` re-creates attributes, so declaring it upstream
+    * would be lost). ALL joins are stream-static — banding, candidate
+    * lookup and hamming verification are STATELESS; the only state is
+    * the chunk-collision output dedup, bounded by the watermark. Emits
+    * (ts, id_new, id_ref, hamming) pairs, not best-per-image — any
+    * verified hit ≤ maxHamming decides the drop (the text twin's
+    * scaladoc argument).
+    */
+  def streamingPhashFlagsWith(stream: DataFrame, index: PhashIndex,
+                              tsCol: String, watermark: String,
+                              maxHamming: Int = 3,
+                              mkDecoder: DecoderFactory = rawPlane): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < index.nChunks,
+      s"pigeonhole needs maxHamming < ${index.nChunks} chunks, got $maxHamming")
+    val w = index.bits / index.nChunks
+    val outSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("media_id", LongType),
+      StructField("phash", LongType),
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bits = index.bits
+    val hashed = stream
+      .select(col(tsCol).cast("timestamp").as("ts"), col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        val decode = mkDecoder() // per-partition decoder init
+        rows.map { r =>
+          Row(r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("media_id"),
+            aHash(decode(r.getAs[Array[Byte]]("payload")), bits))
+        }
+      }(enc)
+    hashed
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("media_id").as("id_new"), col("phash").as("h_new"),
+        explode(sequence(lit(0), lit(index.nChunks - 1))).as("chunk"))
+      .withColumn("ck", expr(s"shiftright(h_new, chunk * $w) & ${(1L << w) - 1}"))
+      .join(index.refChunks, Seq("chunk", "ck")) // stream-static: no state
+      .select(col("ts"), col("id_new"), col("id_ref"),
+        bit_count(col("h_new").bitwiseXOR(col("h_ref"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark(Seq("id_new", "id_ref"))
   }
 
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size

@@ -19,13 +19,16 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only queries are exactly the hash-seeded/approximate ops") {
+  test("rows-only queries are exactly the approximate/oracle-inexpressible ops") {
     // dedup_minhash_lsh graduated to a full oracle in round 2 (recall is
     // exact at the test SFs, so it shares the exact-Jaccard SQL);
-    // sim_topk_ivf graduated in round 8 on its planted-twin exact leg
+    // sim_topk_ivf graduated in round 8 on its planted-twin exact leg;
+    // dedup_simhash + dedup_minhash_estimate graduated in round 9 via the
+    // XXH64-in-SQL dialect (OracleHashSql). The rest: two sketch ops, a
+    // Bloom probe, and the 20-round iterative BPE trace.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("dedup_simhash", "q_approx_distinct",
-      "q_percentiles_approx", "text_decontaminate_bloom", "dedup_minhash_estimate",
+    assert(rowsOnly == Set("q_approx_distinct",
+      "q_percentiles_approx", "text_decontaminate_bloom",
       "vocab_bpe_merges"))
   }
 

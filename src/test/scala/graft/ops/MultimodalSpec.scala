@@ -70,6 +70,87 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planted.subsetOf(got), "a byte-identical twin pair is missing")
   }
 
+  test("phash cross-corpus: artifact path == raw path, best-match == brute force") {
+    // parity split: even ids are the static reference, odd ids the batch
+    val ref = media.filter($"media_id" % 2 === 0)
+    val batch = media.filter($"media_id" % 2 === 1)
+      // plant twins of the reference inside the batch so hamming-0
+      // cross-pairs are guaranteed at every SF
+      .unionByName(ref.withColumn("media_id", $"media_id" + 10000000L))
+    val raw = Multimodal.crossCorpusPhashFlags(batch, ref, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force best match from the hashes (min hamming, ties min ref id)
+    val refH = Multimodal.perceptualHash(ref).as[(Long, Long)].collect()
+    val newH = Multimodal.perceptualHash(batch).as[(Long, Long)].collect()
+    val expect = newH.flatMap { case (in, hn) =>
+      val hits = refH.map { case (ir, hr) => (ir, java.lang.Long.bitCount(hn ^ hr)) }
+        .filter(_._2 <= 3)
+      if (hits.isEmpty) None
+      else { val best = hits.minBy(h => (h._2, h._1)); Some((in, best._1, best._2)) }
+    }.toSet
+    assert(raw == expect, s"raw cross-corpus flags != brute force " +
+      s"(missing ${(expect -- raw).size}, extra ${(raw -- expect).size})")
+    // every planted twin must flag its own original at hamming 0 (two
+    // byte-identical reference docs can tie — accept the smaller ref id)
+    assert(raw.count(_._3 == 0) >= refH.length,
+      "a planted byte-identical twin is missing its hamming-0 flag")
+    // build once, query per batch: two disjoint batches against the same
+    // persisted artifact must reproduce the raw path exactly
+    val idx = Multimodal.phashBuild(ref).persist()
+    try {
+      val b1 = batch.filter($"media_id" % 4 === 1)
+      val b2 = batch.filter($"media_id" % 4 =!= 1)
+      val viaIdx = Multimodal.phashNearDupsWith(b1, idx, maxHamming = 3)
+        .unionByName(Multimodal.phashNearDupsWith(b2, idx, maxHamming = 3))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(viaIdx == raw, "prebuilt-artifact path diverges from the raw path")
+      // the production cap must be inert at test scale (wide headroom)
+      val capped = Multimodal.phashNearDupsWith(batch, idx, maxHamming = 3,
+          maxBucketSize = 1000)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(capped == raw, "the cap (1000) changed test-scale output")
+    } finally idx.unpersist()
+  }
+
+  test("decoder injection: per-partition init, decoded plane feeds hash + features") {
+    // a non-trivial injected decoder (reverse the plane) must flow through
+    // the mapPartitions seam: the factory runs ONCE PER PARTITION (counted
+    // by accumulator), and downstream hashing matches hashing the
+    // pre-reversed payloads with the default decoder
+    val inits = spark.sparkContext.longAccumulator("decoder_inits")
+    val reversing: Multimodal.DecoderFactory = () => {
+      inits.add(1) // per-partition decoder init (native lib handle analogue)
+      (p: Array[Byte]) => p.reverse
+    }
+    val m = media.repartition(7)
+    val got = Multimodal.perceptualHash(m, mkDecoder = reversing)
+      .as[(Long, Long)].collect().toMap
+    assert(inits.value == 7,
+      s"decoder factory must run once per partition (7), ran ${inits.value}")
+    // (SQL reverse() would cast binary→string; reverse in the JVM instead)
+    val preReversed = m.select($"media_id", $"payload").as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, p.reverse) }.toDF("media_id", "payload")
+    val expect = Multimodal.perceptualHash(preReversed).as[(Long, Long)].collect().toMap
+    assert(got == expect, "injected decoder output != pre-decoded plane hash")
+    assert(got != Multimodal.perceptualHash(m).as[(Long, Long)].collect().toMap,
+      "reversing decoder must change hashes on an asymmetric corpus")
+    // features ride the same seam
+    inits.reset()
+    val f = Multimodal.extractFeatures(m, mkDecoder = reversing)
+      .select("media_id", "byte_sum").as[(Long, Long)].collect().toMap
+    assert(inits.value == 7, "extractFeatures must init the decoder per partition")
+    val fExpect = Multimodal.extractFeatures(m)
+      .select("media_id", "byte_sum").as[(Long, Long)].collect().toMap
+    assert(f == fExpect, "byte_sum is reverse-invariant — seam must not corrupt it")
+    // downstream banding is unchanged by an injected decoder: near-dup
+    // pairs over the decoded planes == pairs over pre-decoded payloads
+    val viaSeam = Multimodal.phashNearDups(m, maxHamming = 3, mkDecoder = reversing)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaPre = Multimodal.phashNearDups(preReversed, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSeam == viaPre, "banding over injected-decoder planes diverges")
+  }
+
   test("perceptualHash: 48-bit, integer-exact threshold, constant plane hashes 0") {
     val df = Seq(
       (1L, Array.fill[Byte](96)(65)),               // constant plane: no block above mean

@@ -226,6 +226,55 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("streaming phash flags against a PREBUILT index == brute-force hamming pairs") {
+    // the image sibling of the indexed text/embedding twins: originals
+    // (even ids) are the static chunked-hash reference, their
+    // byte-identical twins + the odd half arrive as a stream — every join
+    // is stream-static, and the emitted pair set must equal the
+    // brute-force ≤maxHamming cross product computed by the BATCH hash op
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    val media = Multimodal.fromDocuments(
+      spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet"))
+    val ref = media.filter($"media_id" % 2 === 0)
+    val idx = Multimodal.phashBuild(ref).persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+    val flags = Multimodal.streamingPhashFlagsWith(
+      in.toDF().toDF("ts", "media_id", "payload"), idx,
+      "ts", watermark = "1 hour", maxHamming = 3)
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_phash_flags").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val arriving = media.filter($"media_id" % 2 === 1)
+        .unionByName(ref.withColumn("media_id", $"media_id" + 10000000L))
+        .select($"media_id", $"payload").as[(Long, Array[Byte])].collect()
+      in.addData(arriving.map { case (id, p) => (t0, id, p) }.toIndexedSeq)
+      q.processAllAvailable()
+      val advancer = (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+        999999999L, "watermark advancer payload zzz".getBytes("UTF-8"))
+      in.addData(advancer)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_new, id_ref, hamming FROM stream_phash_flags")
+        .as[(Long, Long, Int)].collect().toSet
+      // brute force over EVERYTHING streamed (advancer included, in case
+      // its hash happens to land near a reference hash)
+      val streamedDf = (arriving :+ (advancer._2, advancer._3)).toSeq
+        .toDF("media_id", "payload")
+      val newH = Multimodal.perceptualHash(streamedDf).as[(Long, Long)].collect()
+      val refH = Multimodal.perceptualHash(ref).as[(Long, Long)].collect()
+      val expect = (for {
+        (inew, hn) <- newH; (iref, hr) <- refH
+        d = java.lang.Long.bitCount(hn ^ hr) if d <= 3
+      } yield (inew, iref, d)).toSet
+      assert(got == expect, s"stream flags != brute-force pair set " +
+        s"(missing ${(expect -- got).size}, extra ${(got -- expect).size})")
+      // every planted twin flags its own original at hamming 0
+      val planted = refH.map { case (ir, _) => (ir + 10000000L, ir, 0) }.toSet
+      assert(planted.subsetOf(got), "a byte-identical twin flag is missing")
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming calibration apply == batch apply against the same static model") {
     // the apply is a stateless projection + broadcast join, so the same
     // call runs on a stream: arriving docs rank against the TRAINED
