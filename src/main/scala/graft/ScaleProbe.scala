@@ -98,6 +98,18 @@ object ScaleProbe {
     // the probe pins that nothing here is super-linear in the stream
     time("lm_score_bigram")(
       graft.ops.TextAnalysis.lmScore(docs, "doc_id", "text").count())
+    // round-9 substring-removal REWRITE at 1M docs. This corpus is the
+    // worst case: every even/odd twin pair shares ~all its grams, so
+    // nearly every token position is covered (span explode ≈ 5× the gram
+    // stream) and most documents reassemble to near-empty — the probe
+    // pins that coverage explode, anti join and per-doc collect all stay
+    // linear. Forcing sum(length(text_clean)) keeps the reassembly
+    // expression alive (a bare count would let Catalyst prune the
+    // collect_list assembly out of the aggregate).
+    time("remove_dup_spans")(
+      graft.ops.Dedup.removeDupSpans(docs, "doc_id", "text", 5, hashGrams = true)
+        .select(sum(length(col("text_clean"))).cast("long").as("b"))
+        .first().getLong(0))
     // inverted-index build: one distinct term-doc exchange + broadcast
     // top-k roster + sorted posting assembly
     time("postings_top20")(

@@ -438,6 +438,13 @@ object SparkEntry {
       // how many 5-gram positions are cross-document duplicated text
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy(col("doc_id"))),
+    "text_dup_spans_removed" -> ((s, dir) =>
+      // the REWRITE over the same flagging rule: cut every token covered
+      // by a cross-document duplicated 5-gram, reassemble the remainder
+      // (Dedup.removeDupSpans — measure and rewrite share one rule, so
+      // n_removed here is consistent with text_dup_spans' n_dup counts)
+      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))),
     "text_bm25" -> ((s, dir) =>
       // retrieval scoring for topic mining: rational-idf Okapi BM25 of
       // every doc vs a fixed 3-term query (see bm25Score for why no ln)
@@ -1813,6 +1820,26 @@ object SparkEntry {
            |round(CAST(coalesce(n_dup, 0) AS DOUBLE) / greatest(n_grams, 1), 4) AS dup_ratio,
            |CAST(coalesce(first_dup_pos, -1) AS INT) AS first_dup_pos
            |FROM tot LEFT JOIN dp USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "text_dup_spans_removed" ->
+        // same flagging CTEs as text_dup_spans; then covered positions
+        // (span explode), anti-join tokens, position-ordered reassembly
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |ex AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+5], ' ') AS gram
+           |       FROM t, unnest(generate_series(0, len(w) - 5)) AS u(i)
+           |       WHERE len(w) >= 5),
+           |dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |cov AS (SELECT DISTINCT doc_id, pos + j AS t
+           |        FROM ex JOIN dup USING (gram), unnest(generate_series(0, 4)) AS v(j)),
+           |tokpos AS (SELECT doc_id, i - 1 AS t, w[i] AS tok
+           |           FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+           |kept AS (SELECT doc_id, count(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY t) AS text_clean
+           |         FROM tokpos ANTI JOIN cov USING (doc_id, t)
+           |         GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+           |CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           |coalesce(text_clean, '') AS text_clean
+           |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
       "text_bm25" ->
         // same arithmetic, same parenthesization, same fixed-order
         // term-wise summation as TextAnalysis.bm25Score — every float op

@@ -733,4 +733,65 @@ object Dedup {
           / greatest(col("n_grams"), lit(1)), 4).as("dup_ratio"),
         coalesce(col("first_dup_pos"), lit(-1)).as("first_dup_pos"))
   }
+
+  /** Substring-level duplication REMOVAL — the rewrite `duplicatedSpans`
+    * only measures: every token covered by a cross-document duplicated
+    * n-gram span is cut, and each document is reassembled from its
+    * surviving tokens in position order (Lee et al.'s "deduplicate the
+    * substring, keep the document", re-expressed relationally instead of
+    * via a suffix array). A gram occurring in ≥ `minDf` DISTINCT
+    * documents flags positions [pos, pos+n-1] at every occurrence —
+    * repeats inside one document included (span coverage, exactly the
+    * `duplicatedSpans` flagging rule, so measure and rewrite agree).
+    *
+    * Relational shape: positioned grams → df aggregate → flagged starts
+    * (semi join) → covered token positions (span explode, ≤ n rows per
+    * flagged start) → anti join tokens → per-document reassembly. All
+    * linear in corpus tokens; the only per-key buffer is the per-document
+    * token collect, whose grain is the document id (data-scale — the
+    * measured sweep's growth test) and whose size is one document's
+    * tokens, the same bound every tokenizer op carries. `hashGrams` is
+    * the production keying (xxhash64 longs through the gram exchanges; a
+    * collision can only merge two grams' doc counts at the df cut —
+    * spec-pinned output-identical); the string default keeps the SQL
+    * oracle byte-exact. Output text normalizes inter-token whitespace to
+    * single spaces (the tokenizer's equivalence class, same as
+    * `normalizeText`'s ws collapse).
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     minDf: Int = 2, hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, s"removeDupSpans: n-gram order must be >= 1, got $n")
+    require(minDf >= 2, s"removeDupSpans: minDf < 2 would cut every token, got $minDf")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val worded = base.filter(size(col("w")) >= n)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
+      .withColumnRenamed("col", "gram")
+    val positioned = if (hashGrams)
+      worded.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
+    else worded
+    val dupGrams = positioned
+      .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDf)
+      .select(col("gram"))
+    // token positions covered by any flagged gram's [pos, pos+n-1] span
+    val covered = positioned.join(dupGrams, Seq("gram"), "leftsemi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .distinct()
+    val toksPos = base.select(col("id"), posexplode(col("w")).as(Seq("t", "tok")))
+    val kept = toksPos.join(covered, Seq("id", "t"), "leftanti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+            s => s.getField("tok")), " ").as("text_clean"))
+    base.select(col("id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

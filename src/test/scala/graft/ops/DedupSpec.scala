@@ -327,4 +327,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0)._3 == 2L && got(0)._5 == 0)
     assert(got(1) == ((2L, 1, 1L, 1.0, 0)))
   }
+
+  test("removeDupSpans cuts exactly the covered spans and reassembles in order") {
+    val df = Seq(
+      (1L, "a b c d e f g"),     // "c d e" shared with doc 2 → cut pos 2..4
+      (2L, "x y c d e z w"),     // same span position
+      (3L, "p q r p q r p q"),   // self-repeat only: untouched (ws-normalized)
+      (4L, "s t")).toDF("doc_id", "text") // shorter than n: untouched
+    val got = Dedup.removeDupSpans(df, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, String)].collect()
+    assert(got(0) == ((1L, 7, 3L, "a b f g")))
+    assert(got(1) == ((2L, 7, 3L, "x y z w")))
+    assert(got(2) == ((3L, 8, 0L, "p q r p q r p q")))
+    assert(got(3) == ((4L, 2, 0L, "s t")))
+    // overlapping flagged grams cover the union of their spans, and a doc
+    // that is ALL duplicated text empties (kept row absent → coalesce)
+    val df2 = Seq(
+      (1L, "c d e q c d e"),     // "c d e" at 0 and 4 → covers 0-2 and 4-6
+      (2L, "c d e")).toDF("doc_id", "text")
+    val got2 = Dedup.removeDupSpans(df2, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, String)].collect()
+    assert(got2(0) == ((1L, 7, 6L, "q")))
+    assert(got2(1) == ((2L, 3, 3L, "")))
+    // rewrite is consistent with the measure: a doc with zero flagged
+    // grams in duplicatedSpans loses zero tokens here (whole sf corpus)
+    val measure = Dedup.duplicatedSpans(docs, "doc_id", "text", 5)
+      .select($"doc_id", $"n_dup").as[(Long, Long)].collect().toMap
+    val rewrite = Dedup.removeDupSpans(docs, "doc_id", "text", 5)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    assert(measure.keySet == rewrite.keySet)
+    measure.foreach { case (id, nDup) =>
+      assert((nDup == 0L) == (rewrite(id) == 0L),
+        s"doc $id: measure flags $nDup grams but rewrite cut ${rewrite(id)} tokens")
+    }
+    assert(rewrite.values.exists(_ > 0L), "corpus must contain cut spans")
+  }
+
+  test("removeDupSpans hashed-gram keying is output-identical to string keying") {
+    val str = Dedup.removeDupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Long, String)].collect().toSet
+    val hashed = Dedup.removeDupSpans(docs, "doc_id", "text", 3, hashGrams = true)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(str == hashed, "xxhash64 gram keying changed the rewrite output")
+  }
 }
