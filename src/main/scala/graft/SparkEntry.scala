@@ -445,6 +445,20 @@ object SparkEntry {
       // n_removed here is consistent with text_dup_spans' n_dup counts)
       Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy(col("doc_id"))),
+    "text_remove_spans_cross" -> ((s, dir) => {
+      // the rewrite against a PREBUILT reference gram index
+      // (Dedup.dupGramBuild / removeDupSpansWith): the index knows only
+      // the even-id half's duplicated grams, so the rewrite cuts what the
+      // REFERENCE taught — the "scrub new crawls of known boilerplate"
+      // production shape (streaming form: dupGramBloom + the stateless
+      // removeDupSpansBloom projection, parity spec-pinned)
+      val docs = t(s, dir, "documents")
+      Dedup.removeDupSpansWith(docs,
+          Dedup.dupGramBuild(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", 5),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "text_bm25" -> ((s, dir) =>
       // retrieval scoring for topic mining: rational-idf Okapi BM25 of
       // every doc vs a fixed 3-term query (see bm25Score for why no ln)
@@ -1828,6 +1842,28 @@ object SparkEntry {
            |       FROM t, unnest(generate_series(0, len(w) - 5)) AS u(i)
            |       WHERE len(w) >= 5),
            |dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |cov AS (SELECT DISTINCT doc_id, pos + j AS t
+           |        FROM ex JOIN dup USING (gram), unnest(generate_series(0, 4)) AS v(j)),
+           |tokpos AS (SELECT doc_id, i - 1 AS t, w[i] AS tok
+           |           FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+           |kept AS (SELECT doc_id, count(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY t) AS text_clean
+           |         FROM tokpos ANTI JOIN cov USING (doc_id, t)
+           |         GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+           |CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           |coalesce(text_clean, '') AS text_clean
+           |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "text_remove_spans_cross" ->
+        // same construction, but the dup-gram set comes from the even-id
+        // REFERENCE half only (the prebuilt-index semantics); coverage
+        // and reassembly run over every document
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |ex AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+5], ' ') AS gram
+           |       FROM t, unnest(generate_series(0, len(w) - 5)) AS u(i)
+           |       WHERE len(w) >= 5),
+           |dup AS (SELECT gram FROM ex WHERE doc_id % 2 = 0
+           |        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
            |cov AS (SELECT DISTINCT doc_id, pos + j AS t
            |        FROM ex JOIN dup USING (gram), unnest(generate_series(0, 4)) AS v(j)),
            |tokpos AS (SELECT doc_id, i - 1 AS t, w[i] AS tok

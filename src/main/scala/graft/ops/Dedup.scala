@@ -759,24 +759,75 @@ object Dedup {
     * `normalizeText`'s ws collapse).
     */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
-                     minDf: Int = 2, hashGrams: Boolean = false): DataFrame = {
-    require(n >= 1, s"removeDupSpans: n-gram order must be >= 1, got $n")
-    require(minDf >= 2, s"removeDupSpans: minDf < 2 would cut every token, got $minDf")
-    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
-    val worded = base.filter(size(col("w")) >= n)
+                     minDf: Int = 2, hashGrams: Boolean = false): DataFrame =
+    removeDupSpansWith(df, dupGramBuild(df, idCol, textCol, n, minDf, hashGrams),
+      idCol, textCol)
+
+  /** The positioned word-n-gram relation (id, pos, gram) every span op
+    * shares — `hashGrams` swaps gram strings for xxhash64 longs in place.
+    */
+  private def positionedGrams(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, hashGrams: Boolean): DataFrame = {
+    val worded = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("w")) - n),
           i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
       .withColumnRenamed("col", "gram")
-    val positioned = if (hashGrams)
+    if (hashGrams)
       worded.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
     else worded
-    val dupGrams = positioned
-      .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= minDf)
-      .select(col("gram"))
+  }
+
+  /** The build-once duplicated-gram artifact for the span rewrite: the
+    * distinct relation of n-grams occurring in ≥ `minDf` documents of the
+    * corpus it was built over, plus the parameters that define it (a
+    * probe at a different n or keying would never match). Persist/write
+    * once per corpus snapshot; every rewrite batch probes it — the
+    * `crossCorpusBuild`/`phashBuild` seam convention applied to the
+    * rewrite. `dupGramBloom` compresses it into a sketch for the
+    * stateless streaming scrub.
+    */
+  case class DupGramIndex(dupGrams: DataFrame, n: Int, minDf: Int,
+                          hashGrams: Boolean) {
+    def persist(): this.type = { dupGrams.persist(); this }
+    def unpersist(): this.type = { dupGrams.unpersist(); this }
+  }
+
+  /** Aggregate the reference corpus' duplicated grams once — the
+    * expensive per-snapshot half of the span rewrite (the gram df
+    * aggregate is the op's big exchange; re-running it per batch against
+    * a slow-moving reference is the cost this seam avoids).
+    */
+  def dupGramBuild(reference: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDf: Int = 2,
+                   hashGrams: Boolean = false): DupGramIndex = {
+    require(n >= 1, s"dupGramBuild: n-gram order must be >= 1, got $n")
+    require(minDf >= 2, s"dupGramBuild: minDf < 2 would flag every gram, got $minDf")
+    DupGramIndex(
+      positionedGrams(reference, idCol, textCol, n, hashGrams)
+        .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= minDf)
+        .select(col("gram")),
+      n, minDf, hashGrams)
+  }
+
+  /** Span rewrite against a PREBUILT duplicated-gram index: every token of
+    * `corpus` covered by a gram the INDEX flags is cut — "scrub new crawl
+    * text of the boilerplate the training set already taught us" when the
+    * index comes from a reference corpus, or exactly `removeDupSpans`
+    * when it comes from `corpus` itself (the raw form delegates here —
+    * one implementation). Work per batch: the batch's own gram explode, a
+    * semi join against the artifact, span-covered anti join, per-document
+    * reassembly (grain: the data-scale document id).
+    */
+  def removeDupSpansWith(corpus: DataFrame, index: DupGramIndex,
+                         idCol: String, textCol: String): DataFrame = {
+    val n = index.n
+    val base = corpus.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val positioned = positionedGrams(corpus, idCol, textCol, n, index.hashGrams)
     // token positions covered by any flagged gram's [pos, pos+n-1] span
-    val covered = positioned.join(dupGrams, Seq("gram"), "leftsemi")
+    val covered = positioned.join(index.dupGrams, Seq("gram"), "leftsemi")
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
       .distinct()
@@ -793,5 +844,70 @@ object Dedup {
         (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Compress a duplicated-gram index into a Bloom sketch for
+    * `removeDupSpansBloom`. String-keyed indexes only: the probe
+    * expression hashes the gram's UTF-8 bytes (`BloomMightContain`), the
+    * same bytes `stat.bloomFilter` puts on the build side.
+    */
+  def dupGramBloom(index: DupGramIndex, fpp: Double = 1e-8): Array[Byte] = {
+    require(!index.hashGrams,
+      "dupGramBloom probes gram STRINGS; build the index with hashGrams = false")
+    val n = math.max(index.dupGrams.count(), 1L)
+    val bloom = index.dupGrams.stat.bloomFilter("gram", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The STATELESS span scrub: the rewrite as a pure projection — per
+    * row, flag gram starts against the Bloom sketch of the reference's
+    * duplicated grams, cut every token inside a flagged span, reassemble.
+    * No explode, no join, no aggregation, so it runs UNCHANGED on a
+    * stream (parity spec) — this is the online ingest scrub ("strip the
+    * boilerplate the training set taught us, while the crawl arrives"),
+    * the `decontaminationScoreBloom` pattern applied to a rewrite.
+    *
+    * Bloom has no false negatives: every genuinely duplicated span is
+    * cut; a false positive (rate set at build) cuts an extra clean span —
+    * conservative in the right direction for a scrub, and spec-pinned
+    * equal to the exact form on the test corpora at the default fpp.
+    *
+    * Cost note: the per-token coverage test scans the row's flagged-start
+    * list (O(tokens × flagged) per document worst case — quadratic only
+    * when MOST of a long document is duplicated text; such documents
+    * belong to the exact batch rewrite / whole-doc dedup upstream). The
+    * sketch ships per task as an expression literal under
+    * `BloomBroadcastThreshold`, once per executor above it.
+    */
+  def removeDupSpansBloom(df: DataFrame, bloomBits: Array[Byte],
+                          idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"removeDupSpansBloom: n-gram order must be >= 1, got $n")
+    Seq("__w", "__starts", "__kept").foreach(c => require(!df.columns.contains(c),
+      s"removeDupSpansBloom uses '$c' as a temp column; input must not contain it"))
+    val hit: Column => Column =
+      if (bloomBits.length <= graft.ops.TextAnalysis.BloomBroadcastThreshold) {
+        g => graft.functions.VectorFunctions.bloomMightContain(g, bloomBits)
+      } else {
+        val bcast = df.sparkSession.sparkContext.broadcast(bloomBits)
+        g => graft.functions.VectorFunctions.bloomMightContain(g, bcast)
+      }
+    // each intermediate materialized ONCE in its own projection: HOF
+    // lambdas get no codegen CSE (the decontaminationScoreBloom rule), so
+    // inlining __kept into both size() and array_join() would run the
+    // coverage scan twice
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__starts",
+        when(size(col("__w")) >= n,
+          filter(sequence(lit(0), size(col("__w")) - n),
+            i => hit(array_join(slice(col("__w"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__w"), (_, t) =>
+        !exists(col("__starts"), p => t.between(p, p + lit(n - 1)))))
+      .select(col(idCol), size(col("__w")).as("n_tokens"),
+        (size(col("__w")).cast("long") - size(col("__kept")).cast("long"))
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("text_clean"))
   }
 }

@@ -372,4 +372,53 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Int, Long, String)].collect().toSet
     assert(str == hashed, "xxhash64 gram keying changed the rewrite output")
   }
+
+  test("dupGram artifact: two batches against one index == one-shot; reference-only flags") {
+    // the rewrite's flags depend only on the INDEX, so disjoint batches
+    // against one artifact must union to the whole-corpus rewrite
+    val idx = Dedup.dupGramBuild(docs, "doc_id", "text", 5).persist()
+    try {
+      val whole = Dedup.removeDupSpansWith(docs, idx, "doc_id", "text")
+        .as[(Long, Int, Long, String)].collect().toSet
+      val b1 = Dedup.removeDupSpansWith(docs.filter($"doc_id" % 2 === 0), idx,
+        "doc_id", "text").as[(Long, Int, Long, String)].collect().toSet
+      val b2 = Dedup.removeDupSpansWith(docs.filter($"doc_id" % 2 === 1), idx,
+        "doc_id", "text").as[(Long, Int, Long, String)].collect().toSet
+      assert((b1 ++ b2) == whole, "batched artifact rewrites diverge from one-shot")
+    } finally idx.unpersist()
+    // a reference-built index flags the REFERENCE's duplicated grams, not
+    // the batch's: docs 1+2 share "c d e" but only the reference pair 3+4
+    // defines the index, so the batch keeps its own duplicate and loses
+    // the reference-taught one ("u v w")
+    val ref = Seq((3L, "u v w x"), (4L, "y u v w")).toDF("doc_id", "text")
+    val batch = Seq((1L, "a c d e u v w b"), (2L, "c d e z")).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpansWith(batch,
+        Dedup.dupGramBuild(ref, "doc_id", "text", 3), "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Int, Long, String)].collect()
+    assert(got(0) == ((1L, 8, 3L, "a c d e b")))
+    assert(got(1) == ((2L, 4, 0L, "c d e z")))
+  }
+
+  test("removeDupSpansBloom == exact rewrite; sketch probe is a pure projection") {
+    val idx = Dedup.dupGramBuild(docs, "doc_id", "text", 5)
+    // fpp 1e-12 for the exact-equality pin (~5e-8 corpus-wide FP odds —
+    // the default 1e-8 measurably produced ONE deterministic false
+    // positive over this corpus's ~45k distinct grams, doc 259, cutting
+    // one extra span: exactly the documented conservative failure mode)
+    val bloom = Dedup.dupGramBloom(idx, fpp = 1e-12)
+    val viaBloom = Dedup.removeDupSpansBloom(docs, bloom, "doc_id", "text", 5)
+      .as[(Long, Int, Long, String)].collect().toSet
+    val exact = Dedup.removeDupSpans(docs, "doc_id", "text", 5)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(viaBloom == exact,
+      "Bloom scrub diverges from the exact rewrite (false positive?)")
+    // stateless claim: the plan has no join, aggregate, or generator —
+    // what makes the same call legal on a stream
+    val plan = Dedup.removeDupSpansBloom(docs, bloom, "doc_id", "text", 5)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    assert(plan.collect { case j: Join => j; case a: Aggregate => a;
+      case g: Generate => g }.isEmpty,
+      "the Bloom scrub must stay a pure projection")
+  }
 }

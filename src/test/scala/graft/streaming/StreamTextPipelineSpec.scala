@@ -275,6 +275,34 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("streaming Bloom span scrub == batch rewrite against the same sketch") {
+    // the rewrite's streaming form: dupGramBloom compresses the reference
+    // corpus' duplicated grams once, and removeDupSpansBloom is a pure
+    // projection (no join/agg/generator — spec-pinned), so the SAME call
+    // scrubs an unbounded stream with zero state
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val bloom = Dedup.dupGramBloom(Dedup.dupGramBuild(docs, "doc_id", "text", 5))
+    val in = MemoryStream[(Long, String)]
+    val scrubbed = Dedup.removeDupSpansBloom(
+      in.toDF().toDF("doc_id", "text"), bloom, "doc_id", "text", 5)
+    val q = scrubbed.writeStream.format("memory")
+      .queryName("stream_span_scrub").outputMode("append").start()
+    try {
+      val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_tokens, n_removed, text_clean FROM stream_span_scrub")
+        .as[(Long, Int, Long, String)].collect().toSet
+      val batch = Dedup.removeDupSpansBloom(docs, bloom, "doc_id", "text", 5)
+        .as[(Long, Int, Long, String)].collect().toSet
+      assert(got == batch, "streaming scrub diverges from the batch projection")
+      assert(got.exists(_._3 > 0L), "corpus must contain scrubbed spans")
+    } finally q.stop()
+  }
+
   test("streaming calibration apply == batch apply against the same static model") {
     // the apply is a stateless projection + broadcast join, so the same
     // call runs on a stream: arriving docs rank against the TRAINED
