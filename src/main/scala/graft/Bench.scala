@@ -32,7 +32,7 @@ object Bench {
     "q19_or_of_ands", "q20_excess_share", "q22_prospects",
     "docs_source_cap", "dedup_cross_corpus", "emb_cross_corpus",
     "docs_calibrate_apply", "text_postings_segments", "mm_phash_cross_corpus",
-    "text_dup_spans_removed", "text_remove_spans_cross")
+    "text_dup_spans_removed", "text_remove_spans_cross", "mm_video_neardups")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -110,6 +110,16 @@ object ScaleProbe {
       graft.ops.Dedup.removeDupSpans(docs, "doc_id", "text", 5, hashGrams = true)
         .select(sum(length(col("text_clean"))).cast("long").as("b"))
         .first().getLong(0))
+    // round-9 video near-dup at 1M: every odd doc is its even neighbor's
+    // text + " extraword<id>" — a shared prefix, so the pair shares every
+    // full 64-char frame except the tail (a planted re-encode). The
+    // inverted frame-hash index must pull ~500k twin pairs without an
+    // all-pairs join.
+    time("video_neardups_1M")(
+      graft.ops.Multimodal.videoNearDups(
+        docs.select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        frameBytes = 64, threshold = 0.5).count())
     // inverted-index build: one distinct term-doc exchange + broadcast
     // top-k roster + sorted posting assembly
     time("postings_top20")(

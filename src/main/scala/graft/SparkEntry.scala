@@ -1392,6 +1392,24 @@ object SparkEntry {
       Multimodal.phashNearDups(media.unionByName(twins), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "mm_video_neardups" -> ((s, dir) => {
+      // video near-dup via frame-fingerprint set overlap
+      // (Multimodal.videoNearDups): each doc's payload plus a planted
+      // "re-encoded copy" (same bytes + a per-id tail — every full frame
+      // shared, the tail frame changed) → twins pair at high Jaccard
+      // wherever the doc spans enough frames, and the corpus' exact-dup
+      // docs surface naturally at 1.0
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+        .select(col("media_id"), col("payload"))
+      val twins = docs.select(
+        (col("doc_id") + lit(10000000L)).as("media_id"),
+        encode(concat(col("text"), lit(" tail"), col("doc_id").cast("string")),
+          "UTF-8").as("payload"))
+      Multimodal.videoNearDups(media.unionByName(twins),
+          frameBytes = 64, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "mm_phash_cross_corpus" -> ((s, dir) => {
       // cross-corpus image near-dup against a PREBUILT reference index
       // (Multimodal.phashBuild / phashNearDupsWith — the round-9 artifact
@@ -2172,6 +2190,32 @@ object SparkEntry {
           |  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
           |FROM h2 x JOIN h2 y ON x.mid < y.mid
           |WHERE bit_count(xor(x.phash, y.phash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+      "mm_video_neardups" ->
+        // frames = consecutive 64-char slices (short tail kept); per-frame
+        // rolling hash is the text_fingerprint fold; Jaccard over DISTINCT
+        // frame-hash sets, rounded-then-thresholded exactly as the op
+        """WITH d AS (SELECT doc_id AS media_id, text AS s FROM documents
+          |           UNION ALL
+          |           SELECT doc_id + 10000000 AS media_id,
+          |                  text || ' tail' || doc_id AS s FROM documents),
+          |fr AS (SELECT media_id, substr(s, i*64 + 1, 64) AS frame
+          |       FROM d, unnest(generate_series(0, (length(s)-1)//64)) AS u(i)
+          |       WHERE length(s) >= 1),
+          |fp AS (SELECT DISTINCT media_id, list_reduce(
+          |         list_prepend(CAST(0 AS BIGINT),
+          |           list_transform(range(1, length(frame)+1),
+          |             j -> CAST(ascii(substr(frame, j, 1)) AS BIGINT))),
+          |         (h, c) -> (h*31 + c) % 1000000007) AS fp
+          |       FROM fr),
+          |sz AS (SELECT media_id, count(*) AS nf FROM fp GROUP BY media_id),
+          |sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS n_shared
+          |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.media_id < b.media_id
+          |       GROUP BY 1, 2)
+          |SELECT id_a, id_b, n_shared,
+          |  round(CAST(n_shared AS DOUBLE)/(x.nf + y.nf - n_shared), 4) AS jaccard_r
+          |FROM sh JOIN sz x ON x.media_id = id_a JOIN sz y ON y.media_id = id_b
+          |WHERE round(CAST(n_shared AS DOUBLE)/(x.nf + y.nf - n_shared), 4) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
       "mm_phash_cross_corpus" ->
         // same byte-exact hash CTE; brute-force (new × ref) hamming join

@@ -399,6 +399,80 @@ object Multimodal {
       .dropDuplicatesWithinWatermark(Seq("id_new", "id_ref"))
   }
 
+  /** Per-frame content fingerprints: cut the payload into consecutive
+    * `frameBytes` slices (short tail kept, empty frames impossible by
+    * construction) and fingerprint every `stride`-th one with the repo's
+    * rolling hash — the "shot hash" layer video near-dup builds on. Pure
+    * Catalyst (substr + the codegen'd `Fingerprint` kernel), no UDF, no
+    * shuffle. The slice is hashed through its string form — byte==char on
+    * ASCII payloads (the test corpus; `mm_features` proves n_high_bytes
+    * = 0) and exactly what the DuckDB oracle can reproduce; a production
+    * form would hash decoded frame bytes through the same seam.
+    */
+  def frameSignatures(media: DataFrame, frameBytes: Int = 64,
+                      stride: Int = 1): DataFrame = {
+    require(frameBytes >= 1, s"frameSignatures: frameBytes must be >= 1, got $frameBytes")
+    require(stride >= 1, s"frameSignatures: stride must be >= 1, got $stride")
+    val s = col("payload").cast("string")
+    media
+      .filter(length(s) >= 1)
+      .select(col("media_id"), s.as("__s"),
+        explode(filter(sequence(lit(0), floor((length(s) - 1) / frameBytes).cast("int")),
+          i => pmod(i, lit(stride)) === 0)).as("frame_idx"))
+      .withColumn("frame_fp",
+        graft.functions.VectorFunctions.fingerprint(
+          col("__s").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))))
+      .select(col("media_id"), col("frame_idx"), col("frame_fp"))
+  }
+
+  /** Video near-duplicate pairs via frame-fingerprint set overlap: two
+    * videos are near-dups when the Jaccard of their DISTINCT frame-hash
+    * sets reaches `threshold` — re-encoded/trimmed copies share most
+    * exact frames even when container bytes differ (shot-level exact,
+    * video-level fuzzy). Candidates come from an inverted index on the
+    * frame hash: videos sharing ≥1 frame join (frame_fp)-locally — never
+    * all-pairs — and the shared-frame COUNT falls out of the same join
+    * (one row per shared hash), so verification is one aggregate, no
+    * second pass over payloads.
+    *
+    * 100 TB notes: shuffle keys are (frame_fp) and id pairs, never frame
+    * bytes; `maxFrameDf` (0 = off) drops frames appearing in more than
+    * that many videos BEFORE pair generation — a viral intro/outro frame
+    * shared by B videos alone contributes B² candidate pairs, the same
+    * quadratic hot-bucket failure (and the same fix) as LSH's
+    * `maxBucketSize`; what the cap drops is boilerplate footage by
+    * construction (dropped frames shrink measured intersections only —
+    * conservative toward fewer flags, mirror of the LSH guard's drop
+    * direction). Sizing rule: cap ≈ 10× the largest legitimate
+    * re-upload cluster (DESIGN §11).
+    */
+  def videoNearDups(media: DataFrame, frameBytes: Int = 64,
+                    threshold: Double = 0.5, stride: Int = 1,
+                    maxFrameDf: Int = 0): DataFrame = {
+    val sig = frameSignatures(media, frameBytes, stride)
+      .select(col("media_id"), col("frame_fp")).distinct()
+    val sigB =
+      if (maxFrameDf <= 0) sig
+      else {
+        val viral = sig.groupBy(col("frame_fp"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxFrameDf)
+          .select(col("frame_fp"))
+        sig.join(viral, Seq("frame_fp"), "leftanti")
+      }
+    val sizes = sigB.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    val shared = sigB.select(col("frame_fp"), col("media_id").as("id_a"))
+      .join(sigB.select(col("frame_fp"), col("media_id").as("id_b")), Seq("frame_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("media_id").as("id_a"), col("n_frames").as("__na")), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n_frames").as("__nb")), "id_b")
+      .withColumn("jaccard_r", round(col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")), 4))
+      .filter(col("jaccard_r") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames" and emit every `stride`-th frame index with its byte slice —
     * the shape of video frame extraction, minus the codec. Pure Catalyst

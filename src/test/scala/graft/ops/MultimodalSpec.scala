@@ -151,6 +151,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaSeam == viaPre, "banding over injected-decoder planes diverges")
   }
 
+  test("videoNearDups: frame-set Jaccard, short tail frames, viral-frame cap") {
+    // 8-byte frames; letters repeated 8x form one frame each
+    def blocks(s: String): Array[Byte] = s.flatMap(c => c.toString * 8).getBytes("UTF-8")
+    val df = Seq(
+      (1L, blocks("XYZA")),        // frames X Y Z A
+      (2L, blocks("XYZ") ++ "tail".getBytes("UTF-8")), // X Y Z + short tail frame
+      (3L, blocks("PQ")),          // disjoint
+      (4L, blocks("XYZA")),        // byte-identical twin of 1 → jaccard 1.0
+    ).toDF("media_id", "payload")
+    val got = Multimodal.videoNearDups(df, frameBytes = 8, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // v1 vs v2: shared {X,Y,Z} of union {X,Y,Z,A,tail} → 3/5 = 0.6
+    // v1 vs v4: identical 4-frame sets → 1.0; v2 vs v4 = 0.6; v3 isolated
+    assert(got == Set((1L, 2L, 3L, 0.6), (1L, 4L, 4L, 1.0), (2L, 4L, 3L, 0.6)),
+      s"unexpected pair set: $got")
+    // frame signatures: distinct contents hash apart, repeats hash equal
+    val sigs = Multimodal.frameSignatures(df, frameBytes = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(sigs.count(_._1 == 1L) == 4 && sigs.count(_._1 == 2L) == 4)
+    val v1 = sigs.filter(_._1 == 1L).map(s => s._2 -> s._3).toMap
+    val v4 = sigs.filter(_._1 == 4L).map(s => s._2 -> s._3).toMap
+    assert(v1 == v4, "identical payloads must produce identical frame signatures")
+    assert(v1.values.toSet.size == 4, "distinct frames must hash apart")
+    // a viral frame (in every video) pushes every pair over threshold;
+    // the cap drops it from candidates AND intersections — conservative
+    val viral = Seq(
+      (1L, blocks("VX")), (2L, blocks("VY")), (3L, blocks("VZ")),
+    ).toDF("media_id", "payload")
+    val uncapped = Multimodal.videoNearDups(viral, frameBytes = 8, threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(uncapped.size == 3, "the shared V frame links every pair uncapped")
+    val capped = Multimodal.videoNearDups(viral, frameBytes = 8, threshold = 0.3,
+      maxFrameDf = 2).as[(Long, Long, Long, Double)].collect().toSet
+    assert(capped.isEmpty, "maxFrameDf must drop the viral frame's pairs")
+  }
+
   test("perceptualHash: 48-bit, integer-exact threshold, constant plane hashes 0") {
     val df = Seq(
       (1L, Array.fill[Byte](96)(65)),               // constant plane: no block above mean
