@@ -32,7 +32,8 @@ object Bench {
     "q19_or_of_ands", "q20_excess_share", "q22_prospects",
     "docs_source_cap", "dedup_cross_corpus", "emb_cross_corpus",
     "docs_calibrate_apply", "text_postings_segments", "mm_phash_cross_corpus",
-    "text_dup_spans_removed", "text_remove_spans_cross", "mm_video_neardups")
+    "text_dup_spans_removed", "text_remove_spans_cross", "mm_video_neardups",
+    "docs_score_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

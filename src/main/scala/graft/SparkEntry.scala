@@ -504,6 +504,18 @@ object SparkEntry {
       // transfer across languages)
       TextAnalysis.qualityGate(t(s, dir, "documents"), "text")
         .orderBy(col("doc_id"))),
+    "docs_score_drift" -> ((s, dir) => {
+      // quality-score distribution drift between two snapshots (the
+      // per-crawl scorer monitor, Analytics.scoreDrift): the parity
+      // split stands in for consecutive crawls; TVD's per-bucket |p−q|
+      // needs no ln and no smoothing, so the report is oracle-exact
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("quality_score"))
+      Analytics.scoreDrift(
+          scored.filter(col("doc_id") % 2 === 0),
+          scored.filter(col("doc_id") % 2 === 1), "quality_score")
+        .orderBy(col("bucket"))
+    }),
     "docs_source_cap" -> ((s, dir) =>
       // per-source contribution cap: at most 10 docs per source,
       // best-quality-first, doc-id tie-break — histogram threshold +
@@ -1697,6 +1709,32 @@ object SparkEntry {
            |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
            |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
            |FROM g ORDER BY doc_id""".stripMargin,
+      "docs_score_drift" ->
+        // the text_quality CTE chain (same rounding points), then
+        // integer-cent buckets, per-side counts, full-outer census join,
+        // IEEE-double ratio delta in ppm — no ln, no smoothing
+        s"""WITH f AS (SELECT doc_id, $toks AS w, $subw AS sw FROM documents),
+           |g AS (SELECT doc_id, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id,
+           |  round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |    + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |    + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS s
+           |  FROM g),
+           |hr AS (SELECT CAST(round(round(s, 2) * 100, 0) AS INT) AS bucket, count(*) AS n
+           |       FROM q WHERE doc_id % 2 = 0 GROUP BY 1),
+           |hc AS (SELECT CAST(round(round(s, 2) * 100, 0) AS INT) AS bucket, count(*) AS n
+           |       FROM q WHERE doc_id % 2 = 1 GROUP BY 1),
+           |tot AS (SELECT (SELECT sum(n) FROM hr) AS tr, (SELECT sum(n) FROM hc) AS tc)
+           |SELECT coalesce(hr.bucket, hc.bucket) AS bucket,
+           |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_ref,
+           |  CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cur,
+           |  round(abs(CAST(coalesce(hr.n, 0) AS DOUBLE) / tr
+           |    - CAST(coalesce(hc.n, 0) AS DOUBLE) / tc) * 1e6, 4) AS d_ppm
+           |FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket, tot
+           |ORDER BY bucket""".stripMargin,
       "text_fingerprint" ->
         """SELECT doc_id, list_reduce(
           |  list_prepend(CAST(0 AS BIGINT),

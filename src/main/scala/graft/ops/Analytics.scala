@@ -435,6 +435,48 @@ object Analytics {
       .filter(col("status") =!= "unchanged")
       .select(col(idCol), col("status"))
 
+  /** Score-distribution drift between two corpus snapshots — the monitor
+    * a production curation pipeline runs per crawl: when the quality
+    * scorer's output distribution moves (source mix shift, scraper
+    * regression, scorer retrain), the per-bucket report shows WHERE and
+    * the total-variation distance (TVD = Σ|p−q|/2) says HOW MUCH, with
+    * no distributional assumptions. TVD over the 2-dp score lattice
+    * instead of PSI/KL: it needs no `ln` (whose last-ulp behavior varies
+    * across engines — the BM25 rational-idf argument) and no epsilon
+    * smoothing for empty buckets, so the whole report is oracle-exact:
+    * counts are integers, the ratio arithmetic is correctly-rounded IEEE
+    * double ops (bit-identical in Spark and DuckDB), rounded at 4 dp.
+    *
+    * Output: one row per occupied score bucket (integer cents) with both
+    * sides' counts and `d_ppm` = |p_ref − p_cur|·10⁶; the consumer's
+    * TVD is Σ d_ppm / 2·10⁶. 100 TB notes: two corpus-scale hash
+    * aggregates onto the ≤|lattice| bucket grain, one full-outer join of
+    * census-sized relations, totals broadcast back as 1-row aggregates —
+    * nothing here is keyed below the data scale except the bounded
+    * lattice census itself.
+    */
+  def scoreDrift(ref: DataFrame, cur: DataFrame, scoreCol: String): DataFrame = {
+    // integer-cent bucket via round-then-cast: score·100 lands within
+    // ~1e-12 of an integer for a 2-dp score, and the 0-dp round snaps it
+    // EXACTLY before the int cast — a bare cast would truncate in Spark
+    // but round in DuckDB (28.999999999999996 → 28 vs 29), an engine
+    // mismatch the repo's cent-lattice ops must never expose
+    def hist(df: DataFrame) =
+      df.select(round(round(col(scoreCol), 2) * 100).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val hr = hist(ref)
+    val hc = hist(cur)
+    val totals = hr.agg(sum(col("n")).as("__tr"))
+      .crossJoin(hc.agg(sum(col("n")).as("__tc"))) // 1-row × 1-row
+    hr.select(col("bucket"), col("n").as("n_ref"))
+      .join(hc.select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(totals) // broadcast scalar totals
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(abs(col("n_ref").cast("double") / col("__tr")
+          - col("n_cur").cast("double") / col("__tc")) * 1e6, 4).as("d_ppm"))
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two integer
     * dimensions — the multi-dimensional file-clustering key: sorting /
     * range-partitioning 100 TB of files by z keeps BOTH dimensions

@@ -184,4 +184,25 @@ class AnalyticsSpec extends AnyFunSuite {
       "string column must report null min/max")
     assert(got("v") == (("v", 3L, 2L, 1L, 2L, Some(-1.0), Some(2.5))))
   }
+
+  test("scoreDrift: per-bucket TVD deltas, disjoint buckets, cent snapping") {
+    // ref: 4 docs at 0.70, 1 at 0.40; cur: 1 at 0.70, 3 at 0.40, 1 at 1.0
+    val ref = Seq(0.7, 0.7, 0.7, 0.7, 0.4).toDF("q")
+    val cur = Seq(0.7, 0.4, 0.4, 0.4, 1.0).toDF("q")
+    val got = Analytics.scoreDrift(ref, cur, "q")
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // |0.8 − 0.2|·1e6 = 600000; |0.2 − 0.6|·1e6 = 400000; cur-only 1.0
+    // bucket: |0 − 0.2|·1e6 = 200000 — and 0.7·100 must snap to 70, not 69
+    assert(got(70) == ((70, 4L, 1L, 600000.0)))
+    assert(got(40) == ((40, 1L, 3L, 400000.0)))
+    assert(got(100) == ((100, 0L, 1L, 200000.0)))
+    assert(got.keySet == Set(40, 70, 100))
+    // identical snapshots drift zero in every bucket
+    val zero = Analytics.scoreDrift(ref, ref, "q")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(zero.forall(_._4 == 0.0) && zero.length == 2)
+    // TVD = Σd/2e6: the headline number the monitor alerts on
+    val tvd = got.values.map(_._4).sum / 2e6
+    assert(math.abs(tvd - 0.6) < 1e-12)
+  }
 }
