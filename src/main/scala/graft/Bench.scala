@@ -33,7 +33,7 @@ object Bench {
     "docs_source_cap", "dedup_cross_corpus", "emb_cross_corpus",
     "docs_calibrate_apply", "text_postings_segments", "mm_phash_cross_corpus",
     "text_dup_spans_removed", "text_remove_spans_cross", "mm_video_neardups",
-    "docs_score_drift")
+    "mm_video_cross_corpus", "docs_score_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

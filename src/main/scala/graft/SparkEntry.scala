@@ -1422,6 +1422,26 @@ object SparkEntry {
           frameBytes = 64, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "mm_video_cross_corpus" -> ((s, dir) => {
+      // video near-dup against a PREBUILT frame index
+      // (Multimodal.frameIndexBuild / videoNearDupsWith): even ids are
+      // the static reference; the batch is the odd half plus tail-
+      // modified re-encodes of the reference (every full frame shared,
+      // the tail frame changed) — each re-encode best-matches its own
+      // original wherever it spans enough frames
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+        .select(col("media_id"), col("payload"))
+      val ref = media.filter(col("media_id") % 2 === 0)
+      val batch = media.filter(col("media_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0).select(
+          (col("doc_id") + lit(10000000L)).as("media_id"),
+          encode(concat(col("text"), lit(" tail"), col("doc_id").cast("string")),
+            "UTF-8").as("payload")))
+      Multimodal.videoNearDupsWith(batch, Multimodal.frameIndexBuild(ref),
+          threshold = 0.5)
+        .orderBy(col("id_new"))
+    }),
     "mm_phash_cross_corpus" -> ((s, dir) => {
       // cross-corpus image near-dup against a PREBUILT reference index
       // (Multimodal.phashBuild / phashNearDupsWith — the round-9 artifact
@@ -2255,6 +2275,47 @@ object SparkEntry {
           |FROM sh JOIN sz x ON x.media_id = id_a JOIN sz y ON y.media_id = id_b
           |WHERE round(CAST(n_shared AS DOUBLE)/(x.nf + y.nf - n_shared), 4) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+      "mm_video_cross_corpus" ->
+        // same frame/fingerprint CTEs as mm_video_neardups; brute-force
+        // (new × ref) Jaccard then best match per new video (max
+        // jaccard, ties smallest ref id) stands in for the inverted
+        // frame-index probe
+        """WITH nw0 AS (SELECT doc_id AS media_id, text AS s FROM documents WHERE doc_id % 2 = 1
+          |            UNION ALL
+          |            SELECT doc_id + 10000000 AS media_id,
+          |                   text || ' tail' || doc_id AS s
+          |            FROM documents WHERE doc_id % 2 = 0),
+          |rf0 AS (SELECT doc_id AS media_id, text AS s FROM documents WHERE doc_id % 2 = 0),
+          |nfr AS (SELECT media_id, substr(s, i*64 + 1, 64) AS frame
+          |        FROM nw0, unnest(generate_series(0, (length(s)-1)//64)) AS u(i)
+          |        WHERE length(s) >= 1),
+          |rfr AS (SELECT media_id, substr(s, i*64 + 1, 64) AS frame
+          |        FROM rf0, unnest(generate_series(0, (length(s)-1)//64)) AS u(i)
+          |        WHERE length(s) >= 1),
+          |nfp AS (SELECT DISTINCT media_id, list_reduce(
+          |          list_prepend(CAST(0 AS BIGINT),
+          |            list_transform(range(1, length(frame)+1),
+          |              j -> CAST(ascii(substr(frame, j, 1)) AS BIGINT))),
+          |          (h, c) -> (h*31 + c) % 1000000007) AS fp
+          |        FROM nfr),
+          |rfp AS (SELECT DISTINCT media_id, list_reduce(
+          |          list_prepend(CAST(0 AS BIGINT),
+          |            list_transform(range(1, length(frame)+1),
+          |              j -> CAST(ascii(substr(frame, j, 1)) AS BIGINT))),
+          |          (h, c) -> (h*31 + c) % 1000000007) AS fp
+          |        FROM rfr),
+          |nsz AS (SELECT media_id, count(*) AS nf FROM nfp GROUP BY media_id),
+          |rsz AS (SELECT media_id, count(*) AS nf FROM rfp GROUP BY media_id),
+          |sh AS (SELECT n.media_id AS id_new, r.media_id AS id_ref, count(*) AS s
+          |       FROM nfp n JOIN rfp r ON n.fp = r.fp GROUP BY 1, 2),
+          |j AS (SELECT id_new, id_ref,
+          |        round(CAST(s AS DOUBLE)/(x.nf + y.nf - s), 4) AS jac
+          |      FROM sh JOIN nsz x ON x.media_id = id_new
+          |              JOIN rsz y ON y.media_id = id_ref)
+          |SELECT id_new, id_ref AS matched_ref, jac AS best_jaccard
+          |FROM (SELECT *, row_number() OVER (PARTITION BY id_new ORDER BY jac DESC, id_ref) AS rn
+          |      FROM j WHERE jac >= 0.5)
+          |WHERE rn = 1 ORDER BY id_new""".stripMargin,
       "mm_phash_cross_corpus" ->
         // same byte-exact hash CTE; brute-force (new × ref) hamming join
         // then best match per new image (min hamming, ties smallest ref

@@ -473,6 +473,131 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
   }
 
+  /** The build-once reference artifact for cross-corpus video near-dup:
+    * the inverted (frame_fp, id_ref) relation plus per-video distinct
+    * frame counts, with the framing parameters they were cut at (a probe
+    * framed differently would never collide). Persist/write once per
+    * reference snapshot; every crawl batch probes it — the fourth
+    * modality on the `crossCorpusBuild`/`cosineBandBuild`/`phashBuild`
+    * seam convention.
+    */
+  case class FrameIndex(refFrames: DataFrame, refSizes: DataFrame,
+                        frameBytes: Int, stride: Int) {
+    def persist(): this.type = { refFrames.persist(); refSizes.persist(); this }
+    def unpersist(): this.type = { refFrames.unpersist(); refSizes.unpersist(); this }
+  }
+
+  /** Cut + hash + invert the reference videos once — the per-snapshot
+    * half of cross-corpus video near-dup.
+    */
+  def frameIndexBuild(reference: DataFrame, frameBytes: Int = 64,
+                      stride: Int = 1): FrameIndex = {
+    val sig = frameSignatures(reference, frameBytes, stride)
+      .select(col("media_id").as("id_ref"), col("frame_fp")).distinct()
+    FrameIndex(
+      sig.select(col("frame_fp"), col("id_ref")),
+      sig.groupBy(col("id_ref")).agg(count(lit(1)).as("__nr")),
+      frameBytes, stride)
+  }
+
+  /** Cross-corpus video near-dup: flag each corpus video whose distinct
+    * frame-hash set overlaps some REFERENCE video at Jaccard ≥
+    * `threshold` — "is this upload a re-encode of something in the
+    * training set". Raw-DataFrame convenience form (re-derives the
+    * artifact per plan; production builds once with `frameIndexBuild`).
+    */
+  def crossCorpusVideoFlags(corpus: DataFrame, reference: DataFrame,
+                            frameBytes: Int = 64, threshold: Double = 0.5,
+                            stride: Int = 1, maxFrameDf: Int = 0): DataFrame =
+    videoNearDupsWith(corpus,
+      frameIndexBuild(reference, frameBytes, stride), threshold, maxFrameDf)
+
+  /** Cross-corpus video near-dup against a PREBUILT frame index — the
+    * per-batch half: cut + hash the fresh batch, probe the inverted
+    * (frame_fp) relation (shared-frame counts fall out of the join), and
+    * emit one best reference match per flagged video (max Jaccard, ties
+    * smallest reference id — a lexicographic struct max, the
+    * `crossCorpusCosineFlagsWith` output contract). Work is linear in
+    * the batch, never all-pairs.
+    *
+    * `maxFrameDf` counts REFERENCE-side frame df only (batch-invariant,
+    * the `crossCorpusNearDupsWith` argument); Jaccard denominators keep
+    * the UNCAPPED distinct sizes, so dropping a viral frame can only
+    * shrink measured intersections — conservative toward fewer flags.
+    */
+  def videoNearDupsWith(corpus: DataFrame, index: FrameIndex,
+                        threshold: Double = 0.5,
+                        maxFrameDf: Int = 0): DataFrame = {
+    val sigN = frameSignatures(corpus, index.frameBytes, index.stride)
+      .select(col("media_id").as("id_new"), col("frame_fp")).distinct()
+    val sizesN = sigN.groupBy(col("id_new")).agg(count(lit(1)).as("__nn"))
+    val rf = index.refFrames
+    val (snB, rfB) =
+      if (maxFrameDf <= 0) (sigN, rf)
+      else {
+        val viral = rf.groupBy(col("frame_fp"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxFrameDf)
+          .select(col("frame_fp"))
+        (sigN.join(viral, Seq("frame_fp"), "leftanti"),
+          rf.join(viral, Seq("frame_fp"), "leftanti"))
+      }
+    snB.join(rfB, Seq("frame_fp"))
+      .groupBy(col("id_new"), col("id_ref")).agg(count(lit(1)).as("__sh"))
+      .join(sizesN, "id_new")
+      .join(index.refSizes, "id_ref")
+      .withColumn("__jac", round(col("__sh").cast("double") /
+        (col("__nn") + col("__nr") - col("__sh")), 4))
+      .filter(col("__jac") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("__jac").as("j"), (-col("id_ref")).as("ni"))).as("__best"))
+      .select(col("id_new"), (-col("__best.ni")).as("matched_ref"),
+        col("__best.j").as("best_jaccard"))
+  }
+
+  /** STREAMING cross-corpus video flags against a PREBUILT frame index:
+    * each arriving video's distinct frame hashes are computed PER ROW
+    * (array HOF — no explode state), joined stream-static against the
+    * inverted reference relation, and the per-(video, reference)
+    * shared-frame count comes from ONE watermark-bounded windowed
+    * aggregation — the only stateful operator; Jaccard then filters
+    * against the static per-reference sizes. Emits (ts, id_new, id_ref,
+    * jaccard_r) pairs, not best-per-video (the streaming twins'
+    * standing argument: any verified hit decides the drop). State is
+    * O(candidate pairs per watermark window).
+    */
+  def streamingVideoFlagsWith(stream: DataFrame, index: FrameIndex,
+                              tsCol: String, watermark: String,
+                              threshold: Double = 0.5,
+                              windowLen: String = "1 hour"): DataFrame = {
+    val fb = index.frameBytes
+    val stride = index.stride
+    val s = col("payload").cast("string")
+    val fps = array_distinct(
+      transform(
+        filter(sequence(lit(0), floor((length(s) - 1) / fb).cast("int")),
+          i => pmod(i, lit(stride)) === 0),
+        i => graft.functions.VectorFunctions.fingerprint(
+          s.substr(i * fb + 1, lit(fb)))))
+    stream
+      .filter(length(s) >= 1)
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col("media_id").as("id_new"), fps.as("__fps"))
+      .withColumn("__nn", size(col("__fps")))
+      .select(col("ts"), col("id_new"), col("__nn"),
+        explode(col("__fps")).as("frame_fp"))
+      .withWatermark("ts", watermark)
+      .join(index.refFrames, Seq("frame_fp")) // stream-static: no state
+      .groupBy(window(col("ts"), windowLen), col("id_new"), col("__nn"),
+        col("id_ref"))
+      .agg(count(lit(1)).as("__sh"))
+      .join(index.refSizes, "id_ref") // static: stateless
+      .withColumn("jaccard_r", round(col("__sh").cast("double") /
+        (col("__nn") + col("__nr") - col("__sh")), 4))
+      .filter(col("jaccard_r") >= threshold)
+      .select(col("window.start").as("ts"), col("id_new"), col("id_ref"),
+        col("jaccard_r"))
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames" and emit every `stride`-th frame index with its byte slice —
     * the shape of video frame extraction, minus the codec. Pure Catalyst

@@ -187,6 +187,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(capped.isEmpty, "maxFrameDf must drop the viral frame's pairs")
   }
 
+  test("video cross-corpus: artifact path == raw path == brute-force best match") {
+    val all = media.select($"media_id", $"payload")
+    val ref = all.filter($"media_id" % 2 === 0)
+    val batch = all.filter($"media_id" % 2 === 1)
+      .unionByName(ref.withColumn("media_id", $"media_id" + 10000000L))
+    val raw = Multimodal.crossCorpusVideoFlags(batch, ref, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force from the signature sets
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.frameSignatures(df).select($"media_id", $"frame_fp")
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val (rs, bs) = (sets(ref), sets(batch))
+    val expect = bs.flatMap { case (in, fn) =>
+      val hits = rs.toSeq.map { case (ir, fr) =>
+        val sh = (fn & fr).size
+        (ir, BigDecimal(sh.toDouble / (fn.size + fr.size - sh))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.filter(_._2 >= 0.5)
+      if (hits.isEmpty) None
+      else { val best = hits.minBy(h => (-h._2, h._1)); Some((in, best._1, best._2)) }
+    }.toSet
+    assert(raw == expect, s"cross-corpus video flags != brute force " +
+      s"(missing ${(expect -- raw).size}, extra ${(raw -- expect).size})")
+    // every byte-identical twin flags its original (or an identical doc)
+    // at jaccard 1.0
+    assert(raw.count(_._3 == 1.0) >= rs.size,
+      "a planted identical twin is missing its 1.0 flag")
+    // build once, probe two disjoint batches: must reproduce the raw path
+    val idx = Multimodal.frameIndexBuild(ref).persist()
+    try {
+      val viaIdx = Multimodal.videoNearDupsWith(
+          batch.filter($"media_id" % 4 === 1), idx, threshold = 0.5)
+        .unionByName(Multimodal.videoNearDupsWith(
+          batch.filter($"media_id" % 4 =!= 1), idx, threshold = 0.5))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaIdx == raw, "prebuilt-artifact path diverges from the raw path")
+    } finally idx.unpersist()
+  }
+
   test("perceptualHash: 48-bit, integer-exact threshold, constant plane hashes 0") {
     val df = Seq(
       (1L, Array.fill[Byte](96)(65)),               // constant plane: no block above mean

@@ -303,6 +303,58 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming video flags against a PREBUILT frame index == brute-force Jaccard pairs") {
+    // the video modality's streaming twin: distinct frame hashes compute
+    // PER ROW (array HOF), candidate lookup is stream-static against the
+    // inverted reference relation, and the shared-frame count is the one
+    // watermark-bounded windowed aggregation
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    val media = Multimodal.fromDocuments(
+        spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet"))
+      .select($"media_id", $"payload")
+    val ref = media.filter($"media_id" % 2 === 0)
+    val idx = Multimodal.frameIndexBuild(ref).persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+    val flags = Multimodal.streamingVideoFlagsWith(
+      in.toDF().toDF("ts", "media_id", "payload"), idx,
+      "ts", watermark = "1 hour", threshold = 0.5)
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_video_flags").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+      val arriving = media.filter($"media_id" % 2 === 1)
+        .unionByName(ref.withColumn("media_id", $"media_id" + 10000000L))
+        .select($"media_id", $"payload").as[(Long, Array[Byte])].collect()
+      in.addData(arriving.map { case (id, p) => (t0, id, p) }.toIndexedSeq)
+      q.processAllAvailable()
+      // advance the watermark far past the 1-hour window so the windowed
+      // aggregate closes and emits
+      in.addData((java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        999999999L, "watermark advancer".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_new, id_ref, jaccard_r FROM stream_video_flags")
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force over the arriving rows (advancer included)
+      def sets(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.frameSignatures(df).select($"media_id", $"frame_fp")
+          .as[(Long, Long)].collect().groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+      val rs = sets(ref)
+      val bs = sets((arriving :+ (999999999L, "watermark advancer".getBytes("UTF-8")))
+        .toSeq.toDF("media_id", "payload"))
+      val expect = (for {
+        (in_, fn) <- bs.toSeq; (ir, fr) <- rs.toSeq
+        sh = (fn & fr).size if sh > 0
+        j = BigDecimal(sh.toDouble / (fn.size + fr.size - sh))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble if j >= 0.5
+      } yield (in_, ir, j)).toSet
+      assert(got == expect, s"stream video flags != brute force " +
+        s"(missing ${(expect -- got).size}, extra ${(got -- expect).size})")
+      assert(got.nonEmpty)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming calibration apply == batch apply against the same static model") {
     // the apply is a stateless projection + broadcast join, so the same
     // call runs on a stream: arriving docs rank against the TRAINED
