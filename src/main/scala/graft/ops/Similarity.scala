@@ -196,6 +196,24 @@ object Similarity {
     IvfIndex(assignTo(corpus, ids, mat, idCol, vecCol), ids, mat, idCol, vecCol)
   }
 
+  /** Incremental index growth: assign a fresh vector batch through the
+    * FROZEN quantizer and append it to the bucketed relation — crawl
+    * batches join the ANN index at O(batch) cost, no retraining, no
+    * touch of existing rows (centroids never move, so neither do
+    * existing assignments). Querying the appended index is IDENTICAL to
+    * one-shot-assigning the unioned corpus through the same quantizer
+    * (spec-pinned): same centroids → same buckets → same probe results.
+    * In the parquet form of the artifact this is literally appending
+    * bucket-partitioned files. Drift caveat: a quantizer trained on an
+    * old snapshot loses recall as the embedding distribution moves —
+    * monitor (e.g. `Analytics.scoreDrift` over assignment-distance
+    * buckets per batch) and rebuild when it drifts; append-only is the
+    * between-rebuilds regime.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame): IvfIndex =
+    index.copy(bucketed = index.bucketed.unionByName(
+      assignTo(batch, index.ids, index.mat, index.idCol, index.vecCol)))
+
   /** Probe a built index: the `nprobe` nearest buckets per query are
     * scanned, nothing else — the cheap, per-query-batch half of IVF.
     */

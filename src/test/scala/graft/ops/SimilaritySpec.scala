@@ -52,6 +52,33 @@ class SimilaritySpec extends AnyFunSuite {
       rows(Similarity.ivfTopK(emb, batch2, 5, nlist = 20, nprobe = 4)))
   }
 
+  test("ivfAppend: two appended crawl batches == one-shot assignment of the union") {
+    // the between-rebuilds regime: the quantizer is FROZEN (trained on
+    // the old half), fresh batches join via assignment only — queries
+    // over the appended index must be identical to assigning the whole
+    // union through the same centroids in one shot
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val base = Similarity.ivfBuild(old, nlist = 20)
+    val appended = Similarity.ivfAppend(
+      Similarity.ivfAppend(base, emb.filter($"vec_id" % 2 === 1 && $"vec_id" < 30)),
+      emb.filter($"vec_id" % 2 === 1 && $"vec_id" >= 30))
+    val oneShot = base.copy(bucketed =
+      Similarity.assignTo(emb, base.ids, base.mat))
+    val queries = emb.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine_r")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(Similarity.ivfQuery(appended, queries, 5, nprobe = 4)) ==
+      rows(Similarity.ivfQuery(oneShot, queries, 5, nprobe = 4)),
+      "appended index diverges from one-shot assignment")
+    // existing rows' buckets are untouched by an append
+    val before = base.bucketed.as[(Long, Seq[Double], Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val after = appended.bucketed.filter($"vec_id" % 2 === 0)
+      .as[(Long, Seq[Double], Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(before == after, "append must not move existing assignments")
+  }
+
   test("IVF index persists to bucket-partitioned parquet and reloads intact") {
     // the artifact claim made concrete: bucketed corpus → parquet
     // partitioned by bucket (so a probe of nprobe buckets prunes to
