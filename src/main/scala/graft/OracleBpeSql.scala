@@ -1,0 +1,72 @@
+package graft
+
+/** DuckDB-SQL replay of `TextAnalysis.bpeEncode` for a FIXED merge table —
+  * the oracle for the `vocab_bpe_encode` / `docs_bpe_token_counts` queries.
+  *
+  * The encode's in-order semantics (one greedy left-to-right single pass
+  * per merge rank — the trainer's own vocab-rewrite fold) is a finite fold
+  * chain, so it unrolls into one CTE per rank: the word rides between
+  * ranks as a chr(31)-joined piece string, and each rank's pass is one
+  * `list_reduce` whose accumulator is that string — "merge" appends `r` to
+  * the accumulator (the last piece was exactly `l`, checked via
+  * `ends_with(acc, sep || l)` so a piece merely SUFFIXED by l cannot
+  * false-match), "no merge" appends sep + x. `list_reduce` seeds the
+  * accumulator with the first element, which is exactly the fold's initial
+  * one-symbol state. Character split via `string_split(w, '')` — DuckDB
+  * splits code points, matching the kernel's codePointAt loop.
+  *
+  * Precondition enforced IN the SQL via error() (the OracleHashSql
+  * convention): no token may contain the chr(31) separator — a testdata
+  * regeneration that introduces it fails loudly instead of
+  * hash-mismatching. The learned-table form (`bpeMerges` output) stays
+  * rows-only: its table is the product of an iterative driver loop no
+  * single SQL statement can replay.
+  */
+object OracleBpeSql {
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** The shared CTE chain: documents → words → one fold CTE per merge →
+    * `pieces(doc_id, piece)`.
+    */
+  private def pieceCtes(merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "bpe oracle: need at least one merge")
+    val folds = merges.zipWithIndex.map { case ((l, r), i) =>
+      val (lq, rq) = (sqlLit(l), sqlLit(r))
+      val src =
+        if (i == 0) "string_split(w, '')"
+        else "string_split(s, chr(31))"
+      val from = if (i == 0) "words" else s"wenc${i - 1}"
+      s"""wenc$i AS (SELECT doc_id, list_reduce($src,
+         |  (acc, x) -> CASE WHEN x = '$rq' AND (acc = '$lq' OR ends_with(acc, chr(31) || '$lq'))
+         |              THEN acc || '$rq' ELSE acc || chr(31) || x END) AS s FROM $from)""".stripMargin
+    }
+    val last = s"wenc${merges.length - 1}"
+    (Seq(
+      raw"""tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)""",
+      """words0 AS (SELECT doc_id, unnest(ts) AS w FROM tk)""",
+      """words AS (SELECT doc_id, CASE WHEN contains(w, chr(31))
+        |  THEN error('bpe oracle: token contains the chr(31) separator') ELSE w END AS w
+        |  FROM words0 WHERE length(w) > 0)""".stripMargin,
+    ) ++ folds :+
+      s"pieces AS (SELECT doc_id, unnest(string_split(s, chr(31))) AS piece FROM $last)")
+      .mkString("WITH ", ",\n", "")
+  }
+
+  /** Corpus-wide piece census: (piece, freq) — the distinct piece set is
+    * bounded by |alphabet| + |merges|, so the output is tiny at any SF.
+    */
+  def pieceCensusSql(merges: Seq[(String, String)]): String =
+    s"""${pieceCtes(merges)}
+       |SELECT piece, count(*) AS freq FROM pieces GROUP BY piece ORDER BY piece""".stripMargin
+
+  /** Per-document EXACT token count under the fixed table; empty/
+    * whitespace documents keep n_tokens = 0 (the operator's left-join
+    * totality).
+    */
+  def tokenCountsSql(merges: Seq[(String, String)]): String =
+    s"""${pieceCtes(merges)}
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS INT) AS n_tokens
+       |FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM pieces GROUP BY doc_id) c
+       |USING (doc_id) ORDER BY d.doc_id""".stripMargin
+}

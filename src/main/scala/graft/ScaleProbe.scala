@@ -412,6 +412,22 @@ object ScaleProbe {
         when(pmod(col("id"), lit(17L)) === 2, lit(1)).otherwise(lit(0))).as("fp"))
     time("docs_snapshot_diff")(
       Analytics.snapshotDiff(snapA, snapB, "id", "fp").count())
+
+    // BPE encode at n docs: corpus-scale work is one word aggregation
+    // (the distinct-vocab cache build), one word equi-join and one
+    // doc-grain collect_list reassembly; the merge kernel runs once per
+    // DISTINCT word. This corpus is the adversarial vocab shape: the
+    // "extraword<id>" suffix tokens make the vocab O(n) — the encoded
+    // vocab cannot broadcast, the word join must shuffle — while the
+    // 80-token bodies draw from a 5k vocab, so the cache still amortizes
+    // ~80:1. Digit-chain merges fire on every word (wNNNN), so the
+    // kernel does real merge work, not skip-map exits.
+    val probeMerges =
+      "0123456789".sliding(2).map(p => (p(0).toString, p(1).toString)).toSeq ++
+        Seq(("w", "01"), ("e", "x"), ("ex", "t"))
+    time("bpe_encode")(
+      graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text", probeMerges)
+        .agg(sum(col("n_tokens"))).collect()(0).getLong(0))
     spark.stop()
   }
 }

@@ -22,6 +22,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(spark, dir, name)
 
+  /** Fixed BPE merge table for the encode queries — FIXED (not learned)
+    * so the DuckDB oracle can replay the exact same table; chosen so the
+    * merges CHAIN (st→str, ll→all, jo→joi→join), exercising the
+    * merged-piece-as-left-side path on real corpus words ("the" → [the],
+    * "stream" → [str, e, am], "small" → [s, m, all], "join" → [join]).
+    * The learned-table path (`bpeMerges` output into `bpeEncode`) is
+    * spec-pinned instead (BpeEncodeSpec): its table is the product of an
+    * iterative driver loop no single SQL statement can replay.
+    */
+  private val BpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("s", "t"), ("e", "r"), ("st", "r"), ("a", "m"),
+    ("l", "l"), ("a", "ll"), ("j", "o"), ("jo", "i"), ("joi", "n"))
+
   // Build-once duplicate-cluster artifact shared by the three cluster
   // consumers (dedup_clusters / dedup_cluster_sizes / dedup_keep_best).
   // At 100 TB the (id, rep) assignment is a parquet table written by ONE
@@ -430,6 +443,25 @@ object SparkEntry {
       // (lexicographic tie-break) — the trace is spec-pinned by hand
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 20)
         .orderBy(col("rank"))),
+    "vocab_bpe_encode" -> ((s, dir) =>
+      // tokenizer APPLICATION (TextAnalysis.bpeEncode): corpus piece
+      // census under the fixed merge table — every piece is a char or a
+      // merge product, so the census is ≤ |alphabet| + |merges| rows at
+      // any SF; the oracle replays the per-rank greedy fold as a DuckDB
+      // list_reduce chain (OracleBpeSql)
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          BpeFixedMerges)
+        .select(explode(col("enc_tokens")).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("piece"))),
+    "docs_bpe_token_counts" -> ((s, dir) =>
+      // per-document EXACT token count under the same fixed table — the
+      // packing/budget-selection input the whitespace and regex counters
+      // approximate; empty docs keep n_tokens = 0 (left-join totality)
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          BpeFixedMerges)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rnk"))),
@@ -1526,6 +1558,10 @@ object SparkEntry {
       // corpus, natural near-pairs included; no planted-twin restriction.
       "dedup_simhash" -> OracleHashSql.simhashNearDupsSql(maxHamming = 3),
       "dedup_minhash_estimate" -> OracleHashSql.minHashEstimateSql(),
+      // fixed-table BPE encode: the in-order greedy fold replayed as a
+      // list_reduce chain, one CTE per merge rank (OracleBpeSql scaladoc)
+      "vocab_bpe_encode" -> OracleBpeSql.pieceCensusSql(BpeFixedMerges),
+      "docs_bpe_token_counts" -> OracleBpeSql.tokenCountsSql(BpeFixedMerges),
       "dedup_cross_corpus" ->
         // exact cross-half Jaccard (even ids = reference, odd = new),
         // best reference per new doc by (jaccard desc, ref id asc) — the

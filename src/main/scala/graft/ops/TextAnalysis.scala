@@ -1259,5 +1259,121 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
+
+  /** The per-word BPE encode kernel: apply an ORDERED merge table to one
+    * word's code-point symbols, one greedy left-to-right single pass per
+    * rank — EXACTLY the fold `bpeMerges` rewrites its vocab with, so
+    * encoding a corpus with its own learned table reproduces the
+    * trainer's final segmentation. This is Sennrich's original
+    * apply-in-learned-order encode; the min-rank-present variant some
+    * tokenizers use (repeatedly merge the lowest-rank pair PRESENT)
+    * differs only when a merge creates a pair of strictly lower rank —
+    * e.g. merges [(c,ab),(a,b)] on "cab": in-order yields [c, ab] (rank 0
+    * runs before ab exists), min-rank-present yields [cab]. The in-order
+    * form is the one a SQL oracle can replay as a finite fold chain
+    * (spec-pinned divergence example in BpeEncodeSpec).
+    *
+    * Cost: a piece-count map lets a rank be skipped in O(1) when its left
+    * or right piece is absent from the word, so a pass costs O(len) only
+    * for ranks that can fire — O(M + fired·len) per word, not O(M·len).
+    * Symbols are full code points (matches DuckDB's character split; on
+    * the ASCII corpus these coincide with Java chars).
+    */
+  private[graft] def encodeWord(w: String,
+                                merges: IndexedSeq[(String, String)]): Array[String] = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    if (syms.length <= 1) return syms.toArray
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    syms.foreach(s => counts.update(s, counts.getOrElse(s, 0) + 1))
+    merges.foreach { case (l, r) =>
+      val canFire =
+        if (l == r) counts.getOrElse(l, 0) >= 2
+        else counts.getOrElse(l, 0) >= 1 && counts.getOrElse(r, 0) >= 1
+      if (canFire && syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r) {
+            // merge: the fresh piece does NOT immediately re-pair with the
+            // next symbol within this rank (out.last becomes l+r != l)
+            out(out.length - 1) = l + r
+            counts.update(l, counts(l) - 1)
+            counts.update(r, counts(r) - 1)
+            counts.update(l + r, counts.getOrElse(l + r, 0) + 1)
+          } else out += s
+        }
+        syms = out
+      }
+    }
+    syms.toArray
+  }
+
+  /** BPE encode — tokenizer APPLICATION as a pipeline op, the inverse
+    * half of `bpeMerges` (tokenizer training): segment every document
+    * with an ordered merge table and return the in-order piece array plus
+    * the EXACT token count — what packing (`packBins`), budget selection
+    * and context-length accounting need in place of the whitespace/regex
+    * approximations.
+    *
+    * Spark-first cost split (the trainer's argument in reverse): the
+    * merge loop runs over the DISTINCT WORD VOCAB — corpus-size-
+    * independent — via one `mapPartitions` kernel with the merge table in
+    * a broadcast (the word→pieces cache every production tokenizer keeps,
+    * materialized as a relation); documents then re-acquire their words'
+    * piece arrays through ONE equi-join on the word. AQE broadcasts the
+    * encoded vocab while it is small; at web-corpus vocab sizes it is a
+    * shuffle on the word, where a hot stopword skews only the join INPUT
+    * (each word row matches exactly one vocab row — no bucket blow-up).
+    * Reassembly is one collect_list keyed by the data-scale doc id (one
+    * document's word list per buffer — the packBins grain).
+    *
+    * Returns (idCol, enc_tokens array<string>, n_tokens int); documents
+    * with no words (empty/whitespace text) keep an empty array.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
+      "bpeEncode: merge sides must be non-empty")
+    Seq("enc_tokens", "n_tokens").foreach(c => require(!df.columns.contains(c),
+      s"bpeEncode emits '$c'; input must not contain it"))
+    val spark = df.sparkSession
+    val words = df
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__wpos", "__w")))
+      .filter(length(col("__w")) > 0)
+    val vocab = words.select(col("__w")).distinct()
+    val mergesB = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    val encSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__w",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__pieces",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val enc = org.apache.spark.sql.Encoders.row(encSchema)
+    val encoded = vocab.mapPartitions { rows =>
+      val m = mergesB.value
+      rows.map { r =>
+        val w = r.getString(0)
+        org.apache.spark.sql.Row(w, encodeWord(w, m).toSeq)
+      }
+    }(enc)
+    val perDoc = words.join(encoded, "__w")
+      .groupBy(col("__id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__wpos"), col("__pieces")))),
+        s => s.getField("__pieces"))).as("enc_tokens"))
+      .withColumnRenamed("__id", idCol)
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("enc_tokens"), array().cast("array<string>")).as("enc_tokens"))
+      .withColumn("n_tokens", size(col("enc_tokens")))
+  }
+
 }
 
