@@ -581,7 +581,19 @@ object SparkEntry {
           levenshtein(substring(col("text"), 1, 120),
             substring(TextAnalysis.normalize(col("text")), 1, 120)).as("edit_dist"))
         .orderBy(col("doc_id"))),
-
+    "text_edit_neighbors" -> ((s, dir) =>
+      // edit-distance similarity JOIN (symmetric-deletion candidates, no
+      // all-pairs product) over the corpus' distinct word vocabulary ∪
+      // source labels — the label set carries the near-identical tags
+      // (src0/src1 substitutions, src1/src11 insertions) an alias-
+      // reconciliation pass is after; the oracle is the quadratic exact
+      // Levenshtein join over the same value set
+      TextAnalysis.editNeighbors(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .union(t(s, dir, "documents").select(col("source").as("w"))),
+        "w", maxEdit = 1)
+        .orderBy(col("w1"), col("w2"))),
     // ---- event-time analytics ----
     "events_tumbling" -> ((s, dir) =>
       Events.tumbling(t(s, dir, "events"))
@@ -2504,6 +2516,16 @@ object SparkEntry {
           |  '[\x00-\x1f]', ' ', 'g'),
           |'\s+', ' ', 'g')), 1, 120)) AS INT) AS edit_dist
           |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+      "text_edit_neighbors" ->
+        // quadratic exact form of the symmetric-deletion join; the 64-char
+        // gate mirrors the operator's maxLen default
+        """WITH tk AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |v AS (SELECT w FROM tk WHERE length(w) > 0 AND length(w) <= 64
+          |      UNION SELECT DISTINCT source FROM documents)
+          |SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS INT) AS dist
+          |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+          |ORDER BY w1, w2""".stripMargin,
       "events_pattern_seq" ->
         // the same greedy stage-minima construction (see
         // Events.earliestSequence for the optimality argument)

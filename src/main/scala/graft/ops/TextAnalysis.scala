@@ -620,7 +620,8 @@ object TextAnalysis {
       // columns first): the using-column join above moved partitionCols
       // to the front, and a positional consumer must not see a different
       // schema the day the corpus crosses the degrade threshold
-      .select((df.columns.map(col) :+ col("n_tokens") :+ col("cum_tokens") :+ col("bin")): _*)
+      .select((df.columns.toIndexedSeq.map(col) :+ col("n_tokens") :+
+        col("cum_tokens") :+ col("bin")): _*)
   }
 
   /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to
@@ -1375,5 +1376,63 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("enc_tokens")))
   }
 
-}
+  /** All single-deletion variants of `w` as an array column — pure HOF
+    * (transform over sequence + substr), no UDF.
+    */
+  private def del1(w: Column): Column =
+    transform(sequence(lit(1), length(w)),
+      p => concat(w.substr(lit(1), p - 1), w.substr(p + 1, length(w))))
 
+  /** Edit-distance similarity self-join: all distinct-value pairs of
+    * `strCol` within Levenshtein distance `maxEdit` (1 or 2) — typo/
+    * variant detection over a label or word vocabulary (near-identical
+    * source tags, OCR/typo word forms, entity aliases), the verification
+    * join edit-distance dedup needs at scale.
+    *
+    * Scale design — symmetric-deletion candidate generation (the SymSpell
+    * scheme, rediscoverable from the alignment argument): if
+    * ED(a,b) ≤ k then deleting each aligned substitution/insertion
+    * position leaves a COMMON string reachable by ≤ k deletions from
+    * both sides. So each distinct value emits its ≤-k-deletion
+    * neighborhood (×(len+1) rows for k=1, ×O(len²) for k=2 — linear in
+    * vocab size either way), candidates are pairs sharing a variant —
+    * an equi-join on the variant, never an all-pairs product — and a
+    * per-pair Levenshtein verifies. The variant join is naturally
+    * skew-bounded: a variant string v can only be reached from the
+    * ≤ (|v|+1)·|Σ| + |v| + 1 strings within k=1 insert/substitute
+    * range of v (alphabet-bounded, corpus-independent), so no hot-bucket
+    * cap is needed — unlike LSH band buckets, bucket membership is
+    * capped by construction. The whole op runs on the DISTINCT value
+    * relation: corpus-grain rows never enter the join.
+    *
+    * `maxLen` drops over-long values before variant generation (the
+    * per-value cost is O(len²)–O(len⁴); edit distance on unbounded
+    * documents is the wrong tool — chunk or fingerprint those instead).
+    * ASCII/BMP note: `length`/`substr`/`levenshtein` all count chars.
+    *
+    * Returns (w1, w2, dist) with w1 < w2, each pair once.
+    */
+  def editNeighbors(df: DataFrame, strCol: String, maxEdit: Int = 1,
+                    maxLen: Int = 64): DataFrame = {
+    require(maxEdit == 1 || maxEdit == 2,
+      s"editNeighbors: maxEdit must be 1 or 2, got $maxEdit")
+    val vals = df.select(col(strCol).as("__w"))
+      .filter(length(col("__w")) > 0 && length(col("__w")) <= maxLen)
+      .distinct()
+    val d1 = array_distinct(concat(array(col("__w")), del1(col("__w"))))
+    val variants =
+      if (maxEdit == 1) d1
+      else array_distinct(flatten(transform(d1, v =>
+        concat(array(v), transform(sequence(lit(1), length(v)),
+          p => concat(v.substr(lit(1), p - 1), v.substr(p + 1, length(v))))))))
+    val cand = vals.select(col("__w"), explode(variants).as("__v"))
+    cand.as("a").join(cand.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__w") < col("b.__w"))
+      .select(col("a.__w").as("w1"), col("b.__w").as("w2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")))
+      .filter(col("dist") <= maxEdit)
+      .select(col("w1"), col("w2"), col("dist").cast("int").as("dist"))
+  }
+
+}
