@@ -594,6 +594,15 @@ object SparkEntry {
           .union(t(s, dir, "documents").select(col("source").as("w"))),
         "w", maxEdit = 1)
         .orderBy(col("w1"), col("w2"))),
+    "docs_gram_novelty" -> ((s, dir) =>
+      // first-occurrence novelty attribution (hashGrams = the production
+      // xxhash64 keying — counts are hash-invariant, so the string-gram
+      // DuckDB oracle still applies); n_novel/n_grams is the dedup-aware
+      // selection signal boilerplate-heavy docs fail
+      TextAnalysis.gramNovelty(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, hashGrams = true)
+        .orderBy(col("doc_id"))),
+
     // ---- event-time analytics ----
     "events_tumbling" -> ((s, dir) =>
       Events.tumbling(t(s, dir, "events"))
@@ -2526,6 +2535,20 @@ object SparkEntry {
           |SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS INT) AS dist
           |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
           |ORDER BY w1, w2""".stripMargin,
+      "docs_gram_novelty" ->
+        // string-gram replay of the hash-keyed novelty attribution: the
+        // truncated-gram construction (greatest(len-2, 1)) makes every doc
+        // own >= 1 gram, so ng covers the corpus and the LEFT JOIN only
+        // fills docs owning no first occurrence
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+           |firsts AS (SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g),
+           |ng AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+           |nv AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel
+           |FROM ng LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
       "events_pattern_seq" ->
         // the same greedy stage-minima construction (see
         // Events.earliestSequence for the optimality argument)

@@ -1435,4 +1435,84 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("dist").cast("int").as("dist"))
   }
 
+  /** Distinct (id, gram) relation shared by the novelty ops: word
+    * `n`-gram shingles (the tfidfSimJoin construction — short docs yield
+    * their single truncated gram, so every document owns ≥ 1 gram and
+    * the ops are total without a corpus re-join). `hashGrams` swaps gram
+    * strings for xxhash64 longs before any exchange — the production
+    * keying; distinct-counts and min-id attribution are unchanged absent
+    * a 64-bit collision.
+    */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, hashGrams: Boolean): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("__id"),
+        tokens(coalesce(col(textCol), lit(""))).as("__w"))
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), greatest(size(col("__w")) - (n - 1), lit(1))),
+        i => array_join(slice(col("__w"), i, lit(n)), " "))).as("__g"))
+    (if (hashGrams) grams.select(col("__id"), xxhash64(col("__g")).as("__g"))
+     else grams).distinct()
+  }
+
+  /** Gram-novelty attribution: how much genuinely-new n-gram content each
+    * document contributes to the corpus, with first occurrence awarded to
+    * the LOWEST id (at 100 TB the id is the crawl-order key — ingestion
+    * timestamps compose the same way). The per-doc novelty ratio
+    * n_novel/n_grams is the dedup-aware selection signal: boilerplate-
+    * heavy documents score near 0 even when no single document duplicates
+    * them outright (pairwise near-dup misses M-way shared fragments;
+    * novelty charges each repeated gram to exactly one owner).
+    *
+    * Scale shape — two independent aggregation trees, no gram-side join:
+    * distinct (id, gram) → (a) groupBy id = n_grams, (b) groupBy gram →
+    * min(id) → groupBy that id = n_novel. Both finish at id-grain hash-
+    * partitioned on the id, so the final combine join is exchange-free;
+    * a viral gram costs one partial-min cell, never a bucket fan-out.
+    *
+    * Returns (idCol, n_grams, n_novel) — distinct grams in the doc, and
+    * how many of them first appear there.
+    */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, hashGrams: Boolean = false): DataFrame = {
+    val dg = docGrams(df, idCol, textCol, n, hashGrams)
+    val nGrams = dg.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val nNovel = dg.groupBy(col("__g")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
+    nGrams.join(nNovel, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
+  /** The seen-gram artifact for incremental novelty: the reference
+    * corpus' distinct gram keys, written once per snapshot (the
+    * crossCorpusBuild convention — Dedup.scala). Persist `hashGrams =
+    * true` in production: the artifact is then 8 bytes per distinct gram.
+    */
+  def noveltyBuild(reference: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, hashGrams: Boolean = false): DataFrame =
+    docGrams(reference, idCol, textCol, n, hashGrams)
+      .select(col("__g")).distinct()
+
+  /** Incremental gram novelty: novelty of a NEW batch against a prior
+    * seen-gram artifact — a gram is novel only if it is absent from the
+    * artifact AND first-within-batch. Folding ordered batches through
+    * this (artifact grown by each batch's grams) reproduces the one-shot
+    * `gramNovelty` of the union exactly (spec-pinned): min-id attribution
+    * distributes over batches when ids are batch-monotone. The artifact
+    * probe is a left-anti join on the gram key — stream-static safe, no
+    * state beyond the artifact itself.
+    */
+  def gramNoveltyWith(batch: DataFrame, seen: DataFrame, idCol: String,
+                      textCol: String, n: Int = 3,
+                      hashGrams: Boolean = false): DataFrame = {
+    val dg = docGrams(batch, idCol, textCol, n, hashGrams)
+    val nGrams = dg.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val nNovel = dg.join(seen.select(col("__g")), Seq("__g"), "left_anti")
+      .groupBy(col("__g")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
+    nGrams.join(nNovel, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
 }
