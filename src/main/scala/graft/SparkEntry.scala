@@ -1304,6 +1304,15 @@ object SparkEntry {
       TextAnalysis.mixInterleave(t(s, dir, "documents"), "lang", "doc_id",
           Map("en" -> 3, "fr" -> 2), defaultWeight = 1)
         .orderBy(col("doc_id"))),
+    "docs_mix_allocate" -> ((s, dir) =>
+      // closed-form token-budget waterfilling: 1.45 corpus epochs at
+      // uniform per-source shares (alpha = 0), nothing repeated past 1.5
+      // epochs — small sources hit the cap, the rest share one λ
+      // (TextAnalysis.mixAllocate scaladoc); the corpus-scale work is a
+      // single token census, the waterfill runs at source grain
+      TextAnalysis.mixAllocate(t(s, dir, "documents"), "source", "text",
+          budgetEpochs = 1.45, alpha = 0.0, maxEpochs = 1.5)
+        .orderBy(col("source"))),
     "docs_budget_select" -> ((s, dir) =>
       // greedy char-budget curation cut: best-quality-first prefix whose
       // cumulative cost fits 50k chars — prefix sum is the two-phase
@@ -3004,6 +3013,27 @@ object SparkEntry {
           |SELECT doc_id, lang, CAST(vt AS BIGINT) AS vt,
           |       row_number() OVER (ORDER BY vt, lang) AS mix_pos
           |FROM v ORDER BY doc_id""".stripMargin,
+      "docs_mix_allocate" ->
+        // the greedy prefix test in ratio order (mixAllocate scaladoc),
+        // replayed with the identical arithmetic: integer token sums are
+        // exact in doubles regardless of addition order, so B/totw/cumc
+        // match Spark's window sums bit-for-bit
+        raw"""WITH t AS (SELECT source,
+           |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |b AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE)*1.5 AS c, 1.0 AS w,
+           |      CAST(n_tokens AS DOUBLE)*1.5/1.0 AS r FROM t WHERE n_tokens > 0),
+           |s AS (SELECT *, sum(CAST(n_tokens AS DOUBLE)) OVER ()*1.45 AS bb,
+           |  COALESCE(sum(c) OVER (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumc,
+           |  COALESCE(sum(w) OVER (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+           |  sum(w) OVER () AS totw FROM b),
+           |f AS (SELECT *, (r <= (bb - cumc)/(totw - cumw)) AS capped FROM s),
+           |g AS (SELECT *, (bb - COALESCE(sum(CASE WHEN capped THEN c END) OVER (), 0)) /
+           |      COALESCE(sum(CASE WHEN NOT capped THEN w END) OVER (), CAST('inf' AS DOUBLE)) AS lam FROM f)
+           |SELECT source, n_tokens, CAST(capped AS INT) AS capped,
+           |round(CASE WHEN capped THEN c ELSE lam*w END, 2) AS alloc_tokens,
+           |round((CASE WHEN capped THEN c ELSE lam*w END)/CAST(n_tokens AS DOUBLE), 4) AS epochs
+           |FROM g ORDER BY source""".stripMargin,
       "events_ohlc" ->
         // (sec, event_id) lexicographic order key mirrored as a HUGEINT
         // composite (DuckDB's arg_min takes scalar keys only): the 2e19

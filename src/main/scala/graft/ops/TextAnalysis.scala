@@ -1515,4 +1515,76 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
+
+  /** Token-budget allocation across sources — the data-mixing computation
+    * that turns "train for `budgetEpochs` corpus epochs, temperature
+    * alpha, no source repeated past `maxEpochs`" into per-source token
+    * counts. Temperature weights w_i = n_i^alpha (alpha = 1 proportional,
+    * 0.5 the multilingual-training upweighting of small sources, 0
+    * uniform shares); the budget B = budgetEpochs·Σn_i waterfills:
+    * a_i = min(maxEpochs·n_i, λ·w_i) with Σa_i = B.
+    *
+    * The waterfill is CLOSED-FORM, not iterative: sources sorted by
+    * ratio r_i = cap_i/w_i cap in a prefix of that order, and the greedy
+    * prefix test  r_i ≤ (B − Σ_{k<i} cap_k)/(Σ_{k≥i} w_k)  marks exactly
+    * the capped set (if a source fails the test, every later one does
+    * too — substitute r_k ≥ r_fail into the failed inequality), so one
+    * ordered window pass + one scalar aggregate replaces the λ-bisection
+    * loop. When B ≥ Σcap the test passes everywhere: allocation
+    * saturates at the caps and Σa < B (the budget is unfillable under
+    * the epoch cap — compare sums to detect).
+    *
+    * Scale shape: the corpus-scale work is ONE partial-aggregated token
+    * census; everything after runs on the source-grain relation
+    * (config-scale — the ordered windows see |sources| rows, never
+    * corpus rows; the λ scalar broadcasts back). alpha ∈ {0, 0.5, 1}
+    * use exact IEEE kernels (lit/sqrt/identity — engine-reproducible);
+    * other alphas go through pow. Zero-token sources are dropped (no
+    * epochs of nothing). Returns (sourceCol, n_tokens, capped 0/1,
+    * alloc_tokens r2, epochs r4).
+    */
+  def mixAllocate(df: DataFrame, sourceCol: String, textCol: String,
+                  budgetEpochs: Double, alpha: Double = 0.5,
+                  maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetEpochs > 0 && maxEpochs > 0,
+      "mixAllocate: budgetEpochs and maxEpochs must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"mixAllocate: alpha must be in [0, 1], got $alpha")
+    val t = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount(col(textCol))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val nD = col("n_tokens").cast("double")
+    val wExpr =
+      if (alpha == 0.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(nD)
+      else if (alpha == 1.0) nD
+      else pow(nD, lit(alpha))
+    val byR = Window.orderBy(col("__r"), col(sourceCol))
+    val prev = byR.rowsBetween(Window.unboundedPreceding, -1)
+    val full = byR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s = t.withColumn("__c", nD * maxEpochs)
+      .withColumn("__w", wExpr)
+      .withColumn("__r", col("__c") / col("__w"))
+      .withColumn("__B", sum(nD).over(full) * budgetEpochs)
+      .withColumn("__cumc", coalesce(sum(col("__c")).over(prev), lit(0.0)))
+      .withColumn("__cumw", coalesce(sum(col("__w")).over(prev), lit(0.0)))
+      .withColumn("__totw", sum(col("__w")).over(full))
+      .withColumn("__capped", col("__r") <=
+        (col("__B") - col("__cumc")) / (col("__totw") - col("__cumw")))
+      // λ = (B − Σ_capped c)/(Σ_uncapped w) as full-frame conditional
+      // sums over the SAME source-grain window — keeps the plan linear
+      // (no second corpus branch to re-scan; the stacked window pass
+      // re-sorts |sources| rows, not documents)
+      .withColumn("__lam",
+        (col("__B") - coalesce(sum(when(col("__capped"), col("__c"))).over(full),
+          lit(0.0))) /
+          coalesce(sum(when(!col("__capped"), col("__w"))).over(full),
+            lit(Double.PositiveInfinity)))
+    s.withColumn("__alloc",
+        when(col("__capped"), col("__c")).otherwise(col("__lam") * col("__w")))
+      .select(col(sourceCol), col("n_tokens"),
+        col("__capped").cast("int").as("capped"),
+        round(col("__alloc"), 2).as("alloc_tokens"),
+        round(col("__alloc") / nD, 4).as("epochs"))
+  }
 }
