@@ -34,7 +34,8 @@ object Bench {
     "docs_calibrate_apply", "text_postings_segments", "mm_phash_cross_corpus",
     "text_dup_spans_removed", "text_remove_spans_cross", "mm_video_neardups",
     "mm_video_cross_corpus", "docs_score_drift",
-    "vocab_bpe_encode", "docs_bpe_token_counts")
+    "vocab_bpe_encode", "docs_bpe_token_counts",
+    "text_edit_neighbors", "docs_gram_novelty", "docs_mix_allocate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -428,6 +428,29 @@ object ScaleProbe {
     time("bpe_encode")(
       graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text", probeMerges)
         .agg(sum(col("n_tokens"))).collect()(0).getLong(0))
+
+    // edit-distance join over an n-value vocabulary ("v" + id): dense
+    // numeric suffixes are the adversarial shape — every value has ~50
+    // single-digit-substitution neighbors, so the verified pair count is
+    // O(50·n) REAL output, not an empty pass. Variant generation is
+    // ×(len+1) = ~9n rows; every variant bucket stays alphabet-bounded.
+    time("edit_neighbors_k1")(
+      graft.ops.TextAnalysis.editNeighbors(
+        spark.range(n).select(concat(lit("v"), col("id")).as("w")), "w", 1).count())
+    // gram novelty at n docs: even/odd twins make half the corpus owe
+    // its grams to the other half — n_novel sums ~half the gram mass;
+    // four hash exchanges, the combine join exchange-free
+    time("gram_novelty")(
+      graft.ops.TextAnalysis.gramNovelty(docs, "doc_id", "text", 3, hashGrams = true)
+        .agg(sum(col("n_novel"))).collect()(0).getLong(0))
+    // mix allocation at n docs over 40 synthetic sources: corpus-scale
+    // work is the one-token census; the waterfill windows see 40 rows
+    time("mix_allocate")(
+      graft.ops.TextAnalysis.mixAllocate(
+        docs.withColumn("source",
+          concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(40L)))),
+        "source", "text", budgetEpochs = 1.45, alpha = 0.5, maxEpochs = 1.6)
+        .count())
     spark.stop()
   }
 }

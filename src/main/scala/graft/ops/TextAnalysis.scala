@@ -1416,9 +1416,15 @@ object TextAnalysis {
                     maxLen: Int = 64): DataFrame = {
     require(maxEdit == 1 || maxEdit == 2,
       s"editNeighbors: maxEdit must be 1 or 2, got $maxEdit")
-    val vals = df.select(col(strCol).as("__w"))
-      .filter(length(col("__w")) > 0 && length(col("__w")) <= maxLen)
-      .distinct()
+    // the distinct-value relation feeds BOTH sides of the self-join:
+    // materialize once (DESIGN §8.1 two-consumer rule) or the corpus
+    // scan + distinct aggregation run twice. The variant Generate still
+    // runs per side, but over the cached vocab — no corpus re-scan.
+    val vals = graft.Cleanup.register(
+      df.select(col(strCol).as("__w"))
+        .filter(length(col("__w")) > 0 && length(col("__w")) <= maxLen)
+        .distinct()
+        .localCheckpoint(false))
     val d1 = array_distinct(concat(array(col("__w")), del1(col("__w"))))
     val variants =
       if (maxEdit == 1) d1
@@ -1475,7 +1481,11 @@ object TextAnalysis {
     */
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, hashGrams: Boolean = false): DataFrame = {
-    val dg = docGrams(df, idCol, textCol, n, hashGrams)
+    // both aggregation trees consume the distinct (id, gram) relation:
+    // materialize it once (DESIGN §8.1) — without this the corpus is
+    // tokenized and distinct-aggregated twice
+    val dg = graft.Cleanup.register(
+      docGrams(df, idCol, textCol, n, hashGrams).localCheckpoint(false))
     val nGrams = dg.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
     val nNovel = dg.groupBy(col("__g")).agg(min(col("__id")).as("__id"))
       .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
@@ -1506,7 +1516,11 @@ object TextAnalysis {
   def gramNoveltyWith(batch: DataFrame, seen: DataFrame, idCol: String,
                       textCol: String, n: Int = 3,
                       hashGrams: Boolean = false): DataFrame = {
-    val dg = docGrams(batch, idCol, textCol, n, hashGrams)
+    val dgRaw = docGrams(batch, idCol, textCol, n, hashGrams)
+    // two consumers (DESIGN §8.1); skip the checkpoint only for a
+    // streaming micro-batch driver that materializes per batch anyway
+    val dg = if (batch.isStreaming) dgRaw
+      else graft.Cleanup.register(dgRaw.localCheckpoint(false))
     val nGrams = dg.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
     val nNovel = dg.join(seen.select(col("__g")), Seq("__g"), "left_anti")
       .groupBy(col("__g")).agg(min(col("__id")).as("__id"))
