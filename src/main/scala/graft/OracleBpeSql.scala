@@ -69,4 +69,60 @@ object OracleBpeSql {
        |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS INT) AS n_tokens
        |FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM pieces GROUP BY doc_id) c
        |USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Full replay of the TRAINING loop (`TextAnalysis.bpeMerges`) — the
+    * query that sat rows-only for three rounds under the claim "an
+    * iterative driver loop no single SQL statement can replay". The claim
+    * was wrong: each round is census → argmax → refold, all relational,
+    * and round k's learned pair enters round k+1 NOT as a literal but as
+    * a one-row relation (`b{k}`) LEFT-JOINed in and referenced from
+    * inside the fold lambda — so one statement chains `nMerges` rounds of
+    * data-dependent rewrites. The two non-obvious requirements:
+    *
+    *  - every `v{k}`/`b{k}` is `AS MATERIALIZED`: DuckDB inlines plain
+    *    CTEs, and each round references the previous one twice (census +
+    *    refold), so inlining expands the chain 2^nMerges-fold — the
+    *    20-round plain form exhausts the process fd limit before it ever
+    *    runs;
+    *  - `LEFT JOIN b{k} ON TRUE`, not CROSS JOIN: a round whose best
+    *    pair misses `minPairFreq` yields an EMPTY b{k}, which must leave
+    *    the vocab unchanged (and then every later round is empty too —
+    *    the trainer's early-stop, reproduced relationally).
+    *
+    * Census semantics mirror the trainer exactly: weighted by distinct-
+    * word count, overlapping adjacent pairs each counted, argmax ties
+    * broken (freq DESC, left ASC, right ASC), refold = the same guarded
+    * chr(31) string fold as the encode oracle. "left"/"right" are quoted
+    * (reserved words in DuckDB).
+    */
+  def mergesSql(nMerges: Int, minPairFreq: Long = 2L): String = {
+    require(nMerges >= 1, "bpe merges oracle: need at least one round")
+    val head = Seq(
+      raw"""tk AS (SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents)""",
+      """words0 AS (SELECT unnest(ts) AS w FROM tk)""",
+      """wchk AS (SELECT CASE WHEN contains(w, chr(31))
+        |  THEN error('bpe oracle: token contains the chr(31) separator') ELSE w END AS w
+        |  FROM words0 WHERE length(w) > 0)""".stripMargin,
+      """v0 AS MATERIALIZED (SELECT array_to_string(string_split(w, ''), chr(31)) AS s,
+        |  count(*) AS cnt FROM wchk GROUP BY w)""".stripMargin)
+    val rounds = (0 until nMerges).flatMap { k =>
+      Seq(
+        s"""p$k AS (SELECT l[i] AS lft, l[i+1] AS rgt, sum(cnt) AS freq
+           |  FROM (SELECT string_split(s, chr(31)) AS l, cnt FROM v$k),
+           |       unnest(generate_series(1, len(l)-1)) AS u(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$k AS MATERIALIZED (SELECT lft, rgt, freq FROM p$k
+           |  WHERE freq >= $minPairFreq
+           |  ORDER BY freq DESC, lft ASC, rgt ASC LIMIT 1)""".stripMargin,
+        s"""v${k + 1} AS MATERIALIZED (SELECT CASE WHEN b.lft IS NULL THEN v.s
+           |  ELSE list_reduce(string_split(v.s, chr(31)),
+           |    (acc, x) -> CASE WHEN x = b.rgt AND (acc = b.lft OR ends_with(acc, chr(31) || b.lft))
+           |                THEN acc || b.rgt ELSE acc || chr(31) || x END) END AS s, v.cnt
+           |  FROM v$k v LEFT JOIN b$k b ON TRUE)""".stripMargin)
+    }
+    val union = (0 until nMerges).map { k =>
+      s"""SELECT CAST($k AS INT) AS rank, lft AS "left", rgt AS "right", CAST(freq AS BIGINT) AS pair_freq FROM b$k"""
+    }.mkString("\nUNION ALL ")
+    (head ++ rounds).mkString("WITH ", ",\n", "\n") + union + "\nORDER BY rank"
+  }
 }

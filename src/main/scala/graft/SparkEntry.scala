@@ -602,6 +602,18 @@ object SparkEntry {
       TextAnalysis.gramNovelty(t(s, dir, "documents"), "doc_id", "text",
           n = 3, hashGrams = true)
         .orderBy(col("doc_id"))),
+    "docs_novelty_incremental" -> ((s, dir) => {
+      // the seen-gram seam driver-checked (noveltyBuild/gramNoveltyWith):
+      // the artifact knows the even-id reference half's grams; the odd-id
+      // batch's novelty counts only grams absent from the artifact AND
+      // first-within-batch — "how much new content does this crawl add"
+      val docs = t(s, dir, "documents")
+      TextAnalysis.gramNoveltyWith(docs.filter(col("doc_id") % 2 === 1),
+          TextAnalysis.noveltyBuild(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", 3, hashGrams = true),
+          "doc_id", "text", 3, hashGrams = true)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- event-time analytics ----
     "events_tumbling" -> ((s, dir) =>
@@ -1592,6 +1604,11 @@ object SparkEntry {
       // list_reduce chain, one CTE per merge rank (OracleBpeSql scaladoc)
       "vocab_bpe_encode" -> OracleBpeSql.pieceCensusSql(BpeFixedMerges),
       "docs_bpe_token_counts" -> OracleBpeSql.tokenCountsSql(BpeFixedMerges),
+      // the TRAINING loop replayed: 20 data-dependent census→argmax→
+      // refold rounds chained through materialized one-row pair relations
+      // (OracleBpeSql.mergesSql scaladoc — this sat rows-only for three
+      // rounds under an "oracle-inexpressible" claim that proved wrong)
+      "vocab_bpe_merges" -> OracleBpeSql.mergesSql(20),
       "dedup_cross_corpus" ->
         // exact cross-half Jaccard (even ids = reference, odd = new),
         // best reference per new doc by (jaccard desc, ref id asc) — the
@@ -2554,6 +2571,20 @@ object SparkEntry {
            |          FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
            |firsts AS (SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g),
            |ng AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+           |nv AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel
+           |FROM ng LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "docs_novelty_incremental" ->
+        // same gram construction; the seen set is the even half's DISTINCT
+        // grams, batch novelty = anti-join survivors first-within-batch
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+           |seen AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+           |bg AS (SELECT doc_id, g FROM grams WHERE doc_id % 2 = 1),
+           |firsts AS (SELECT g, min(doc_id) AS doc_id FROM bg ANTI JOIN seen USING (g) GROUP BY g),
+           |ng AS (SELECT doc_id, count(*) AS n_grams FROM bg GROUP BY doc_id),
            |nv AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id)
            |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
            |CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel
