@@ -1383,6 +1383,17 @@ object TextAnalysis {
     transform(sequence(lit(1), length(w)),
       p => concat(w.substr(lit(1), p - 1), w.substr(p + 1, length(w))))
 
+  /** The ≤`maxEdit`-deletion neighborhood of `w` (including `w` itself),
+    * distinct — the symmetric-deletion candidate key set.
+    */
+  private def delNeighborhood(w: Column, maxEdit: Int): Column = {
+    val d1 = array_distinct(concat(array(w), del1(w)))
+    if (maxEdit == 1) d1
+    else array_distinct(flatten(transform(d1, v =>
+      concat(array(v), transform(sequence(lit(1), length(v)),
+        p => concat(v.substr(lit(1), p - 1), v.substr(p + 1, length(v))))))))
+  }
+
   /** Edit-distance similarity self-join: all distinct-value pairs of
     * `strCol` within Levenshtein distance `maxEdit` (1 or 2) — typo/
     * variant detection over a label or word vocabulary (near-identical
@@ -1425,13 +1436,8 @@ object TextAnalysis {
         .filter(length(col("__w")) > 0 && length(col("__w")) <= maxLen)
         .distinct()
         .localCheckpoint(false))
-    val d1 = array_distinct(concat(array(col("__w")), del1(col("__w"))))
-    val variants =
-      if (maxEdit == 1) d1
-      else array_distinct(flatten(transform(d1, v =>
-        concat(array(v), transform(sequence(lit(1), length(v)),
-          p => concat(v.substr(lit(1), p - 1), v.substr(p + 1, length(v))))))))
-    val cand = vals.select(col("__w"), explode(variants).as("__v"))
+    val cand = vals.select(col("__w"),
+      explode(delNeighborhood(col("__w"), maxEdit)).as("__v"))
     cand.as("a").join(cand.as("b"),
         col("a.__v") === col("b.__v") && col("a.__w") < col("b.__w"))
       .select(col("a.__w").as("w1"), col("b.__w").as("w2"))
@@ -1439,6 +1445,47 @@ object TextAnalysis {
       .withColumn("dist", levenshtein(col("w1"), col("w2")))
       .filter(col("dist") <= maxEdit)
       .select(col("w1"), col("w2"), col("dist").cast("int").as("dist"))
+  }
+
+  /** The deletion-variant index of a reference dictionary, built once per
+    * snapshot (the crossCorpusBuild seam convention): (__v variant,
+    * __w reference value) over the reference's distinct values. Persist
+    * as a table in production; probe it with `editNeighborsWith`. The
+    * probe MUST use the same `maxEdit` the index was built with — the
+    * completeness guarantee needs ≤k deletions on BOTH sides.
+    */
+  def editIndexBuild(reference: DataFrame, strCol: String, maxEdit: Int = 1,
+                     maxLen: Int = 64): DataFrame = {
+    require(maxEdit == 1 || maxEdit == 2,
+      s"editIndexBuild: maxEdit must be 1 or 2, got $maxEdit")
+    reference.select(col(strCol).as("__w"))
+      .filter(length(col("__w")) > 0 && length(col("__w")) <= maxLen)
+      .distinct()
+      .select(col("__w"), explode(delNeighborhood(col("__w"), maxEdit)).as("__v"))
+  }
+
+  /** Cross-corpus edit-distance probe: each of `df`'s distinct values
+    * paired with every reference-dictionary value within Levenshtein
+    * `maxEdit` — "which incoming labels/words are typo-variants of known
+    * ones", the spell-correction/alias-resolution production shape. The
+    * join is stream-static safe (the index is a fixed relation; the probe
+    * side is a projection + explode + equi-join), and dist = 0 rows mean
+    * the value is already in the dictionary — callers keep or drop them.
+    * Returns (w_new, w_ref, dist), each pair once.
+    */
+  def editNeighborsWith(df: DataFrame, index: DataFrame, strCol: String,
+                        maxEdit: Int = 1, maxLen: Int = 64): DataFrame = {
+    require(maxEdit == 1 || maxEdit == 2,
+      s"editNeighborsWith: maxEdit must be 1 or 2, got $maxEdit")
+    val cand = df.select(col(strCol).as("__wn"))
+      .filter(length(col("__wn")) > 0 && length(col("__wn")) <= maxLen)
+      .distinct()
+      .select(col("__wn"), explode(delNeighborhood(col("__wn"), maxEdit)).as("__v"))
+    cand.join(index, "__v")
+      .select(col("__wn").as("w_new"), col("__w").as("w_ref")).distinct()
+      .withColumn("dist", levenshtein(col("w_new"), col("w_ref")))
+      .filter(col("dist") <= maxEdit)
+      .select(col("w_new"), col("w_ref"), col("dist").cast("int").as("dist"))
   }
 
   /** Distinct (id, gram) relation shared by the novelty ops: word

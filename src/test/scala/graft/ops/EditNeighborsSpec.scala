@@ -65,6 +65,38 @@ class EditNeighborsSpec extends AnyFunSuite {
     assert(TextAnalysis.editNeighbors(Seq.empty[String].toDF("w"), "w").count() === 0)
   }
 
+  test("cross-corpus probe matches brute force, dist-0 rows mark known values") {
+    val rnd = new scala.util.Random(31)
+    (1 to 4).foreach { trial =>
+      val ref = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => "abc" (rnd.nextInt(3))).mkString).distinct
+      val batch = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => "abc" (rnd.nextInt(3))).mkString).distinct
+      Seq(1, 2).foreach { k =>
+        val idx = TextAnalysis.editIndexBuild(ref.toDF("w"), "w", maxEdit = k)
+        val got = TextAnalysis.editNeighborsWith(batch.toDF("w"), idx, "w", maxEdit = k)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        val want = (for {
+          b <- batch; a <- ref
+          d = lev(b, a) if d <= k
+        } yield (b, a, d)).toSet
+        assert(got === want, s"trial=$trial k=$k")
+        // identical values surface as dist-0 pairs
+        batch.toSet.intersect(ref.toSet).foreach(w => assert(got((w, w, 0))))
+      }
+    }
+  }
+
+  test("probing per batch equals probing the union (stream-static shape)") {
+    val ref = Seq("abc", "abd", "xyz").toDF("w")
+    val idx = TextAnalysis.editIndexBuild(ref, "w")
+    val all = Seq("abx", "ayz", "abc", "qqq")
+    def probe(vs: Seq[String]) =
+      TextAnalysis.editNeighborsWith(vs.toDF("w"), idx, "w")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(probe(all.take(2)) ++ probe(all.drop(2)) === probe(all))
+  }
+
   test("plan has no cartesian or nested-loop join") {
     val plan = TextAnalysis.editNeighbors(
       Seq("ab", "ba").toDF("w"), "w", maxEdit = 2)
