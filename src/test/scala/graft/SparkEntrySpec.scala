@@ -24,12 +24,14 @@ class SparkEntrySpec extends AnyFunSuite {
     // exact at the test SFs, so it shares the exact-Jaccard SQL);
     // sim_topk_ivf graduated in round 8 on its planted-twin exact leg;
     // dedup_simhash + dedup_minhash_estimate graduated in round 9 via the
-    // XXH64-in-SQL dialect (OracleHashSql). The rest: two sketch ops, a
-    // Bloom probe, and the 20-round iterative BPE trace.
+    // XXH64-in-SQL dialect (OracleHashSql); vocab_bpe_merges graduated
+    // late in round 9 (the 20-round training loop replayed in one DuckDB
+    // statement — OracleBpeSql.mergesSql). The remainder is exactly the
+    // genuinely-approximate sketches: HLL distinct, percentile sketch,
+    // and the Bloom probe.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q_approx_distinct",
-      "q_percentiles_approx", "text_decontaminate_bloom",
-      "vocab_bpe_merges"))
+      "q_percentiles_approx", "text_decontaminate_bloom"))
   }
 
   test("bench headline subset names only real, production (non-oracle) queries") {
