@@ -272,6 +272,31 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "sim_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining for contrastive training: top-5 nearest
+      // DIFFERENT-label vectors per query — label predicate inside the
+      // join, so same-label crowd-out can't under-fill k
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "sim_knn_classify" -> ((s, dir) => {
+      // k-NN weak labeling: the labeled seed set (vec_id >= 20) votes on
+      // each fresh vector (vec_id < 20) — majority of the 10 nearest,
+      // ties toward (best cosine, smaller label)
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(emb.filter(col("vec_id") >= 20),
+          emb.filter(col("vec_id") < 20), 10)
+        .orderBy(col("query_id"))
+    }),
+    "emb_coreset_kcenter" -> ((s, dir) =>
+      // greedy k-center coreset (Gonzalez): the 8 most mutually-distant
+      // vectors, in selection order — diversity-first labeling budget;
+      // the DuckDB oracle replays all 8 farthest-point rounds as a
+      // materialized-CTE chain (the vocab_bpe_merges multi-round pattern)
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"), 8)
+        .orderBy(col("rnk"))),
+
     "emb_mean_pool" -> ((s, dir) =>
       // per-bucket embedding centroids (cluster/shard summarization)
       Similarity.meanPool(t(s, dir, "embeddings"), pmod(col("vec_id"), lit(8L)))
@@ -436,6 +461,18 @@ object SparkEntry {
           defaultPerMille = 300)
         .select(col("doc_id"), col("lang"),
           pmod(TextAnalysis.fingerprint(col("text")), lit(1000L)).as("bucket"))
+        .orderBy(col("doc_id"))),
+    "docs_weighted_sample" -> ((s, dir) =>
+      // priority sampling: deterministic weighted sample (w = n_chars)
+      // without replacement, exactly 100 docs; est_w = max(w, τ) is the
+      // unbiased subset-sum estimator (τ = the 101st priority) — the
+      // column that lets the sample answer "how many chars/tokens does
+      // this represent" without rescanning the corpus
+      TextAnalysis.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
+          "text", 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("priority"), 4).as("priority_r"),
+          round(col("est_w"), 4).as("est_w_r"))
         .orderBy(col("doc_id"))),
     "vocab_bpe_merges" -> ((s, dir) => // iterative trainer: rows-only oracle
       // BPE tokenizer induction: one corpus-scale word count, then 20
@@ -646,6 +683,12 @@ object SparkEntry {
       // see Events.anomalyZScores for why the moments are cents
       Events.anomalyZScores(t(s, dir, "events"), zThreshold = 2.5)
         .orderBy(col("event_id"))),
+    "events_scd2" -> ((s, dir) =>
+      // CDC compaction: the per-user event_type change log collapsed to
+      // SCD2 validity intervals (half-open epoch-second bounds, -1 = the
+      // still-current run) — see Events.scd2Compact
+      Events.scd2Compact(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("seq"))),
     "events_pattern_seq" -> ((s, dir) =>
       // MATCH_RECOGNIZE-style ordered-sequence detection: first
       // view → click → purchase chain per user (strictly increasing event
@@ -1581,6 +1624,34 @@ object SparkEntry {
          |SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    // k-center greedy traversal replayed as a materialized-CTE chain (the
+    // vocab_bpe_merges multi-round pattern): c1 = smallest id; round r —
+    // dr = running min of squared distance to the selected set (exact
+    // least() fold, same index-order summation as the Spark op), c{r+1} =
+    // the farthest unselected point. AS MATERIALIZED is load-bearing
+    // (DESIGN §12: inlined CTEs re-expand the chain combinatorially).
+    val kcenterSql = {
+      val k = 8
+      def dist(p: String, c: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($p.v) + 1), " +
+          s"i -> ($p.v[i] - $c.v[i]) * ($p.v[i] - $c.v[i]))), (a, x) -> a + x)"
+      val sb = new StringBuilder
+      sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+      sb ++= "c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),\n"
+      for (r <- 2 to k) {
+        val prev = if (r == 2) "e" else s"d${r - 2}"
+        val d = if (r == 2) dist("p", "c")
+                else s"least(p.d, ${dist("p", "c")})"
+        sb ++= s"d${r - 1} AS MATERIALIZED (SELECT p.vec_id, p.v, $d AS d FROM $prev p, c${r - 1} c),\n"
+        val excl = (1 until r).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+        sb ++= s"c$r AS MATERIALIZED (SELECT vec_id, v, d FROM d${r - 1} WHERE vec_id NOT IN ($excl) ORDER BY d DESC, vec_id LIMIT 1),\n"
+      }
+      val rows = (s"SELECT CAST(1 AS INT) AS rnk, vec_id, CAST(-1.0 AS DOUBLE) AS mindist_r FROM c1" +:
+        (2 to k).map(r =>
+          s"SELECT CAST($r AS INT), vec_id, round(sqrt(d), 4) FROM c$r")).mkString("\n UNION ALL ")
+      sb ++= s"sel AS ($rows)\nSELECT rnk, vec_id, mindist_r FROM sel ORDER BY rnk"
+      sb.toString
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -1752,6 +1823,31 @@ object SparkEntry {
           |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos FROM q JOIN c ON neighbor_id <> query_id),
           |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
           |SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cosine_r FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+      "sim_hard_negatives" ->
+        // same brute-force shape as sim_topk_bruteforce with the label
+        // predicate INSIDE the join (the retrieve-then-filter trap the
+        // scaladoc documents)
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS neg_label FROM embeddings),
+          |s AS (SELECT query_id, neighbor_id, neg_label, list_cosine_similarity(qv, cv) AS cos
+          |      FROM q JOIN c ON neighbor_id <> query_id AND neg_label <> q_label),
+          |r AS (SELECT query_id, neighbor_id, neg_label, cos,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, rnk, neighbor_id, neg_label, round(cos, 4) AS cosine_r
+          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "sim_knn_classify" ->
+        // top-10 per query among the labeled seed half, then the
+        // (votes DESC, best_cos DESC, label ASC) argmax — all exact
+        // comparisons
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nb_label FROM embeddings WHERE vec_id >= 20),
+          |s AS (SELECT query_id, neighbor_id, nb_label, list_cosine_similarity(qv, cv) AS cos FROM q JOIN c ON neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s),
+          |v AS (SELECT query_id, nb_label, count(*) AS votes, max(cos) AS best_cos FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+          |p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best_cos DESC, nb_label) AS vr FROM v)
+          |SELECT query_id, nb_label AS pred_label, votes, round(best_cos, 4) AS top_cosine_r
+          |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin,
+      "emb_coreset_kcenter" -> kcenterSql,
       "emb_quant_error" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT vec_id, v,
@@ -1963,6 +2059,22 @@ object SparkEntry {
           |WHERE b < CASE lang WHEN 'en' THEN 200 WHEN 'fr' THEN 400 WHEN 'es' THEN 400
           |                    WHEN 'de' THEN 600 WHEN 'zh' THEN 600 ELSE 300 END
           |ORDER BY doc_id""".stripMargin,
+      "docs_weighted_sample" ->
+        // priority sampling replay: same rolling-hash fold; the priority
+        // w·M/u is one exact double multiply + one IEEE divide, so the
+        // top-101 boundary and τ are bit-identical across engines
+        """WITH f AS (SELECT doc_id, lang, n_chars, list_reduce(
+          |  list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          |  (h, c) -> (h * 31 + c) % 1000000007) AS fp FROM documents),
+          |p AS (SELECT doc_id, lang, n_chars,
+          |  CAST(n_chars AS DOUBLE) * 1000003.0 / CAST(fp % 1000003 + 1 AS DOUBLE) AS pr FROM f),
+          |t AS MATERIALIZED (SELECT * FROM p ORDER BY pr DESC, doc_id LIMIT 101),
+          |tau AS (SELECT CASE WHEN count(*) = 101 THEN min(pr) ELSE 0.0 END AS tau FROM t),
+          |s AS (SELECT * FROM t ORDER BY pr DESC, doc_id LIMIT 100)
+          |SELECT doc_id, lang, n_chars, round(pr, 4) AS priority_r,
+          |round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w_r
+          |FROM s, tau ORDER BY doc_id""".stripMargin,
       "text_tfidf" ->
         // score = tf/df (rational, IEEE-exact division) — see
         // TextAnalysis.topTermsPerDoc for why there is deliberately no ln()
@@ -2083,6 +2195,21 @@ object SparkEntry {
            |c AS (SELECT g, count(*) AS doc_freq FROM grams GROUP BY g)
            |SELECT g, CAST(doc_freq AS BIGINT) AS doc_freq FROM c
            |ORDER BY doc_freq DESC, g LIMIT 20""".stripMargin,
+      "events_scd2" ->
+        // gaps-and-islands replay: change flags, running run numbers,
+        // per-run collapse, lead() closes each interval; per-event floor
+        // BEFORE min matches Spark's unix_timestamp-then-min order
+        """WITH o AS (SELECT user_id, event_type, ts, event_id,
+          |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+          |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM o),
+          |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run FROM c),
+          |g AS (SELECT user_id, run, event_type,
+          |      min(CAST(floor(epoch(ts)) AS BIGINT)) AS valid_from, count(*) AS n_events
+          |      FROM r GROUP BY 1, 2, 3)
+          |SELECT user_id, CAST(run AS BIGINT) AS seq, event_type, valid_from,
+          |CAST(coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run), -1) AS BIGINT) AS valid_to,
+          |CAST(n_events AS BIGINT) AS n_events
+          |FROM g ORDER BY user_id, seq""".stripMargin,
       "events_tumbling" ->
         """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
           |count(*) AS n_events, round(sum("value"), 2) AS sum_value

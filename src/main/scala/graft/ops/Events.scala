@@ -93,6 +93,47 @@ object Events {
         .as("gap_secs"))
   }
 
+  /** SCD2 / change-data-capture compaction: collapse each key's event
+    * stream into attribute-validity intervals — one row per maximal run of
+    * consecutive equal attribute values, with half-open [valid_from,
+    * valid_to) bounds in epoch seconds (valid_to = -1 marks the run that
+    * is still current). The classic gaps-and-islands construction: a lag
+    * marks change points, a running sum numbers the runs, one aggregate
+    * collapses them, and a lead over the per-key RUN relation closes each
+    * interval with its successor's start. Turning an append-only change
+    * log into the dimension table a warehouse joins against is the
+    * batch-compaction half of CDC ingestion.
+    *
+    * Scale shape: both raw-event windows (lag, running sum) and the
+    * shuffle are keyed on the data-scale entity key; the lead that closes
+    * intervals runs over the AGGREGATED runs relation (bounded per key by
+    * the run count, plan-visible to the sweep via its Aggregate input).
+    * One shuffle total — the change-flag, run-number, and aggregate
+    * stages all share the (key) hash partitioning, so Catalyst plans a
+    * single exchange. Ordering within a key is (ts, seqCol): the sequence
+    * column breaks equal-timestamp ties deterministically, which is what
+    * makes the compaction — and its oracle — reproducible.
+    */
+  def scd2Compact(events: DataFrame, keyCol: String = "user_id",
+                  attrCol: String = "event_type", tsCol: String = "ts",
+                  seqCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val chg = when(lag(col(attrCol), 1).over(w).isNull ||
+      lag(col(attrCol), 1).over(w) =!= col(attrCol), 1).otherwise(0)
+    val runs = events
+      .withColumn("__chg", chg)
+      .withColumn("__run", sum(col("__chg")).over(w))
+      .groupBy(col(keyCol), col("__run"), col(attrCol))
+      .agg(min(unix_timestamp(col(tsCol))).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("__run"))
+    runs
+      .select(col(keyCol), col("__run").as("seq"), col(attrCol),
+        col("valid_from"),
+        coalesce(lead(col("valid_from"), 1).over(wr), lit(-1L)).as("valid_to"),
+        col("n_events"))
+  }
+
   /** Per-user sliding 1-hour value sum — the RANGE-frame window surface
     * (logical offsets over event time, NOT row counts: all peers at the
     * same timestamp join the frame, so the result is tie-order

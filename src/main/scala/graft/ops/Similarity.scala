@@ -59,6 +59,84 @@ object Similarity {
         round(col("cos"), 4).as("cosine_r"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the k most-similar corpus vectors whose label DIFFERS from the
+    * query's — the "hard" negatives that sit just outside the class
+    * boundary and carry most of the gradient signal in embedding-model
+    * training [Robinson et al., ICLR 2021]. Exact (brute-force) scoring:
+    * the label predicate lands INSIDE the join condition, so a mislabeled
+    * near-twin can never leak in via post-filtering a top-k that was
+    * computed label-blind (retrieve-then-filter under-fills k whenever
+    * same-label vectors crowd the true top).
+    *
+    * Output: (query_id, rnk, neighbor_id, neg_label, cosine_r),
+    * deterministic tie-break on neighbor id.
+    *
+    * Scale shape: identical to `bruteForceTopK` — queries broadcast,
+    * corpus partition-local scoring, `filter(rank <= k)` compiles to
+    * WindowGroupLimit (per-partition top-k heap BEFORE the per-query
+    * shuffle, so only k·|queries| candidate rows ever move). For
+    * corpus-scale query sets, compose the IVF path instead: probe
+    * `ivfQuery` for top-(m·k) then apply the label filter — the standard
+    * over-retrieve trade, with m bounding the same-label crowd-out risk.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), col(labelCol).as("neg_label"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("neg_label"),
+        round(col("cos"), 4).as("cosine_r"))
+  }
+
+  /** k-NN weak labeling: predict each query vector's label by majority
+    * vote among its k nearest labeled corpus vectors (cosine), with the
+    * vote deterministically broken toward the smaller label id. The
+    * cheap-and-cheerful classifier a curation pipeline uses to
+    * pseudo-label fresh data from a labeled seed set before a real model
+    * exists. Output: (query_id, pred_label, votes, top_cosine_r).
+    *
+    * Scale shape: the scored candidate set is the same broadcast-join
+    * WindowGroupLimit shape as `bruteForceTopK`; the vote is then a
+    * per-query aggregate over ≤ k rows. Ambiguity is resolved by
+    * (votes DESC, best cosine within the label DESC, label ASC) — all
+    * exact comparisons, so the prediction is engine-reproducible.
+    */
+  def knnClassify(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), col(labelCol).as("nb_label"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    val topk = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // per-(query, label) vote census over ≤ k rows, then a bounded-grain
+    // argmax window over the census (≤ |labels| rows per query)
+    val votes = topk.groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_cos").desc, col("nb_label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("query_id"), col("nb_label").as("pred_label"), col("votes"),
+        round(col("best_cos"), 4).as("top_cosine_r"))
+  }
+
   /** Deterministic fixed-size IVF seed selection: the `nlist` corpus
     * vectors with the smallest xxhash64(id) — a uniform deterministic
     * sample whose size is INDEPENDENT of corpus size. (The previous
@@ -324,6 +402,77 @@ object Similarity {
     assigned.select(col(idCol), col("bucket"))
       .join(dropped.withColumn("__dup", lit(1)), Seq(idCol), "left")
       .select(col(idCol), col("bucket"), col("__dup").isNull.as("keep"))
+  }
+
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal): select k
+    * vectors such that every corpus vector is within max-min distance of a
+    * selected one — the classic 2-approximation to the k-center cover, and
+    * the standard diversity-maximizing subset selection for active
+    * learning / "which documents should humans label first" [Sener &
+    * Savarese, ICLR 2018]. Deterministic: seeded at the smallest id,
+    * farthest-point ties break toward the smaller id.
+    *
+    * Output: (rnk, vec_id, mindist_r) — the selection order, and each
+    * center's distance to the already-selected set at the moment it was
+    * picked (the seed reports -1.0; the k-th value is the cover radius).
+    *
+    * Scale shape: k driver rounds (k is 10¹–10³ in practice — it bounds a
+    * LABELING budget, not the corpus). Per round: ONE linear scan that
+    * (a) folds the running min-distance column against the single
+    * newly-selected center — a literal dim-vector broadcast in the task
+    * binary, so the state per row is one double — and (b) takes the
+    * arg-max via orderBy+limit(1) = TakeOrderedAndProject (per-partition
+    * 1-row heap, no shuffle). The base relation is localCheckpoint'ed
+    * once and each round's min-fold is re-checkpointed, so round r reads
+    * a 1-column-wider flat relation, never a depth-r lineage chain. Only
+    * k (id, vector) pairs and k scalars ever reach the driver. The
+    * incremental least() fold is exactly Gonzalez's O(n·k) algorithm —
+    * recomputing all k distances per round would be O(n·k²) FLOPs for no
+    * accuracy gain (min is associative).
+    *
+    * Determinism across engines (the DuckDB oracle replays all k rounds
+    * as a materialized-CTE chain, the vocab_bpe_merges pattern): the
+    * squared distance folds (x_i−c_i)² in index order with seed 0.0 —
+    * bit-identical IEEE ops in any engine — and least() and the arg-max
+    * comparison are exact, so the traversal cannot diverge.
+    */
+  def kCenterCoreset(df: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"coreset size must be >= 1: $k")
+    val spark = df.sparkSession
+    val base = graft.Cleanup.register(
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), x => x.cast("double")).as("v"))
+        .localCheckpoint(false))
+    def sqDistTo(c: Seq[Double]): Column =
+      aggregate(zip_with(col("v"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, x) => s + x)
+    val seed = base.orderBy(col("id").asc).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("k-center coreset of an empty corpus"))
+    var picked = Vector((seed.getLong(0), seed.getSeq[Double](1).toSeq, -1.0))
+    var cur = base // running (id, v, d) relation; d absent until round 2
+    for (r <- 2 to k) {
+      val (_, lastVec, _) = picked.last
+      val dCol = if (r == 2) sqDistTo(lastVec) else least(col("d"), sqDistTo(lastVec))
+      cur = graft.Cleanup.register(
+        cur.withColumn("d", dCol).localCheckpoint(false))
+      val ids = picked.map(_._1)
+      val next = cur.filter(!col("id").isInCollection(ids))
+        .orderBy(col("d").desc, col("id").asc).limit(1).collect()
+      if (next.nonEmpty) {
+        val row = next.head
+        picked :+= ((row.getLong(0), row.getSeq[Double](1).toSeq,
+          math.sqrt(row.getDouble(2))))
+      }
+    }
+    import spark.implicits._
+    // rounding via the same Catalyst round() every other query uses, so
+    // the oracle-side round() semantics match exactly
+    picked.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("rnk", "vec_id", "mindist")
+      .select(col("rnk"), col("vec_id"), round(col("mindist"), 4).as("mindist_r"))
   }
 
   /** Group-wise embedding mean pooling (per-cluster / per-shard centroids):

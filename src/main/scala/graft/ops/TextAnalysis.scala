@@ -342,6 +342,60 @@ object TextAnalysis {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic weighted sampling without replacement, size exactly k:
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007). Each row gets a
+    * priority q = w / u where u ∈ (0,1] is a uniform deterministically
+    * derived from the content fingerprint; the k highest-priority rows are
+    * the sample, and with τ = the (k+1)-th priority, est_w = max(w, τ) is
+    * an unbiased estimator of any subset-sum over the original weights —
+    * the property that lets a 100 TB pipeline audit a weighted sample
+    * ("how many tokens does this sample represent?") without rescanning
+    * the corpus.
+    *
+    * Determinism discipline (same as `stratifiedSample`): u comes from the
+    * rolling-hash fingerprint, not an RNG, so the sample is identical
+    * across re-partitions and re-runs, and — unlike the exponential-key
+    * variant of weighted sampling (key = u^(1/w), a transcendental whose
+    * last-ulp rounding is libm-dependent) — the priority w·M/u is one
+    * integer-exact double multiply and one correctly-rounded IEEE divide,
+    * so ANY engine ranks the rows identically (the DuckDB oracle
+    * hash-matches on values, not just rows). Ties (identical text AND
+    * weight) break by id.
+    *
+    * Scale shape: the top-(k+1) is orderBy+limit = TakeOrderedAndProject —
+    * per-partition heap of k+1 rows, driver merges parts·(k+1); no
+    * corpus shuffle, no window. τ is the minimum of that (k+1)-row set,
+    * joined back as a broadcast 1-row aggregate (never collected). For
+    * corpus-scale k (billions), the same priorities feed a two-pass
+    * threshold form instead — approx-percentile τ₀, count, refine — but
+    * sample-for-inspection k (10²–10⁶) is TakeOrdered territory at any
+    * corpus size.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1: $k")
+    // u in (0, M]/M: fingerprint mod M, shifted off zero so q is finite;
+    // M prime keeps the residues equidistributed under the polynomial hash
+    val M = 1000003L
+    val u = pmod(fingerprint(col(textCol)), lit(M)) + lit(1L)
+    // w·M exact in double (weights up to 2^53/M), then one IEEE divide —
+    // bit-identical in every engine, so the top-k boundary cannot flip
+    val pr = (col(weightCol).cast("double") * lit(M.toDouble)) / u.cast("double")
+    val top = df.withColumn("priority", pr)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+      .localCheckpoint(false) // k+1 rows; feeds the sample AND τ branches
+    graft.Cleanup.register(top)
+    // τ = (k+1)-th priority = min of the k+1 kept rows (0 when the corpus
+    // has ≤ k rows: every row is sampled and est_w degenerates to w)
+    val tau = top.agg(
+      when(count(lit(1)) === k + 1, min(col("priority"))).otherwise(lit(0.0)).as("tau"))
+    top.orderBy(col("priority").desc, col(idCol).asc).limit(k)
+      .crossJoin(broadcast(tau)) // 1-row scalar, verified pattern
+      .withColumn("est_w", greatest(col(weightCol).cast("double"), col("tau")))
+      .drop("tau")
+  }
+
   /** Per-document top-k salient terms, ranked by tf/df — term frequency in
     * the document over document frequency in the corpus (the log-free
     * tf-idf variant: idf' = N/df instead of ln(N/df); the corpus size N is

@@ -131,6 +131,44 @@ class EventsSpec extends AnyFunSuite {
     assert(re == got, "path strings depend on physical layout")
   }
 
+  test("scd2Compact: runs collapse, intervals chain half-open, counts reconcile") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: A A B A → 3 runs; u2: B → 1 run (still current)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:10"), 1L, "A", 0.0),
+      (2L, ts("2024-01-01 00:00:20"), 1L, "A", 0.0),
+      (3L, ts("2024-01-01 00:00:30"), 1L, "B", 0.0),
+      (4L, ts("2024-01-01 00:00:40"), 1L, "A", 0.0),
+      (5L, ts("2024-01-01 00:00:05"), 2L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val got = Events.scd2Compact(ev)
+      .as[(Long, Long, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got == List(
+      (1L, 1L, "A", base + 10, base + 30, 2L),
+      (1L, 2L, "B", base + 30, base + 40, 1L),
+      (1L, 3L, "A", base + 40, -1L, 1L),
+      (2L, 1L, "B", base + 5, -1L, 1L)))
+    // corpus invariants: per user — seq is 1..m, valid_to(i) == valid_from(i+1),
+    // last run open (-1), adjacent runs change the attribute, counts reconcile
+    val ev0 = spark.read.parquet(s"${graft.TestSpark.sf0001}/events.parquet")
+    val runs = Events.scd2Compact(ev0)
+      .as[(Long, Long, String, Long, Long, Long)].collect().groupBy(_._1)
+    val perUser = ev0.groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    runs.foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      assert(rs.map(_._2).toList == (1L to rs.length).toList)
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"user $u: interval chain broken at seq ${a._2}")
+          assert(a._3 != b._3, s"user $u: adjacent runs must differ in event_type")
+        case _ =>
+      }
+      assert(rs.last._5 == -1L, s"user $u: last run must be open")
+      assert(rs.map(_._6).sum == perUser(u), s"user $u: run counts must reconcile")
+    }
+  }
+
   test("transitionMatrix: per-user step counts and exact ppm probabilities") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // u1: A→B→A→C   u2: B→A   (first event of each user starts no step)

@@ -374,6 +374,68 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing=${(twinIds -- drops).size} false=${(drops -- twinIds).size}")
   }
 
+  test("hardNegatives: label predicate is inside the join — same-label crowd-out cannot under-fill k") {
+    // planted crowd-out: three same-label near-twins of the query sit at
+    // the top of the label-blind ranking; retrieve-then-filter over a
+    // label-blind top-2 would return ZERO negatives, the in-join predicate
+    // must return both different-label vectors
+    val corpus = Seq(
+      (1L, Array(1f, 0.001f), 0), (2L, Array(1f, 0.002f), 0), (3L, Array(1f, 0.003f), 0),
+      (10L, Array(0.8f, 0.6f), 1), (11L, Array(0.6f, 0.8f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((50L, Array(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, q, 2)
+      .select($"rnk", $"neighbor_id", $"neg_label").as[(Int, Long, Int)].collect().toList
+    assert(got == List((1, 10L, 1), (2, 11L, 2)))
+    // corpus sanity: never a same-label neighbor, exactly k rows per query
+    val qs = emb.filter($"vec_id" < 5)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = Similarity.hardNegatives(emb, qs, 3)
+      .select($"query_id", $"neighbor_id", $"neg_label").as[(Long, Long, Int)].collect()
+    assert(rows.length == 5 * 3)
+    rows.foreach { case (qid, nb, nl) =>
+      assert(labels(nb) == nl, "neg_label must be the neighbor's own label")
+      assert(labels(qid) != nl, "a hard negative must differ from the query's label")
+    }
+  }
+
+  test("knnClassify: majority vote; ties break by best cosine then smaller label") {
+    val corpus = Seq(
+      (1L, Array(1f, 0.01f), 0), (2L, Array(1f, 0.02f), 1), (3L, Array(1f, 0.03f), 1),
+      (4L, Array(0.9f, 0.5f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1f, 0f), -1)).toDF("vec_id", "embedding", "label")
+    // k=3: top-3 are ids 1,2,3 → votes {0:1, 1:2} → label 1
+    val p3 = Similarity.knnClassify(corpus, q, 3)
+      .select($"pred_label", $"votes").as[(Int, Long)].collect().head
+    assert(p3 == ((1, 2L)))
+    // k=4: votes tie 2–2 → the label holding the single best cosine (id 1,
+    // label 0) wins
+    val p4 = Similarity.knnClassify(corpus, q, 4)
+      .select($"pred_label", $"votes").as[(Int, Long)].collect().head
+    assert(p4 == ((0, 2L)))
+  }
+
+  test("kCenterCoreset: exact traversal on a line; corpus run is deterministic and diversity-ordered") {
+    // 1-d corpus at x = 0, 10, 6, 1: seed is min id (x=0); farthest is
+    // x=10 (dist 10); then x=6 (min(6, 4) = 4 to the selected set)
+    val line = Seq(
+      (0L, Array(0f)), (1L, Array(10f)), (2L, Array(6f)), (3L, Array(1f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(line, 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    assert(got == List((1, 0L, -1.0), (2, 1L, 10.0), (3, 2L, 4.0)))
+    // corpus: deterministic under repartition; selection distances
+    // non-increasing (each pick covers the space no worse than the last)
+    val a = Similarity.kCenterCoreset(emb, 6).as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    val b = Similarity.kCenterCoreset(emb.repartition(13), 6)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    assert(a == b, "farthest-point traversal must not depend on partitioning")
+    assert(a.map(_._2).distinct.size == 6, "centers must be distinct")
+    val ds = a.drop(1).map(_._3)
+    assert(ds == ds.sorted.reverse, s"selection distances must be non-increasing: $ds")
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")

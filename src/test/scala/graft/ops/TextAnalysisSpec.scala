@@ -698,6 +698,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tied == Seq((0, "a", "b", 2L)))
   }
 
+  test("prioritySample: top-k by w/u exactly, estimator = max(w, tau), repartition-stable") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val M = 1000003L
+    // independent recomputation of every priority, ranked on the driver
+    val pr = (col("n_chars").cast("double") * lit(M.toDouble)) /
+      (pmod(TextAnalysis.fingerprint(col("text")), lit(M)) + lit(1L)).cast("double")
+    val all = docs.select(col("doc_id"), col("n_chars"), pr.as("p"))
+      .as[(Long, Long, Double)].collect().sortBy { case (id, _, p) => (-p, id) }
+    val expectIds = all.take(50).map(_._1).toList
+    val tau = all(50)._3
+    val got = TextAnalysis.prioritySample(docs, "doc_id", "n_chars", "text", 50)
+      .select(col("doc_id"), col("n_chars"), col("priority"), col("est_w"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(r => (-r._3, r._1)).toList
+    assert(got.map(_._1) == expectIds, "the sample must be exactly the top-k by priority")
+    got.foreach { case (_, w, _, estW) =>
+      assert(estW == math.max(w.toDouble, tau), "est_w must be max(w, tau) with tau the (k+1)-th priority")
+    }
+    // content-keyed: identical through a reshuffle
+    val again = TextAnalysis.prioritySample(docs.repartition(7), "doc_id", "n_chars", "text", 50)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(again == expectIds.toSet)
+    graft.Cleanup.drain()
+    // degenerate corpus ≤ k: everything sampled, tau = 0 → est_w = w
+    val five = docs.limit(5)
+    val small = TextAnalysis.prioritySample(five, "doc_id", "n_chars", "text", 50)
+      .select(col("n_chars"), col("est_w")).as[(Long, Double)].collect()
+    assert(small.length == 5)
+    small.foreach { case (w, e) => assert(e == w.toDouble) }
+    graft.Cleanup.drain()
+  }
+
   test("lmScore: hand-computed bigram model on a 2-doc corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
