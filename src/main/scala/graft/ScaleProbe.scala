@@ -295,6 +295,27 @@ object ScaleProbe {
       ivf.size.toLong
     })
     println(f"SCALE ann_recall: ${(brute intersect ivf).size.toDouble / brute.size}%.3f")
+    // round-9 label-aware retrieval on the same clustered corpus: the
+    // label predicate rides inside the broadcast join, so the probe's
+    // claim is simply "same cost as label-blind brute top-k"
+    val embL = emb.withColumn("label", pmod(xxhash64(col("vec_id"), lit(13)), lit(20L)).cast("int"))
+    time("hard_negatives_50q")(
+      graft.ops.Similarity.hardNegatives(embL, embL.filter(col("vec_id") < 50), 10).count())
+    time("knn_classify_50q")(
+      graft.ops.Similarity.knnClassify(embL, embL.filter(col("vec_id") < 50), 10).count())
+    // greedy k-center at n vectors: 16 driver rounds, each one linear
+    // min-fold scan + a TakeOrdered argmax — the probe pins O(n·k) total
+    // and that the per-round cost stays flat as the selected set grows
+    // (the incremental least() fold never re-scans earlier centers)
+    time("kcenter_coreset_16")(
+      graft.ops.Similarity.kCenterCoreset(emb, 16).count())
+    graft.Cleanup.drain() // per-round coreset checkpoints
+    // power iteration at n vectors: 6 shuffle-free scans, one 64-cell
+    // row to the driver per round; the decimal sums are where a long
+    // would overflow at this scale (~10^9-magnitude addends × 10^6 rows)
+    time("pca_power_6")(
+      graft.ops.Similarity.powerIteration(emb, iters = 6).count())
+    graft.Cleanup.drain()
     emb.unpersist()
 
     // Embedding near-dup at the PRODUCTION threshold (0.9, per-bit
@@ -384,6 +405,10 @@ object ScaleProbe {
     // Markov matrix at ne events: the lag window is user-partitioned
     // (10k keys → ~ne/10k rows per task), matrix aggs are |types|²
     time("events_transitions")(Events.transitionMatrix(events).count())
+    // SCD2 compaction at ne events: raw-event windows and the run
+    // aggregate all share the user_id partitioning (one exchange); the
+    // interval-closing lead sees only the aggregated runs relation
+    time("events_scd2_compact")(Events.scd2Compact(events).count())
     events.unpersist()
 
     // global ranking at n docs: the claim under test is that the two-phase
@@ -397,6 +422,14 @@ object ScaleProbe {
     // budget-selection primitive
     time("docs_global_cumsum")(
       Analytics.globalCumsum(ranked, "n_chars", "doc_id", "n_chars").count())
+    // priority sampling at n docs, k=1000: the claim is TakeOrdered —
+    // per-partition (k+1)-row heaps, a parts·(k+1)-row driver merge, no
+    // corpus shuffle and no window anywhere in the plan
+    time("priority_sample_1k")(
+      graft.ops.TextAnalysis.prioritySample(
+        ranked.withColumn("text", concat(lit("doc "), col("doc_id"))),
+        "doc_id", "n_chars", "text", 1000).count())
+    graft.Cleanup.drain() // the k+1-row sample checkpoint
     // z-order key: flat 28-term bit expression, scan-speed by design
     time("orders_zorder_key")(
       ranked.select(Analytics.zorderKey(

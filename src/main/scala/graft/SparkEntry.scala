@@ -297,6 +297,13 @@ object SparkEntry {
       Similarity.kCenterCoreset(t(s, dir, "embeddings"), 8)
         .orderBy(col("rnk"))),
 
+    "emb_pca_power" -> ((s, dir) =>
+      // dominant principal component by power iteration — fixed-point
+      // (2^-20) quantized addends make the corpus-scale reduction
+      // order-independent and engine-exact (see Similarity.powerIteration;
+      // the oracle replays all 6 rounds as a materialized-CTE chain)
+      Similarity.powerIteration(t(s, dir, "embeddings"), iters = 6)
+        .orderBy(col("pos"))),
     "emb_mean_pool" -> ((s, dir) =>
       // per-bucket embedding centroids (cluster/shard summarization)
       Similarity.meanPool(t(s, dir, "embeddings"), pmod(col("vec_id"), lit(8L)))
@@ -1652,6 +1659,33 @@ object SparkEntry {
       sb ++= s"sel AS ($rows)\nSELECT rnk, vec_id, mindist_r FROM sel ORDER BY rnk"
       sb.toString
     }
+    // power iteration replayed (6 rounds, dim 64): per round — dot against
+    // the previous round's 1-row vector relation, per-dimension HUGEINT
+    // sums of the 2^20-quantized addends (integer addition is associative,
+    // so the sum matches Spark's decimal aggregation bit-for-bit), then
+    // normalize with the same index-order fold the driver uses. v0 =
+    // 1/sqrt(64) = 0.125 exactly (a power of two — no literal rounding).
+    val pcaSql = {
+      val iters = 6; val d = 64
+      def fold(expr: String) = s"list_reduce(list_prepend(0.0, $expr), (a, x) -> a + x)"
+      val sb = new StringBuilder
+      sb ++= "WITH e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+      sb ++= s"v0 AS (SELECT list_transform(range(1, ${d + 1}), i -> 0.125) AS vv),\n"
+      for (r <- 1 to iters) {
+        sb ++= s"d$r AS MATERIALIZED (SELECT e.v, " +
+          fold(s"list_transform(range(1, ${d + 1}), i -> e.v[i] * c.vv[i])") +
+          s" AS dot FROM e, v${r - 1} c),\n"
+        sb ++= s"a$r AS MATERIALIZED (SELECT i, sum(CAST(round(v[i] * dot * 1048576.0) AS HUGEINT)) AS s " +
+          s"FROM d$r, unnest(range(1, ${d + 1})) AS t(i) GROUP BY i),\n"
+        sb ++= s"v$r AS MATERIALIZED (SELECT list_transform(sl, x -> x / nrm) AS vv FROM " +
+          s"(SELECT sl, sqrt(${fold("list_transform(sl, x -> x * x)")}) AS nrm FROM " +
+          s"(SELECT list(CAST(s AS DOUBLE) / 1048576.0 ORDER BY i) AS sl FROM a$r)))" +
+          (if (r == iters) "\n" else ",\n")
+      }
+      sb ++= s"SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 5) AS loading_r " +
+        s"FROM v$iters, unnest(range(1, ${d + 1})) AS t(i) ORDER BY pos"
+      sb.toString
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -1848,6 +1882,7 @@ object SparkEntry {
           |SELECT query_id, nb_label AS pred_label, votes, round(best_cos, 4) AS top_cosine_r
           |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin,
       "emb_coreset_kcenter" -> kcenterSql,
+      "emb_pca_power" -> pcaSql,
       "emb_quant_error" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT vec_id, v,

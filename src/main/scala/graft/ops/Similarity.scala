@@ -475,6 +475,67 @@ object Similarity {
       .select(col("rnk"), col("vec_id"), round(col("mindist"), 4).as("mindist_r"))
   }
 
+  /** Dominant principal component of the (uncentered) embedding Gram
+    * matrix by power iteration — the anisotropy diagnostic for embedding
+    * corpora (trained-encoder spaces concentrate mass in a few directions;
+    * the leading component is what whitening/ABTT-style post-processing
+    * removes [Mu & Viswanath, ICLR 2018]). `iters` rounds of v ← XᵀXv,
+    * normalized each round; deterministic start v₀ = 1/√dim · 𝟙.
+    *
+    * The scale problem this op actually solves is ORDER-INDEPENDENT float
+    * reduction: Σₓ x·(x·v) is a corpus-scale float sum, and float addition
+    * is not associative — a plain sum(double) changes value (and can flip
+    * the converged sign of borderline loadings) under every partitioning,
+    * while the repo's sorted-fold trick (meanPool) buffers O(group) values
+    * — unusable over the whole corpus. Here each per-row per-dimension
+    * addend is QUANTIZED to 2⁻²⁰ fixed point — round(xᵢ·(x·v)·2²⁰) as an
+    * exact integer — and summed in decimal: integer addition IS
+    * associative, so the reduction is bit-identical under any partitioning
+    * and any engine, with O(1) mergeable state per dimension (the DuckDB
+    * oracle replays all rounds as a materialized-CTE chain and
+    * hash-matches). Decimal(27,0) sums: ~2⁶⁰-magnitude addends × 10¹²
+    * rows headroom — a long would overflow at ~10³ rows of unit vectors.
+    * The 2⁻²⁰ quantization error per round is ~10⁻⁶ relative — far below
+    * the 5-dp output rounding — and the iteration re-normalizes every
+    * round, so error does not compound.
+    *
+    * Shape per round: ONE whole-stage-codegen scan computing the dot
+    * against the literal v (broadcast in the task binary) and 64 partial
+    * sums — no shuffle (final aggregation merges #partitions rows), one
+    * 64-cell row to the driver. The base relation is localCheckpoint'ed
+    * once; `iters` is a constant (6–10 suffices for a spectral gap), so
+    * total cost is iters linear scans.
+    */
+  def powerIteration(df: DataFrame, iters: Int = 6, dim: Int = 64,
+                     vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && dim >= 1, s"need iters >= 1 and dim >= 1: $iters, $dim")
+    val spark = df.sparkSession
+    val base = graft.Cleanup.register(
+      df.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+        .localCheckpoint(false))
+    val Q = 1048576.0 // 2^20: exact power-of-two fixed-point scale
+    var vcur: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val vl = array(vcur.map(lit).toIndexedSeq: _*)
+      val dotC = aggregate(zip_with(col("v"), vl, (x, b) => x * b),
+        lit(0.0), (s, x) => s + x)
+      val aggs = (0 until dim).map(i =>
+        sum(round(element_at(col("v"), i + 1) * col("dot") * lit(Q))
+          .cast("decimal(27,0)")).as(s"s$i"))
+      val row = base.withColumn("dot", dotC)
+        .agg(aggs.head, aggs.tail: _*).collect().head
+      require(!row.isNullAt(0), "power iteration over an empty corpus")
+      val s = (0 until dim).map(i => row.getDecimal(i).doubleValue() / Q).toArray
+      val norm = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+      require(norm > 0, "degenerate corpus: X^T X v vanished")
+      vcur = s.map(_ / norm)
+    }
+    import spark.implicits._
+    vcur.toIndexedSeq.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("pos", "loading")
+      .select(col("pos"), round(col("loading"), 5).as("loading_r"))
+  }
+
   /** Group-wise embedding mean pooling (per-cluster / per-shard centroids):
     * one output row per (group, dimension) with the component mean — the
     * building block for corpus-level centroid computation, cluster

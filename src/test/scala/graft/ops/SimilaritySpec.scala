@@ -436,6 +436,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ds == ds.sorted.reverse, s"selection distances must be non-increasing: $ds")
   }
 
+  test("powerIteration: planted dominant axis recovered; partition-order bit-identical; matches dense eigensolve") {
+    // planted: mass concentrated on dim 0 — the component must be ±e0
+    val planted = Seq(
+      Array(10f, 0f, 0.1f), Array(-10f, 0.1f, 0f), Array(9f, 0.2f, 0.1f),
+      Array(0f, 1f, 0f), Array(0.1f, 0f, 1f),
+    ).toDF("embedding")
+    val v = Similarity.powerIteration(planted, iters = 8, dim = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    assert(math.abs(v(0)) > 0.999 && math.abs(v(1)) < 0.04 && math.abs(v(2)) < 0.04, v.toList.toString)
+    graft.Cleanup.drain()
+    // corpus: the quantized-integer reduction must be BIT-identical under
+    // any partitioning (the property a plain double sum cannot give)
+    val a = Similarity.powerIteration(emb, iters = 6).as[(Long, Double)].collect().sorted.toList
+    graft.Cleanup.drain()
+    val b = Similarity.powerIteration(emb.repartition(17), iters = 6)
+      .as[(Long, Double)].collect().sorted.toList
+    graft.Cleanup.drain()
+    assert(a == b, "fixed-point reduction must not depend on partition order")
+    // and it must agree with an exact driver-side dense power iteration
+    // (no quantization) — the 2^-20 quantization is far below 5-dp output
+    val rows = emb.select(transform($"embedding", x => x.cast("double")))
+      .as[Seq[Double]].collect()
+    val dim = rows.head.length
+    var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to 6) {
+      val s = Array.fill(dim)(0.0)
+      rows.foreach { x =>
+        val d = (0 until dim).foldLeft(0.0)((acc, i) => acc + x(i) * w(i))
+        (0 until dim).foreach(i => s(i) += x(i) * d)
+      }
+      val nrm = math.sqrt(s.foldLeft(0.0)((acc, x) => acc + x * x))
+      w = s.map(_ / nrm)
+    }
+    val maxDiff = a.map(_._2).zip(w).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxDiff < 1e-4, s"quantized vs dense power iteration diverged: $maxDiff")
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
