@@ -119,6 +119,50 @@ object StatefulOps {
       }
   }
 
+  final case class ClosedRun(user_id: Long, seq: Long, event_type: String,
+                             valid_from: Long, valid_to: Long, n_events: Long)
+  final case class OpenRun(seq: Long, attr: String, validFrom: Long, nEvents: Long)
+
+  /** STREAMING SCD2 / CDC compaction (the incremental twin of the batch
+    * `events_scd2`): per-user state is exactly the one OPEN run — seq,
+    * attribute, start, count — O(users), one small tuple each. A closed
+    * interval is emitted the moment an arriving event changes the
+    * attribute, with the same half-open epoch-second bounds the batch op
+    * computes, so appending these rows to a dimension table keeps it
+    * current without replay. Within a batch the fold sorts by
+    * (ts, event_id) — the batch windows' exact order; across batches the
+    * op assumes per-user in-order arrival (the partition-by-key
+    * deployment, same contract as `streamingTransitionSteps`); the batch
+    * op is the repair path when that contract breaks. Streaming closed
+    * rows == batch rows with valid_to ≠ -1 — pinned in StatefulOpsSpec;
+    * the open runs live only in state, exactly the batch op's -1 rows.
+    */
+  def streamingScd2Runs(events: Dataset[SeqEvent]): Dataset[ClosedRun] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenRun, ClosedRun](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SeqEvent], state: GroupState[OpenRun]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val es = Math.floorDiv(e.ts.getTime, 1000L) // epoch-seconds floor, as the batch op
+            cur = cur match {
+              case Some(r) if r.attr == e.event_type =>
+                Some(r.copy(nEvents = r.nEvents + 1))
+              case Some(r) =>
+                out += ClosedRun(user, r.seq, r.attr, r.validFrom, es, r.nEvents)
+                Some(OpenRun(r.seq + 1, e.event_type, es, 1L))
+              case None =>
+                Some(OpenRun(1L, e.event_type, es, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join: for each purchase, error events of the same
     * user within the preceding hour — the streaming counterpart of the
     * batch `q_range_join`. Watermarks bound both join-state buffers.

@@ -68,6 +68,40 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closed runs == batch scd2Compact's closed intervals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeqEvent]
+    val q = streamingScd2Runs(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    val ev = Seq(
+      SeqEvent(1L, t("2024-01-01 00:00:10"), 1L, "A"),
+      SeqEvent(1L, t("2024-01-01 00:00:20"), 2L, "A"),
+      SeqEvent(1L, t("2024-01-01 00:00:30"), 3L, "B"), // closes u1 run 1
+      SeqEvent(2L, t("2024-01-01 00:00:05"), 4L, "B"),
+      // batch 2 — state carries the open (u1, B) run across the boundary
+      SeqEvent(1L, t("2024-01-01 00:00:40"), 5L, "A"), // closes u1 run 2
+      SeqEvent(2L, t("2024-01-01 00:00:50"), 6L, "B")) // extends u2 run 1, no close
+    try {
+      input.addData(ev.take(4): _*)
+      q.processAllAvailable()
+      input.addData(ev.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out").as[ClosedRun].collect()
+        .map(r => (r.user_id, r.seq, r.event_type, r.valid_from, r.valid_to, r.n_events))
+        .sorted.toList
+      // the batch op over the same events: closed intervals only
+      val batch = graft.ops.Events.scd2Compact(
+          ev.toDF("user_id", "ts", "event_id", "event_type")
+            .select($"event_id", $"ts", $"user_id", $"event_type"))
+        .filter($"valid_to" =!= -1L)
+        .as[(Long, Long, String, Long, Long, Long)].collect().sorted.toList
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.map(r => (r._1, r._2)).distinct.size == 2) // u1 runs 1 and 2
+    } finally q.stop()
+  }
+
   test("stream-stream range join matches the batch banded join semantics") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Timestamp)]
