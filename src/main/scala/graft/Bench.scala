@@ -35,7 +35,9 @@ object Bench {
     "text_dup_spans_removed", "text_remove_spans_cross", "mm_video_neardups",
     "mm_video_cross_corpus", "docs_score_drift",
     "vocab_bpe_encode", "docs_bpe_token_counts",
-    "text_edit_neighbors", "docs_gram_novelty", "docs_mix_allocate")
+    "text_edit_neighbors", "docs_gram_novelty", "docs_mix_allocate",
+    "docs_weighted_sample", "sim_hard_negatives", "sim_knn_classify",
+    "emb_coreset_kcenter", "emb_pca_power", "events_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
