@@ -513,6 +513,61 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"snapshot diff must be a full-outer join on (id, fingerprint):\n$p")
   }
 
+  test("priority sample: TakeOrdered heap merge — no corpus shuffle, no window") {
+    val p = plan("docs_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-(k+1) must plan as per-partition heaps + driver merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort appeared where TakeOrdered suffices:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in priority sampling:\n$p")
+    // tau joins back as a broadcast scalar, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"tau must attach as a broadcast 1-row relation:\n$p")
+  }
+
+  test("hard negatives / knn: label-aware scoring keeps the WindowGroupLimit top-k shape") {
+    for (q <- Seq("sim_hard_negatives", "sim_knn_classify")) {
+      val p = plan(q)
+      val idxLimit = p.indexOf("WindowGroupLimit")
+      val idxExchange = p.lastIndexOf("Exchange hashpartitioning")
+      assert(idxLimit >= 0, s"$q: WindowGroupLimit missing:\n$p")
+      assert(idxExchange >= 0 && p.indexOf("WindowGroupLimit", idxExchange) > 0,
+        s"$q: no per-partition top-k below the per-query shuffle:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the query side must broadcast (corpus never shuffles to score):\n$p")
+    }
+  }
+
+  test("scd2: one exchange — change flags, run numbers and the run aggregate share the key partitioning") {
+    val p = plan("events_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the whole compaction must reuse ONE user_id exchange:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"run collapse must partially aggregate map-side:\n$p")
+  }
+
+  test("pca power round: shuffle-free scan with partial aggregation (no explode, no exchange)") {
+    // one round's aggregate over the checkpointed base — the shape every
+    // iteration repeats
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val oneRound = {
+      import org.apache.spark.sql.{functions => F}
+      val vl = F.array(Array.fill(64)(F.lit(0.125)).toIndexedSeq: _*)
+      val vd = F.transform(F.col("embedding"), x => x.cast("double"))
+      val dotC = F.aggregate(F.zip_with(vd, vl, (x, b) => x * b),
+        F.lit(0.0), (s, x) => s + x)
+      base.withColumn("dot", dotC)
+        .agg(F.sum(F.round(F.element_at(vd, 1) * F.col("dot") * F.lit(1048576.0))
+          .cast("decimal(27,0)")))
+    }
+    val p = oneRound.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a power-iteration round must not hash-shuffle (partial agg + single merge):\n$p")
+    assert(!p.contains("Generate"), s"no explode belongs in the round:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"map-side partial sums missing:\n$p")
+  }
+
   test("zorder: pure projection over the scan — no shuffle, no window, 3-col schema") {
     val p = plan("orders_zorder")
     assert(!p.contains("Exchange hashpartitioning"),
