@@ -297,6 +297,15 @@ object SparkEntry {
       Similarity.kCenterCoreset(t(s, dir, "embeddings"), 8)
         .orderBy(col("rnk"))),
 
+    "sim_mmr_select" -> ((s, dir) => {
+      // maximal-marginal-relevance: the 8 most relevant-AND-mutually-
+      // distinct vectors for query vec 0 at λ = 0.7 — the diversified
+      // retrieval twin of emb_coreset_kcenter (see Similarity.mmrSelect;
+      // oracle replays the greedy rounds as a materialized-CTE chain)
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0), 8, 0.7)
+        .orderBy(col("rnk"))
+    }),
     "emb_pca_power" -> ((s, dir) =>
       // dominant principal component by power iteration — fixed-point
       // (2^-20) quantized addends make the corpus-scale reduction
@@ -1686,6 +1695,38 @@ object SparkEntry {
         s"FROM v$iters, unnest(range(1, ${d + 1})) AS t(i) ORDER BY pos"
       sb.toString
     }
+    // MMR greedy selection replayed (k rounds, λ = 0.7): every cosine is
+    // the explicit index-order fold (dot and both norms — deliberately NOT
+    // list_cosine_similarity, whose internal order is engine-private), the
+    // λ blend keeps 1−λ as a computed double (CAST(1.0)−CAST(0.7) — the
+    // same 0.30000000000000004 the Scala side uses; a literal 0.3 would
+    // be a DIFFERENT double), so the argmax chain cannot diverge.
+    val mmrSql = {
+      val k = 8
+      def dt(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val sb = new StringBuilder
+      sb ++= "WITH e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+      sb ++= "q AS (SELECT v AS qv FROM e WHERE id = 0),\n"
+      sb ++= s"b AS MATERIALIZED (SELECT id, v, ${dt("v", "qv")} / (sqrt(${dt("v", "v")}) * sqrt(${dt("qv", "qv")})) AS rel, " +
+        s"sqrt(${dt("v", "v")}) AS vn, CAST(0.0 AS DOUBLE) AS ms FROM e, q),\n"
+      for (r <- 1 to k) {
+        val src = if (r == 1) "b" else s"m${r - 1}"
+        val excl = if (r == 1) "" else " WHERE id NOT IN (" +
+          (1 until r).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ") + ")"
+        sb ++= s"c$r AS MATERIALIZED (SELECT id, v, rel, vn, ms, $lam * rel - (CAST(1.0 AS DOUBLE) - $lam) * ms AS score " +
+          s"FROM $src$excl ORDER BY score DESC, id LIMIT 1),\n"
+        if (r < k)
+          sb ++= s"m$r AS MATERIALIZED (SELECT p.id, p.v, p.rel, p.vn, " +
+            s"greatest(p.ms, ${dt("p.v", "c.v")} / (p.vn * sqrt(${dt("c.v", "c.v")}))) AS ms FROM $src p, c$r c),\n"
+      }
+      val rows = (1 to k).map(r =>
+        s"SELECT CAST($r AS INT) AS rnk, id AS vec_id, round(score, 4) AS score_r FROM c$r")
+        .mkString("\n UNION ALL ")
+      sb ++= s"sel AS ($rows)\nSELECT rnk, vec_id, score_r FROM sel ORDER BY rnk"
+      sb.toString
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -1883,6 +1924,7 @@ object SparkEntry {
           |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin,
       "emb_coreset_kcenter" -> kcenterSql,
       "emb_pca_power" -> pcaSql,
+      "sim_mmr_select" -> mmrSql,
       "emb_quant_error" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT vec_id, v,

@@ -475,6 +475,72 @@ object Similarity {
       .select(col("rnk"), col("vec_id"), round(col("mindist"), 4).as("mindist_r"))
   }
 
+  /** Maximal-marginal-relevance selection [Carbonell & Goldstein, SIGIR
+    * 1998]: greedily pick k vectors maximizing λ·rel − (1−λ)·maxSimToSel —
+    * the relevance-aware sibling of `kCenterCoreset` (λ = 1 is pure
+    * relevance ranking, λ → 0 approaches pure diversity). The standard
+    * diversified-retrieval / exemplar-selection op: "the k most relevant
+    * AND mutually distinct documents for this query".
+    *
+    * Same driver-round shape as `kCenterCoreset` (k rounds, one linear
+    * scan each, incremental greatest() fold of the max-similarity column,
+    * TakeOrdered argmax, O(k·dim) driver traffic) and the same
+    * engine-reproducibility discipline: every cosine is the explicit
+    * index-order fold (dot and both norms), the score is two multiplies
+    * and a subtract, comparisons are exact — so the DuckDB oracle replays
+    * the full traversal as a materialized-CTE chain and hash-matches.
+    * The relevance query vector stays RELATIONAL (a broadcast 1-row
+    * cross join), never a driver literal.
+    *
+    * Output: (rnk, vec_id, score_r) in selection order; ms starts at 0,
+    * so round 1 is the pure-relevance argmax.
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int, lambda: Double,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"selection size must be >= 1: $k")
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0, 1]: $lambda")
+    val spark = corpus.sparkSession
+    def fold(pairs: Column): Column = aggregate(pairs, lit(0.0), (s, x) => s + x)
+    def dotF(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => x * y))
+    // the smallest-id query row anchors relevance (deterministic even if
+    // the caller passes a multi-row relation)
+    val qv = queries
+      .select(col(idCol).as("qid"), transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .orderBy(col("qid").asc).limit(1).select(col("qv"))
+    val base0 = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(qv))
+      .select(col("id"), col("v"),
+        (dotF(col("v"), col("qv")) / (sqrt(dotF(col("v"), col("v"))) *
+          sqrt(dotF(col("qv"), col("qv"))))).as("rel"),
+        sqrt(dotF(col("v"), col("v"))).as("vn"))
+      .withColumn("ms", lit(0.0))
+    var cur = graft.Cleanup.register(base0.localCheckpoint(false))
+    var picked = Vector.empty[(Long, Seq[Double], Double)]
+    for (_ <- 1 to k) {
+      val scoreC = lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms")
+      val ids = picked.map(_._1)
+      val sel = cur.withColumn("score", scoreC)
+        .filter(if (ids.isEmpty) lit(true) else !col("id").isInCollection(ids))
+        .orderBy(col("score").desc, col("id").asc).limit(1).collect()
+      if (sel.nonEmpty) {
+        val row = sel.head
+        val cVec = row.getSeq[Double](1).toSeq
+        picked :+= ((row.getLong(0), cVec, row.getDouble(row.fieldIndex("score"))))
+        val cn = math.sqrt(cVec.foldLeft(0.0)((a, x) => a + x * x))
+        val cl = array(cVec.map(lit).toIndexedSeq: _*)
+        cur = graft.Cleanup.register(
+          cur.withColumn("ms",
+            greatest(col("ms"), dotF(col("v"), cl) / (col("vn") * lit(cn))))
+            .localCheckpoint(false))
+      }
+    }
+    import spark.implicits._
+    picked.zipWithIndex.map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toDF("rnk", "vec_id", "score")
+      .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score_r"))
+  }
+
   /** Dominant principal component of the (uncentered) embedding Gram
     * matrix by power iteration — the anisotropy diagnostic for embedding
     * corpora (trained-encoder spaces concentrate mass in a few directions;

@@ -436,6 +436,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ds == ds.sorted.reverse, s"selection distances must be non-increasing: $ds")
   }
 
+  test("mmrSelect: diversity beats a higher-relevance near-dup; deterministic under repartition") {
+    // q = e1; B is top relevance, A a near-dup of B, C the mirror of A
+    // (rel tied with A, diverse from B) — pure ranking (λ = 1) orders
+    // B, A, C (tie toward the smaller id); MMR at λ = 0.7 must swap in
+    // the diverse C ahead of the near-dup A: B, C, A
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.3f, 0f)), (2L, Array(0.95f, 0.25f, 0f)),
+      (3L, Array(0.9f, -0.3f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val qdf = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, qdf, 3, 0.7)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).map(_._2).toList
+    assert(got == List(2L, 3L, 1L), s"MMR order must be B, C(diverse), A(near-dup): $got")
+    graft.Cleanup.drain()
+    val rel = Similarity.mmrSelect(corpus, qdf, 3, 1.0)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).map(_._2).toList
+    assert(rel == List(2L, 1L, 3L), s"λ=1 must reduce to pure relevance ranking: $rel")
+    graft.Cleanup.drain()
+    // corpus determinism under repartition
+    val a = Similarity.mmrSelect(emb, emb.filter($"vec_id" === 0), 6, 0.7)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    val b = Similarity.mmrSelect(emb.repartition(13), emb.filter($"vec_id" === 0), 6, 0.7)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    assert(a == b, "greedy MMR traversal must not depend on partitioning")
+    assert(a.map(_._2).head == 0L, "round 1 is pure relevance — the query's own vector wins")
+  }
+
   test("powerIteration: planted dominant axis recovered; partition-order bit-identical; matches dense eigensolve") {
     // planted: mass concentrated on dim 0 — the component must be ±e0
     val planted = Seq(
