@@ -297,6 +297,23 @@ object SparkEntry {
       Similarity.kCenterCoreset(t(s, dir, "embeddings"), 8)
         .orderBy(col("rnk"))),
 
+    "docs_rrf_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: lexical BM25 top-50 ⊕ dense cosine top-50 fused
+      // by reciprocal rank (Analytics.rrfFuse) — doc_id and vec_id share
+      // the synthetic id space, the classic two-tower retrieval join
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25Score(t(s, dir, "documents"), "doc_id", "text",
+          Seq("merge", "window", "scan"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Analytics.rrfFuse(Seq(lex, dense), "doc_id", kConst = 60L, topK = 20)
+        .orderBy(col("doc_id"))
+    }),
     "sim_mmr_select" -> ((s, dir) => {
       // maximal-marginal-relevance: the 8 most relevant-AND-mutually-
       // distinct vectors for query vec 0 at λ = 0.7 — the diversified
@@ -1925,6 +1942,45 @@ object SparkEntry {
       "emb_coreset_kcenter" -> kcenterSql,
       "emb_pca_power" -> pcaSql,
       "sim_mmr_select" -> mmrSql,
+      "docs_rrf_hybrid" ->
+        // text_bm25's exact CTEs feed the lexical ranking (ranks are over
+        // the ROUNDED bm25 — the hash-green shared value), dense ranks
+        // over cosine to vec 0; fusion keeps 1/(60+rank) in pure doubles
+        s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |       CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM base),
+           |tf AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, u.term,
+           |       CAST(count(*) AS DOUBLE) AS tf
+           |       FROM base, unnest(w) AS u(term)
+           |       WHERE u.term IN ('merge', 'window', 'scan')
+           |       GROUP BY doc_id, dl, u.term),
+           |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |s AS (SELECT doc_id, term,
+           |      ((n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0))
+           |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |      FROM tf JOIN dfreq USING (term), st),
+           |bm AS (SELECT doc_id,
+           |round(sum(CASE WHEN term = 'merge' THEN s ELSE 0.0 END)
+           |    + sum(CASE WHEN term = 'window' THEN s ELSE 0.0 END)
+           |    + sum(CASE WHEN term = 'scan' THEN s ELSE 0.0 END), 4) AS bm25
+           |FROM s GROUP BY doc_id),
+           |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+           |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0),
+           |s2 AS (SELECT vec_id, list_cosine_similarity(qv, cv) AS cos FROM c, q),
+           |den AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rb
+           |        FROM s2 ORDER BY cos DESC, vec_id LIMIT 50),
+           |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id, ra, rb
+           |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id),
+           |sc AS (SELECT doc_id,
+           |       coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(ra AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           |     + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rb AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS sc,
+           |       ra, rb FROM f),
+           |top AS (SELECT * FROM sc ORDER BY sc DESC, doc_id LIMIT 20)
+           |SELECT doc_id, round(sc, 6) AS rrf_score_r,
+           |CAST(coalesce(ra, -1) AS BIGINT) AS rank_0, CAST(coalesce(rb, -1) AS BIGINT) AS rank_1
+           |FROM top ORDER BY doc_id""".stripMargin,
       "emb_quant_error" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT vec_id, v,

@@ -485,6 +485,47 @@ object Analytics {
     * re-expressed as a plain column). One flat unrolled bit expression —
     * codegen'd, shuffle-free, exact on any engine.
     */
+  /** Reciprocal-rank fusion [Cormack, Clarke & Büttcher, SIGIR 2009]: fuse
+    * N rankings of the same id space into one by score(d) =
+    * Σᵢ 1/(k + rankᵢ(d)), ids absent from a ranking contributing 0 — the
+    * standard hybrid-retrieval combiner (lexical BM25 ⊕ dense cosine ⊕ …)
+    * that needs NO score calibration because it only consumes ranks.
+    * Each input: (idCol, rank). Output: the fused top-`topK` with the
+    * fused score and each source rank (-1 = absent from that ranking).
+    *
+    * Engine-reproducibility: 1/(k + rank) is one exact integer-valued
+    * double add and one correctly-rounded divide; the partial scores sum
+    * in FIXED input order (a fold over the rankings Seq, never a
+    * data-ordered sum), so fused scores — and the top-k boundary — are
+    * bit-identical in any engine.
+    *
+    * Scale shape: rankings are top-N relations (N = 10²–10³ per query —
+    * they are RESULT lists, not corpora), so the full-outer fusion join
+    * chain is small by construction; the final cut is orderBy+limit =
+    * TakeOrdered. For fused MULTI-query batches, the same expression
+    * shape applies per query_id with the join keyed (query_id, id) and a
+    * per-query WindowGroupLimit cut instead of the global TakeOrdered.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              kConst: Long = 60L, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    require(kConst >= 1 && topK >= 1, s"need kConst, topK >= 1: $kConst, $topK")
+    val prepared = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"__r$i"))
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(kConst.toDouble) + col(s"__r$i").cast("double")), lit(0.0)))
+      .reduce(_ + _)
+    val outCols = Seq(col(idCol), round(col("rrf_score"), 6).as("rrf_score_r")) ++
+      rankings.indices.map(i => coalesce(col(s"__r$i"), lit(-1L)).as(s"rank_$i"))
+    joined.withColumn("rrf_score", score)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+      .select(outCols: _*)
+  }
+
   def zorderKey(x: Column, y: Column, bits: Int = 14): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // bits is compile-time — unroll into one flat codegen'd expression

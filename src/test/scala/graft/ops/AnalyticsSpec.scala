@@ -205,4 +205,22 @@ class AnalyticsSpec extends AnyFunSuite {
     val tvd = got.values.map(_._4).sum / 2e6
     assert(math.abs(tvd - 0.6) < 1e-12)
   }
+
+  test("rrfFuse: shared id outranks either single-list leader; absent ranks contribute 0 and report -1") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Analytics.rrfFuse(Seq(a, b), "doc_id", kConst = 60L, topK = 10)
+      .as[(Long, Double, Long, Long)].collect().sortBy(-_._2).toList
+    // exact same arithmetic as the op: fixed fold order a-then-b
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) == List(3L, 1L, 2L, 4L),
+      s"id 3 (rank 3 ⊕ rank 1) must outrank both list leaders; ties (2, 4) break by id: $got")
+    assert(got.head == ((3L, r6(1.0 / 63.0 + 1.0 / 61.0), 3L, 1L)))
+    assert(got(1) == ((1L, r6(1.0 / 61.0), 1L, -1L)), "absent from B → contribution 0, rank -1")
+    assert(got(3) == ((4L, r6(1.0 / 62.0), -1L, 2L)))
+    // topK cut: k=1 keeps exactly the fused winner
+    val cut = Analytics.rrfFuse(Seq(a, b), "doc_id", topK = 1)
+      .as[(Long, Double, Long, Long)].collect().toList
+    assert(cut.map(_._1) == List(3L))
+  }
 }
