@@ -323,6 +323,15 @@ object SparkEntry {
       Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0), 8, 0.7)
         .orderBy(col("rnk"))
     }),
+    "emb_whiten_residual" -> ((s, dir) => {
+      // all-but-the-top whitening: the powerIteration component applied —
+      // per-vector before/after L2 norms of the dominant-direction
+      // removal (Similarity.removeDominantComponent); the oracle reuses
+      // the pca CTE chain plus one projection
+      val emb = t(s, dir, "embeddings")
+      val v = Similarity.powerIterationVector(emb, iters = 6)
+      Similarity.removeDominantComponent(emb, v).orderBy(col("vec_id"))
+    }),
     "emb_pca_power" -> ((s, dir) =>
       // dominant principal component by power iteration — fixed-point
       // (2^-20) quantized addends make the corpus-scale reduction
@@ -1691,13 +1700,16 @@ object SparkEntry {
     // so the sum matches Spark's decimal aggregation bit-for-bit), then
     // normalize with the same index-order fold the driver uses. v0 =
     // 1/sqrt(64) = 0.125 exactly (a power of two — no literal rounding).
-    val pcaSql = {
-      val iters = 6; val d = 64
+    val pcaIters = 6
+    val pcaCtes = { // the WITH chain through v{iters}, shared by the
+      // component dump (emb_pca_power) and the whitening projection
+      // (emb_whiten_residual)
+      val d = 64
       def fold(expr: String) = s"list_reduce(list_prepend(0.0, $expr), (a, x) -> a + x)"
       val sb = new StringBuilder
       sb ++= "WITH e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
       sb ++= s"v0 AS (SELECT list_transform(range(1, ${d + 1}), i -> 0.125) AS vv),\n"
-      for (r <- 1 to iters) {
+      for (r <- 1 to pcaIters) {
         sb ++= s"d$r AS MATERIALIZED (SELECT e.v, " +
           fold(s"list_transform(range(1, ${d + 1}), i -> e.v[i] * c.vv[i])") +
           s" AS dot FROM e, v${r - 1} c),\n"
@@ -1706,11 +1718,22 @@ object SparkEntry {
         sb ++= s"v$r AS MATERIALIZED (SELECT list_transform(sl, x -> x / nrm) AS vv FROM " +
           s"(SELECT sl, sqrt(${fold("list_transform(sl, x -> x * x)")}) AS nrm FROM " +
           s"(SELECT list(CAST(s AS DOUBLE) / 1048576.0 ORDER BY i) AS sl FROM a$r)))" +
-          (if (r == iters) "\n" else ",\n")
+          (if (r == pcaIters) "\n" else ",\n")
       }
-      sb ++= s"SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 5) AS loading_r " +
-        s"FROM v$iters, unnest(range(1, ${d + 1})) AS t(i) ORDER BY pos"
       sb.toString
+    }
+    val pcaSql = pcaCtes +
+      s"SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 5) AS loading_r " +
+      s"FROM v$pcaIters, unnest(range(1, 65)) AS t(i) ORDER BY pos"
+    val whitenSql = {
+      def fold(expr: String) = s"list_reduce(list_prepend(0.0, $expr), (a, x) -> a + x)"
+      pcaCtes.stripSuffix("\n") + ",\n" +
+        "pr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+        s"pd AS (SELECT pr.vec_id, pr.v, c.vv, ${fold("list_transform(range(1, 65), i -> pr.v[i] * c.vv[i])")} AS d " +
+        s"FROM pr, v$pcaIters c)\n" +
+        s"SELECT vec_id, round(sqrt(${fold("list_transform(range(1, 65), i -> v[i] * v[i])")}), 4) AS l2_before_r, " +
+        s"round(sqrt(${fold("list_transform(range(1, 65), i -> (v[i] - d * vv[i]) * (v[i] - d * vv[i]))")}), 4) AS l2_after_r " +
+        "FROM pd ORDER BY vec_id"
     }
     // MMR greedy selection replayed (k rounds, λ = 0.7): every cosine is
     // the explicit index-order fold (dot and both norms — deliberately NOT
@@ -1941,6 +1964,7 @@ object SparkEntry {
           |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin,
       "emb_coreset_kcenter" -> kcenterSql,
       "emb_pca_power" -> pcaSql,
+      "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,
       "docs_rrf_hybrid" ->
         // text_bm25's exact CTEs feed the lexical ranking (ranks are over

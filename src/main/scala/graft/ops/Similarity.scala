@@ -574,8 +574,21 @@ object Similarity {
     */
   def powerIteration(df: DataFrame, iters: Int = 6, dim: Int = 64,
                      vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1 && dim >= 1, s"need iters >= 1 and dim >= 1: $iters, $dim")
     val spark = df.sparkSession
+    val vcur = powerIterationVector(df, iters, dim, vecCol)
+    import spark.implicits._
+    vcur.toIndexedSeq.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("pos", "loading")
+      .select(col("pos"), round(col("loading"), 5).as("loading_r"))
+  }
+
+  /** The unrounded component vector behind `powerIteration` — the form
+    * downstream ops consume (`removeDominantComponent`). Same rounds,
+    * same fixed-point reduction; see powerIteration for the design.
+    */
+  def powerIterationVector(df: DataFrame, iters: Int = 6, dim: Int = 64,
+                           vecCol: String = "embedding"): Array[Double] = {
+    require(iters >= 1 && dim >= 1, s"need iters >= 1 and dim >= 1: $iters, $dim")
     val base = graft.Cleanup.register(
       df.select(transform(col(vecCol), x => x.cast("double")).as("v"))
         .localCheckpoint(false))
@@ -596,10 +609,35 @@ object Similarity {
       require(norm > 0, "degenerate corpus: X^T X v vanished")
       vcur = s.map(_ / norm)
     }
-    import spark.implicits._
-    vcur.toIndexedSeq.zipWithIndex.map { case (x, i) => (i.toLong, x) }
-      .toDF("pos", "loading")
-      .select(col("pos"), round(col("loading"), 5).as("loading_r"))
+    vcur
+  }
+
+  /** All-but-the-top whitening [Mu & Viswanath, ICLR 2018]: remove the
+    * dominant component from every embedding — x′ = x − (x·v)v — and
+    * report before/after L2 norms, the anisotropy-correction pass that
+    * follows `powerIteration` in an embedding-health pipeline (a large
+    * before→after norm drop marks vectors dominated by the common
+    * direction — exactly the rows whose cosine similarities were
+    * inflated). Pure per-row projection against the literal component
+    * (broadcast in the task binary): scan-speed, shuffle-free,
+    * whole-stage codegen. Exact index-order folds for the dot and both
+    * norms keep the DuckDB oracle (the pca CTE chain + one projection)
+    * hash-exact.
+    */
+  def removeDominantComponent(df: DataFrame, component: Array[Double],
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val vl = array(component.map(lit).toIndexedSeq: _*)
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    def fold(pairs: Column): Column = aggregate(pairs, lit(0.0), (s, x) => s + x)
+    val d = fold(zip_with(vd, vl, (x, b) => x * b))
+    df.select(col(idCol), vd.as("v"), d.as("d"))
+      .select(col(idCol),
+        round(sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))), 4).as("l2_before_r"),
+        round(sqrt(fold(zip_with(
+          zip_with(col("v"), vl, (x, b) => x - col("d") * b),
+          zip_with(col("v"), vl, (x, b) => x - col("d") * b),
+          (x, y) => x * y))), 4).as("l2_after_r"))
   }
 
   /** Group-wise embedding mean pooling (per-cluster / per-shard centroids):

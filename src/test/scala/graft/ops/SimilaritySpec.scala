@@ -502,6 +502,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxDiff < 1e-4, s"quantized vs dense power iteration diverged: $maxDiff")
   }
 
+  test("removeDominantComponent: planted axis fully removed; projection never grows a norm") {
+    // exact eigenbasis (off-diagonal Gram = 0): dominant = e0 — whitening
+    // must null the e0 mass and keep the e1 mass
+    val planted = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(-10f, 0f)), (3L, Array(0f, 4f)),
+    ).toDF("vec_id", "embedding")
+    val v = Similarity.powerIterationVector(planted, iters = 8, dim = 2)
+    graft.Cleanup.drain()
+    val got = Similarity.removeDominantComponent(planted, v)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toList
+    assert(got.map(_._2) == List(10.0, 10.0, 4.0))
+    assert(got(0)._3 < 1e-3 && got(1)._3 < 1e-3, s"e0 mass must vanish: $got")
+    assert(math.abs(got(2)._3 - 4.0) < 1e-3, s"e1 mass must survive: $got")
+    // corpus invariant: ||x - (x·v)v|| <= ||x|| always (rounding slack)
+    val comp = Similarity.powerIterationVector(emb, iters = 6)
+    graft.Cleanup.drain()
+    val rows = Similarity.removeDominantComponent(emb, comp)
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length > 0)
+    rows.foreach { case (id, before, after) =>
+      assert(after <= before + 1e-4, s"vec $id: projection grew the norm ($before -> $after)")
+    }
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
