@@ -370,10 +370,18 @@ object TextAnalysis {
     * threshold form instead — approx-percentile τ₀, count, refine — but
     * sample-for-inspection k (10²–10⁶) is TakeOrdered territory at any
     * corpus size.
+    *
+    * Weights must be nonnegative (a negative weight yields a negative
+    * priority — the row sorts last and the τ estimator loses meaning);
+    * zero-weight rows are sampled only when the corpus has ≤ k rows.
     */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
                      textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"sample size must be >= 1: $k")
+    // the op appends these to the caller's columns (packBins lesson:
+    // silently overwriting an input column corrupts downstream selects)
+    Seq("priority", "est_w", "tau").foreach(c =>
+      require(!df.columns.contains(c), s"prioritySample reserves column name '$c'"))
     // u in (0, M]/M: fingerprint mod M, shifted off zero so q is finite;
     // M prime keeps the residues equidistributed under the polynomial hash
     val M = 1000003L
