@@ -48,6 +48,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shared-box contention headroom (see the Verify builder comment)
+      .config("spark.sql.broadcastTimeout", "1800")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // a contended shared box can stall a small-side build past the 300 s
+      // default and silently fail one query (observed once under a
+      // concurrent 25-core probe run) — correctness dumps prefer waiting
+      .config("spark.sql.broadcastTimeout", "1800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
