@@ -294,6 +294,10 @@ object ScaleProbe {
     })
     var ivf: Set[(Long, Long)] = null
     time("ann_ivf_topk")( {
+      // a tag filter can run this leg without the train leg — train here
+      // rather than pass Some(null) into ivfTopK
+      if (trained == null)
+        trained = graft.ops.Similarity.kmeansCentroids(emb, nlist = 1000, iters = 4)
       ivf = graft.ops.Similarity.ivfTopK(emb, queries, 10, nlist = 1000, nprobe = 32,
           pretrained = Some(trained))
         .select(col("query_id"), col("neighbor_id"))
@@ -318,8 +322,10 @@ object ScaleProbe {
       graft.ops.Similarity.kCenterCoreset(emb, 16).count())
     graft.Cleanup.drain() // per-round coreset checkpoints
     // power iteration at n vectors: 6 shuffle-free scans, one 64-cell
-    // row to the driver per round; the decimal sums are where a long
-    // would overflow at this scale (~10^9-magnitude addends × 10^6 rows)
+    // row to the driver per round. On THIS corpus (|x_i| ≤ ~1.15) the
+    // quantized addends are ~10^6, so a long sum would still have
+    // headroom here — the decimal sums are for the 10^10+-row regime
+    // where it would not (powerIteration scaladoc)
     time("pca_power_6")(
       graft.ops.Similarity.powerIteration(emb, iters = 6).count())
     graft.Cleanup.drain()
@@ -344,7 +350,7 @@ object ScaleProbe {
         base + when(pmod(col("id"), lit(2)) === 1, noise * 0.3).otherwise(lit(0.0))
       }).as("embedding")).cache()
     emb2.count()
-    var planted = 0L
+    var planted = -1L
     time(s"embedding_lsh_neardups_t0.9_b${bitsPB}x96")( {
       val pairs = graft.ops.Similarity.cosineNearDupLsh(emb2, 0.9, dim,
           bitsPerBand = bitsPB, bands = 96)
@@ -353,7 +359,7 @@ object ScaleProbe {
       planted = pairs.count { case (a, b) => b == a + 1 && a % 2 == 0 }
       pairs.length.toLong
     })
-    if (want("embedding_lsh"))
+    if (planted >= 0) // printed iff the timed block actually ran
       println(f"SCALE embedding_lsh_recall: ${planted.toDouble / (n / 2)}%.3f")
     emb2.unpersist()
 
@@ -374,7 +380,7 @@ object ScaleProbe {
         base + when(pmod(col("id"), lit(2)) === 1, noise * 0.3).otherwise(lit(0.0))
       }).as("embedding")).cache()
     embS.count()
-    var semDropsOdd = 0L
+    var semDropsOdd = -1L
     time(s"semantic_dedup_t0.9_n$nSem")( {
       val drops = graft.ops.Similarity.semanticDedup(embS, 0.9,
           nlist = (nSem / 100).toInt, trainIters = 2, probes = 2)
@@ -382,7 +388,7 @@ object ScaleProbe {
       semDropsOdd = drops.count(_ % 2 == 1)
       drops.length.toLong
     })
-    if (want("semantic_dedup"))
+    if (semDropsOdd >= 0)
       println(f"SCALE semantic_dedup_recall: ${semDropsOdd.toDouble / (nSem / 2)}%.3f")
     embS.unpersist()
 

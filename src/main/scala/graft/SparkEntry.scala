@@ -1941,10 +1941,13 @@ object SparkEntry {
       "sim_hard_negatives" ->
         // same brute-force shape as sim_topk_bruteforce with the label
         // predicate INSIDE the join (the retrieve-then-filter trap the
-        // scaladoc documents)
+        // scaladoc documents); cosine is the EXPLICIT index-order fold
+        // (matches VecDot bit-for-bit) because the k-boundary cut and
+        // knn's tie-breaks compare raw doubles — list_cosine_similarity's
+        // engine-private summation order is not safe there
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label FROM embeddings WHERE vec_id < 20),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS neg_label FROM embeddings),
-          |s AS (SELECT query_id, neighbor_id, neg_label, list_cosine_similarity(qv, cv) AS cos
+          |s AS (SELECT query_id, neighbor_id, neg_label, list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, x) -> a + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, x) -> a + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, x) -> a + x))) AS cos
           |      FROM q JOIN c ON neighbor_id <> query_id AND neg_label <> q_label),
           |r AS (SELECT query_id, neighbor_id, neg_label, cos,
           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
@@ -1956,7 +1959,7 @@ object SparkEntry {
         // comparisons
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nb_label FROM embeddings WHERE vec_id >= 20),
-          |s AS (SELECT query_id, neighbor_id, nb_label, list_cosine_similarity(qv, cv) AS cos FROM q JOIN c ON neighbor_id <> query_id),
+          |s AS (SELECT query_id, neighbor_id, nb_label, list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, x) -> a + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, x) -> a + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, x) -> a + x))) AS cos FROM q JOIN c ON neighbor_id <> query_id),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s),
           |v AS (SELECT query_id, nb_label, count(*) AS votes, max(cos) AS best_cos FROM r WHERE rnk <= 10 GROUP BY 1, 2),
           |p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best_cos DESC, nb_label) AS vr FROM v)

@@ -455,11 +455,17 @@ object Similarity {
     for (r <- 2 to k) {
       val (_, lastVec, _) = picked.last
       val dCol = if (r == 2) sqDistTo(lastVec) else least(col("d"), sqDistTo(lastVec))
+      val prev = cur
       cur = graft.Cleanup.register(
         cur.withColumn("d", dCol).localCheckpoint(false))
       val ids = picked.map(_._1)
       val next = cur.filter(!col("id").isInCollection(ids))
         .orderBy(col("d").desc, col("id").asc).limit(1).collect()
+      // the argmax materialized cur's checkpoint, so round r-1's blocks
+      // have no remaining consumer — free them NOW instead of at harness
+      // drain, or the op holds k copies of the corpus simultaneously
+      // (the later Cleanup.drain re-unpersist is a no-op)
+      prev.unpersist()
       if (next.nonEmpty) {
         val row = next.head
         picked :+= ((row.getLong(0), row.getSeq[Double](1).toSeq,
@@ -516,6 +522,7 @@ object Similarity {
         sqrt(dotF(col("v"), col("v"))).as("vn"))
       .withColumn("ms", lit(0.0))
     var cur = graft.Cleanup.register(base0.localCheckpoint(false))
+    var prevToFree: org.apache.spark.sql.DataFrame = null
     var picked = Vector.empty[(Long, Seq[Double], Double)]
     for (_ <- 1 to k) {
       val scoreC = lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms")
@@ -523,12 +530,18 @@ object Similarity {
       val sel = cur.withColumn("score", scoreC)
         .filter(if (ids.isEmpty) lit(true) else !col("id").isInCollection(ids))
         .orderBy(col("score").desc, col("id").asc).limit(1).collect()
+      // this argmax materialized the checkpoint registered LAST round, so
+      // the round before it has no remaining consumer — free it eagerly
+      // rather than holding k corpus copies until harness drain (the
+      // later Cleanup re-unpersist is a no-op)
+      if (prevToFree != null) { prevToFree.unpersist(); prevToFree = null }
       if (sel.nonEmpty) {
         val row = sel.head
         val cVec = row.getSeq[Double](1).toSeq
         picked :+= ((row.getLong(0), cVec, row.getDouble(row.fieldIndex("score"))))
         val cn = math.sqrt(cVec.foldLeft(0.0)((a, x) => a + x * x))
         val cl = array(cVec.map(lit).toIndexedSeq: _*)
+        prevToFree = cur
         cur = graft.Cleanup.register(
           cur.withColumn("ms",
             greatest(col("ms"), dotF(col("v"), cl) / (col("vn") * lit(cn))))
@@ -559,8 +572,12 @@ object Similarity {
     * associative, so the reduction is bit-identical under any partitioning
     * and any engine, with O(1) mergeable state per dimension (the DuckDB
     * oracle replays all rounds as a materialized-CTE chain and
-    * hash-matches). Decimal(27,0) sums: ~2⁶⁰-magnitude addends × 10¹²
-    * rows headroom — a long would overflow at ~10³ rows of unit vectors.
+    * hash-matches). Decimal(27,0) sums: a quantized addend is
+    * |xᵢ|·|x·v|·2²⁰ ≈ 10⁶ for unit-norm vectors (up to ~10⁹ for
+    * magnitude-10 raw embeddings), so a LONG sum only overflows past
+    * ~10⁹–10¹² rows — real headroom at probe scale, none at the 10¹³-row
+    * corpus this op is written for; decimal(27,0) is safe at any scale
+    * and costs little once the addend cast goes through long (below).
     * The 2⁻²⁰ quantization error per round is ~10⁻⁶ relative — far below
     * the 5-dp output rounding — and the iteration re-normalizes every
     * round, so error does not compound.

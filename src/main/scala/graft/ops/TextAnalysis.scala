@@ -365,11 +365,14 @@ object TextAnalysis {
     * Scale shape: the top-(k+1) is orderBy+limit = TakeOrderedAndProject —
     * per-partition heap of k+1 rows, driver merges parts·(k+1); no
     * corpus shuffle, no window. τ is the minimum of that (k+1)-row set,
-    * joined back as a broadcast 1-row aggregate (never collected). For
-    * corpus-scale k (billions), the same priorities feed a two-pass
-    * threshold form instead — approx-percentile τ₀, count, refine — but
-    * sample-for-inspection k (10²–10⁶) is TakeOrdered territory at any
-    * corpus size.
+    * joined back as a broadcast 1-row aggregate (never collected). The
+    * TakeOrdered shape holds while k+1 stays under
+    * `spark.sql.execution.topKSortFallbackThreshold` (default 10⁴) —
+    * past it Spark silently degrades orderBy+limit to a global
+    * range-partitioned sort, so for larger samples raise the threshold
+    * (per-partition heaps of 10⁵–10⁶ rows are still cheap) or switch to
+    * the two-pass threshold form — approx-percentile τ₀, count, refine —
+    * that corpus-scale k (billions) needs anyway.
     *
     * Weights must be nonnegative (a negative weight yields a negative
     * priority — the row sorts last and the τ estimator loses meaning);

@@ -118,10 +118,12 @@ class WindowKeySweepSpec extends AnyFunSuite {
   private def boundedGrain(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
     case _: WindowGroupLimit => true
-    // a Limit bounds the window's input to a plan-constant row count —
-    // the "rank within a TakeOrdered top-N" shape (rrfFuse's feeders);
-    // same plan-structural argument as WindowGroupLimit
-    case _: GlobalLimit | _: LocalLimit => true
+    // a GLOBAL limit bounds the window's input to a plan-constant row
+    // count — the "rank within a TakeOrdered top-N" shape (rrfFuse's
+    // feeders); same plan-structural argument as WindowGroupLimit.
+    // Deliberately NOT LocalLimit: per-partition limits bound rows × the
+    // cluster's partition count, which grows with the deployment.
+    case _: GlobalLimit => true
     case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
               _: Window | _: RepartitionOperation) =>
       boundedGrain(n.children.head)
