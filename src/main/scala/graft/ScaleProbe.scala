@@ -321,6 +321,10 @@ object ScaleProbe {
     time("kcenter_coreset_16")(
       graft.ops.Similarity.kCenterCoreset(emb, 16).count())
     graft.Cleanup.drain() // per-round coreset checkpoints
+    // MMR with the same round shape, plus the per-row relevance column
+    time("mmr_select_8")(
+      graft.ops.Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0), 8, 0.7).count())
+    graft.Cleanup.drain()
     // power iteration at n vectors: 6 shuffle-free scans, one 64-cell
     // row to the driver per round. On THIS corpus (|x_i| ≤ ~1.15) the
     // quantized addends are ~10^6, so a long sum would still have
