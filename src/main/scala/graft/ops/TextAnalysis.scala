@@ -379,7 +379,22 @@ object TextAnalysis {
     * zero-weight rows are sampled only when the corpus has ≤ k rows.
     */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
-                     textCol: String, k: Int): DataFrame = {
+                     textCol: String, k: Int): DataFrame =
+    prioritySampleFinalize(prioritySampleBuild(df, idCol, weightCol, textCol, k),
+      idCol, weightCol, k)
+
+  /** The MERGEABLE artifact behind `prioritySample`: the top-(k+1) rows by
+    * priority, with the priority column attached. Because any member of
+    * the global top-(k+1) is in its own shard's/batch's top-(k+1),
+    * folding artifacts with `prioritySampleMerge` is EXACTLY the one-shot
+    * computation — the property that lets a 100 TB pipeline keep a
+    * running weighted sample over arriving crawl batches (fold each
+    * batch's ≤(k+1)-row artifact into the stored one; finalize on read)
+    * without ever resampling the corpus. Spec-pinned
+    * (split-fold == one-shot, exact row equality).
+    */
+  def prioritySampleBuild(df: DataFrame, idCol: String, weightCol: String,
+                          textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"sample size must be >= 1: $k")
     // the op appends these to the caller's columns (packBins lesson:
     // silently overwriting an input column corrupts downstream selects)
@@ -392,13 +407,30 @@ object TextAnalysis {
     // w·M exact in double (weights up to 2^53/M), then one IEEE divide —
     // bit-identical in every engine, so the top-k boundary cannot flip
     val pr = (col(weightCol).cast("double") * lit(M.toDouble)) / u.cast("double")
-    val top = df.withColumn("priority", pr)
+    df.withColumn("priority", pr)
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k + 1)
-      .localCheckpoint(false) // k+1 rows; feeds the sample AND τ branches
-    graft.Cleanup.register(top)
-    // τ = (k+1)-th priority = min of the k+1 kept rows (0 when the corpus
-    // has ≤ k rows: every row is sampled and est_w degenerates to w)
+  }
+
+  /** Fold priority-sample artifacts (shards, crawl batches) into one:
+    * union → top-(k+1). Exact, associative, commutative — each input is
+    * ≤ k+1 rows, so the fold is driver-cheap at any corpus size.
+    */
+  def prioritySampleMerge(parts: Seq[DataFrame], idCol: String, k: Int): DataFrame = {
+    require(parts.nonEmpty, "prioritySampleMerge: nothing to merge")
+    parts.reduce(_ unionByName _)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+  }
+
+  /** Artifact → final sample: τ = the (k+1)-th priority (0 when the corpus
+    * had ≤ k rows — every row sampled, est_w degenerates to w), top-k rows
+    * with est_w = max(w, τ), the unbiased subset-sum estimator.
+    */
+  def prioritySampleFinalize(artifact: DataFrame, idCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    val top = graft.Cleanup.register(
+      artifact.localCheckpoint(false)) // ≤ k+1 rows; feeds sample AND τ
     val tau = top.agg(
       when(count(lit(1)) === k + 1, min(col("priority"))).otherwise(lit(0.0)).as("tau"))
     top.orderBy(col("priority").desc, col(idCol).asc).limit(k)

@@ -729,6 +729,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.Cleanup.drain()
   }
 
+  test("prioritySample artifact fold: per-shard builds merged == one-shot, exactly") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val oneShot = TextAnalysis.prioritySample(docs, "doc_id", "n_chars", "text", 40)
+      .select(col("doc_id"), col("priority"), col("est_w"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    // three disjoint "crawl batches" built independently, folded pairwise
+    // (associativity: ((a ⊕ b) ⊕ c))
+    val parts = Seq(0, 1, 2).map(r =>
+      TextAnalysis.prioritySampleBuild(
+        docs.filter(pmod(col("doc_id"), lit(3)) === r), "doc_id", "n_chars", "text", 40))
+    val folded = TextAnalysis.prioritySampleMerge(
+      Seq(TextAnalysis.prioritySampleMerge(parts.take(2), "doc_id", 40), parts(2)),
+      "doc_id", 40)
+    val merged = TextAnalysis.prioritySampleFinalize(folded, "doc_id", "n_chars", 40)
+      .select(col("doc_id"), col("priority"), col("est_w"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    assert(merged == oneShot,
+      "folding per-batch top-(k+1) artifacts must equal the one-shot sample bit-for-bit")
+  }
+
   test("lmScore: hand-computed bigram model on a 2-doc corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
