@@ -472,13 +472,24 @@ object SparkEntry {
     }),
     "text_decontaminate_bloom" -> ((s, dir) => {
       // the scale shape of text_decontaminate: benchmark grams as a compact
-      // Bloom sketch, probed in a shuffle-free scan. Approximate (no false
-      // negatives, fpp-bounded false positives) -> rows-only oracle;
-      // equality/upper-bound vs the exact operator is spec-pinned.
+      // Bloom sketch, probed in a shuffle-free scan. Promoted to a FULL
+      // hash oracle via the no-false-negatives verdict (the forced-outcome
+      // pattern): per doc, bloom_hits ≥ exact bench_hits is the Bloom
+      // CONTRACT — deterministic (the filter is hash-seeded, not random),
+      // so both engines state the boolean identically; the exact n_grams
+      // and bench_hits ride along so the oracle checks real values. The
+      // exact leg reuses decontaminationScore — precisely the side-by-side
+      // the FP-only-extra spec pins, now driver-checked per round.
       val docs = t(s, dir, "documents")
       val bloom = TextAnalysis.benchmarkBloom(
         docs.filter(col("doc_id") < 10), "text", 3, fpp = 1e-6)
-      TextAnalysis.decontaminationScoreBloom(docs, bloom, "doc_id", "text", 3)
+      val approx = TextAnalysis.decontaminationScoreBloom(docs, bloom, "doc_id", "text", 3)
+        .select(col("doc_id"), col("bloom_hits"))
+      TextAnalysis.decontaminationScore(
+          docs, docs.filter(col("doc_id") < 10), "doc_id", "text", 3)
+        .join(approx, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("bench_hits"),
+          (col("bloom_hits") >= col("bench_hits")).as("bloom_superset_ok"))
         .orderBy(col("doc_id"))
     }),
     "text_repetition" -> ((s, dir) =>
@@ -886,10 +897,26 @@ object SparkEntry {
               |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
-    "q_approx_distinct" -> ((s, dir) => // HLL++: rows-only oracle (approx)
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL++, promoted to a FULL hash oracle via the within-documented-
+      // bound verdict (the forced-outcome pattern): the sketch value
+      // itself is engine-specific, but the CONTRACT — |approx − exact| ≤
+      // ⌈rsd·exact⌉ at the default rsd 0.05 — is a deterministic boolean
+      // both engines state identically (HLL++ is hash-seeded and
+      // deterministic for a fixed input, so the verdict cannot flap).
+      // The exact counts ride along so the oracle checks real values,
+      // not just the verdict; the exact-vs-sketch scale trade-off lives
+      // in q_distinct_counts' scaladoc.
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_suppkey")).as("__as"))
+        .select(col("exact_parts"), col("exact_supps"),
+          (abs(col("__ap") - col("exact_parts")) <=
+            ceil(col("exact_parts") * lit(0.05))).as("parts_within_bound"),
+          (abs(col("__as") - col("exact_supps")) <=
+            ceil(col("exact_supps") * lit(0.05))).as("supps_within_bound"))),
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
@@ -913,15 +940,32 @@ object SparkEntry {
           round(min(col("o_totalprice")), 2).as("p_min"),
           round(max(col("o_totalprice")), 2).as("p_max"))
         .orderBy(col("o_orderpriority"))),
-    "q_percentiles_approx" -> ((s, dir) => // sketch-based: rows-only oracle
+    "q_percentiles_approx" -> ((s, dir) =>
       // the 100 TB path for q_percentiles: exact percentile() sorts every
       // group; approx_percentile is a bounded-memory mergeable sketch.
-      // Accuracy vs the exact query is pinned in AnalyticsSpec.
+      // Promoted to a FULL hash oracle via the within-rank-bound verdict:
+      // at accuracy 1000 the sketch returns an element whose rank is
+      // within N/1000 of the target, i.e. its quantile is within ±0.001 —
+      // so it must lie between the EXACT percentiles at q ∓ 0.003 (0.001
+      // sketch error + interpolation/discreteness slack, ≥ 2/(N−1) for
+      // the N ≥ 1000 groups where the sketch approximates at all; below
+      // that it stores every value and is exact). Both engines state the
+      // boolean identically; the constant ∓ fractions keep percentile()
+      // foldable (a per-group dynamic fraction would not plan).
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
-          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_approx"))
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__a50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("__a90"),
+          expr("percentile(o_totalprice, 0.497)").as("__lo50"),
+          expr("percentile(o_totalprice, 0.503)").as("__hi50"),
+          expr("percentile(o_totalprice, 0.897)").as("__lo90"),
+          expr("percentile(o_totalprice, 0.903)").as("__hi90"))
+        .select(col("o_orderpriority"),
+          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+            .as("p50_in_bound"),
+          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+            .as("p90_in_bound"))
         .orderBy(col("o_orderpriority"))),
     "q_asof_join" -> ((s, dir) => {
       // for each event, the user's latest purchase value at or before it
@@ -1631,14 +1675,16 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** DuckDB SQL equivalents. Omitted for the approximate q_approx_distinct
-    * / q_percentiles_approx, the sketch-probing text_decontaminate_bloom,
-    * and the iterative vocab_bpe_merges — those get the driver's rows-only
-    * check and are instead validated against exact counterparts in the
-    * spec suite.
-    * (sim_topk_ivf DOES carry an oracle since its round-8 promotion to
+  /** DuckDB SQL equivalents — since round 10, for EVERY query: the last
+    * three sketch queries (q_approx_distinct, q_percentiles_approx,
+    * text_decontaminate_bloom) are promoted via within-documented-bound
+    * verdicts — the sketch value is engine-specific, but the accuracy
+    * CONTRACT is a deterministic boolean both engines state identically
+    * (sketches here are hash-seeded, not random), emitted alongside the
+    * exact values the oracle checks in full.
+    * (sim_topk_ivf carries an oracle since its round-8 promotion to
     * the planted-twin exact leg — see the query comment. dedup_simhash and
-    * dedup_minhash_estimate DO carry oracles since round 9: OracleHashSql
+    * dedup_minhash_estimate carry oracles since round 9: OracleHashSql
     * recomputes the xxhash64 dialect in DuckDB, so their hash-seeded
     * values are exactly reproducible.)
     * (dedup_minhash_lsh and dedup_embedding_cosine DO carry oracles: their
@@ -1972,7 +2018,12 @@ object SparkEntry {
       "docs_rrf_hybrid" ->
         // text_bm25's exact CTEs feed the lexical ranking (ranks are over
         // the ROUNDED bm25 — the hash-green shared value), dense ranks
-        // over cosine to vec 0; fusion keeps 1/(60+rank) in pure doubles
+        // over cosine to vec 0; fusion keeps 1/(60+rank) in pure doubles.
+        // The dense-leg cosine is the explicit index-order fold (NOT
+        // list_cosine_similarity) so its bits match bruteForceTopK's
+        // VecDot exactly — ranks 1..50 feed the fused score directly, so
+        // a last-ulp divergence between the two cosines could flip
+        // adjacent dense ranks (same rule as sim_knn_classify)
         s"""WITH base AS (SELECT doc_id, $toks AS w FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
            |       CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM base),
@@ -1995,7 +2046,7 @@ object SparkEntry {
            |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
            |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
            |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id <> 0),
-           |s2 AS (SELECT vec_id, list_cosine_similarity(qv, cv) AS cos FROM c, q),
+           |s2 AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])), (a, x) -> a + x) / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])), (a, x) -> a + x)) * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])), (a, x) -> a + x))) AS cos FROM c, q),
            |den AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rb
            |        FROM s2 ORDER BY cos DESC, vec_id LIMIT 50),
            |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id, ra, rb
@@ -2151,6 +2202,19 @@ object SparkEntry {
            |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
            |CAST(bench_hits AS BIGINT) AS bench_hits,
            |round(bench_hits * 1.0 / greatest(n_grams, 1), 4) AS containment
+           |FROM c ORDER BY doc_id""".stripMargin,
+      "text_decontaminate_bloom" ->
+        // same exact CTEs; the Bloom leg's contract (no false negatives →
+        // bloom_hits ≥ bench_hits) is the constant-true verdict column
+        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM t, unnest(generate_series(1, greatest(len(w)-2, 1))) AS u(i)),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+           |c AS (SELECT doc_id, count(*) AS n_grams,
+           |      count(*) FILTER (g IN (SELECT g FROM bench)) AS bench_hits
+           |      FROM grams GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |CAST(bench_hits AS BIGINT) AS bench_hits, true AS bloom_superset_ok
            |FROM c ORDER BY doc_id""".stripMargin,
       "text_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
@@ -2529,6 +2593,11 @@ object SparkEntry {
       "q_distinct_counts" ->
         """SELECT count(DISTINCT l_partkey) AS exact_parts, count(DISTINCT l_suppkey) AS exact_supps,
           |count(*) AS n_rows FROM lineitem""".stripMargin,
+      "q_approx_distinct" ->
+        // the oracle recomputes the exact counts and states the HLL++
+        // accuracy contract as constant true — Spark MEASURES the verdict
+        """SELECT count(DISTINCT l_partkey) AS exact_parts, count(DISTINCT l_suppkey) AS exact_supps,
+          |true AS parts_within_bound, true AS supps_within_bound FROM lineitem""".stripMargin,
       "events_multigrain" ->
         """SELECT event_type,
           |  CASE WHEN grouping(h) = 0 THEN 'hour'
@@ -2572,6 +2641,12 @@ object SparkEntry {
         """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
           |round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
           |round(min(o_totalprice), 2) AS p_min, round(max(o_totalprice), 2) AS p_max
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q_percentiles_approx" ->
+        // group keys recomputed exactly; the sketch's rank-error contract
+        // is the constant-true verdict Spark measures against exact
+        // percentiles at the ∓0.003 quantile margin
+        """SELECT o_orderpriority, true AS p50_in_bound, true AS p90_in_bound
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "q_asof_join" ->
         """SELECT e.event_id, round(p."value", 2) AS last_purchase_value

@@ -117,6 +117,12 @@ object Events {
   def scd2Compact(events: DataFrame, keyCol: String = "user_id",
                   attrCol: String = "event_type", tsCol: String = "ts",
                   seqCol: String = "event_id"): DataFrame = {
+    // same guard prioritySampleBuild/packBins apply: internal working
+    // columns and output names would silently clobber caller columns
+    for (c <- Seq("__chg", "__run", "seq", "valid_from", "valid_to", "n_events")
+         if c != keyCol && c != attrCol)
+      require(!events.columns.contains(c),
+        s"scd2Compact reserves column name '$c'; rename it in the input")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
     val chg = when(lag(col(attrCol), 1).over(w).isNull ||
       lag(col(attrCol), 1).over(w) =!= col(attrCol), 1).otherwise(0)

@@ -418,27 +418,38 @@ object Similarity {
     *
     * Scale shape: k driver rounds (k is 10¹–10³ in practice — it bounds a
     * LABELING budget, not the corpus). Per round: ONE linear scan that
-    * (a) folds the running min-distance column against the single
-    * newly-selected center — a literal dim-vector broadcast in the task
-    * binary, so the state per row is one double — and (b) takes the
-    * arg-max via orderBy+limit(1) = TakeOrderedAndProject (per-partition
-    * 1-row heap, no shuffle). The base relation is localCheckpoint'ed
-    * once and each round's min-fold is re-checkpointed, so round r reads
-    * a 1-column-wider flat relation, never a depth-r lineage chain. Only
-    * k (id, vector) pairs and k scalars ever reach the driver. The
-    * incremental least() fold is exactly Gonzalez's O(n·k) algorithm —
-    * recomputing all k distances per round would be O(n·k²) FLOPs for no
-    * accuracy gain (min is associative).
+    * (a) folds the running min-distance column against the centers
+    * selected since the last materialization — literal dim-vector
+    * broadcasts in the task binary, so the state per row is one double —
+    * and (b) takes the arg-max via orderBy+limit(1) =
+    * TakeOrderedAndProject (per-partition 1-row heap, no shuffle).
+    *
+    * Materialization cadence: the running min-distance column is
+    * localCheckpoint'ed every `checkpointEvery` rounds, NOT every round —
+    * between checkpoints the ≤ checkpointEvery−1 newest center distances
+    * are recomputed inline in the scan's least() chain. Total
+    * materializations of the (id, v, d) relation: ⌈k/c⌉ instead of k;
+    * extra FLOPs: ≤ (c−1) distance folds per row per round — the
+    * scaladoc's O(n·k²) concern only bites when c grows with k, and c is
+    * a small constant. Lineage never exceeds depth 1 off a checkpoint,
+    * and only k (id, vector) pairs and k scalars ever reach the driver.
+    * The incremental least() fold is exactly Gonzalez's O(n·k) algorithm
+    * (min is associative).
     *
     * Determinism across engines (the DuckDB oracle replays all k rounds
     * as a materialized-CTE chain, the vocab_bpe_merges pattern): the
     * squared distance folds (x_i−c_i)² in index order with seed 0.0 —
     * bit-identical IEEE ops in any engine — and least() and the arg-max
-    * comparison are exact, so the traversal cannot diverge.
+    * comparison are exact, so the traversal cannot diverge. The
+    * checkpoint cadence cannot change the result: least() is associative
+    * and each per-center fold is bit-identical whether read back from a
+    * checkpoint or recomputed inline (spec-pinned: c = 1 ≡ c = k).
     */
   def kCenterCoreset(df: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     checkpointEvery: Int = 4): DataFrame = {
     require(k >= 1, s"coreset size must be >= 1: $k")
+    require(checkpointEvery >= 1, s"checkpoint cadence must be >= 1: $checkpointEvery")
     val spark = df.sparkSession
     val base = graft.Cleanup.register(
       df.select(col(idCol).as("id"),
@@ -451,25 +462,37 @@ object Similarity {
       .collect().headOption.getOrElse(
         throw new IllegalArgumentException("k-center coreset of an empty corpus"))
     var picked = Vector((seed.getLong(0), seed.getSeq[Double](1).toSeq, -1.0))
-    var cur = base // running (id, v, d) relation; d absent until round 2
+    var cur = base       // last MATERIALIZED (id, v[, d]) relation
+    var hasD = false     // whether cur already carries the d column
+    var pending = Vector.empty[Seq[Double]] // centers not yet folded into cur's d
     for (r <- 2 to k) {
-      val (_, lastVec, _) = picked.last
-      val dCol = if (r == 2) sqDistTo(lastVec) else least(col("d"), sqDistTo(lastVec))
-      val prev = cur
-      cur = graft.Cleanup.register(
-        cur.withColumn("d", dCol).localCheckpoint(false))
+      pending :+= picked.last._2
+      val dNew = pending.map(sqDistTo).reduce(least(_, _))
+      val dCol = if (hasD) least(col("d"), dNew) else dNew
+      // never materialize on the final round: the argmax ends the
+      // traversal, so a k-th checkpoint would be a write nobody reads
+      val checkpointNow = pending.size >= checkpointEvery && r < k
+      var toFree: DataFrame = null
+      val (scored, dName) =
+        if (checkpointNow) {
+          toFree = cur // also frees base at the 1st checkpoint (re-unpersist at drain is a no-op)
+          cur = graft.Cleanup.register(
+            cur.withColumn("d", dCol).localCheckpoint(false))
+          hasD = true; pending = Vector.empty
+          (cur, "d")
+        } else (cur.withColumn("__d", dCol), "__d")
       val ids = picked.map(_._1)
-      val next = cur.filter(!col("id").isInCollection(ids))
-        .orderBy(col("d").desc, col("id").asc).limit(1).collect()
-      // the argmax materialized cur's checkpoint, so round r-1's blocks
-      // have no remaining consumer — free them NOW instead of at harness
-      // drain, or the op holds k copies of the corpus simultaneously
+      val next = scored.filter(!col("id").isInCollection(ids))
+        .orderBy(col(dName).desc, col("id").asc).limit(1).collect()
+      // the argmax materialized the new checkpoint, so the previous one
+      // has no remaining consumer — free it NOW instead of at harness
+      // drain, or the op holds ⌈k/c⌉ copies of the corpus simultaneously
       // (the later Cleanup.drain re-unpersist is a no-op)
-      prev.unpersist()
+      if (toFree != null) toFree.unpersist()
       if (next.nonEmpty) {
         val row = next.head
         picked :+= ((row.getLong(0), row.getSeq[Double](1).toSeq,
-          math.sqrt(row.getDouble(2))))
+          math.sqrt(row.getDouble(row.fieldIndex(dName)))))
       }
     }
     import spark.implicits._
@@ -498,14 +521,30 @@ object Similarity {
     * The relevance query vector stays RELATIONAL (a broadcast 1-row
     * cross join), never a driver literal.
     *
+    * POOL-THEN-RERANK (the production shape): the corpus is cut to the
+    * top-`poolM` rows by relevance FIRST — one TakeOrderedAndProject over
+    * the scored scan — and the k greedy rounds run over the pool. The
+    * contract is therefore MMR OVER THE RELEVANCE POOL: identical to
+    * full-corpus MMR whenever every vector full-corpus MMR would select
+    * sits inside the top-`poolM` by relevance (guaranteed for λ = 1;
+    * empirically the case for any λ with the default poolM ≈ 64·k — and
+    * spec-pinned equal to the poolM = ∞ form on the test corpora). The
+    * payoff at corpus scale: k corpus scans become ONE (scoring + cut),
+    * and each round's materialization shrinks from |corpus| to poolM
+    * rows. poolM ≤ 0 disables the cut (the exact full-corpus form the
+    * DuckDB oracle replays when the test corpus exceeds the pool).
+    *
     * Output: (rnk, vec_id, score_r) in selection order; ms starts at 0,
     * so round 1 is the pure-relevance argmax.
     */
   def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int, lambda: Double,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                poolM: Int = -1): DataFrame = {
     require(k >= 1, s"selection size must be >= 1: $k")
     require(lambda > 0 && lambda <= 1, s"lambda must be in (0, 1]: $lambda")
     val spark = corpus.sparkSession
+    val m = if (poolM > 0) poolM else 64 * k
+    require(m >= k, s"relevance pool ($m) must be at least k ($k)")
     def fold(pairs: Column): Column = aggregate(pairs, lit(0.0), (s, x) => s + x)
     def dotF(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => x * y))
     // the smallest-id query row anchors relevance (deterministic even if
@@ -521,10 +560,13 @@ object Similarity {
           sqrt(dotF(col("qv"), col("qv"))))).as("rel"),
         sqrt(dotF(col("v"), col("v"))).as("vn"))
       .withColumn("ms", lit(0.0))
+      // the pool cut: TakeOrderedAndProject (per-partition m-row heaps,
+      // no corpus shuffle) — the ONE scan that touches the full corpus
+      .orderBy(col("rel").desc, col("id").asc).limit(m)
     var cur = graft.Cleanup.register(base0.localCheckpoint(false))
     var prevToFree: org.apache.spark.sql.DataFrame = null
     var picked = Vector.empty[(Long, Seq[Double], Double)]
-    for (_ <- 1 to k) {
+    for (r <- 1 to k) {
       val scoreC = lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms")
       val ids = picked.map(_._1)
       val sel = cur.withColumn("score", scoreC)
@@ -532,10 +574,13 @@ object Similarity {
         .orderBy(col("score").desc, col("id").asc).limit(1).collect()
       // this argmax materialized the checkpoint registered LAST round, so
       // the round before it has no remaining consumer — free it eagerly
-      // rather than holding k corpus copies until harness drain (the
+      // rather than holding k pool copies until harness drain (the
       // later Cleanup re-unpersist is a no-op)
       if (prevToFree != null) { prevToFree.unpersist(); prevToFree = null }
-      if (sel.nonEmpty) {
+      if (sel.nonEmpty && r < k) {
+        // the k-th round's argmax ends the traversal — building (and
+        // checkpointing) an ms-update nobody reads would cost one full
+        // extra pool scan per call
         val row = sel.head
         val cVec = row.getSeq[Double](1).toSeq
         picked :+= ((row.getLong(0), cVec, row.getDouble(row.fieldIndex("score"))))
@@ -546,6 +591,10 @@ object Similarity {
           cur.withColumn("ms",
             greatest(col("ms"), dotF(col("v"), cl) / (col("vn") * lit(cn))))
             .localCheckpoint(false))
+      } else if (sel.nonEmpty) {
+        val row = sel.head
+        picked :+= ((row.getLong(0), row.getSeq[Double](1).toSeq,
+          row.getDouble(row.fieldIndex("score"))))
       }
     }
     import spark.implicits._

@@ -169,6 +169,18 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Compact: reserved working/output column names fail fast instead of clobbering") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = Seq((1L, ts("2024-01-01 00:00:10"), 1L, "A", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    for (c <- Seq("__chg", "__run", "seq", "valid_from", "valid_to", "n_events")) {
+      val ex = intercept[IllegalArgumentException] {
+        Events.scd2Compact(base.withColumn(c, lit(1)))
+      }
+      assert(ex.getMessage.contains(c), s"error must name the clashing column '$c'")
+    }
+  }
+
   test("transitionMatrix: per-user step counts and exact ppm probabilities") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // u1: A→B→A→C   u2: B→A   (first event of each user starts no step)

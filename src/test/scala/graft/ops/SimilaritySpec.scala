@@ -465,6 +465,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.map(_._2).head == 0L, "round 1 is pure relevance — the query's own vector wins")
   }
 
+  test("mmrSelect: pool-then-rerank equals the full-corpus form at test scale") {
+    // k = 6 → default pool 64·k = 384 < 500 corpus rows, so the cut is
+    // ACTIVE here — this pins the pool contract: the top-384-by-relevance
+    // pool contains everything full-corpus MMR selects, so both forms
+    // produce identical output (the driver's oracle replays the full form)
+    val q = emb.filter($"vec_id" === 0)
+    val pooled = Similarity.mmrSelect(emb, q, 6, 0.7)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    val full = Similarity.mmrSelect(emb, q, 6, 0.7, poolM = Int.MaxValue)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    assert(pooled == full, "pool cut must not change the selection at test SFs")
+    // degenerate pool = k: MMR reorders exactly the top-k-by-relevance set
+    val tight = Similarity.mmrSelect(emb, q, 3, 0.7, poolM = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).map(_._2).toSet
+    graft.Cleanup.drain()
+    val rel3 = Similarity.mmrSelect(emb, q, 3, 1.0, poolM = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).map(_._2).toSet
+    graft.Cleanup.drain()
+    assert(tight == rel3, "poolM = k must select exactly the top-k relevance set")
+  }
+
+  test("kCenterCoreset: checkpoint cadence cannot change the traversal (c = 1 ≡ default ≡ c ≥ k)") {
+    // least() is associative and each distance fold is bit-identical
+    // whether read from a checkpoint or recomputed inline — so every
+    // cadence must give the byte-identical selection
+    val every = Similarity.kCenterCoreset(emb, 7, checkpointEvery = 1)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    val deflt = Similarity.kCenterCoreset(emb, 7)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    val never = Similarity.kCenterCoreset(emb, 7, checkpointEvery = 100)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    assert(every == deflt, "c = 1 (the round-9 shape) must equal the default cadence")
+    assert(deflt == never, "no-checkpoint (pure inline least chain) must equal the default")
+  }
+
   test("powerIteration: planted dominant axis recovered; partition-order bit-identical; matches dense eigensolve") {
     // planted: mass concentrated on dim 0 — the component must be ±e0
     val planted = Seq(
