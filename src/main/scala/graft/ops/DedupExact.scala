@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dedup partition: tokenization/shingling primitives, the 128-bit content fingerprint, and exact dedup (batch + streaming).
+  * See [[Dedup]].
+  */
+trait DedupExact { self: Dedup.type =>
+
+  /** Whitespace tokenization shared by the shingle-based ops. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity —
+    * native expression (graft.functions.ShingleNGrams), semantics identical
+    * to `array_distinct(transform(sequence(0, greatest(size-n, 0)),
+    * i -> array_join(slice(w, i+1, n), " ")))`.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.shingleNGrams(tokens(text), n)
+
+  /** 128-bit content fingerprint as TWO long columns: two 64-bit xxhash64
+    * draws (the second salts the input with a constant, giving an
+    * independent-in-practice second hash). Used as the dedup
+    * shuffle/grouping key so wide payloads are never the exchange's
+    * sort/compare key. Two flat longs rather than one struct because
+    * struct grouping keys force SortAggregate; flat fixed-width keys keep
+    * the codegen'd HashAggregate path. Collision probability for n
+    * distinct values is ~n²/2¹²⁹ — at 10¹² documents that is <1e-14,
+    * below the hardware-error floor; the standard trade for content-hash
+    * dedup at scale.
+    */
+  def contentFingerprint(c: Column): Seq[Column] =
+    Seq(xxhash64(c), xxhash64(lit(0x9E3779B97F4A7C15L), c))
+
+  // withColumn REPLACES a same-named existing column — a caller column
+  // named __h1/__h2 would be silently overwritten and dropped. Fail loudly.
+  private def requireNoTempCols(df: DataFrame): Unit =
+    Seq("__h1", "__h2").foreach(c => require(!df.columns.contains(c),
+      s"exact dedup uses '$c' as a temp fingerprint column; input must not contain it"))
+
+  /** Exact duplicate groups: one row per distinct `col`, with the keeper
+    * (min id) and the duplicate count. The grouping/shuffle KEY is the
+    * 128-bit contentFingerprint; the value itself travels only as an
+    * aggregation payload (min(col), one copy per distinct value per
+    * partition after map-side partial aggregation) because the output
+    * includes it — exchanges compare/sort 16-byte keys, not wide text.
+    * The string-typed min() buffer does force sort-based aggregation
+    * (HashAggregate needs fixed-width buffers), but the sort key is the
+    * two longs; `exactDedup` below, whose keeper selection drops the
+    * payload entirely, keeps the codegen'd HashAggregate path — prefer it
+    * when the representative value isn't needed.
+    */
+  def exactDupGroups(df: DataFrame, on: String, idCol: String): DataFrame = {
+    requireNoTempCols(df)
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    df.groupBy(h1.as("__h1"), h2.as("__h2"))
+      .agg(min(col(on)).as(on), min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .drop("__h1", "__h2")
+  }
+
+  /** Streaming exact dedup: first-seen-wins within the watermark horizon.
+    * State is bounded by the watermark (old keys expire), so this runs
+    * indefinitely at scale — the streaming counterpart of `exactDedup`.
+    */
+  def streamingExactDedup(df: DataFrame, tsCol: String, watermark: String,
+                          cols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(cols)
+
+  /** Exact dedup keeping the smallest id per duplicate group — the
+    * deterministic flavor of `dropDuplicates` (whose survivor choice is
+    * otherwise arbitrary). For streams, use
+    * `streamingExactDedup` instead.
+    */
+  def exactDedup(df: DataFrame, on: String, idCol: String): DataFrame = {
+    // keeper selection never touches the payload: both the groupBy and the
+    // semi join key on (fingerprint, id) — the wide column rides along only
+    // on the left (kept-rows) side, as it must.
+    requireNoTempCols(df)
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    val keepers = df.select(h1.as("__h1"), h2.as("__h2"), col(idCol))
+      .groupBy(col("__h1"), col("__h2")).agg(min(col(idCol)).as(idCol))
+    df.withColumn("__h1", h1).withColumn("__h2", h2)
+      .join(keepers, Seq("__h1", "__h2", idCol), "leftsemi")
+      .drop("__h1", "__h2")
+  }
+}

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dedup partition: substring-level duplication — positional dup-gram profile, span removal rewrite, the build-once dup-gram artifact, its Bloom-compressed form, and the stateless streaming-safe scrub.
+  * See [[Dedup]].
+  */
+trait DedupSpans { self: Dedup.type =>
+
+  /** Substring-level duplication profile — the positional primitive behind
+    * "remove duplicated passages, not whole documents" dedup (the
+    * suffix-array substring dedup of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed relationally): a
+    * word n-gram occurring in ≥2 DISTINCT documents marks every position
+    * where it appears as duplicated text. Per document this reports how
+    * many of its n-gram positions are cross-document duplicates, the
+    * duplicated fraction, and the first duplicated offset (where a trimmer
+    * would start cutting).
+    *
+    * Relational shape instead of a suffix array: positioned n-grams
+    * (explode) → gram-keyed doc-frequency aggregate → semi join back →
+    * per-doc aggregate. At 100 TB the gram relation is the big exchange;
+    * `hashGrams = true` is the production keying — every exchange and
+    * join carries xxhash64(gram) 8-byte keys instead of gram strings (a
+    * collision can only merge two grams' doc counts, irrelevant at the
+    * df ≥ 2 cut; spec-pinned output-identical on the test corpora). The
+    * default keeps strings so the SQL oracle reproduces the relation
+    * exactly. Every position of a duplicated gram counts, including
+    * repeats inside one document: span coverage, not pair counting.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, s"duplicatedSpans: n-gram order must be >= 1, got $n")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    // positioned grams: pos is the 0-based token offset of the gram start
+    val worded = base.filter(size(col("w")) >= n)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
+      .withColumnRenamed("col", "gram")
+    val positioned = if (hashGrams)
+      worded.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
+    else worded
+    val dupGrams = positioned
+      .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val dupPerDoc = positioned.join(dupGrams, Seq("gram"), "leftsemi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup"), min(col("pos")).as("first_dup_pos"))
+    base
+      .select(col("id"), greatest(size(col("w")) - (n - 1), lit(0)).as("n_grams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / greatest(col("n_grams"), lit(1)), 4).as("dup_ratio"),
+        coalesce(col("first_dup_pos"), lit(-1)).as("first_dup_pos"))
+  }
+
+  /** Substring-level duplication REMOVAL — the rewrite `duplicatedSpans`
+    * only measures: every token covered by a cross-document duplicated
+    * n-gram span is cut, and each document is reassembled from its
+    * surviving tokens in position order (Lee et al.'s "deduplicate the
+    * substring, keep the document", re-expressed relationally instead of
+    * via a suffix array). A gram occurring in ≥ `minDf` DISTINCT
+    * documents flags positions [pos, pos+n-1] at every occurrence —
+    * repeats inside one document included (span coverage, exactly the
+    * `duplicatedSpans` flagging rule, so measure and rewrite agree).
+    *
+    * Relational shape: positioned grams → df aggregate → flagged starts
+    * (semi join) → covered token positions (span explode, ≤ n rows per
+    * flagged start) → anti join tokens → per-document reassembly. All
+    * linear in corpus tokens; the only per-key buffer is the per-document
+    * token collect, whose grain is the document id (data-scale — the
+    * measured sweep's growth test) and whose size is one document's
+    * tokens, the same bound every tokenizer op carries. `hashGrams` is
+    * the production keying (xxhash64 longs through the gram exchanges; a
+    * collision can only merge two grams' doc counts at the df cut —
+    * spec-pinned output-identical); the string default keeps the SQL
+    * oracle byte-exact. Output text normalizes inter-token whitespace to
+    * single spaces (the tokenizer's equivalence class, same as
+    * `normalizeText`'s ws collapse).
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     minDf: Int = 2, hashGrams: Boolean = false): DataFrame =
+    removeDupSpansWith(df, dupGramBuild(df, idCol, textCol, n, minDf, hashGrams),
+      idCol, textCol)
+
+  /** The positioned word-n-gram relation (id, pos, gram) every span op
+    * shares — `hashGrams` swaps gram strings for xxhash64 longs in place.
+    */
+  private def positionedGrams(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, hashGrams: Boolean): DataFrame = {
+    val worded = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + lit(1), lit(n)), " "))))
+      .withColumnRenamed("col", "gram")
+    if (hashGrams)
+      worded.select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
+    else worded
+  }
+
+  /** The build-once duplicated-gram artifact for the span rewrite: the
+    * distinct relation of n-grams occurring in ≥ `minDf` documents of the
+    * corpus it was built over, plus the parameters that define it (a
+    * probe at a different n or keying would never match). Persist/write
+    * once per corpus snapshot; every rewrite batch probes it — the
+    * `crossCorpusBuild`/`phashBuild` seam convention applied to the
+    * rewrite. `dupGramBloom` compresses it into a sketch for the
+    * stateless streaming scrub.
+    */
+  case class DupGramIndex(dupGrams: DataFrame, n: Int, minDf: Int,
+                          hashGrams: Boolean) {
+    def persist(): this.type = { dupGrams.persist(); this }
+    def unpersist(): this.type = { dupGrams.unpersist(); this }
+  }
+
+  /** Aggregate the reference corpus' duplicated grams once — the
+    * expensive per-snapshot half of the span rewrite (the gram df
+    * aggregate is the op's big exchange; re-running it per batch against
+    * a slow-moving reference is the cost this seam avoids).
+    */
+  def dupGramBuild(reference: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDf: Int = 2,
+                   hashGrams: Boolean = false): DupGramIndex = {
+    require(n >= 1, s"dupGramBuild: n-gram order must be >= 1, got $n")
+    require(minDf >= 2, s"dupGramBuild: minDf < 2 would flag every gram, got $minDf")
+    DupGramIndex(
+      positionedGrams(reference, idCol, textCol, n, hashGrams)
+        .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= minDf)
+        .select(col("gram")),
+      n, minDf, hashGrams)
+  }
+
+  /** Span rewrite against a PREBUILT duplicated-gram index: every token of
+    * `corpus` covered by a gram the INDEX flags is cut — "scrub new crawl
+    * text of the boilerplate the training set already taught us" when the
+    * index comes from a reference corpus, or exactly `removeDupSpans`
+    * when it comes from `corpus` itself (the raw form delegates here —
+    * one implementation). Work per batch: the batch's own gram explode, a
+    * semi join against the artifact, span-covered anti join, per-document
+    * reassembly (grain: the data-scale document id).
+    */
+  def removeDupSpansWith(corpus: DataFrame, index: DupGramIndex,
+                         idCol: String, textCol: String): DataFrame = {
+    val n = index.n
+    val base = corpus.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val positioned = positionedGrams(corpus, idCol, textCol, n, index.hashGrams)
+    // token positions covered by any flagged gram's [pos, pos+n-1] span
+    val covered = positioned.join(index.dupGrams, Seq("gram"), "leftsemi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
+      .distinct()
+    val toksPos = base.select(col("id"), posexplode(col("w")).as(Seq("t", "tok")))
+    val kept = toksPos.join(covered, Seq("id", "t"), "leftanti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+            s => s.getField("tok")), " ").as("text_clean"))
+    base.select(col("id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Compress a duplicated-gram index into a Bloom sketch for
+    * `removeDupSpansBloom`. String-keyed indexes only: the probe
+    * expression hashes the gram's UTF-8 bytes (`BloomMightContain`), the
+    * same bytes `stat.bloomFilter` puts on the build side.
+    */
+  def dupGramBloom(index: DupGramIndex, fpp: Double = 1e-8): Array[Byte] = {
+    require(!index.hashGrams,
+      "dupGramBloom probes gram STRINGS; build the index with hashGrams = false")
+    val n = math.max(index.dupGrams.count(), 1L)
+    val bloom = index.dupGrams.stat.bloomFilter("gram", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The STATELESS span scrub: the rewrite as a pure projection — per
+    * row, flag gram starts against the Bloom sketch of the reference's
+    * duplicated grams, cut every token inside a flagged span, reassemble.
+    * No explode, no join, no aggregation, so it runs UNCHANGED on a
+    * stream (parity spec) — this is the online ingest scrub ("strip the
+    * boilerplate the training set taught us, while the crawl arrives"),
+    * the `decontaminationScoreBloom` pattern applied to a rewrite.
+    *
+    * Bloom has no false negatives: every genuinely duplicated span is
+    * cut; a false positive (rate set at build) cuts an extra clean span —
+    * conservative in the right direction for a scrub, and spec-pinned
+    * equal to the exact form on the test corpora at the default fpp.
+    *
+    * Cost note: the per-token coverage test scans the row's flagged-start
+    * list (O(tokens × flagged) per document worst case — quadratic only
+    * when MOST of a long document is duplicated text; such documents
+    * belong to the exact batch rewrite / whole-doc dedup upstream). The
+    * sketch ships per task as an expression literal under
+    * `BloomBroadcastThreshold`, once per executor above it.
+    */
+  def removeDupSpansBloom(df: DataFrame, bloomBits: Array[Byte],
+                          idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"removeDupSpansBloom: n-gram order must be >= 1, got $n")
+    Seq("__w", "__starts", "__kept").foreach(c => require(!df.columns.contains(c),
+      s"removeDupSpansBloom uses '$c' as a temp column; input must not contain it"))
+    val hit: Column => Column =
+      if (bloomBits.length <= graft.ops.TextAnalysis.BloomBroadcastThreshold) {
+        g => graft.functions.VectorFunctions.bloomMightContain(g, bloomBits)
+      } else {
+        val bcast = df.sparkSession.sparkContext.broadcast(bloomBits)
+        g => graft.functions.VectorFunctions.bloomMightContain(g, bcast)
+      }
+    // each intermediate materialized ONCE in its own projection: HOF
+    // lambdas get no codegen CSE (the decontaminationScoreBloom rule), so
+    // inlining __kept into both size() and array_join() would run the
+    // coverage scan twice
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__starts",
+        when(size(col("__w")) >= n,
+          filter(sequence(lit(0), size(col("__w")) - n),
+            i => hit(array_join(slice(col("__w"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__w"), (_, t) =>
+        !exists(col("__starts"), p => t.between(p, p + lit(n - 1)))))
+      .select(col(idCol), size(col("__w")).as("n_tokens"),
+        (size(col("__w")).cast("long") - size(col("__kept")).cast("long"))
+          .as("n_removed"),
+        array_join(col("__kept"), " ").as("text_clean"))
+  }
+}

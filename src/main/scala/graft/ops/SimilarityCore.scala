@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity partition: vector arithmetic and exact query-time search — dot/norm/cosine, brute-force top-k, hard-negative mining, k-NN weak labeling.
+  * See [[Similarity]].
+  */
+trait SimilarityCore { self: Similarity.type =>
+
+  /** dot(a, b) in double precision — native codegen'd expression
+    * (graft.functions.VecDot); arithmetic order identical to the HOF
+    * formulation `aggregate(zip_with(...))`, so oracle results are
+    * unchanged, at ~100× less allocation.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding self-matches by id). Output:
+    * (query_id, rank, neighbor_id, cosine_r) with deterministic tie-break
+    * on neighbor id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+  ): DataFrame = {
+    // norms precomputed once per vector (not per pair): same bits as
+    // cosine() — sqrt(VecDot(v,v)) — at a third of the per-pair FLOPs
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine_r"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the k most-similar corpus vectors whose label DIFFERS from the
+    * query's — the "hard" negatives that sit just outside the class
+    * boundary and carry most of the gradient signal in embedding-model
+    * training [Robinson et al., ICLR 2021]. Exact (brute-force) scoring:
+    * the label predicate lands INSIDE the join condition, so a mislabeled
+    * near-twin can never leak in via post-filtering a top-k that was
+    * computed label-blind (retrieve-then-filter under-fills k whenever
+    * same-label vectors crowd the true top).
+    *
+    * Output: (query_id, rnk, neighbor_id, neg_label, cosine_r),
+    * deterministic tie-break on neighbor id.
+    *
+    * Scale shape: identical to `bruteForceTopK` — queries broadcast,
+    * corpus partition-local scoring, `filter(rank <= k)` compiles to
+    * WindowGroupLimit (per-partition top-k heap BEFORE the per-query
+    * shuffle, so only k·|queries| candidate rows ever move). For
+    * corpus-scale query sets, compose the IVF path instead: probe
+    * `ivfQuery` for top-(m·k) then apply the label filter — the standard
+    * over-retrieve trade, with m bounding the same-label crowd-out risk.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), col(labelCol).as("neg_label"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("neg_label"),
+        round(col("cos"), 4).as("cosine_r"))
+  }
+
+  /** k-NN weak labeling: predict each query vector's label by majority
+    * vote among its k nearest labeled corpus vectors (cosine), with the
+    * vote deterministically broken toward the smaller label id. The
+    * cheap-and-cheerful classifier a curation pipeline uses to
+    * pseudo-label fresh data from a labeled seed set before a real model
+    * exists. Output: (query_id, pred_label, votes, top_cosine_r).
+    *
+    * Scale shape: the scored candidate set is the same broadcast-join
+    * WindowGroupLimit shape as `bruteForceTopK`; the vote is then a
+    * per-query aggregate over ≤ k rows. Ambiguity is resolved by
+    * (votes DESC, best cosine within the label DESC, label ASC) — all
+    * exact comparisons, so the prediction is engine-reproducible.
+    */
+  def knnClassify(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), col(labelCol).as("nb_label"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    val topk = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // per-(query, label) vote census over ≤ k rows, then a bounded-grain
+    // argmax window over the census (≤ |labels| rows per query)
+    val votes = topk.groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_cos").desc, col("nb_label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("query_id"), col("nb_label").as("pred_label"), col("votes"),
+        round(col("best_cos"), 4).as("top_cosine_r"))
+  }
+}

@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TextAnalysis partition: retrieval and co-occurrence statistics —
+  * tf/df salience, BM25, heavy-hitter n-grams, word lift, the tf-idf
+  * similarity join, inverted-index postings, and the bigram LM scorer.
+  * See [[TextAnalysis]].
+  */
+trait TextRetrieval { self: TextAnalysis.type =>
+
+  /** Per-document top-k salient terms, ranked by tf/df — term frequency in
+    * the document over document frequency in the corpus (the log-free
+    * tf-idf variant: idf' = N/df instead of ln(N/df); the corpus size N is
+    * constant within a document's ranking, so it cancels, and the score
+    * stays a ratio of integers whose double division is IEEE-exact — a
+    * transcendental ln() can differ by an ulp between engines/libms, which
+    * is enough to flip a rank tie-break and break hash-exact oracle
+    * comparison).
+    *
+    * Scale shape: tf = one (doc, term) aggregation; df = one (term)
+    * aggregation DERIVED FROM tf (tf rows are distinct (doc, term) pairs,
+    * so counting them per term IS document frequency — no second
+    * tokenization pass); top-k via a per-doc row_number window —
+    * partitioned by doc, never global. tf feeds TWO consumers (the join's
+    * probe side and the df aggregate), and neither Catalyst's
+    * ReuseExchange nor AQE's stage cache dedupes the two aggregate
+    * subtrees (verified empirically: two separate shuffle stages), so tf
+    * is materialized ONCE with a lazy localCheckpoint — at 100 TB the
+    * term-frequency relation is the natural build artifact anyway. The
+    * harness drains the checkpoint blocks after the query (Cleanup).
+    */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = graft.Cleanup.register(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  /** BM25 relevance of every document against a fixed bag of query terms —
+    * the retrieval-scoring surface a curation pipeline uses to mine
+    * topic-relevant training data from a crawl. Classic Okapi shape with
+    * one deliberate substitution: idf' = (N − df + 0.5)/(df + 0.5) WITHOUT
+    * the ln() — the rational core of the Robertson–Sparck-Jones weight.
+    * ln is monotone, so rankings are identical for any single-term query
+    * and near-identical for short conjunctive ones; what the ln() costs is
+    * hash-exact cross-engine comparability (libm ulps differ), which this
+    * whole suite is built on. Production can wrap the ln back on top of
+    * the same plan — it's one more projection.
+    *
+    * Determinism discipline: the per-term partial scores are summed in
+    * FIXED term order via one conditional aggregate per query term (each
+    * sums exactly one nonzero value, so float addition order is pinned),
+    * never a data-ordered sum(); avgdl is an exact integer-sum divided
+    * once. Scale shape: tf is one (doc, term) aggregation over tokens
+    * FILTERED to the query terms before the shuffle — the exchange is
+    * O(docs × |q|), not O(tokens); df and the corpus stats are tiny and
+    * broadcast.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Score: empty query")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, col("s")).otherwise(lit(0.0))).as(s"__s$i")
+    }
+    val agged = scored.groupBy(col("id"))
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_hit_terms"): _*)
+    val total = terms.indices.map(i => col(s"__s$i")).reduce(_ + _)
+    agged.select(col("id").as(idCol), round(total, 4).as("bm25"), col("n_hit_terms"))
+  }
+  /** Corpus-level heavy hitters: the k most document-frequent word n-grams.
+    * Shingles are distinct per document (Dedup.shingles), so the count IS
+    * document frequency. orderBy+limit compiles to TakeOrderedAndProject —
+    * each partition keeps a local top-k after partial aggregation and the
+    * driver merges k rows; no global sort, no full collect, at any corpus
+    * size. Deterministic total order: (doc_freq desc, gram asc).
+    */
+  def topNGrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("g").asc)
+      .limit(k)
+  /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to
+    * the top-`vocabK` terms by document frequency, then for every term
+    * pair co-occurring in ≥ `minCoDocs` documents emit
+    * lift = N·c(a,b) / (df(a)·df(b)) — the PMI argument without the log
+    * (a ratio of exact integers divides to one IEEE double, so it
+    * hash-compares across engines; ln() implementations don't).
+    *
+    * Scale shape: the vocab cap is what makes this tractable — per-doc
+    * pair fanout is ≤ C(vocabK,2) regardless of document length, and pairs
+    * are generated with an index-lambda HOF over each doc's sorted term
+    * array (no self-join of the token table). Two bounded shuffles:
+    * doc-grouping and pair-counting (≤ C(vocabK,2) keys); vocab and
+    * doc-frequency maps ride as broadcasts.
+    */
+  def wordLift(df: DataFrame, idCol: String, textCol: String,
+               vocabK: Int = 40, minCoDocs: Long = 5): DataFrame = {
+    val terms = df.select(col(idCol).as("__doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabK)
+    val perDoc = terms.join(broadcast(vocab.select(col("term"))), "term")
+      .groupBy(col("__doc")).agg(sort_array(collect_set(col("term"))).as("ts"))
+    val pairs = perDoc
+      .select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("co_docs"))
+      .filter(col("co_docs") >= minCoDocs)
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    pairs
+      .join(broadcast(vocab.select(col("term").as("term_a"), col("df").as("df_a"))), "term_a")
+      .join(broadcast(vocab.select(col("term").as("term_b"), col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("co_docs"), col("df_a"), col("df_b"),
+        round(col("n_docs") * col("co_docs").cast("double")
+          / (col("df_a") * col("df_b")).cast("double"), 4).as("lift_r"))
+  }
+
+  /** Exact TF-IDF-weighted cosine similarity join over n-gram shingles,
+    * bounded by a document-frequency cap: terms appearing in more than
+    * `dfCap` documents are dropped BEFORE the term self-join (a hot gram
+    * carries ~zero idf weight but quadratic join fanout — discarding it
+    * changes scores negligibly and bounds the per-term pair volume at
+    * C(dfCap, 2)). This is the standard sparse similarity-join shape: the
+    * scalable EXACT alternative to both the all-pairs product (infeasible)
+    * and MinHash (approximate). Weights are the same rational tf/df used
+    * by topTermsPerDoc (no ln — cross-engine exact); dot products and
+    * norms fold their term lists in SORTED order (the meanPool
+    * discipline), so the rounded cosines hash-compare against a SQL
+    * oracle.
+    *
+    * Scale shape: exchanges carry (doc, term, w) scalars keyed on term,
+    * then (id_a, id_b) pairs — never payloads; the df-cap makes candidate
+    * volume Σ_term C(df,2) ≤ |rare terms|·C(dfCap,2), linear in the corpus
+    * for fixed cap.
+    */
+  def tfidfSimJoin(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, dfCap: Long = 20,
+                   threshold: Double = 0.5): DataFrame = {
+    // tokens materialized in a lower projection: the gram expression
+    // references the array twice (sequence bound + slice) and HOF lambdas
+    // get no codegen CSE
+    val grams = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__w"))
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), greatest(size(col("__w")) - (shingleN - 1), lit(1))),
+        i => array_join(slice(col("__w"), i, lit(shingleN)), " "))).as("term"))
+    val tf = grams.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df0"))
+      .filter(col("df0") <= dfCap)
+    val w = tf.join(dfreq, "term")
+      .select(col("doc"), col("term"), (col("tf") / col("df0").cast("double")).as("w"))
+    val norms = w.groupBy(col("doc"))
+      .agg(sqrt(aggregate(array_sort(collect_list(col("w") * col("w"))),
+        lit(0.0), (a, x) => a + x)).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(aggregate(array_sort(collect_list(col("a.w") * col("b.w"))),
+        lit(0.0), (s, x) => s + x).as("dot"))
+    val cos = col("dot") / (col("na") * col("nb"))
+    dots
+      .join(norms.select(col("doc").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("doc").as("id_b"), col("nrm").as("nb")), "id_b")
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 4).as("cosine_r"))
+  }
+  /** Inverted-index construction for the k highest-df terms: each term's
+    * posting list as a sorted doc-id string (collect_list is
+    * merge-order-nondeterministic, so sort_array pins it). Build shape:
+    * ONE distinct (term, doc) aggregate feeds both the df census and the
+    * posting assembly; the k selected terms come back as a broadcast semi
+    * join, so the full term-doc relation shuffles once. At 100 TB a hot
+    * term's posting list exceeds one row's practical size — production
+    * shards the assembly key to (term, doc_id div B) posting SEGMENTS
+    * (same plan shape, bounded rows); the query form here caps output by
+    * top-k df instead so an oracle can check it end-to-end.
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val td = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = dfs.orderBy(col("df").desc, col("term")).limit(k)
+    td.join(broadcast(top), Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("posting"))
+  }
+
+  /** Posting SEGMENTS — the production form the `postings` scaladoc
+    * names: the assembly key is (term, doc_id div segSize), so one output
+    * row carries at most `segSize` doc ids no matter how
+    * document-frequent the term. At 100 TB a hot term's whole posting
+    * list exceeds any practical row/buffer size — `postings`' per-term
+    * collect_list buffers df ids in ONE aggregation state; here the
+    * buffer is capped at segSize and hot terms spread across df/segSize
+    * parallel states. Segments reassemble losslessly: ids are
+    * range-aligned by the div, so concatenating segments in `seg` order
+    * equals the whole sorted list EXACTLY (spec-pinned against the
+    * capped form). k > 0 keeps the top-k-df roster (broadcast, the
+    * oracle-checkable surface); k <= 0 indexes EVERY term — the true
+    * production build, where the df census joins back on the data-scale
+    * term key instead of broadcasting a roster. Output:
+    * (term, df, seg, seg_df, posting).
+    */
+  def postingsSegments(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, segSize: Long = 1024L): DataFrame = {
+    require(segSize > 0, s"postingsSegments: segSize must be positive, got $segSize")
+    val td = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sel =
+      if (k > 0) td.join(broadcast(dfs.orderBy(col("df").desc, col("term")).limit(k)), Seq("term"))
+      else td.join(dfs, Seq("term"))
+    sel
+      // FLOOR division, not trunc: with mixed-sign doc ids a truncating
+      // div would give segment 0 the double-width span (−segSize, segSize)
+      // — up to 2·segSize−1 ids in one buffer, breaking the documented
+      // per-segment bound. Floor keeps every segment exactly segSize wide.
+      .withColumn("seg", expr(
+        s"doc_id div $segSize - (CASE WHEN doc_id % $segSize < 0 THEN 1 ELSE 0 END)"))
+      .groupBy(col("term"), col("df"), col("seg"))
+      .agg(count(lit(1)).as("seg_df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("posting"))
+  }
+  /** Corpus-trained bigram language-model scoring — the relational shape
+    * of a CCNet-style LM quality filter (Wenzek et al. 2020), with the
+    * model trained on the corpus itself in the same query. Bigram counts
+    * c(w1,w2) and leading-unigram totals c(w1) are exact-integer
+    * aggregations over the exploded token stream; each bigram occurrence
+    * scores add-one-smoothed P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), clamped
+    * to integer nano-units via floor(P·1e9) — IEEE division/multiply of
+    * integer-valued doubles is deterministic on any engine, and the
+    * per-doc SUM of longs commutes, so scores hash-compare exactly.
+    * Scale shape: the corpus is scanned and tokenized ONCE into the
+    * per-doc bigram-multiplicity relation, materialized for its two
+    * consumers (the model aggregation and the scoring join — the DESIGN
+    * §8.1 two-consumer rule; at 100 TB it is the natural build artifact,
+    * the LM equivalent of text_tfidf's tf table). The materialization is
+    * a SERIALIZED memory+disk persist, not a localCheckpoint: compact
+    * columnar blocks (~40 B/token, ~3 GB at the 1M-doc/79M-token probe)
+    * that spill instead of exploding into deserialized row objects —
+    * 32-way concurrent deserialized caching OOMed a 32 GB heap at the
+    * probe scale — and keep lineage, so an evicted block recomputes
+    * instead of failing the job. V is the bigram-participating
+    * vocabulary, derived from the model relation — no second corpus
+    * pass; c(w1) joins the model (bigram types), it is never broadcast;
+    * no driver-side model state.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bgc = graft.Cleanup.register(
+      df.select(col(idCol),
+          filter(zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))), p => p("w2").isNotNull)
+            .as("bgs"))
+        .select(col(idCol), explode(col("bgs")).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = c12.select(col("w1").as("w"))
+      .union(c12.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = c12.join(c1, Seq("w1")).crossJoin(vocab)
+      .withColumn("p_nano",
+        floor((col("c12") + 1).cast("double")
+          / (col("c1") + col("v")).cast("double") * 1e9).cast("long"))
+      .select(col("w1"), col("w2"), col("p_nano"))
+    bgc.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m") * col("p_nano")).as("score_nano"),
+        sum(col("m")).as("n_bigrams"))
+      // integer division (not a double-cast — Spark truncates, other
+      // engines round; `div` floors identically everywhere for positives)
+      .withColumn("avg_p_nano", expr("score_nano div n_bigrams"))
+  }
+}

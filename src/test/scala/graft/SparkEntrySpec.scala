@@ -26,12 +26,13 @@ class SparkEntrySpec extends AnyFunSuite {
     // dedup_simhash + dedup_minhash_estimate graduated in round 9 via the
     // XXH64-in-SQL dialect (OracleHashSql); vocab_bpe_merges graduated
     // late in round 9 (the 20-round training loop replayed in one DuckDB
-    // statement — OracleBpeSql.mergesSql). The remainder is exactly the
-    // genuinely-approximate sketches: HLL distinct, percentile sketch,
-    // and the Bloom probe.
+    // statement — OracleBpeSql.mergesSql). Round 10 closed the last
+    // three: the genuinely-approximate sketches (HLL distinct, percentile
+    // sketch, Bloom probe) now emit within-documented-bound verdict
+    // booleans alongside the sketch values, which both engines produce
+    // deterministically — so EVERY query is oracle-bearing.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_distinct",
-      "q_percentiles_approx", "text_decontaminate_bloom"))
+    assert(rowsOnly == Set.empty[String])
   }
 
   test("bench headline subset names only real, production (non-oracle) queries") {

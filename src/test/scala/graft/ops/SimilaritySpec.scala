@@ -566,6 +566,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfMaybeRebuild: planted drifted batch fires a retrain; in-distribution batch is identity") {
+    val index = Similarity.ivfBuild(emb, nlist = 20)
+    val refScores = Similarity.ivfAssignScores(index, emb)
+
+    // in-distribution: monitoring the training snapshot against itself
+    // gives TVD = 0 — the append-only regime continues with the SAME
+    // artifact (object identity, not just equal contents)
+    val calmReport = Analytics.scoreDrift(refScores, refScores, "acos")
+    assert(Similarity.ivfMaybeRebuild(index, calmReport).eq(index),
+      "zero drift must return the identical index object")
+
+    // planted shift: compress each vector to 5% and shift every
+    // component to ~+5 — the batch collapses onto the all-ones direction,
+    // so assignment cosines concentrate in a few buckets the reference
+    // distribution spreads across; TVD crosses any reasonable threshold
+    val drifted = emb.select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => (x * 0.05 + 5.0).cast("float")).as("embedding"))
+    val appended = Similarity.ivfAppend(index, drifted)
+    val batchScores = Similarity.ivfAssignScores(index, drifted)
+    val driftReport = Analytics.scoreDrift(refScores, batchScores, "acos")
+    val tvd = driftReport.agg(sum($"d_ppm")).as[Double].head() / 2e6
+    assert(tvd > 0.1, s"planted shift should move >10% of mass, got TVD=$tvd")
+
+    val rebuilt = Similarity.ivfMaybeRebuild(appended, driftReport)
+    assert(!rebuilt.eq(appended), "above-threshold drift must retrain")
+    assert(rebuilt.mat != appended.mat,
+      "rebuild must produce a retrained quantizer, not the frozen one")
+    assert(rebuilt.ids.size == appended.ids.size, "nlist preserved across rebuild")
+    // the retrained artifact covers the full appended corpus, reassigned
+    assert(rebuilt.bucketed.count() == appended.bucketed.count())
+    // and is still a queryable index: full k results per query
+    val queries = emb.filter($"vec_id" < 5)
+    assert(Similarity.ivfQuery(rebuilt, queries, 5, nprobe = 4).count() == 5 * 5)
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
