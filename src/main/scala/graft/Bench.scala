@@ -38,7 +38,9 @@ object Bench {
     "text_edit_neighbors", "docs_gram_novelty", "docs_mix_allocate",
     "docs_weighted_sample", "sim_hard_negatives", "sim_knn_classify",
     "emb_coreset_kcenter", "emb_pca_power", "events_scd2",
-    "sim_mmr_select", "docs_rrf_hybrid", "emb_whiten_residual")
+    "sim_mmr_select", "docs_rrf_hybrid", "emb_whiten_residual",
+    "dedup_containment", "docs_boilerplate", "vocab_fertility",
+    "emb_ivf_drift", "docs_score_drift_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

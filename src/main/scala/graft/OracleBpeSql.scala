@@ -70,6 +70,27 @@ object OracleBpeSql {
        |FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM pieces GROUP BY doc_id) c
        |USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language fertility under the fixed table: pieces/word and
+    * chars/piece over the same `pieces`/`words` relations the encode
+    * oracle replays. Integer censuses + correctly-rounded IEEE double
+    * divides, so the ratios are bit-identical to the Spark side.
+    */
+  def fertilitySql(merges: Seq[(String, String)]): String =
+    s"""${pieceCtes(merges)},
+       |pc AS (SELECT doc_id, count(*) AS np, sum(length(piece)) AS nc
+       |       FROM pieces GROUP BY doc_id),
+       |wc AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+       |agg AS (SELECT d.lang,
+       |  CAST(sum(COALESCE(pc.np, 0)) AS BIGINT) AS n_pieces,
+       |  CAST(sum(COALESCE(wc.nw, 0)) AS BIGINT) AS n_words,
+       |  CAST(sum(COALESCE(pc.nc, 0)) AS BIGINT) AS n_chars
+       |  FROM documents d LEFT JOIN pc USING (doc_id) LEFT JOIN wc USING (doc_id)
+       |  GROUP BY d.lang)
+       |SELECT lang, n_pieces, n_words, n_chars,
+       |  round(CAST(n_pieces AS DOUBLE) / greatest(n_words, 1), 4) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / greatest(n_pieces, 1), 4) AS chars_per_piece
+       |FROM agg ORDER BY lang""".stripMargin
+
   /** Full replay of the TRAINING loop (`TextAnalysis.bpeMerges`) — the
     * query that sat rows-only for three rounds under the claim "an
     * iterative driver loop no single SQL statement can replay". The claim

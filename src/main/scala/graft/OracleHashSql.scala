@@ -110,6 +110,49 @@ object OracleHashSql {
     (ctes.toSeq, prev)
   }
 
+  /** CTE chain computing Spark's `xxhash64(<bigint col>)` (seed 42) for
+    * each row of `srcCte` — the XXH64 single-8-byte-block path in closed
+    * form: one k-round over the little-endian value, then the avalanche.
+    * Unlike [[xxhChain]] there is no variable-length branching (a long is
+    * exactly one full block, no 4-byte/1-byte tail), so the chain is 11
+    * steps. Used to replay hash-ordered deterministic sampling (e.g. the
+    * IVF seed selection `ORDER BY xxhash64(id)`) in DuckDB. Returns
+    * (cteClauses, finalCteName); the final CTE carries all source columns
+    * plus `<prefix>h` (signed BIGINT, == Spark) — validated step-for-step
+    * against the reference algorithm on boundary values (0, ±1, ±2⁶³∓1).
+    */
+  def xxh64LongChain(srcCte: String, inCol: String,
+                     prefix: String = "z"): (Seq[(String, String)], String) = {
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def S(name: String, expr: String): Unit = steps += ((prefix + name, expr))
+    def N(name: String): String = prefix + name
+    // unsigned 64-bit view of the signed BIGINT input
+    S("u", s"((($inCol)::HUGEINT % $M) + $M) % $M")
+    S("k1", mul64(N("u"), P2))
+    S("k2", rotl(N("k1"), 31))
+    S("k3", mul64(N("k2"), P1))
+    // h0 = (seed 42 + PRIME5 + len 8) mod 2^64, as a literal
+    S("h1", xor("2870177450012600311::HUGEINT", N("k3")))
+    S("h2", s"(${mul64(rotl(N("h1"), 27), P1)} + $P4) % $M")
+    S("a1", xor(N("h2"), s"${N("h2")} // ${1L << 33}::HUGEINT"))
+    S("a2", mul64(N("a1"), P2))
+    S("a3", xor(N("a2"), s"${N("a2")} // ${1L << 29}::HUGEINT"))
+    S("a4", mul64(N("a3"), P3))
+    S("hu", xor(N("a4"), s"${N("a4")} // ${1L << 32}::HUGEINT"))
+    S("h", s"CASE WHEN ${N("hu")} >= 9223372036854775808::HUGEINT " +
+      s"THEN (${N("hu")} - $M)::BIGINT ELSE ${N("hu")}::BIGINT END")
+    val ctes = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var prev = srcCte
+    var bi = 0
+    steps.grouped(3).foreach { batch =>
+      val cols = batch.map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")
+      ctes += ((s"${prefix}c$bi", s"SELECT *, $cols FROM $prev"))
+      prev = s"${prefix}c$bi"
+      bi += 1
+    }
+    (ctes.toSeq, prev)
+  }
+
   private def cteStr(ctes: Seq[(String, String)]): String =
     ctes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
 

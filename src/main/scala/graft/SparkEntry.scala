@@ -96,6 +96,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_containment" -> ((s, dir) =>
+      // ASYMMETRIC containment C(a→b) = |Sₐ∩S_b|/|Sₐ| ≥ 0.6 — the
+      // quote-inclusion detector Jaccard structurally misses (a short doc
+      // embedded in a long one has J ≈ 0 but C = 1); candidates from a
+      // df-capped shared-gram join (cap 100 ≈ 4× the hottest legitimate
+      // gram at sf0.1), never an all-pairs product — see
+      // Dedup.containmentPairs for the cap's documented miss direction
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3,
+          threshold = 0.6, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_minhash_lsh" -> ((s, dir) => // oracle-checked: recall is exact at test SFs
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -296,6 +306,35 @@ object SparkEntry {
       // materialized-CTE chain (the vocab_bpe_merges multi-round pattern)
       Similarity.kCenterCoreset(t(s, dir, "embeddings"), 8)
         .orderBy(col("rnk"))),
+    "emb_ivf_drift" -> ((s, dir) => {
+      // the drift-gated rebuild policy END-TO-END as an oracle-checked
+      // query: even vec_ids are the training snapshot (trainIters = 0 so
+      // the quantizer is the hash-ordered deterministic seed set — DuckDB
+      // replays the selection via OracleHashSql.xxh64LongChain), odd ids
+      // arrive as a PLANTED drifted crawl (x·0.25 + 2.0, exact binary
+      // constants, collapsing vectors toward the all-ones direction).
+      // Output: the full scoreDrift census over assignment cosines plus
+      // the rebuild verdict. The verdict comparison is INTEGER: d_ppm is
+      // a 4-dp double, so Σ round(d_ppm·10⁴)::long is an exact
+      // order-independent sum and `> 2·10⁹` (TVD > 0.1) can never flip
+      // on summation order — the DESIGN §12 rule that floats feeding
+      // comparisons must be order-pinned.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val ref = emb.filter(col("vec_id") % 2 === 0)
+      val drifted = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(0.25) + lit(2.0)).cast("float")).as("embedding"))
+      val index = Similarity.ivfBuild(ref, nlist = 16, trainIters = 0)
+      val report = Analytics.scoreDrift(
+        Similarity.ivfAssignScores(index, ref),
+        Similarity.ivfAssignScores(index, drifted), "acos")
+      val fired = report.agg(
+        (sum(round(col("d_ppm") * 1e4).cast("long")) > 2000000000L)
+          .as("rebuild_fired"))
+      report.crossJoin(fired) // 1-row verdict broadcast
+        .orderBy(col("bucket"))
+    }),
 
     "docs_rrf_hybrid" -> ((s, dir) => {
       // hybrid retrieval: lexical BM25 top-50 ⊕ dense cosine top-50 fused
@@ -552,6 +591,33 @@ object SparkEntry {
           BpeFixedMerges)
         .select(col("doc_id"), col("n_tokens"))
         .orderBy(col("doc_id"))),
+    "vocab_fertility" -> ((s, dir) => {
+      // tokenizer fertility per language under the fixed merge table:
+      // pieces/word (high = the vocab under-serves that language — each
+      // word shatters into more pieces, so the same text costs more
+      // tokens) and chars/piece (the compression the vocab achieves).
+      // Exact integer censuses + two correctly-rounded IEEE divides;
+      // aggregation grain is |languages|
+      val docs = t(s, dir, "documents")
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", BpeFixedMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          aggregate(col("enc_tokens"), lit(0L),
+            (acc, p) => acc + length(p).cast("long")).as("nc"))
+      val words = docs.select(col("doc_id"), col("lang"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          w => length(w) > 0)).as("nw"))
+      words.join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens").cast("long")).as("n_pieces"),
+          sum(col("nw").cast("long")).as("n_words"),
+          sum(col("nc")).as("n_chars"))
+        .select(col("lang"), col("n_pieces"), col("n_words"), col("n_chars"),
+          round(col("n_pieces").cast("double")
+            / greatest(col("n_words"), lit(1L)), 4).as("fertility"),
+          round(col("n_chars").cast("double")
+            / greatest(col("n_pieces"), lit(1L)), 4).as("chars_per_piece"))
+        .orderBy(col("lang"))
+    }),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rnk"))),
@@ -638,11 +704,44 @@ object SparkEntry {
           scored.filter(col("doc_id") % 2 === 1), "quality_score")
         .orderBy(col("bucket"))
     }),
+    "docs_score_drift_by_source" -> ((s, dir) => {
+      // the GROUPED monitor (Analytics.scoreDriftBy): per-language drift
+      // census — a one-source regression pooled TVD dilutes to nothing
+      // shows at full strength under its own language, and the vanished-
+      // source path is exercised by PLANTING one: the "current crawl"
+      // side drops zh entirely, so zh's reference mass reads as maximal
+      // drift through the guarded zero-share divide
+      val scored = TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      Analytics.scoreDriftBy(
+          scored.filter(col("doc_id") % 2 === 0),
+          scored.filter(col("doc_id") % 2 === 1 && col("lang") =!= "zh"),
+          "lang", "quality_score")
+        .orderBy(col("lang"), col("bucket"))
+    }),
     "docs_source_cap" -> ((s, dir) =>
       // per-source contribution cap: at most 10 docs per source,
       // best-quality-first, doc-id tie-break — histogram threshold +
       // boundary-bucket rank, never a whole-source sort window
       TextAnalysis.sourceCap(t(s, dir, "documents"), "text", 10)
+        .orderBy(col("doc_id"))),
+    "docs_boilerplate" -> ((s, dir) =>
+      // shared-prefix boilerplate census: per doc, how many same-language
+      // docs open with its first 4 tokens (template headers/nav bars —
+      // the signal quality scores can't see and pairwise near-dup misses
+      // when bodies differ); exchange keys are the prefix's 128-bit
+      // fingerprint, never the string (TextAnalysis.boilerplatePrefixes).
+      // The raw corpus has no shared openings, so every 4th doc gets a
+      // deterministic template header PLANTED (the text_pii_redact
+      // augmentation rule: a detector exercised only on its negative
+      // branch is vacuous) — flagged and unflagged docs both exist at
+      // every SF, and the oracle replays the plant
+      TextAnalysis.boilerplatePrefixes(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("site nav home about "), col("text")))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text", "lang", prefixTokens = 4, minShare = 3)
         .orderBy(col("doc_id"))),
     "text_pii_redact" -> ((s, dir) =>
       // PII scrub over documents AUGMENTED with synthetic addresses (the
@@ -1813,6 +1912,58 @@ object SparkEntry {
       sb ++= s"sel AS ($rows)\nSELECT rnk, vec_id, score_r FROM sel ORDER BY rnk"
       sb.toString
     }
+    // the drift-gated rebuild verdict replayed end-to-end: hash-ordered
+    // seed selection (xxh64LongChain — Spark's ORDER BY xxhash64(vec_id)),
+    // kernel-exact assignment cosines (explicit index-order folds, argmax
+    // tie-broken (cos DESC, cid ASC) like NearestCentroids), the scoreDrift
+    // census, and the INTEGER TVD comparison (Σ round(d_ppm·10⁴)::BIGINT
+    // — order-independent, can never flip on summation order)
+    val ivfDriftSql = {
+      def dt(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val (hashCtes, hashFinal) = OracleHashSql.xxh64LongChain(
+        "(SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0)", "vec_id")
+      val hashCteStr = hashCtes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $hashCteStr,
+         |seeds AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 16),
+         |cents0 AS (SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings e JOIN seeds s ON e.vec_id = s.vec_id),
+         |cents AS MATERIALIZED (SELECT cid, cv, sqrt(${dt("cv", "cv")}) AS cn FROM cents0),
+         |refv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |         FROM embeddings WHERE vec_id % 2 = 0),
+         |curv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(CAST(x * 0.25 + 2.0 AS FLOAT) AS DOUBLE)) AS v
+         |         FROM embeddings WHERE vec_id % 2 = 1),
+         |rs AS (SELECT r.vec_id, c.cid,
+         |         ${dt("r.v", "c.cv")} / (sqrt(${dt("r.v", "r.v")}) * c.cn) AS cos
+         |       FROM refv r, cents c),
+         |ra AS (SELECT vec_id, round(cos, 2) AS acos FROM (
+         |         SELECT vec_id, cos, row_number() OVER
+         |           (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk FROM rs)
+         |       WHERE rnk = 1),
+         |cs AS (SELECT r.vec_id, c.cid,
+         |         ${dt("r.v", "c.cv")} / (sqrt(${dt("r.v", "r.v")}) * c.cn) AS cos
+         |       FROM curv r, cents c),
+         |ca AS (SELECT vec_id, round(cos, 2) AS acos FROM (
+         |         SELECT vec_id, cos, row_number() OVER
+         |           (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rnk FROM cs)
+         |       WHERE rnk = 1),
+         |hr AS (SELECT CAST(round(round(acos, 2) * 100, 0) AS INT) AS bucket, count(*) AS n
+         |       FROM ra GROUP BY 1),
+         |hc AS (SELECT CAST(round(round(acos, 2) * 100, 0) AS INT) AS bucket, count(*) AS n
+         |       FROM ca GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(n) FROM hr) AS tr, (SELECT sum(n) FROM hc) AS tc),
+         |census AS (SELECT coalesce(hr.bucket, hc.bucket) AS bucket,
+         |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_ref,
+         |  CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cur,
+         |  round(abs(CAST(coalesce(hr.n, 0) AS DOUBLE) / tr
+         |    - CAST(coalesce(hc.n, 0) AS DOUBLE) / tc) * 1e6, 4) AS d_ppm
+         |  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket, tot),
+         |fired AS (SELECT sum(CAST(round(d_ppm * 1e4, 0) AS BIGINT)) > 2000000000
+         |          AS rebuild_fired FROM census)
+         |SELECT bucket, n_ref, n_cur, d_ppm, rebuild_fired
+         |FROM census, fired ORDER BY bucket""".stripMargin
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -1826,6 +1977,23 @@ object SparkEntry {
         "SELECT doc_id FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 80)) ORDER BY doc_id",
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_minhash_lsh" -> jaccardSql,
+      "dedup_containment" ->
+        // directed containment with the SAME df-cap the operator applies
+        // (cap replayed, so the recall trade is value-checked); explicit
+        // DOUBLE division matches Spark's cast-then-divide bit-for-bit
+        s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+           |cool AS (SELECT g FROM (SELECT g, count(*) AS df FROM grams GROUP BY g)
+           |         WHERE df <= 100),
+           |bg AS (SELECT doc_id, g FROM grams JOIN cool USING (g)),
+           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           |          FROM bg a JOIN bg b ON a.g = b.g AND a.doc_id <> b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / sa.n, 4) AS containment
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           |WHERE CAST(c AS DOUBLE) / sa.n >= 0.6 ORDER BY id_a, id_b""".stripMargin,
       // round-9 promotions: the seeded-hash pair ops get FULL value oracles
       // by recomputing Spark's xxhash64 dialect in DuckDB SQL (XXH64
       // short-input path unrolled — see OracleHashSql scaladoc). Raw
@@ -1836,6 +2004,7 @@ object SparkEntry {
       // list_reduce chain, one CTE per merge rank (OracleBpeSql scaladoc)
       "vocab_bpe_encode" -> OracleBpeSql.pieceCensusSql(BpeFixedMerges),
       "docs_bpe_token_counts" -> OracleBpeSql.tokenCountsSql(BpeFixedMerges),
+      "vocab_fertility" -> OracleBpeSql.fertilitySql(BpeFixedMerges),
       // the TRAINING loop replayed: 20 data-dependent census→argmax→
       // refold rounds chained through materialized one-row pair relations
       // (OracleBpeSql.mergesSql scaladoc — this sat rows-only for three
@@ -2012,6 +2181,7 @@ object SparkEntry {
           |SELECT query_id, nb_label AS pred_label, votes, round(best_cos, 4) AS top_cosine_r
           |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin,
       "emb_coreset_kcenter" -> kcenterSql,
+      "emb_ivf_drift" -> ivfDriftSql,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,
@@ -2145,6 +2315,52 @@ object SparkEntry {
            |    - CAST(coalesce(hc.n, 0) AS DOUBLE) / tc) * 1e6, 4) AS d_ppm
            |FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket, tot
            |ORDER BY bucket""".stripMargin,
+      "docs_score_drift_by_source" ->
+        // the grouped census: per-(lang, bucket) counts, per-lang totals,
+        // guarded zero-share divide for the planted vanished source (the
+        // current side drops zh, so zh's reference mass reads as maximal
+        // drift — the CASE both engines state identically)
+        s"""WITH f AS (SELECT doc_id, lang, $toks AS w FROM documents),
+           |g AS (SELECT doc_id, lang, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id, lang,
+           |  round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |    + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |    + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS s
+           |  FROM g),
+           |hr AS (SELECT lang, CAST(round(round(s, 2) * 100, 0) AS INT) AS bucket, count(*) AS n
+           |       FROM q WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |hc AS (SELECT lang, CAST(round(round(s, 2) * 100, 0) AS INT) AS bucket, count(*) AS n
+           |       FROM q WHERE doc_id % 2 = 1 AND lang <> 'zh' GROUP BY 1, 2),
+           |tr AS (SELECT lang, sum(n) AS t FROM hr GROUP BY lang),
+           |tc AS (SELECT lang, sum(n) AS t FROM hc GROUP BY lang),
+           |cen AS (SELECT coalesce(hr.lang, hc.lang) AS lang,
+           |  coalesce(hr.bucket, hc.bucket) AS bucket,
+           |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_ref,
+           |  CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cur
+           |  FROM hr FULL OUTER JOIN hc ON hr.lang = hc.lang AND hr.bucket = hc.bucket)
+           |SELECT cen.lang, bucket, n_ref, n_cur,
+           |  round(abs(
+           |    (CASE WHEN tr.t IS NULL OR tr.t = 0 THEN 0.0 ELSE CAST(n_ref AS DOUBLE) / tr.t END)
+           |    - (CASE WHEN tc.t IS NULL OR tc.t = 0 THEN 0.0 ELSE CAST(n_cur AS DOUBLE) / tc.t END)) * 1e6, 4) AS d_ppm
+           |FROM cen LEFT JOIN tr ON tr.lang = cen.lang LEFT JOIN tc ON tc.lang = cen.lang
+           |ORDER BY cen.lang, bucket""".stripMargin,
+      "docs_boilerplate" ->
+        // census on the RAW prefix string — a Spark-side fingerprint
+        // collision would surface as a count mismatch, loudly; the
+        // planted template header replayed in the aug CTE
+        s"""WITH aug AS (SELECT doc_id, lang,
+           |  CASE WHEN doc_id % 4 = 0 THEN 'site nav home about ' || text ELSE text END AS text
+           |  FROM documents),
+           |toks AS (SELECT doc_id, lang, $toks AS w FROM aug),
+           |p AS (SELECT doc_id, lang, array_to_string(w[1:4], ' ') AS prefix FROM toks),
+           |c AS (SELECT lang, prefix, count(*) AS prefix_df FROM p GROUP BY 1, 2)
+           |SELECT p.doc_id, p.lang, CAST(c.prefix_df AS BIGINT) AS prefix_df,
+           |  c.prefix_df >= 3 AS is_boilerplate
+           |FROM p JOIN c ON p.lang = c.lang AND p.prefix = c.prefix
+           |ORDER BY p.doc_id""".stripMargin,
       "text_fingerprint" ->
         """SELECT doc_id, list_reduce(
           |  list_prepend(CAST(0 AS BIGINT),

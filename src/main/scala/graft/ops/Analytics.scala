@@ -477,6 +477,55 @@ object Analytics {
           - col("n_cur").cast("double") / col("__tc")) * 1e6, 4).as("d_ppm"))
   }
 
+  /** `scoreDrift` PER GROUP — the form the monitor actually runs in a
+    * multi-source pipeline: a scraper regression in one source is
+    * invisible in the pooled histogram (a 2 % source moving its whole
+    * distribution shifts pooled TVD by ≤ 2 %), but per-source TVD flags
+    * it at full strength and names the culprit. One row per occupied
+    * (group, bucket) with both sides' counts and `d_ppm` against the
+    * GROUP's own totals; per-group TVD = Σ_group d_ppm / 2·10⁶.
+    *
+    * A group present on only one side has the absent side's share
+    * defined 0 via the guarded divide (`when(total === 0, 0.0)` — a
+    * deterministic CASE both engines state identically), so its TVD
+    * SATURATES at 0.5: the present side's whole mass drifts against an
+    * empty distribution, Σ|p − 0|/2 = ½, regardless of the
+    * distribution's shape. A one-sided group therefore always reads
+    * EXACTLY 0.5 (for comparison: two occupied-but-disjoint
+    * distributions read 1.0) — the constant "source appeared or
+    * vanished" signature, the alert you want on a scraper
+    * launch/outage.
+    *
+    * Scale shape: identical to `scoreDrift` with every aggregate and the
+    * census join keyed (group, bucket) / (group) instead of (bucket) —
+    * two corpus-scale hash aggregates onto the ≤|groups|·|lattice|
+    * grain, per-group totals joined back on the bounded group key. The
+    * group key is config-scale (sources/languages), fine for aggregates
+    * — nothing here windows or collects on it.
+    */
+  def scoreDriftBy(ref: DataFrame, cur: DataFrame, groupCol: String,
+                   scoreCol: String): DataFrame = {
+    def hist(df: DataFrame) =
+      df.select(col(groupCol).as("grp"),
+          round(round(col(scoreCol), 2) * 100).cast("int").as("bucket"))
+        .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+    val hr = hist(ref)
+    val hc = hist(cur)
+    val tr = hr.groupBy(col("grp")).agg(sum(col("n")).as("__tr"))
+    val tc = hc.groupBy(col("grp")).agg(sum(col("n")).as("__tc"))
+    def share(n: Column, total: Column): Column =
+      when(total.isNull || total === 0L, lit(0.0)).otherwise(n.cast("double") / total)
+    hr.select(col("grp"), col("bucket"), col("n").as("n_ref"))
+      .join(hc.select(col("grp"), col("bucket"), col("n").as("n_cur")),
+        Seq("grp", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(tr, Seq("grp"), "left")
+      .join(tc, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("bucket"), col("n_ref"), col("n_cur"),
+        round(abs(share(col("n_ref"), col("__tr"))
+          - share(col("n_cur"), col("__tc"))) * 1e6, 4).as("d_ppm"))
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two integer
     * dimensions — the multi-dimensional file-clustering key: sorting /
     * range-partitioning 100 TB of files by z keeps BOTH dimensions

@@ -408,4 +408,52 @@ trait DedupMinHash { self: Dedup.type =>
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** ASYMMETRIC containment similarity: directed pairs (a → b), a ≠ b,
+    * with C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥ `threshold` over distinct word
+    * `shingleN`-grams. The quote-inclusion detector Jaccard structurally
+    * misses: a short document fully embedded in a long one has
+    * J = |Sₐ|/|S_b| ≈ 0 but C(a→b) = 1 — exactly the "document a is
+    * contained in document b" signal a dedup pipeline needs for
+    * quote-heavy or concatenated pages (and the reason MinHash-LSH
+    * candidates, which approximate JACCARD, are the wrong recall set
+    * here: high-containment/low-Jaccard pairs never co-bucket).
+    *
+    * Candidates come from a document-frequency-capped shared-gram join
+    * instead: grams appearing in more than `maxDf` documents are dropped
+    * BEFORE the self-join (the `text_simjoin_tfidf` hot-term rule), so
+    * each surviving gram contributes ≤ maxDf² directed pairs and the
+    * join never goes quadratic on boilerplate. The denominator |Sₐ|
+    * stays the FULL pre-cap shingle count, so a capped gram can only
+    * LOWER a measured containment, never raise it — the miss direction
+    * is documented recall on pairs whose overlap is mostly boilerplate
+    * grams, the pairs a containment detector is least interested in.
+    * The DuckDB oracle replays the cap exactly, so the trade is
+    * value-checked, not hidden.
+    *
+    * 100 TB shape: one gram explode, one ≤maxDf-bounded self-join keyed
+    * on the gram string, one (id_a, id_b) count aggregate, one
+    * broadcast-size join back to per-doc counts. All exchange keys are
+    * data-scale (gram, id pair); no window, no driver state.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+                       threshold: Double, maxDf: Int): DataFrame = {
+    require(maxDf > 0, "containmentPairs requires a positive gram df cap " +
+      "(the self-join is quadratic in the hottest gram's document frequency)")
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val cool = ex.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val bounded = ex.join(cool.select(col("g")), Seq("g"), "leftsemi")
+    val inter = bounded.as("a").join(bounded.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
 }

@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 trait TextCuration { self: TextAnalysis.type =>
 
+  /** Shared-prefix boilerplate detection: per document, how many documents
+    * in the same `groupCol` (source/language) share its first
+    * `prefixTokens` tokens, and the `is_boilerplate` flag at `minShare` —
+    * the template-header signal (scraped nav bars, license banners, feed
+    * preambles) that per-document quality scores can't see and pairwise
+    * near-dup misses when the bodies differ. Docs shorter than
+    * `prefixTokens` participate with their whole token list (a short
+    * template page repeated verbatim is exactly boilerplate).
+    *
+    * 100 TB shape: the exchange key is the 128-bit content fingerprint of
+    * the prefix (the `exactDupGroups` rule — never group corpus-scale
+    * exchanges on raw strings), so the census aggregate and the join back
+    * both move 16-byte keys; two hash aggregates + one equi-join, no
+    * window, no driver state. The census grain is (group, distinct
+    * prefix) — data-scale by construction. The DuckDB oracle groups on
+    * the raw prefix string: any fingerprint collision shows up as a
+    * count mismatch, loudly (the OracleHashSql convention).
+    */
+  def boilerplatePrefixes(df: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, prefixTokens: Int = 8,
+                          minShare: Int = 5): DataFrame = {
+    val prefix = array_join(slice(tokens(col(textCol)), 1, prefixTokens), " ")
+    val fp = Dedup.contentFingerprint(prefix)
+    val keyed = df.select(col(idCol), col(groupCol),
+      fp(0).as("__hi"), fp(1).as("__lo"))
+    val census = keyed.groupBy(col(groupCol), col("__hi"), col("__lo"))
+      .agg(count(lit(1)).as("prefix_df"))
+    keyed.join(census, Seq(groupCol, "__hi", "__lo"))
+      .select(col(idCol), col(groupCol), col("prefix_df"),
+        (col("prefix_df") >= minShare).as("is_boilerplate"))
+  }
+
   /** Per-(language, score) count histogram with per-language cumulative
     * counts and totals — the bounded summary both distribution-relative
     * quality ops derive their statistics from. quality_score is rounded to

@@ -206,6 +206,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(tvd - 0.6) < 1e-12)
   }
 
+  test("scoreDriftBy: per-group totals; singleton group matches pooled; one-sided group saturates at 0.5") {
+    val ref = Seq(("a", 0.7), ("a", 0.7), ("a", 0.4), ("b", 0.9), ("b", 0.9)).toDF("src", "q")
+    val cur = Seq(("a", 0.7), ("a", 0.4), ("a", 0.4), ("c", 0.2)).toDF("src", "q")
+    val got = Analytics.scoreDriftBy(ref, cur, "src", "q")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // group a: shares computed against a's OWN totals (3 ref, 3 cur)
+    val aExp = Analytics.scoreDrift(
+        ref.filter($"src" === "a"), cur.filter($"src" === "a"), "q")
+      .as[(Int, Long, Long, Double)].collect().map(r => ("a", r._1) -> r._4).toMap
+    aExp.foreach { case (k, d) => assert(got(k)._5 == d, s"$k: grouped != pooled-on-group") }
+    // group b vanished from cur: every bucket carries its ref share, group
+    // TVD saturates at exactly 0.5 (the scaladoc's outage signature)
+    assert(got(("b", 90)) == (("b", 90, 2L, 0L, 1000000.0)))
+    val bTvd = got.collect { case ((g, _), r) if g == "b" => r._5 }.sum / 2e6
+    assert(bTvd == 0.5)
+    // group c is brand-new: same saturation from the other side
+    assert(got(("c", 20)) == (("c", 20, 0L, 1L, 1000000.0)))
+    // no cross-group contamination: keys are exactly the occupied pairs
+    assert(got.keySet == Set(("a", 70), ("a", 40), ("b", 90), ("c", 20)))
+  }
+
   test("rrfFuse: shared id outranks either single-list leader; absent ranks contribute 0 and report -1") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
     val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")

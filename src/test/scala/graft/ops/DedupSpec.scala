@@ -421,4 +421,39 @@ class DedupSpec extends AnyFunSuite {
       case g: Generate => g }.isEmpty,
       "the Bloom scrub must stay a pure projection")
   }
+
+  test("containmentPairs: catches short-in-long inclusion Jaccard misses; asymmetric; cap only lowers") {
+    // planted inclusion: doc 1 is fully quoted inside doc 2 (plus a long
+    // unrelated tail), doc 3 unrelated — J(1,2) is low, C(1→2) = 1
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta " +
+        (1 to 40).map(i => s"tail$i").mkString(" ")),
+      (3L, "unrelated words only here nothing shared"),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(planted, "doc_id", "text", 3, 0.9, maxDf = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont.contains((1L, 2L, 1.0)), s"inclusion not detected: $cont")
+    // asymmetry: the containing direction scores |S1|/|S2| ≈ 0.1, far
+    // below threshold — only the contained direction fires
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L }, s"got $cont")
+    // and Jaccard at the same threshold sees nothing
+    val jac = Dedup.jaccardPairs(planted, "doc_id", "text", 3, 0.9).count()
+    assert(jac == 0, "Jaccard should miss the inclusion pair")
+
+    // on the real corpus: every capped-run score is <= its uncapped twin
+    // (the documented miss direction — a dropped gram can only LOWER a
+    // containment, never raise it), and pairs at cap=corpus-size match
+    // the cap-free computation exactly
+    val n = docs.count().toInt
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.0, maxDf = n + 1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.0, maxDf = 50)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.nonEmpty)
+    capped.foreach { case (a, b, c) =>
+      val u = uncapped.getOrElse((a, b), 0.0)
+      assert(c <= u + 1e-9, s"cap RAISED containment for ($a,$b): $c > $u")
+    }
+  }
 }

@@ -761,4 +761,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 666666666L + 750000000L, 2L, (666666666L + 750000000L) / 2),
       (2L, 750000000L, 1L, 750000000L)))
   }
+  test("boilerplatePrefixes: per-group prefix census; short docs; planted template flags") {
+    val df = Seq(
+      (1L, "en", "header one two three body alpha"),
+      (2L, "en", "header one two three body beta"),
+      (3L, "en", "header one two three body gamma"),
+      (4L, "en", "different opening words entirely here"),
+      (5L, "fr", "header one two three body delta"), // same prefix, OTHER group
+      (6L, "en", "tiny"),                            // shorter than prefixTokens
+      (7L, "en", "tiny"),
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.boilerplatePrefixes(df, "doc_id", "text", "lang",
+        prefixTokens = 4, minShare = 3)
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the three en template docs share the 4-token prefix -> flagged
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((id, "en", 3L, true)), s"doc $id: ${got(id)}")
+    }
+    // same prefix in ANOTHER group does not pool: fr count is its own 1
+    assert(got(5L) == ((5L, "fr", 1L, false)))
+    assert(got(4L) == ((4L, "en", 1L, false)))
+    // docs shorter than prefixTokens participate with their whole token
+    // list -- the two "tiny" docs form their own 2-doc prefix group
+    assert(got(6L)._3 == 2L && !got(6L)._4)
+    assert(got.size == 7)
+  }
 }
