@@ -106,6 +106,18 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3,
           threshold = 0.6, maxDf = 100)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_containment_cross" -> ((s, dir) => {
+      // cross-corpus containment through the Build/With seam: flag fresh
+      // crawl docs (odd ids) ≥60% contained in some training doc (even
+      // ids), best reference per new doc; the df cap counts the
+      // REFERENCE side only (batch-invariant — the crossCorpusNearDups
+      // rule), replayed by the oracle
+      val d = t(s, dir, "documents")
+      Dedup.crossCorpusContainment(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 3, threshold = 0.6, maxDf = 100)
+        .orderBy(col("id_new"))
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => // oracle-checked: recall is exact at test SFs
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -1994,6 +2006,29 @@ object SparkEntry {
            |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / sa.n, 4) AS containment
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a
            |WHERE CAST(c AS DOUBLE) / sa.n >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_containment_cross" ->
+        // reference-side-only df cap (batch-invariant), best match per
+        // new doc by (containment DESC, ref id ASC) — exact-division
+        // tie-break parity with the Spark max(struct) argmax
+        s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+           |grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+           |          FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
+           |rg0 AS (SELECT doc_id AS id_ref, g FROM grams WHERE doc_id % 2 = 0),
+           |cool AS (SELECT g FROM (SELECT g, count(*) AS df FROM rg0 GROUP BY g)
+           |         WHERE df <= 100),
+           |rg AS (SELECT id_ref, rg0.g FROM rg0 JOIN cool USING (g)),
+           |ng AS (SELECT doc_id AS id_new, g FROM grams WHERE doc_id % 2 = 1),
+           |sizes AS (SELECT doc_id AS id_new, count(*) AS n FROM grams
+           |          WHERE doc_id % 2 = 1 GROUP BY 1),
+           |inter AS (SELECT id_new, id_ref, count(*) AS c FROM ng JOIN rg USING (g)
+           |          GROUP BY 1, 2),
+           |sc AS (SELECT inter.id_new, id_ref, CAST(c AS DOUBLE) / s.n AS cont
+           |       FROM inter JOIN sizes s ON s.id_new = inter.id_new
+           |       WHERE CAST(c AS DOUBLE) / s.n >= 0.6),
+           |best AS (SELECT id_new, id_ref, cont, row_number() OVER
+           |         (PARTITION BY id_new ORDER BY cont DESC, id_ref ASC) AS rnk FROM sc)
+           |SELECT id_new, id_ref AS matched_ref, round(cont, 4) AS best_containment
+           |FROM best WHERE rnk = 1 ORDER BY id_new""".stripMargin,
       // round-9 promotions: the seeded-hash pair ops get FULL value oracles
       // by recomputing Spark's xxhash64 dialect in DuckDB SQL (XXH64
       // short-input path unrolled — see OracleHashSql scaladoc). Raw

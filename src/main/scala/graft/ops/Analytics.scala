@@ -503,6 +503,51 @@ object Analytics {
     * group key is config-scale (sources/languages), fine for aggregates
     * — nothing here windows or collects on it.
     */
+  /** The build-once reference artifact for the drift monitor: the
+    * reference snapshot's (bucket, n) score histogram — ≤|lattice| rows
+    * however large the snapshot. In production it is computed ONCE per
+    * reference snapshot (the corpus-scale aggregate) and every crawl
+    * batch probes it; `persist()` is the in-session form. The streaming
+    * form of the monitor is `scoreDriftWith` inside `foreachBatch`
+    * (spec-pinned): per-batch drift against the frozen reference with
+    * ZERO streaming state — the census is a bounded static relation and
+    * the batch histogram is recomputed per micro-batch.
+    */
+  case class DriftIndex(refHist: DataFrame) {
+    def persist(): this.type = { refHist.persist(); this }
+    def unpersist(): this.type = { refHist.unpersist(); this }
+  }
+
+  /** Histogram the reference snapshot once — the per-snapshot half of
+    * the drift monitor (the `crossCorpusBuild` seam).
+    */
+  def driftBuild(ref: DataFrame, scoreCol: String): DriftIndex =
+    DriftIndex(ref
+      .select(round(round(col(scoreCol), 2) * 100).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n")))
+
+  /** `scoreDrift` against a PREBUILT reference histogram — the per-batch
+    * half: only the current batch pays a corpus-scale aggregate; the
+    * reference side is the ≤|lattice|-row artifact. Output identical to
+    * `scoreDrift(ref, cur, scoreCol)` (spec-pinned artifact-path ==
+    * raw-path).
+    */
+  def scoreDriftWith(cur: DataFrame, index: DriftIndex, scoreCol: String): DataFrame = {
+    val hr = index.refHist
+    val hc = cur
+      .select(round(round(col(scoreCol), 2) * 100).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val totals = hr.agg(sum(col("n")).as("__tr"))
+      .crossJoin(hc.agg(sum(col("n")).as("__tc"))) // 1-row × 1-row
+    hr.select(col("bucket"), col("n").as("n_ref"))
+      .join(hc.select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(totals) // broadcast scalar totals
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(abs(col("n_ref").cast("double") / col("__tr")
+          - col("n_cur").cast("double") / col("__tc")) * 1e6, 4).as("d_ppm"))
+  }
+
   def scoreDriftBy(ref: DataFrame, cur: DataFrame, groupCol: String,
                    scoreCol: String): DataFrame = {
     def hist(df: DataFrame) =

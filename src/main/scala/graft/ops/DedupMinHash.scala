@@ -456,4 +456,99 @@ trait DedupMinHash { self: Dedup.type =>
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
   }
+
+  /** The build-once reference artifact for cross-corpus containment: the
+    * reference's distinct (g, id_ref) gram relation, df-capped on the
+    * REFERENCE side (grams in more than `maxDf` reference docs dropped —
+    * batch-invariant like `crossCorpusNearDupsWith`'s bucket cap: how a
+    * crawl is micro-batched can never change which grams survive, and
+    * every surviving gram bounds probe fan-out at `maxDf` reference rows
+    * per new-doc gram). In production this is persisted once per
+    * reference snapshot (parquet keyed by gram hash); `persist()` is the
+    * in-session form.
+    */
+  case class ContainmentIndex(refGrams: DataFrame, shingleN: Int, maxDf: Int) {
+    def persist(): this.type = { refGrams.persist(); this }
+    def unpersist(): this.type = { refGrams.unpersist(); this }
+  }
+
+  /** Gram + df-cap the reference corpus once — the per-reference-snapshot
+    * half of cross-corpus containment (the `crossCorpusBuild` seam).
+    */
+  def containmentBuild(reference: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, maxDf: Int): ContainmentIndex = {
+    require(maxDf > 0, "containmentBuild requires a positive reference-side gram df cap")
+    val grams = reference.select(col(idCol).as("id_ref"),
+      explode(shingles(col(textCol), shingleN)).as("g"))
+    val cool = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("g"))
+    ContainmentIndex(grams.join(cool, Seq("g"), "leftsemi"), shingleN, maxDf)
+  }
+
+  /** One-shot convenience: build the reference artifact and probe it. */
+  def crossCorpusContainment(corpus: DataFrame, reference: DataFrame,
+                             idCol: String, textCol: String, shingleN: Int,
+                             threshold: Double, maxDf: Int): DataFrame =
+    containmentFlagsWith(corpus,
+      containmentBuild(reference, idCol, textCol, shingleN, maxDf),
+      idCol, textCol, threshold)
+
+  /** Cross-corpus containment against a PREBUILT reference artifact: flag
+    * new documents whose gram set is ≥ `threshold` contained in some
+    * reference document — the "this crawl page is mostly a quote of
+    * training data" decontamination signal, asymmetric where the
+    * cross-corpus Jaccard path needs overall similarity. One row per
+    * flagged new doc with its best reference match (containment desc,
+    * ref id asc — the `crossCorpusNearDupsWith` contract). Work is
+    * linear in the batch: each new-doc gram meets ≤ maxDf reference
+    * rows, the denominator is the new doc's FULL pre-cap gram count
+    * (reference-side capping can only LOWER a measured containment —
+    * same miss direction as `containmentPairs`, value-checked by the
+    * wired oracle).
+    */
+  def containmentFlagsWith(corpus: DataFrame, index: ContainmentIndex,
+                           idCol: String, textCol: String,
+                           threshold: Double): DataFrame = {
+    val sh = corpus.select(col(idCol).as("id_new"),
+      shingles(col(textCol), index.shingleN).as("sh"))
+    val ex = sh.select(col("id_new"), explode(col("sh")).as("g"))
+    val sizes = sh.select(col("id_new"), size(col("sh")).as("n"))
+    ex.join(index.refGrams, Seq("g"))
+      .groupBy(col("id_new"), col("id_ref")).agg(count(lit(1)).as("__c"))
+      .join(sizes, "id_new")
+      .withColumn("__cont", col("__c").cast("double") / col("n"))
+      .filter(col("__cont") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("__cont").as("c"), (-col("id_ref")).as("ni"))).as("__best"))
+      .select(col("id_new"), (-col("__best.ni")).as("matched_ref"),
+        round(col("__best.c"), 4).as("best_containment"))
+  }
+
+  /** STREAMING cross-corpus containment: each arriving document grams
+    * per row, joins the STATIC reference artifact (stream-static — no
+    * join state), and the shared-gram count per (new doc, reference doc)
+    * comes from ONE watermark-bounded windowed aggregation (the
+    * `streamingVideoFlagsWith` shape). Emits flagged pairs, not
+    * best-per-doc (any hit ≥ threshold settles the drop decision; a
+    * best-match aggregate would hold per-doc state for nothing — the
+    * streaming-twin convention).
+    */
+  def streamingContainmentFlagsWith(stream: DataFrame, index: ContainmentIndex,
+                                    tsCol: String, idCol: String, textCol: String,
+                                    threshold: Double, watermark: String = "10 minutes",
+                                    windowLen: String = "1 hour"): DataFrame =
+    stream
+      .select(col(tsCol).cast("timestamp").as("ts"), col(idCol).as("id_new"),
+        shingles(col(textCol), index.shingleN).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+      .select(col("ts"), col("id_new"), col("__n"), explode(col("__sh")).as("g"))
+      .withWatermark("ts", watermark)
+      .join(index.refGrams, Seq("g")) // stream-static: no state
+      .groupBy(window(col("ts"), windowLen), col("id_new"), col("__n"), col("id_ref"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("containment_r",
+        round(col("__c").cast("double") / col("__n"), 4))
+      .filter(col("containment_r") >= threshold)
+      .select(col("window.start").as("ts"), col("id_new"), col("id_ref"),
+        col("containment_r"))
 }

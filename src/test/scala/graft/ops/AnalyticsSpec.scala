@@ -228,6 +228,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.keySet == Set(("a", 70), ("a", 40), ("b", 90), ("c", 20)))
   }
 
+  test("driftBuild/scoreDriftWith: artifact path == raw path on synthetic and real scores") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long, Double)].collect().toSet
+    val ref = Seq(0.7, 0.7, 0.7, 0.7, 0.4).toDF("q")
+    val cur = Seq(0.7, 0.4, 0.4, 0.4, 1.0).toDF("q")
+    val idx = Analytics.driftBuild(ref, "q")
+    assert(rows(Analytics.scoreDriftWith(cur, idx, "q")) ==
+      rows(Analytics.scoreDrift(ref, cur, "q")))
+    // real corpus: the wired docs_score_drift split through the artifact
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val scored = TextAnalysis.qualityScore(docs, "text")
+      .select($"doc_id", $"quality_score")
+    val rIdx = Analytics.driftBuild(scored.filter($"doc_id" % 2 === 0), "quality_score")
+      .persist()
+    val even = scored.filter($"doc_id" % 2 === 0)
+    val odd = scored.filter($"doc_id" % 2 === 1)
+    assert(rows(Analytics.scoreDriftWith(odd, rIdx, "quality_score")) ==
+      rows(Analytics.scoreDrift(even, odd, "quality_score")))
+    rIdx.unpersist()
+  }
+
   test("rrfFuse: shared id outranks either single-list leader; absent ranks contribute 0 and report -1") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
     val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")

@@ -456,4 +456,38 @@ class DedupSpec extends AnyFunSuite {
       assert(c <= u + 1e-9, s"cap RAISED containment for ($a,$b): $c > $u")
     }
   }
+
+  test("cross-corpus containment: artifact == one-shot; batch folding invariant; matches directed brute force") {
+    val n = docs.count().toInt
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+
+    // cap high enough to be a no-op: best-match flags must equal the
+    // directed brute-force containment (union corpus, direction odd→even)
+    val idxFull = Dedup.containmentBuild(ref, "doc_id", "text", 3, n + 1)
+    val gotFull = rows(Dedup.containmentFlagsWith(fresh, idxFull, "doc_id", "text", 0.6))
+    val brute = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6, maxDf = n + 1)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 == 1 && b % 2 == 0 }
+    val expect = brute.groupBy(_._1).map { case (a, hits) =>
+      val best = hits.maxBy(h => (h._3, -h._2))
+      (a, best._2, best._3)
+    }.toSet
+    assert(gotFull == expect, "flags diverge from directed brute force")
+    assert(gotFull.nonEmpty)
+
+    // production cap: artifact path == one-shot, and splitting the crawl
+    // into batches changes nothing (reference-side-only capping)
+    val idx = Dedup.containmentBuild(ref, "doc_id", "text", 3, 100).persist()
+    val oneShot = rows(Dedup.crossCorpusContainment(fresh, ref, "doc_id", "text", 3, 0.6, 100))
+    assert(rows(Dedup.containmentFlagsWith(fresh, idx, "doc_id", "text", 0.6)) == oneShot)
+    val b1 = rows(Dedup.containmentFlagsWith(
+      fresh.filter($"doc_id" % 4 === 1), idx, "doc_id", "text", 0.6))
+    val b2 = rows(Dedup.containmentFlagsWith(
+      fresh.filter($"doc_id" % 4 === 3), idx, "doc_id", "text", 0.6))
+    assert((b1 ++ b2) == oneShot, "micro-batching changed the flag set")
+    idx.unpersist()
+  }
 }

@@ -438,4 +438,87 @@ class StreamTextPipelineSpec extends AnyFunSuite {
       assert(streamed == batch && batch.size == 4, s"stream/batch diverged")
     } finally q.stop()
   }
+
+  test("streaming cross-corpus containment flags == batch pair set against the same artifact") {
+    // containment joins the Build/With/streaming seam convention: the
+    // reference gram artifact is static, every stream join is
+    // stream-static (zero join state), the shared-gram count is one
+    // watermark-bounded windowed aggregation
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val idx = graft.ops.Dedup.containmentBuild(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", 3, maxDf = 100).persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val flags = graft.ops.Dedup.streamingContainmentFlagsWith(
+      in.toDF().toDF("ts", "doc_id", "text"), idx,
+      "ts", "doc_id", "text", threshold = 0.6, watermark = "1 hour")
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_containment").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val newDocs = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(newDocs.map { case (id, tx) => (t0, id, tx) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 999999L,
+        "watermark advancer row zzz"))
+      q.processAllAvailable()
+      val got = spark.table("stream_containment")
+        .select($"id_new", $"id_ref").as[(Long, Long)].collect().toSet
+      // the batch op aggregates to best-match; the stream emits the full
+      // pair set — recompute it with the same artifact relations in batch
+      import org.apache.spark.sql.functions._
+      val fresh = docs.filter($"doc_id" % 2 === 1)
+      val sh = fresh.select($"doc_id".as("id_new"),
+        graft.ops.Dedup.shingles($"text", 3).as("sh"))
+      val expect = sh.select($"id_new", size($"sh").as("n"), explode($"sh").as("g"))
+        .join(idx.refGrams, Seq("g"))
+        .groupBy($"id_new", $"id_ref", $"n").agg(count(lit(1)).as("c"))
+        .filter(round($"c".cast("double") / $"n", 4) >= 0.6)
+        .select($"id_new", $"id_ref").as[(Long, Long)].collect().toSet
+      assert(got == expect, "stream containment flags diverge from the batch pair set")
+      assert(got.nonEmpty)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
+  test("drift monitor in foreachBatch: per-micro-batch scoreDriftWith == batch scoreDrift") {
+    // the streaming form of the drift monitor: the reference histogram is
+    // a frozen artifact, each micro-batch recomputes its own census —
+    // zero streaming state, and every per-batch report must equal the
+    // batch op run on exactly that batch's rows
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val scored = graft.ops.TextAnalysis.qualityScore(docs, "text")
+      .select($"doc_id", $"quality_score")
+    val idx = graft.ops.Analytics.driftBuild(
+      scored.filter($"doc_id" % 2 === 0), "quality_score").persist()
+    val in = MemoryStream[(Long, Double)]
+    val reports = scala.collection.mutable.ArrayBuffer[Set[(Int, Long, Long, Double)]]()
+    val q = in.toDF().toDF("doc_id", "quality_score").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          reports.synchronized {
+            reports += graft.ops.Analytics
+              .scoreDriftWith(batch, idx, "quality_score")
+              .as[(Int, Long, Long, Double)].collect().toSet
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      val odd = scored.filter($"doc_id" % 2 === 1)
+        .as[(Long, Double)].collect()
+      val (batchA, batchB) = odd.partition(_._1 % 4 == 1)
+      in.addData(batchA.toIndexedSeq); q.processAllAvailable()
+      in.addData(batchB.toIndexedSeq); q.processAllAvailable()
+      val ref = scored.filter($"doc_id" % 2 === 0)
+      def expectFor(rows: Array[(Long, Double)]) =
+        graft.ops.Analytics.scoreDrift(ref,
+            rows.toSeq.toDF("doc_id", "quality_score"), "quality_score")
+          .as[(Int, Long, Long, Double)].collect().toSet
+      assert(reports.toList == List(expectFor(batchA), expectFor(batchB)),
+        "per-batch streaming drift reports diverge from the batch op")
+    } finally { q.stop(); idx.unpersist() }
+  }
 }
