@@ -40,7 +40,8 @@ object Bench {
     "emb_coreset_kcenter", "emb_pca_power", "events_scd2",
     "sim_mmr_select", "docs_rrf_hybrid", "emb_whiten_residual",
     "dedup_containment", "docs_boilerplate", "vocab_fertility",
-    "emb_ivf_drift", "docs_score_drift_by_source", "dedup_containment_cross")
+    "emb_ivf_drift", "docs_score_drift_by_source", "dedup_containment_cross",
+    "dedup_exact_cross")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

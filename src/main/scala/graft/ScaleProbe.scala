@@ -217,6 +217,39 @@ object ScaleProbe {
         withB.filter(pmod(col("doc_id"), lit(2)) === 0),
         "doc_id", "text", 3, 16, 4, 0.5, maxBucketSize = 1000).count()
     })
+    // round-10 containment seam at 1M docs: the reference gram index is
+    // built ONCE (df-capped reference-side), two disjoint crawl batches
+    // pay only their own gram explode + the bounded probe join — the
+    // claim is per-batch cost linear in the batch with each new-doc gram
+    // meeting ≤ maxDf reference rows
+    val cIdx = graft.ops.Dedup.containmentBuild(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      3, maxDf = 100).persist()
+    time("containment_build_once")(cIdx.refGrams.count())
+    time("containment_batch1_vs_artifact")(
+      graft.ops.Dedup.containmentFlagsWith(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 1), cIdx,
+        "doc_id", "text", 0.6).count())
+    time("containment_batch2_vs_artifact")(
+      graft.ops.Dedup.containmentFlagsWith(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3), cIdx,
+        "doc_id", "text", 0.6).count())
+    cIdx.unpersist()
+    // planted hot gram (the df-cap guard): 10k boilerplate docs share
+    // every gram — uncapped, each such gram alone is 5k×5k directed
+    // candidate pairs (quadratic, infeasible at corpus scale); with the
+    // reference-side cap the shared grams exceed maxDf and drop, so the
+    // run must stay at the clean-corpus cost
+    time("containment_hot_gram_capped")( {
+      val boiler = spark.range(10000).select(
+        (col("id") + 60000000L).as("doc_id"),
+        lit("identical boilerplate navigation header and footer page block").as("text"))
+      val withB = docs.select(col("doc_id"), col("text")).unionByName(boiler)
+      graft.ops.Dedup.crossCorpusContainment(
+        withB.filter(pmod(col("doc_id"), lit(2)) === 1),
+        withB.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", 3, 0.6, maxDf = 100).count()
+    })
     // perceptual-hash near-dup at 1M media rows (500k originals + 500k
     // planted byte-identical twins — hamming 0 guaranteed). This corpus
     // is ADVERSARIAL for aHash: word-salad byte planes are statistically

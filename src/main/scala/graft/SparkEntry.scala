@@ -106,6 +106,20 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3,
           threshold = 0.6, maxDf = 100)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_exact_cross" -> ((s, dir) => {
+      // cross-corpus EXACT dedup through the new fingerprint-artifact
+      // seam: fresh crawl docs (odd ids) whose 80-char prefix is
+      // verbatim-present in the training set (even ids) — one anti/semi
+      // join on the 16-byte fingerprint keys; this query wires the flag
+      // form (the decontamination report). The oracle compares raw
+      // prefix strings, so a fingerprint collision fails loudly.
+      val d = t(s, dir, "documents")
+        .withColumn("prefix80", substring(col("text"), 1, 80))
+      val idx = Dedup.exactBuild(d.filter(col("doc_id") % 2 === 0), "prefix80")
+      Dedup.exactFlagsWith(d.filter(col("doc_id") % 2 === 1), idx,
+          "prefix80", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_containment_cross" -> ((s, dir) => {
       // cross-corpus containment through the Build/With seam: flag fresh
       // crawl docs (odd ids) ≥60% contained in some training doc (even
@@ -2006,6 +2020,12 @@ object SparkEntry {
            |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / sa.n, 4) AS containment
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a
            |WHERE CAST(c AS DOUBLE) / sa.n >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_exact_cross" ->
+        """SELECT n.doc_id FROM documents n
+          |WHERE n.doc_id % 2 = 1 AND EXISTS (
+          |  SELECT 1 FROM documents r WHERE r.doc_id % 2 = 0
+          |  AND substr(r.text, 1, 80) = substr(n.text, 1, 80))
+          |ORDER BY n.doc_id""".stripMargin,
       "dedup_containment_cross" ->
         // reference-side-only df cap (batch-invariant), best match per
         // new doc by (containment DESC, ref id ASC) — exact-division

@@ -84,4 +84,62 @@ trait DedupExact { self: Dedup.type =>
       .join(keepers, Seq("__h1", "__h2", idCol), "leftsemi")
       .drop("__h1", "__h2")
   }
+
+  /** The build-once reference artifact for cross-corpus EXACT dedup: the
+    * reference snapshot's distinct 128-bit content fingerprints — the
+    * smallest possible representation of "what the training set already
+    * contains verbatim" (16 bytes per distinct value, no payloads).
+    * Completes the seam convention for the exact family: near-dup,
+    * containment, embedding, image and video all had Build/With forms;
+    * exact cross-corpus was the missing (and simplest) one.
+    */
+  case class ExactIndex(refFps: DataFrame) {
+    def persist(): this.type = { refFps.persist(); this }
+    def unpersist(): this.type = { refFps.unpersist(); this }
+  }
+
+  /** Fingerprint the reference once — distinct (\_\_h1, \_\_h2) pairs. */
+  def exactBuild(reference: DataFrame, on: String): ExactIndex = {
+    requireNoTempCols(reference)
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    ExactIndex(reference.select(h1.as("__h1"), h2.as("__h2")).distinct())
+  }
+
+  /** Cross-corpus exact dedup against a PREBUILT fingerprint artifact:
+    * KEEP the new-batch rows whose `on` value is NOT verbatim-present in
+    * the reference (one anti join on the 16-byte keys — the new batch's
+    * payloads never shuffle; with the artifact under ~1 GB the join
+    * broadcasts and the batch side doesn't move at all). Trivially
+    * batch-invariant: each row's keep/drop depends only on its own
+    * fingerprint vs the frozen artifact.
+    */
+  def exactDedupWith(corpus: DataFrame, index: ExactIndex, on: String): DataFrame = {
+    requireNoTempCols(corpus)
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    corpus.withColumn("__h1", h1).withColumn("__h2", h2)
+      .join(index.refFps, Seq("__h1", "__h2"), "leftanti")
+      .drop("__h1", "__h2")
+  }
+
+  /** The flag form: new-batch ids whose value IS verbatim-present in the
+    * reference (one semi join) — what a decontamination report lists.
+    */
+  def exactFlagsWith(corpus: DataFrame, index: ExactIndex, on: String,
+                     idCol: String): DataFrame = {
+    requireNoTempCols(corpus)
+    val Seq(h1, h2) = contentFingerprint(col(on))
+    corpus.select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+      .join(index.refFps, Seq("__h1", "__h2"), "leftsemi")
+      .select(col(idCol))
+  }
+
+  /** STREAMING cross-corpus exact dedup: the same anti join, stream-static
+    * — completely STATELESS (no watermark, no state store, no output
+    * dedup needed: each row's verdict is its own fingerprint lookup), so
+    * it filters an unbounded ingest stream at scan speed. The strongest
+    * form of the streaming-twin convention: the batch call IS the
+    * streaming call.
+    */
+  def streamingExactDedupWith(stream: DataFrame, index: ExactIndex, on: String): DataFrame =
+    exactDedupWith(stream, index, on)
 }

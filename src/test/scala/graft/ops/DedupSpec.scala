@@ -490,4 +490,32 @@ class DedupSpec extends AnyFunSuite {
     assert((b1 ++ b2) == oneShot, "micro-batching changed the flag set")
     idx.unpersist()
   }
+
+  test("exact cross seam: keep/flag partition the batch; flags match string ground truth; batch folding") {
+    val d = docs.withColumn("prefix80", substring($"text", 1, 80))
+    val ref = d.filter($"doc_id" % 2 === 0)
+    val fresh = d.filter($"doc_id" % 2 === 1)
+    val idx = Dedup.exactBuild(ref, "prefix80").persist()
+    val kept = Dedup.exactDedupWith(fresh, idx, "prefix80")
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = Dedup.exactFlagsWith(fresh, idx, "prefix80", "doc_id")
+      .as[Long].collect().toSet
+    val all = fresh.select("doc_id").as[Long].collect().toSet
+    assert((kept intersect flagged).isEmpty && (kept ++ flagged) == all,
+      "keep and flag must partition the batch")
+    // ground truth by raw string comparison — a fingerprint collision
+    // would show here
+    val refPrefixes = ref.select("prefix80").as[String].collect().toSet
+    val expect = fresh.select($"doc_id", $"prefix80").as[(Long, String)]
+      .collect().filter(r => refPrefixes(r._2)).map(_._1).toSet
+    assert(flagged == expect)
+    assert(flagged.nonEmpty, "fixture must contain cross-half exact prefixes")
+    // per-row verdicts: micro-batching cannot change the flag set
+    val b1 = Dedup.exactFlagsWith(fresh.filter($"doc_id" % 4 === 1), idx,
+      "prefix80", "doc_id").as[Long].collect().toSet
+    val b2 = Dedup.exactFlagsWith(fresh.filter($"doc_id" % 4 === 3), idx,
+      "prefix80", "doc_id").as[Long].collect().toSet
+    assert((b1 ++ b2) == flagged)
+    idx.unpersist()
+  }
 }

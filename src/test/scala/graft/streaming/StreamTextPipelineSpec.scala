@@ -481,6 +481,41 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("streaming exact cross dedup: stateless stream-static anti join == batch survivors") {
+    // the strongest streaming twin: the batch call IS the streaming call —
+    // no watermark, no state store; each row's verdict is its own
+    // fingerprint lookup against the frozen artifact
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val d = docs.withColumn("prefix80", org.apache.spark.sql.functions.substring($"text", 1, 80))
+    val idx = graft.ops.Dedup.exactBuild(
+      d.filter($"doc_id" % 2 === 0), "prefix80").persist()
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .withColumn("prefix80", org.apache.spark.sql.functions.substring($"text", 1, 80))
+    val kept = graft.ops.Dedup.streamingExactDedupWith(stream, idx, "prefix80")
+    val q = kept.writeStream.format("memory")
+      .queryName("stream_exact_cross").outputMode("append").start()
+    try {
+      val fresh = docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(fresh.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("stream_exact_cross")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = graft.ops.Dedup.exactDedupWith(
+          d.filter($"doc_id" % 2 === 1), idx, "prefix80")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == batch, "streaming survivors diverge from the batch anti join")
+      assert(got.nonEmpty && got.size < fresh.length,
+        "fixture should both keep and drop rows")
+      // and the query held NO state across the batch
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static anti join must be stateless")
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("drift monitor in foreachBatch: per-micro-batch scoreDriftWith == batch scoreDrift") {
     // the streaming form of the drift monitor: the reference histogram is
     // a frozen artifact, each micro-batch recomputes its own census —
