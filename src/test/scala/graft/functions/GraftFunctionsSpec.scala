@@ -107,6 +107,33 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(bc == lit && bc == Set("alpha", "beta"))
   }
 
+  test("xxhash64(bigint) follows XXH64's single-8-byte-block closed form (the xxh64LongChain contract)") {
+    // OracleHashSql.xxh64LongChain replays Spark's xxhash64 over a BIGINT
+    // in DuckDB SQL. Its DuckDB side is value-checked per round by the
+    // emb_ivf_drift oracle; THIS pin holds the Spark-side assumption the
+    // chain was derived from — hash = fmix(rotl(seed+P5+8 ^ rotl(x·P2,31)·P1,
+    // 27)·P1 + P4) — on boundary and ordinary values, so a Spark upgrade
+    // that changed the long-hash path would fail HERE, not as a cryptic
+    // oracle hash mismatch.
+    import spark.implicits._
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    def ref(x: Long, seed: Long = 42L): Long = {
+      var h = seed + P5 + 8L
+      h ^= java.lang.Long.rotateLeft(x * P2, 31) * P1
+      h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+      h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+      h
+    }
+    val vals = Seq(0L, 1L, -1L, 42L, 123456789L, -987654321L,
+      Long.MaxValue, Long.MinValue, 55L, 999L)
+    val got = vals.toDF("v")
+      .select(org.apache.spark.sql.functions.xxhash64($"v"))
+      .as[Long].collect().toSeq
+    assert(got == vals.map(ref(_)), "Spark's long-hash path diverged from the XXH64 closed form")
+  }
+
   test("SparkSessionExtensions injection path builds") {
     // exercised structurally (a new session with extensions would need its
     // own JVM-level session; the injected builders are identical objects)
