@@ -1025,13 +1025,18 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) =>
       // HLL++, promoted to a FULL hash oracle via the within-documented-
       // bound verdict (the forced-outcome pattern): the sketch value
-      // itself is engine-specific, but the CONTRACT — |approx − exact| ≤
-      // ⌈rsd·exact⌉ at the default rsd 0.05 — is a deterministic boolean
-      // both engines state identically (HLL++ is hash-seeded and
-      // deterministic for a fixed input, so the verdict cannot flap).
-      // The exact counts ride along so the oracle checks real values,
-      // not just the verdict; the exact-vs-sketch scale trade-off lives
-      // in q_distinct_counts' scaladoc.
+      // itself is engine-specific, but the verdict — |approx − exact| ≤
+      // ⌈4·rsd·exact⌉ — is a deterministic boolean both engines state
+      // identically. The margin is deliberately 4σ, NOT the rsd itself:
+      // rsd 0.05 is HLL++'s one-standard-deviation ESTIMATE, not a hard
+      // bound (P(|err| > rsd·exact) ≈ 0.3 for a ~Gaussian error), so a
+      // 1σ verdict would be a data-dependent coincidence that a testdata
+      // regeneration could flip. At 4σ the per-group failure probability
+      // is ~6e-5, and HLL++ is hash-seeded and deterministic for a fixed
+      // input, so for any committed corpus the verdict is stable AND the
+      // margin survives regeneration. The exact counts ride along so the
+      // oracle checks real values, not just the verdict; the exact-vs-
+      // sketch scale trade-off lives in q_distinct_counts' scaladoc.
       t(s, dir, "lineitem").agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_suppkey")).as("exact_supps"),
@@ -1039,9 +1044,9 @@ object SparkEntry {
           approx_count_distinct(col("l_suppkey")).as("__as"))
         .select(col("exact_parts"), col("exact_supps"),
           (abs(col("__ap") - col("exact_parts")) <=
-            ceil(col("exact_parts") * lit(0.05))).as("parts_within_bound"),
+            ceil(col("exact_parts") * lit(0.20))).as("parts_within_bound"),
           (abs(col("__as") - col("exact_supps")) <=
-            ceil(col("exact_supps") * lit(0.05))).as("supps_within_bound"))),
+            ceil(col("exact_supps") * lit(0.20))).as("supps_within_bound"))),
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
@@ -1914,14 +1919,25 @@ object SparkEntry {
     // be a DIFFERENT double), so the argmax chain cannot diverge.
     val mmrSql = {
       val k = 8
+      // the oracle replays the SAME pool-then-rerank contract the Spark
+      // side runs (mmrSelect default poolM = 64·k = 512): cut to the
+      // top-512 by relevance first — rel is a bit-identical index-order
+      // IEEE fold in both engines and the (rel DESC, id ASC) tie-break is
+      // exact, so the cut is engine-reproducible — then replay the k
+      // greedy rounds over the POOL. Both sides therefore compute pooled
+      // MMR by construction; the oracle validates the production
+      // semantics rather than coinciding with them only while the
+      // full-corpus traversal happens to stay inside the pool.
+      val poolM = 64 * k
       def dt(a: String, b: String) =
         s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
       val lam = "CAST(0.7 AS DOUBLE)"
       val sb = new StringBuilder
       sb ++= "WITH e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
       sb ++= "q AS (SELECT v AS qv FROM e WHERE id = 0),\n"
-      sb ++= s"b AS MATERIALIZED (SELECT id, v, ${dt("v", "qv")} / (sqrt(${dt("v", "v")}) * sqrt(${dt("qv", "qv")})) AS rel, " +
+      sb ++= s"b0 AS MATERIALIZED (SELECT id, v, ${dt("v", "qv")} / (sqrt(${dt("v", "v")}) * sqrt(${dt("qv", "qv")})) AS rel, " +
         s"sqrt(${dt("v", "v")}) AS vn, CAST(0.0 AS DOUBLE) AS ms FROM e, q),\n"
+      sb ++= s"b AS MATERIALIZED (SELECT * FROM b0 ORDER BY rel DESC, id LIMIT $poolM),\n"
       for (r <- 1 to k) {
         val src = if (r == 1) "b" else s"m${r - 1}"
         val excl = if (r == 1) "" else " WHERE id NOT IN (" +

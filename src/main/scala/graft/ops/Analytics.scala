@@ -477,32 +477,6 @@ object Analytics {
           - col("n_cur").cast("double") / col("__tc")) * 1e6, 4).as("d_ppm"))
   }
 
-  /** `scoreDrift` PER GROUP — the form the monitor actually runs in a
-    * multi-source pipeline: a scraper regression in one source is
-    * invisible in the pooled histogram (a 2 % source moving its whole
-    * distribution shifts pooled TVD by ≤ 2 %), but per-source TVD flags
-    * it at full strength and names the culprit. One row per occupied
-    * (group, bucket) with both sides' counts and `d_ppm` against the
-    * GROUP's own totals; per-group TVD = Σ_group d_ppm / 2·10⁶.
-    *
-    * A group present on only one side has the absent side's share
-    * defined 0 via the guarded divide (`when(total === 0, 0.0)` — a
-    * deterministic CASE both engines state identically), so its TVD
-    * SATURATES at 0.5: the present side's whole mass drifts against an
-    * empty distribution, Σ|p − 0|/2 = ½, regardless of the
-    * distribution's shape. A one-sided group therefore always reads
-    * EXACTLY 0.5 (for comparison: two occupied-but-disjoint
-    * distributions read 1.0) — the constant "source appeared or
-    * vanished" signature, the alert you want on a scraper
-    * launch/outage.
-    *
-    * Scale shape: identical to `scoreDrift` with every aggregate and the
-    * census join keyed (group, bucket) / (group) instead of (bucket) —
-    * two corpus-scale hash aggregates onto the ≤|groups|·|lattice|
-    * grain, per-group totals joined back on the bounded group key. The
-    * group key is config-scale (sources/languages), fine for aggregates
-    * — nothing here windows or collects on it.
-    */
   /** The build-once reference artifact for the drift monitor: the
     * reference snapshot's (bucket, n) score histogram — ≤|lattice| rows
     * however large the snapshot. In production it is computed ONCE per
@@ -548,6 +522,32 @@ object Analytics {
           - col("n_cur").cast("double") / col("__tc")) * 1e6, 4).as("d_ppm"))
   }
 
+  /** `scoreDrift` PER GROUP — the form the monitor actually runs in a
+    * multi-source pipeline: a scraper regression in one source is
+    * invisible in the pooled histogram (a 2 % source moving its whole
+    * distribution shifts pooled TVD by ≤ 2 %), but per-source TVD flags
+    * it at full strength and names the culprit. One row per occupied
+    * (group, bucket) with both sides' counts and `d_ppm` against the
+    * GROUP's own totals; per-group TVD = Σ_group d_ppm / 2·10⁶.
+    *
+    * A group present on only one side has the absent side's share
+    * defined 0 via the guarded divide (`when(total === 0, 0.0)` — a
+    * deterministic CASE both engines state identically), so its TVD
+    * SATURATES at 0.5: the present side's whole mass drifts against an
+    * empty distribution, Σ|p − 0|/2 = ½, regardless of the
+    * distribution's shape. A one-sided group therefore always reads
+    * EXACTLY 0.5 (for comparison: two occupied-but-disjoint
+    * distributions read 1.0) — the constant "source appeared or
+    * vanished" signature, the alert you want on a scraper
+    * launch/outage.
+    *
+    * Scale shape: identical to `scoreDrift` with every aggregate and the
+    * census join keyed (group, bucket) / (group) instead of (bucket) —
+    * two corpus-scale hash aggregates onto the ≤|groups|·|lattice|
+    * grain, per-group totals joined back on the bounded group key. The
+    * group key is config-scale (sources/languages), fine for aggregates
+    * — nothing here windows or collects on it.
+    */
   def scoreDriftBy(ref: DataFrame, cur: DataFrame, groupCol: String,
                    scoreCol: String): DataFrame = {
     def hist(df: DataFrame) =

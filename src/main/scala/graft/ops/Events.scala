@@ -117,12 +117,20 @@ object Events {
   def scd2Compact(events: DataFrame, keyCol: String = "user_id",
                   attrCol: String = "event_type", tsCol: String = "ts",
                   seqCol: String = "event_id"): DataFrame = {
-    // same guard prioritySampleBuild/packBins apply: internal working
-    // columns and output names would silently clobber caller columns
-    for (c <- Seq("__chg", "__run", "seq", "valid_from", "valid_to", "n_events")
-         if c != keyCol && c != attrCol)
+    // same guard prioritySampleBuild/packBins apply, scoped to the names
+    // that are actually clobbered. The internal working columns are
+    // overwritten by withColumn regardless of role, so NO input column may
+    // carry them (a tsCol named "__chg" would be silently replaced before
+    // the window reads it). The output names only collide with columns
+    // that SURVIVE the aggregation — keyCol/attrCol; tsCol and seqCol are
+    // consumed before those aliases exist and may legitimately carry them
+    // (e.g. re-compacting a table whose timestamp is already "valid_from").
+    for (c <- Seq("__chg", "__run"))
       require(!events.columns.contains(c),
         s"scd2Compact reserves column name '$c'; rename it in the input")
+    for (c <- Seq("seq", "valid_from", "valid_to", "n_events"))
+      require(c != keyCol && c != attrCol,
+        s"scd2Compact emits output column '$c'; keyCol/attrCol may not use that name")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
     val chg = when(lag(col(attrCol), 1).over(w).isNull ||
       lag(col(attrCol), 1).over(w) =!= col(attrCol), 1).otherwise(0)

@@ -136,8 +136,13 @@ trait SimilaritySelect { self: Similarity.type =>
     * spec-pinned equal to the poolM = ∞ form on the test corpora). The
     * payoff at corpus scale: k corpus scans become ONE (scoring + cut),
     * and each round's materialization shrinks from |corpus| to poolM
-    * rows. poolM ≤ 0 disables the cut (the exact full-corpus form the
-    * DuckDB oracle replays when the test corpus exceeds the pool).
+    * rows. poolM ≤ 0 means the default 64·k pool; pass poolM ≥ |corpus|
+    * for the exact full-corpus form. The DuckDB oracle replays the SAME
+    * pool cut before its greedy-round CTE chain (the cut is
+    * engine-reproducible: rel is a bit-identical index-order IEEE fold
+    * and the (rel DESC, id ASC) tie-break is exact), so the wired query
+    * validates pooled MMR by construction — not merely while the
+    * full-corpus traversal happens to stay inside the pool.
     *
     * Output: (rnk, vec_id, score_r) in selection order; ms starts at 0,
     * so round 1 is the pure-relevance argmax.

@@ -173,12 +173,36 @@ class EventsSpec extends AnyFunSuite {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val base = Seq((1L, ts("2024-01-01 00:00:10"), 1L, "A", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    for (c <- Seq("__chg", "__run", "seq", "valid_from", "valid_to", "n_events")) {
+    // internal working columns are clobbered by withColumn whatever their
+    // role — ANY input column carrying them must fail fast
+    for (c <- Seq("__chg", "__run")) {
       val ex = intercept[IllegalArgumentException] {
         Events.scd2Compact(base.withColumn(c, lit(1)))
       }
       assert(ex.getMessage.contains(c), s"error must name the clashing column '$c'")
     }
+    // output names collide only with columns that SURVIVE the aggregation:
+    // keyCol/attrCol carrying one must fail...
+    for (c <- Seq("seq", "valid_from", "valid_to", "n_events")) {
+      val ex = intercept[IllegalArgumentException] {
+        Events.scd2Compact(base.withColumnRenamed("event_type", c), attrCol = c)
+      }
+      assert(ex.getMessage.contains(c), s"error must name the clashing column '$c'")
+    }
+    // ...but tsCol/seqCol are consumed before the aliases exist — a
+    // timestamp legitimately named valid_from (re-compacting an SCD2
+    // table) must WORK, not throw (the round-10 guard-scope fix)
+    val viaTs = Events.scd2Compact(
+      base.withColumnRenamed("ts", "valid_from"), tsCol = "valid_from")
+    assert(viaTs.columns.toSeq ==
+      Seq("user_id", "seq", "event_type", "valid_from", "valid_to", "n_events"))
+    assert(viaTs.count() == 1L)
+    val viaSeq = Events.scd2Compact(
+      base.withColumnRenamed("event_id", "seq"), seqCol = "seq")
+    assert(viaSeq.count() == 1L)
+    // and an extra NON-role column named an output name is dropped by the
+    // aggregation like any other payload column — no clobber, no throw
+    assert(Events.scd2Compact(base.withColumn("valid_to", lit(1))).count() == 1L)
   }
 
   test("transitionMatrix: per-user step counts and exact ppm probabilities") {
