@@ -745,6 +745,17 @@ object SparkEntry {
           "lang", "quality_score")
         .orderBy(col("lang"), col("bucket"))
     }),
+    "docs_source_digest" -> ((s, dir) =>
+      // order-independent per-source integrity digest: n_rows + the exact
+      // decimal(38,0) sum of a 60-bit md5 content hash per row — the
+      // sort-free snapshot-equality primitive for replication audits
+      // (Analytics.contentDigest; the digest renders as a STRING so both
+      // engines hash the identical decimal digits)
+      Analytics.contentDigest(t(s, dir, "documents"), Seq("source"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("source"), col("n_rows"),
+          col("digest").cast("string").as("digest"))
+        .orderBy(col("source"))),
     "docs_source_cap" -> ((s, dir) =>
       // per-source contribution cap: at most 10 docs per source,
       // best-quality-first, doc-id tie-break — histogram threshold +
@@ -2418,6 +2429,15 @@ object SparkEntry {
            |    - (CASE WHEN tc.t IS NULL OR tc.t = 0 THEN 0.0 ELSE CAST(n_cur AS DOUBLE) / tc.t END)) * 1e6, 4) AS d_ppm
            |FROM cen LEFT JOIN tr ON tr.lang = cen.lang LEFT JOIN tc ON tc.lang = cen.lang
            |ORDER BY cen.lang, bucket""".stripMargin,
+      "docs_source_digest" ->
+        // the identical 60-bit md5 row hash, natively: DuckDB parses the
+        // same 15 hex chars Spark conv()s, sums in HUGEINT (exact, like
+        // Spark's decimal(38,0)), renders as VARCHAR — digit-identical
+        """SELECT source, count(*) AS n_rows,
+          |  CAST(sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+          |    CAST(doc_id AS VARCHAR), text, lang, source,
+          |    CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT)::HUGEINT) AS VARCHAR) AS digest
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "docs_boilerplate" ->
         // census on the RAW prefix string — a Spark-side fingerprint
         // collision would surface as a count mismatch, loudly; the

@@ -620,6 +620,45 @@ object Analytics {
       .select(outCols: _*)
   }
 
+  /** Order-independent corpus integrity digest — the snapshot-equality
+    * primitive for 100 TB replication/migration audits: per group (shard,
+    * source, split...), `n_rows` plus the SUM of a 60-bit content hash of
+    * every row. Equal digests ⇔ identical row multisets (up to hash
+    * collision: a forged collision needs a 60-bit second preimage; random
+    * corruption flips the digest with probability 1 − 2⁻⁶⁰), so two
+    * copies of a corpus compare shard-by-shard with NO sort, NO shuffle
+    * beyond one hash aggregate, and 16 bytes of state per group — the
+    * merkle-list alternative to sorting 100 TB twice.
+    *
+    * Summation is exact DECIMAL(38,0) integer arithmetic — associative
+    * and commutative, so the digest is partitioning-, order- and
+    * retry-idempotence-independent (same reduction argument as the
+    * fixed-point power-iteration sums), and MERGEABLE: the digest of a
+    * union is the elementwise (n, digest) sum of per-batch digests
+    * (spec-pinned), so crawl batches fold into a running corpus digest
+    * without re-scanning history. Overflow is structurally distant
+    * (10³⁸ / 2⁶⁰ ≈ 8·10¹⁹ rows) and ANSI-loud, not wrapping.
+    *
+    * The row hash is the FIRST 60 BITS OF MD5 of the unit-separator-joined
+    * column renderings (u0001 keeps (ab,c) and (a,bc) distinct) — md5 (not xxhash64) deliberately: both engines
+    * compute the identical digest natively (DuckDB replays it as
+    * `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)`), making the
+    * digest portable across any engine pair that can md5, which is the
+    * point of an integrity check. Caveat the caller owns: concat_ws
+    * skips NULLs in both engines, so (NULL) and ('') rows collide —
+    * coalesce to a sentinel first if that distinction matters.
+    */
+  def contentDigest(df: DataFrame, groupCols: Seq[String],
+                    hashCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && hashCols.nonEmpty,
+      "contentDigest needs at least one group column and one hash column")
+    df.select(groupCols.map(col) :+
+        conv(substring(md5(concat_ws("\u0001", hashCols.map(c => col(c).cast("string")): _*)), 1, 15),
+          16, 10).cast("decimal(38,0)").as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("digest"))
+  }
+
   def zorderKey(x: Column, y: Column, bits: Int = 14): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // bits is compile-time — unroll into one flat codegen'd expression

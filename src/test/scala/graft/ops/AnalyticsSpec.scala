@@ -266,4 +266,36 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Double, Long, Long)].collect().toList
     assert(cut.map(_._1) == List(3L))
   }
+
+  test("contentDigest: order/partitioning-independent, mergeable, corruption-sensitive") {
+    val docs = Tables.read(spark, sf0001, "documents")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Analytics.contentDigest(df, Seq("source"), Seq("doc_id", "text"))
+        .select($"source", $"n_rows", $"digest".cast("string"))
+        .as[(String, Long, String)].collect().map { case (s, n, d) => (s, (n, d)) }.toMap
+    val full = dig(docs)
+    // order & partitioning independence: a reshuffled scan digests identically
+    assert(dig(docs.repartition(17).sortWithinPartitions($"text")) == full)
+    // mergeability: union digest == elementwise sum of per-batch digests
+    val a = Analytics.contentDigest(docs.filter($"doc_id" % 2 === 0), Seq("source"), Seq("doc_id", "text"))
+    val b = Analytics.contentDigest(docs.filter($"doc_id" % 2 === 1), Seq("source"), Seq("doc_id", "text"))
+    val merged = a.unionByName(b).groupBy($"source")
+      .agg(sum($"n_rows").as("n_rows"), sum($"digest").cast("decimal(38,0)").as("digest"))
+      .select($"source", $"n_rows", $"digest".cast("string"))
+      .as[(String, Long, String)].collect().map { case (s, n, d) => (s, (n, d)) }.toMap
+    assert(merged == full, "digest of a union must equal the sum of per-batch digests")
+    // sensitivity: flipping one char of one row changes that group's digest
+    val tampered = dig(docs.withColumn("text",
+      when($"doc_id" === 7, concat($"text", lit("x"))).otherwise($"text")))
+    val victim = docs.filter($"doc_id" === 7).select($"source").as[String].head()
+    assert(tampered(victim)._2 != full(victim)._2, "corrupted row must flip its group digest")
+    assert((tampered - victim) == (full - victim), "untouched groups must digest identically")
+    // column-boundary separator: ("ab","c") and ("a","bc") must not collide
+    val x = Seq(("g", "ab", "c")).toDF("g", "u", "v")
+    val y = Seq(("g", "a", "bc")).toDF("g", "u", "v")
+    def one(df: org.apache.spark.sql.DataFrame) =
+      Analytics.contentDigest(df, Seq("g"), Seq("u", "v"))
+        .select($"digest".cast("string")).as[String].head()
+    assert(one(x) != one(y))
+  }
 }
