@@ -188,14 +188,21 @@ object OracleHashSql {
     * distinct 3-word shingle set), generate LSH candidates by band-slice
     * equality, and emit the lane-agreement estimate for each pair.
     */
-  def minHashEstimateSql(shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): String = {
-    val k = bands * rowsPerBand
-    val p = 2147483647L
-    val laneVals = (0 until k).map { j =>
+  /** The MinHash lane constants (a_j, b_j) as SQL VALUES rows — computed
+    * from the same `SplitMix.mix64` the Spark kernel seeds with, so no
+    * oracle can drift from the implementation's seeding.
+    */
+  private def laneValues(k: Int, p: Long): String =
+    (0 until k).map { j =>
       val a = Math.floorMod(functions.SplitMix.mix64(j.toLong), p - 1) + 1L
       val b = Math.floorMod(functions.SplitMix.mix64(j.toLong + 0x51AF_E00DL), p)
       s"($j, $a::BIGINT, $b::BIGINT)"
     }.mkString(", ")
+
+  def minHashEstimateSql(shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): String = {
+    val k = bands * rowsPerBand
+    val p = 2147483647L
+    val laneVals = laneValues(k, p)
     val (ctes, last) = xxhChain("sh")
     s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
        |tk AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM docs),
@@ -214,5 +221,44 @@ object OracleHashSql {
        |  round(CAST(list_sum(list_transform(range(1, ${k + 1}), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $k, 4) AS jaccard_est
        |FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full-value oracle for `dedup_lsh_quality` (Dedup.lshQualityCensus on
+    * documents): the exact-Jaccard decile census of the shared-shingle
+    * pair universe with the banding's detection flag — the truth leg is
+    * integer arithmetic end to end ((inter·10) // union), the detection
+    * leg replays the signature banding via [[xxhChain]] exactly as
+    * [[minHashEstimateSql]] does.
+    */
+  def lshQualityCensusSql(shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                          docsSelect: String = "SELECT doc_id AS id, text FROM documents"): String = {
+    val k = bands * rowsPerBand
+    val p = 2147483647L
+    val laneVals = laneValues(k, p)
+    val (ctes, last) = xxhChain("sh")
+    s"""WITH docs AS ($docsSelect),
+       |tk AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM docs),
+       |shl AS (SELECT id, list_distinct(list_transform(range(0, greatest(len(ts) - $shingleN, 0) + 1),
+       |        i -> array_to_string(ts[i + 1 : least(i + $shingleN, len(ts))], ' '))) AS shs FROM tk),
+       |sh AS (SELECT id, unnest(shs) AS w FROM shl),
+       |${cteStr(ctes)},
+       |hh AS (SELECT id, ((h % $p) + $p) % $p AS hp FROM $last),
+       |ln(j, a, b) AS (VALUES $laneVals),
+       |sigv AS (SELECT id, j, min((a * hp + b) % $p) AS v FROM hh, ln GROUP BY 1, 2),
+       |sigs AS (SELECT id, array_agg(v ORDER BY j) AS sig FROM sigv GROUP BY id),
+       |bb AS (SELECT id, r.b AS band, array_to_string(sig[r.b * $rowsPerBand + 1 : (r.b + 1) * $rowsPerBand], ',') AS bkt
+       |       FROM sigs, range(0, $bands) r(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bb x JOIN bb y ON x.band = y.band AND x.bkt = y.bkt AND x.id < y.id),
+       |sizes AS (SELECT id, len(shs) AS n FROM shl),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2),
+       |truth AS (SELECT inter.id_a, inter.id_b, CAST((i * 10) // (sa.n + sb.n - i) AS INT) AS jband
+       |          FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b),
+       |u AS (SELECT coalesce(t.jband, 0) AS jband,
+       |        CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS det
+       |      FROM truth t FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+       |SELECT jband, count(*) AS n_pairs, CAST(sum(det) AS BIGINT) AS n_detected
+       |FROM u GROUP BY jband ORDER BY jband""".stripMargin
   }
 }

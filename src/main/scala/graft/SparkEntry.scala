@@ -136,6 +136,26 @@ object SparkEntry {
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_lsh_quality" -> ((s, dir) => {
+      // the banding-parameter audit: exact-Jaccard decile census of the
+      // shared-shingle pair universe with the (16×4) banding's detection
+      // flag — recall reads off the high bands, detected mass below the
+      // threshold is the precision cost (Dedup.lshQualityCensus; bands
+      // by INTEGER (inter·10) div union, immune to engine rounding).
+      // The raw corpus only populates the curve's ENDS (J≈0 incidental
+      // overlap, J≥0.9 planted near-dups), so every 5th doc gets a
+      // 2/3-prefix twin PLANTED (the docs_boilerplate augmentation rule:
+      // the probabilistic mid-curve region is exactly what this audit
+      // exists to measure, and an S-curve sampled only at its asymptotes
+      // is vacuous) — integer char arithmetic, replayed by the oracle
+      val d = t(s, dir, "documents")
+      val twins = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          expr("substr(text, 1, CAST(length(text) * 2 DIV 3 AS INT))").as("text"))
+      Dedup.lshQualityCensus(
+          d.select(col("doc_id"), col("text")).unionByName(twins), "doc_id", "text")
+        .orderBy(col("jband"))
+    }),
     "dedup_cross_corpus" -> ((s, dir) => {
       // dedup the "fresh crawl" (odd doc ids) against the "training set"
       // (even ids): asymmetric LSH band join + exact-Jaccard verify; one
@@ -2082,6 +2102,14 @@ object SparkEntry {
       // corpus, natural near-pairs included; no planted-twin restriction.
       "dedup_simhash" -> OracleHashSql.simhashNearDupsSql(maxHamming = 3),
       "dedup_minhash_estimate" -> OracleHashSql.minHashEstimateSql(),
+      "dedup_lsh_quality" -> OracleHashSql.lshQualityCensusSql(docsSelect =
+        // the 2/3-prefix twin plant replayed with the same integer char
+        // arithmetic (DuckDB // == Spark DIV on positive ints)
+        """SELECT doc_id AS id, text FROM documents
+          |UNION ALL
+          |SELECT doc_id + 10000000 AS id,
+          |  substr(text, 1, CAST(length(text) * 2 // 3 AS INT)) AS text
+          |FROM documents WHERE doc_id % 5 = 0""".stripMargin),
       // fixed-table BPE encode: the in-order greedy fold replayed as a
       // list_reduce chain, one CTE per merge rank (OracleBpeSql scaladoc)
       "vocab_bpe_encode" -> OracleBpeSql.pieceCensusSql(BpeFixedMerges),

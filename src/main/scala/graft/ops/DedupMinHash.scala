@@ -557,4 +557,58 @@ trait DedupMinHash { self: Dedup.type =>
       .filter(col("containment_r") >= threshold)
       .select(col("window.start").as("ts"), col("id_new"), col("id_ref"),
         col("containment_r"))
+
+  /** LSH quality census — the banding-parameter AUDIT: for every pair in
+    * the exact-similarity universe (pairs sharing ≥ 1 shingle — complete
+    * for any Jaccard > 0, since J > 0 requires a shared gram), how many
+    * does the (bands × rowsPerBand) banding detect, bucketed by exact
+    * Jaccard decile? The output is the measured S-curve: per `jband`
+    * (⌊10·J⌋ by INTEGER arithmetic — (inter·10) div union, no IEEE
+    * division anywhere near a band boundary, so the census can never
+    * flip on engine rounding; J = 1 lands in band 10), `n_pairs` and
+    * `n_detected`. Recall at a target threshold reads off the high
+    * bands; precision is the detected mass in bands below it. This is
+    * how bands/rowsPerBand get TUNED instead of trusted: the standard
+    * (16, 4) S-curve midpoint sits near J = (1/16)^(1/4) ≈ 0.5, and the
+    * census shows where it actually sits on this corpus.
+    *
+    * Detected-but-disjoint pairs (possible: min-hash lane values of
+    * disjoint shingle sets can coincide mod p) surface through the
+    * full-outer join as jband-0 detections — counted, not hidden.
+    *
+    * Scale shape: the DETECTION leg is the production LSH (band-bucket
+    * join). The TRUTH leg is the shared-gram self-join — linear in
+    * Σ_gram df², which is quadratic-adjacent on hot grams. That cost is
+    * the census's point (it measures ground truth), so this is the
+    * audit you run on a SAMPLE or holdout shard to pick banding
+    * parameters, not on the full corpus — the same quarantine the
+    * brute-force `jaccardPairs` oracle lives under. One tokenize+sign
+    * pass is shared by both legs (the `minHashEstimatedPairs`
+    * materialization rule).
+    */
+  def lshQualityCensus(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 16,
+                       rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val shs = graft.Cleanup.register(
+      df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+        .localCheckpoint(false))
+    val sigs = shs.select(col("id"), minHashSignature(col("sh"), k).as("sig"))
+    val det = bucketCandidatePairs(sigBandBuckets(sigs, bands, rowsPerBand), 0)
+      .withColumn("__det", lit(1L))
+    val ex = shs.select(col("id"), explode(col("sh")).as("g"))
+    val sizes = shs.select(col("id"), size(col("sh")).as("n"))
+    val truth = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((inter * 10) DIV (na + nb - inter) AS INT)").as("jband"))
+    truth.join(det, Seq("id_a", "id_b"), "full_outer")
+      .select(coalesce(col("jband"), lit(0)).as("jband"),
+        coalesce(col("__det"), lit(0L)).as("det"))
+      .groupBy(col("jband"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("det")).as("n_detected"))
+  }
 }

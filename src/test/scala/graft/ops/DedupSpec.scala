@@ -518,4 +518,39 @@ class DedupSpec extends AnyFunSuite {
     assert((b1 ++ b2) == flagged)
     idx.unpersist()
   }
+
+  test("lshQualityCensus: integer decile bands, identical docs in band 10, detection consistent") {
+    // hand-checkable fixture: (1,2) identical → J = 1 → band 10, and
+    // identical signatures collide in EVERY band so detection is certain;
+    // (1,3) and (2,3) share 6 of 14 union shingles → (6·10) div 14 = band 4;
+    // doc 4 is disjoint from all (no shared gram → absent unless a lane
+    // collision detects it, impossible here to assert absent-or-band-0)
+    val fix = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "a b c d e f g h x y z w"),
+      (4L, "p q r s t u v aa bb cc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshQualityCensus(fix, "doc_id", "text")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10) == ((1L, 1L)), "the identical pair must land in band 10, detected")
+    assert(got(4)._1 == 2L, "both 6/14-overlap pairs must land in band 4")
+    assert(got.keySet.subsetOf(Set(0, 4, 10)))
+    // every band's detections are bounded by its pairs
+    got.values.foreach { case (n, d) => assert(d <= n) }
+    // real-corpus consistency: total detected mass == the production
+    // banding's candidate-pair count; every truth pair is censused
+    val census = Dedup.lshQualityCensus(docs, "doc_id", "text")
+      .as[(Int, Long, Long)].collect()
+    val nDet = census.map(_._3).sum
+    val nCand = Dedup.minHashCandidates(docs, "doc_id", "text").count()
+    assert(nDet == nCand, s"census detected $nDet != candidate pairs $nCand")
+    val truthPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0).count()
+    assert(census.map(_._2).sum >= truthPairs,
+      "census universe must cover the whole shared-gram pair set")
+    // the ≥0.5 mass agrees with the verified near-dup op at its threshold
+    val hi = census.filter(_._1 >= 5).map(_._2).sum
+    val nd = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    assert(hi == nd, s"bands ≥5 hold $hi pairs but J≥0.5 brute force finds $nd")
+  }
 }
