@@ -41,7 +41,8 @@ object Bench {
     "sim_mmr_select", "docs_rrf_hybrid", "emb_whiten_residual",
     "dedup_containment", "docs_boilerplate", "vocab_fertility",
     "emb_ivf_drift", "docs_score_drift_by_source", "dedup_containment_cross",
-    "dedup_exact_cross", "docs_source_digest", "dedup_lsh_quality")
+    "dedup_exact_cross", "docs_source_digest", "dedup_lsh_quality",
+    "text_cms_heavy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -800,6 +800,32 @@ object SparkEntry {
               .otherwise(col("text")).as("text")),
           "doc_id", "text", "lang", prefixTokens = 4, minShare = 3)
         .orderBy(col("doc_id"))),
+    "text_cms_heavy" -> ((s, dir) => {
+      // count-min sketch heavy hitters: the exact top-20 tokens with
+      // their sketch estimates and overcounts — the sketch is fully
+      // deterministic (md5 lane hash both engines compute natively), so
+      // the ESTIMATES are the oracle surface, not a verdict about them.
+      // TWO sketches ride along: the production-shaped (1024×4), which
+      // never collides on this 31-word vocabulary (every overcount 0 —
+      // the accuracy story), and a deliberately NARROW (16×4) one whose
+      // collisions exercise the overcount arithmetic on both branches
+      // (the vacuous-negative-branch rule: the collision pattern depends
+      // only on the token strings, so both branches appear at EVERY SF)
+      val d = t(s, dir, "documents")
+      val sk = TextAnalysis.cmsBuild(d, "text")
+      val skN = TextAnalysis.cmsBuild(d, "text", depth = 4, width = 16)
+      val exact = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w").asc).limit(20)
+      TextAnalysis.cmsEstimateWith(exact, "w", sk)
+        .join(TextAnalysis.cmsEstimateWith(exact, "w", skN)
+          .withColumnRenamed("n_cms", "n_cms16"), Seq("w"))
+        .join(exact, Seq("w"))
+        .select(col("w"), col("n_exact"), col("n_cms"),
+          (col("n_cms") - col("n_exact")).as("overcount"),
+          col("n_cms16"), (col("n_cms16") - col("n_exact")).as("overcount16"))
+        .orderBy(col("n_exact").desc, col("w").asc)
+    }),
     "text_pii_redact" -> ((s, dir) =>
       // PII scrub over documents AUGMENTED with synthetic addresses (the
       // raw corpus contains none — redaction over it would be a vacuous
@@ -2754,6 +2780,34 @@ object SparkEntry {
            |c AS (SELECT g, count(*) AS doc_freq FROM grams GROUP BY g)
            |SELECT g, CAST(doc_freq AS BIGINT) AS doc_freq FROM c
            |ORDER BY doc_freq DESC, g LIMIT 20""".stripMargin,
+      "text_cms_heavy" ->
+        // both sketches replayed natively: same md5 (lane, token) bucket
+        // hash, same (j, bucket) counters, same min-over-lanes point
+        // query — DuckDB computes the identical sketches, no closed form
+        s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
+           |exact AS (SELECT w, count(*) AS n_exact FROM tok GROUP BY w
+           |          ORDER BY n_exact DESC, w LIMIT 20),
+           |cnt AS (SELECT j, CAST(('0x' || substr(md5(concat_ws(chr(1), CAST(j AS VARCHAR), w)), 1, 15)) AS BIGINT) % 1024 AS bucket,
+           |          count(*) AS n
+           |        FROM tok, range(0, 4) r(j) GROUP BY 1, 2),
+           |cntn AS (SELECT j, CAST(('0x' || substr(md5(concat_ws(chr(1), CAST(j AS VARCHAR), w)), 1, 15)) AS BIGINT) % 16 AS bucket,
+           |          count(*) AS n
+           |        FROM tok, range(0, 4) r(j) GROUP BY 1, 2),
+           |probe AS (SELECT e.w, r.j,
+           |    CAST(('0x' || substr(md5(concat_ws(chr(1), CAST(r.j AS VARCHAR), e.w)), 1, 15)) AS BIGINT) AS h
+           |  FROM exact e, range(0, 4) r(j)),
+           |est AS (SELECT p.w, min(coalesce(c.n, 0)) AS n_cms
+           |        FROM probe p LEFT JOIN cnt c ON c.j = p.j AND c.bucket = p.h % 1024
+           |        GROUP BY p.w),
+           |estn AS (SELECT p.w, min(coalesce(c.n, 0)) AS n_cms16
+           |        FROM probe p LEFT JOIN cntn c ON c.j = p.j AND c.bucket = p.h % 16
+           |        GROUP BY p.w)
+           |SELECT e.w, e.n_exact, CAST(s.n_cms AS BIGINT) AS n_cms,
+           |  CAST(s.n_cms - e.n_exact AS BIGINT) AS overcount,
+           |  CAST(sn.n_cms16 AS BIGINT) AS n_cms16,
+           |  CAST(sn.n_cms16 - e.n_exact AS BIGINT) AS overcount16
+           |FROM exact e JOIN est s ON s.w = e.w JOIN estn sn ON sn.w = e.w
+           |ORDER BY n_exact DESC, e.w""".stripMargin,
       "events_scd2" ->
         // gaps-and-islands replay: change flags, running run numbers,
         // per-run collapse, lead() closes each interval; per-event floor

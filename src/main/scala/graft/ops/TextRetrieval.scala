@@ -108,6 +108,79 @@ trait TextRetrieval { self: TextAnalysis.type =>
       .groupBy(col("g")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("g").asc)
       .limit(k)
+  /** Count-min sketch artifact over word tokens: a depth × width counter
+    * relation (`(j, bucket, n)`, ≤ depth·width rows however large the
+    * corpus) whose point query min_j counter[j][h_j(w)] OVERESTIMATES
+    * every token's true frequency, never under — the structural CMS law
+    * (each counter only ever adds), spec-pinned for every token, and the
+    * heavy-hitter monitor a streaming ingest keeps when the exact
+    * vocabulary would be the memory hog. Error law: P(overcount >
+    * (e/width)·N) ≤ e^(−depth) per query — with (4, 1024) and N tokens,
+    * ≲ 0.27 % of N once, ~2 % chance anywhere over a 20-word report.
+    *
+    * MERGEABLE: counters are pure sums, so the sketch of a corpus union
+    * is the elementwise sum of per-batch sketches (`cmsMerge`,
+    * spec-pinned estimate-identical to the one-shot build) — crawl
+    * batches fold into a running sketch with depth·width longs of state.
+    *
+    * 100 TB shape: the build explodes tokens × depth rows, but the
+    * aggregate's key domain is ≤ depth·width, so map-side partial
+    * aggregation collapses each task's stream to ≤ 4096 rows before the
+    * ONE shuffle — the sketch never materializes corpus-scale
+    * intermediate state anywhere (the same bounded-lattice argument as
+    * `scoreDrift`). Estimates join the ≤ depth·width artifact
+    * (broadcast-sized by construction).
+    *
+    * The lane hash is the md5-60-bit row hash `contentDigest` uses,
+    * keyed (lane, token) — both engines compute it natively, so the
+    * sketch itself (not a verdict about it) is the oracle surface.
+    */
+  case class CmsSketch(counters: DataFrame, depth: Int, width: Int) {
+    def persist(): this.type = { counters.persist(); this }
+    def unpersist(): this.type = { counters.unpersist(); this }
+  }
+
+  /** The (lane, token) → bucket hash: first 60 bits of
+    * md5(lane u0001 token) mod width — engine-portable (see CmsSketch).
+    */
+  private def cmsBucket(lane: Column, w: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("\u0001", lane.cast("string"), w)), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  def cmsBuild(df: DataFrame, textCol: String,
+               depth: Int = 4, width: Int = 1024): CmsSketch = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2: $depth, $width")
+    val counters = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("w"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("w"), width).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    CmsSketch(counters, depth, width)
+  }
+
+  /** Elementwise counter sum — the union sketch (see CmsSketch). */
+  def cmsMerge(a: CmsSketch, b: CmsSketch): CmsSketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"cmsMerge of incompatible sketches: (${a.depth},${a.width}) vs (${b.depth},${b.width})")
+    CmsSketch(
+      a.counters.unionByName(b.counters)
+        .groupBy(col("j"), col("bucket")).agg(sum(col("n")).as("n")),
+      a.depth, a.width)
+  }
+
+  /** Point queries against the sketch: `n_cms` = min over lanes of the
+    * hashed counter (0-filled — an untouched bucket means the token was
+    * never seen). One join against the ≤ depth·width artifact.
+    */
+  def cmsEstimateWith(words: DataFrame, wordCol: String, sketch: CmsSketch): DataFrame =
+    words
+      .select(col(wordCol).as("w"))
+      .select(explode(sequence(lit(0), lit(sketch.depth - 1))).as("j"), col("w"))
+      .withColumn("bucket", cmsBucket(col("j"), col("w"), sketch.width))
+      .join(sketch.counters, Seq("j", "bucket"), "left")
+      .groupBy(col("w"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_cms"))
+
   /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to
     * the top-`vocabK` terms by document frequency, then for every term
     * pair co-occurring in ≥ `minCoDocs` documents emit

@@ -786,4 +786,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(6L)._3 == 2L && !got(6L)._4)
     assert(got.size == 7)
   }
+
+  test("cms: no-undercount law for EVERY token; merge == one-shot; bounded counters") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n_exact"))
+    // the structural law, on the WHOLE vocabulary (not just heavy
+    // hitters), for both the production-width and a colliding sketch
+    for (width <- Seq(1024, 16)) {
+      val sk = TextAnalysis.cmsBuild(docs, "text", depth = 4, width = width)
+      val rows = TextAnalysis.cmsEstimateWith(exact, "w", sk)
+        .join(exact, "w").select($"w", $"n_cms", $"n_exact")
+        .as[(String, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (w, est, ex) =>
+        assert(est >= ex, s"CMS undercounted '$w' at width $width: $est < $ex") }
+      // the counter relation is bounded by depth*width however large the corpus
+      assert(sk.counters.count() <= 4L * width)
+      // total mass conservation per lane: each lane holds every token once
+      val laneTotals = sk.counters.groupBy($"j").agg(sum($"n").as("t"))
+        .select($"t").as[Long].collect().toSet
+      val nTokens = docs.select(explode(TextAnalysis.tokens($"text"))).count()
+      assert(laneTotals == Set(nTokens), s"each lane must sum to $nTokens")
+    }
+    // mergeability: the union sketch's estimates equal the one-shot build's
+    val one = TextAnalysis.cmsBuild(docs, "text")
+    val merged = TextAnalysis.cmsMerge(
+      TextAnalysis.cmsBuild(docs.filter($"doc_id" % 2 === 0), "text"),
+      TextAnalysis.cmsBuild(docs.filter($"doc_id" % 2 === 1), "text"))
+    def estMap(sk: TextAnalysis.CmsSketch) =
+      TextAnalysis.cmsEstimateWith(exact, "w", sk)
+        .as[(String, Long)].collect().toMap
+    assert(estMap(merged) == estMap(one))
+    // incompatible-geometry merges fail fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cmsMerge(one, TextAnalysis.cmsBuild(docs, "text", width = 16))
+    }
+  }
 }
