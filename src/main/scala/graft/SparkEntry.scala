@@ -800,6 +800,14 @@ object SparkEntry {
               .otherwise(col("text")).as("text")),
           "doc_id", "text", "lang", prefixTokens = 4, minShare = 3)
         .orderBy(col("doc_id"))),
+    "text_textrank" -> ((s, dir) =>
+      // TextRank keyword centrality: 10 exact fixed-point PageRank rounds
+      // over the word-adjacency graph (TextAnalysis.textRank) — which
+      // words the corpus is ABOUT, by stationary centrality rather than
+      // raw frequency; every arithmetic op is exact long math, so the
+      // oracle replays the full trajectory round-for-round
+      TextAnalysis.textRank(t(s, dir, "documents"), "text")
+        .orderBy(col("rank_e12").desc, col("w").asc)),
     "text_cms_heavy" -> ((s, dir) => {
       // count-min sketch heavy hitters: the exact top-20 tokens with
       // their sketch estimates and overcounts — the sketch is fully
@@ -1958,6 +1966,32 @@ object SparkEntry {
     val pcaSql = pcaCtes +
       s"SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 5) AS loading_r " +
       s"FROM v$pcaIters, unnest(range(1, 65)) AS t(i) ORDER BY pos"
+    // TextRank replayed round-for-round: exact fixed-point longs (1e-12
+    // units), integer floor divisions, order-independent contribution
+    // sums — the vocab_bpe_merges chained-CTE pattern; HUGEINT carries
+    // the intermediate products exactly like Spark's ANSI longs
+    val textRankSql = {
+      val iters = 10
+      val sb = new StringBuilder
+      sb ++= s"WITH t AS (SELECT $toks AS ts FROM documents),\n"
+      sb ++= "p0 AS (SELECT ts[i] AS a, ts[i+1] AS b " +
+        "FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)),\n"
+      sb ++= "p1 AS (SELECT a, b FROM p0 WHERE a <> b),\n"
+      sb ++= "e AS MATERIALIZED (SELECT a, b, count(*) AS wab FROM " +
+        "(SELECT a, b FROM p1 UNION ALL SELECT b AS a, a AS b FROM p1) GROUP BY 1, 2),\n"
+      sb ++= "sw AS MATERIALIZED (SELECT a, sum(wab) AS s FROM e GROUP BY a),\n"
+      sb ++= "n AS MATERIALIZED (SELECT DISTINCT unnest(ts) AS w FROM t),\n"
+      sb ++= "r0 AS (SELECT w, 1000000000000::HUGEINT AS r FROM n),\n"
+      for (k <- 1 to iters)
+        sb ++= s"r$k AS MATERIALIZED (SELECT n.w, " +
+          "150000000000::HUGEINT + (85 * coalesce(c.s, 0)) // 100 AS r " +
+          "FROM n LEFT JOIN (SELECT e.b, sum((r.r * e.wab) // sw.s) AS s " +
+          s"FROM e JOIN r${k - 1} r ON r.w = e.a JOIN sw ON sw.a = e.a " +
+          "GROUP BY e.b) c ON c.b = n.w),\n"
+      sb ++= s"fin AS (SELECT w, CAST(r AS BIGINT) AS rank_e12 FROM r$iters)\n"
+      sb ++= "SELECT w, rank_e12 FROM fin ORDER BY rank_e12 DESC, w"
+      sb.toString
+    }
     val whitenSql = {
       def fold(expr: String) = s"list_reduce(list_prepend(0.0, $expr), (a, x) -> a + x)"
       pcaCtes.stripSuffix("\n") + ",\n" +
@@ -2128,6 +2162,7 @@ object SparkEntry {
       // corpus, natural near-pairs included; no planted-twin restriction.
       "dedup_simhash" -> OracleHashSql.simhashNearDupsSql(maxHamming = 3),
       "dedup_minhash_estimate" -> OracleHashSql.minHashEstimateSql(),
+      "text_textrank" -> textRankSql,
       "dedup_lsh_quality" -> OracleHashSql.lshQualityCensusSql(docsSelect =
         // the 2/3-prefix twin plant replayed with the same integer char
         // arithmetic (DuckDB // == Spark DIV on positive ints)

@@ -181,6 +181,74 @@ trait TextRetrieval { self: TextAnalysis.type =>
       .groupBy(col("w"))
       .agg(min(coalesce(col("n"), lit(0L))).as("n_cms"))
 
+  /** TextRank keyword centrality [Mihalcea & Tarau, EMNLP 2004]: PageRank
+    * over the word-adjacency graph — nodes are distinct tokens, edges are
+    * adjacent-token co-occurrences weighted by corpus frequency
+    * (symmetric, self-loops dropped), and the stationary score ranks
+    * which words the corpus is ABOUT. The iterative-graph-computation
+    * family member of the suite: k rounds of (join ranks to edges,
+    * aggregate contributions by destination), the canonical distributed
+    * PageRank shape.
+    *
+    * EXACT FIXED-POINT ARITHMETIC, deterministic in any engine: ranks
+    * are longs in units of 10⁻¹², contributions are integer floor
+    * divisions (rank · w_uv) div strength_u, damping is
+    * 0.15·10¹² + (85 · Σ) div 100 — every operation is exact long
+    * arithmetic, and the contribution SUM is order-independent, so the
+    * trajectory is bit-identical under any partitioning and the DuckDB
+    * oracle replays all `iters` rounds as a CTE chain (the
+    * `vocab_bpe_merges` pattern). The floors lose ≤ deg(v)+1 units of
+    * 10⁻¹² per node per round — noise at the 12th decimal, and the SAME
+    * noise in both engines. Overflow headroom: rank·w_uv needs
+    * w_uv < 9·10⁶ (ANSI-loud beyond); corpus edge weights are far
+    * below.
+    *
+    * Scale shape: the edge relation is built once (one token-pair
+    * explode + one (a, b) count aggregate) and persisted; each round is
+    * ONE join keyed on the source node + ONE aggregate keyed on the
+    * destination — both data-scale keys, no window, no driver state
+    * (ranks live relational; nothing collects). Isolated nodes (no
+    * edges) hold the damping floor via the left join from the node
+    * relation, so the node set never shrinks across rounds. At real
+    * scale, pre-partitioning ranks and edges on the node key makes the
+    * per-round join exchange-free; `iters` is a small constant (10 —
+    * TextRank converges in 20–30 rounds at 1e-4, and ranking stabilizes
+    * much earlier).
+    */
+  def textRank(df: DataFrame, textCol: String, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"textRank needs iters >= 1: $iters")
+    val base = lit(150000000000L) // 0.15 in 1e-12 units
+    val pairs = df
+      .select(tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    // symmetric directed edges with co-occurrence weights
+    val edges = graft.Cleanup.register(
+      pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wab"))
+        .localCheckpoint(false))
+    val strength = edges.groupBy(col("a")).agg(sum(col("wab")).as("sw"))
+    val nodes = graft.Cleanup.register(
+      df.select(explode(tokens(col(textCol))).as("w")).distinct()
+        .localCheckpoint(false))
+    var ranks = nodes.select(col("w"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, col("a") === col("w"))
+        .join(strength, "a")
+        .select(col("b"), expr("(r * wab) DIV sw").as("c"))
+        .groupBy(col("b")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, col("w") === col("b"), "left")
+        .select(col("w"),
+          (base + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+    }
+    ranks.select(col("w"), col("r").as("rank_e12"))
+  }
+
   /** Vocabulary-bounded word-pair lift (co-occurrence mining): restrict to
     * the top-`vocabK` terms by document frequency, then for every term
     * pair co-occurring in ≥ `minCoDocs` documents emit

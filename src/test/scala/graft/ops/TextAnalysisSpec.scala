@@ -823,4 +823,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.cmsMerge(one, TextAnalysis.cmsBuild(docs, "text", width = 16))
     }
   }
+
+  test("textRank: star center dominates, symmetric leaves tie exactly, isolated node holds the floor") {
+    // star around 'a' (edges a-b, a-c, a-d, equal weight) + an isolated
+    // token 'z' with no edges at all
+    val fix = Seq("a b", "a c", "a d", "z").toDF("text")
+    val got = TextAnalysis.textRank(fix, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("a", "b", "c", "d", "z"))
+    assert(got("a") > got("b"), s"star center must outrank a leaf: $got")
+    // exact long arithmetic → symmetric leaves agree to the last unit
+    assert(got("b") == got("c") && got("c") == got("d"))
+    // no incoming edges → exactly the damping floor, every round
+    assert(got("z") == 150000000000L)
+    // every rank carries at least the floor
+    got.values.foreach(r => assert(r >= 150000000000L))
+    // partitioning invariance: exact fixed-point arithmetic cannot drift
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val one = TextAnalysis.textRank(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val repart = TextAnalysis.textRank(docs.repartition(13), "text")
+      .as[(String, Long)].collect().toMap
+    assert(one == repart)
+    // centrality is not raw frequency: both orders exist but may differ —
+    // at minimum the relation is total over the full vocabulary
+    assert(one.size == docs.select(explode(TextAnalysis.tokens($"text"))).distinct().count())
+  }
 }
