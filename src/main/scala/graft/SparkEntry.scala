@@ -382,6 +382,22 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "emb_ivf_recall" -> ((s, dir) => {
+      // the ANN recall audit as an oracle-checked query: per query (the
+      // first 20 vectors), how many of the exact brute-force top-10 the
+      // nprobe=4-of-nlist=16 IVF probe returns. trainIters = 0 pins the
+      // quantizer to the hash-ordered seed set (xxh64LongChain replay, the
+      // emb_ivf_drift machinery), and BOTH legs rank on the explicit
+      // index-order cosine fold with (cos DESC, id ASC) tie-breaks, so the
+      // top-k MEMBERSHIP sets — the raw-double k-boundary cut — are
+      // bit-identical in DuckDB (the sim_hard_negatives fold rule; raw
+      // aggregate hashing over them is safe).
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfRecallCensus(emb, emb.filter(col("vec_id") < 20),
+          k = 10, nlist = 16, nprobe = 4, trainIters = 0)
+        .orderBy(col("query_id"))
+    }),
+
     "docs_rrf_hybrid" -> ((s, dir) => {
       // hybrid retrieval: lexical BM25 top-50 ⊕ dense cosine top-50 fused
       // by reciprocal rank (Analytics.rrfFuse) — doc_id and vec_id share
@@ -2097,6 +2113,56 @@ object SparkEntry {
          |SELECT bucket, n_ref, n_cur, d_ppm, rebuild_fired
          |FROM census, fired ORDER BY bucket""".stripMargin
     }
+    // the IVF recall census replayed end-to-end: hash-ordered seed
+    // selection (the same xxh64LongChain as ivfDriftSql, over the FULL
+    // corpus), kernel-exact bucket assignment and probe selection (explicit
+    // index-order folds, (cos DESC, cid ASC) argmax — NearestCentroids'
+    // tie-break), then both search legs with the identical fold so the
+    // k=10 membership boundary — a raw-double comparison — can't flip
+    // between engines, and the per-query intersection counts hash-match
+    val ivfRecallSql = {
+      def dt(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val (hashCtes, hashFinal) = OracleHashSql.xxh64LongChain(
+        "(SELECT vec_id FROM embeddings)", "vec_id")
+      val hashCteStr = hashCtes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $hashCteStr,
+         |seeds AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 16),
+         |cents0 AS (SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings e JOIN seeds s ON e.vec_id = s.vec_id),
+         |cents AS MATERIALIZED (SELECT cid, cv, sqrt(${dt("cv", "cv")}) AS cn FROM cents0),
+         |corp0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corp AS MATERIALIZED (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS vn FROM corp0),
+         |asg AS MATERIALIZED (SELECT vec_id, cid AS bucket FROM (
+         |  SELECT c.vec_id, ct.cid, row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY ${dt("c.v", "ct.cv")} / (c.vn * ct.cn) DESC, ct.cid ASC) AS rnk
+         |  FROM corp c, cents ct) WHERE rnk = 1),
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, vn AS qn
+         |      FROM corp WHERE vec_id < 20),
+         |probes AS (SELECT query_id, cid AS bucket FROM (
+         |  SELECT q.query_id, ct.cid, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${dt("q.qv", "ct.cv")} / (q.qn * ct.cn) DESC, ct.cid ASC) AS rnk
+         |  FROM qs q, cents ct) WHERE rnk <= 4),
+         |appr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${dt("q.qv", "c.v")} / (q.qn * c.vn) DESC, c.vec_id ASC) AS rnk
+         |  FROM probes p JOIN asg a ON a.bucket = p.bucket
+         |    JOIN corp c ON c.vec_id = a.vec_id
+         |    JOIN qs q ON q.query_id = p.query_id
+         |  WHERE c.vec_id <> p.query_id) WHERE rnk <= 10),
+         |exct AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${dt("q.qv", "c.v")} / (q.qn * c.vn) DESC, c.vec_id ASC) AS rnk
+         |  FROM qs q, corp c WHERE c.vec_id <> q.query_id) WHERE rnk <= 10),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit FROM exct e
+         |  JOIN appr a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+         |FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -2353,6 +2419,7 @@ object SparkEntry {
           |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin,
       "emb_coreset_kcenter" -> kcenterSql,
       "emb_ivf_drift" -> ivfDriftSql,
+      "emb_ivf_recall" -> ivfRecallSql,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,

@@ -234,6 +234,38 @@ trait SimilarityIvf { self: Similarity.type =>
         round(col("cos"), 4).as("cosine_r"))
   }
 
+  /** IVF recall census — the ANN audit, `lshQualityCensus`'s sibling:
+    * per query, how many of the exact brute-force top-k the
+    * probe-limited IVF search actually returns (`n_hit` of `k`). The
+    * number every (nlist, nprobe) choice is implicitly claiming —
+    * measured on THE deployed search path (`ivfTopK` verbatim), not a
+    * parallel implementation that can drift from it.
+    *
+    * Scale shape: the exact leg is the brute-force scan — the audit's
+    * inherent cost — so this runs on a query SAMPLE against the corpus
+    * (one broadcast-join scan per query batch), the same quarantine the
+    * LSH census and `jaccardPairs` live under; the approximate leg is
+    * the production probe. Determinism: both legs rank with explicit
+    * index-order cosine folds and (cos DESC, id ASC) tie-breaks, so the
+    * top-k sets — and therefore the intersection counts — are
+    * bit-identical in any engine; with `trainIters = 0` the quantizer
+    * is the hash-ordered seed set and the DuckDB oracle replays the
+    * whole audit end-to-end (the `emb_ivf_drift` machinery).
+    */
+  def ivfRecallCensus(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nlist: Int, nprobe: Int, trainIters: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val approx = ivfTopK(corpus, queries, k, nlist, nprobe, trainIters, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** One-shot IVF top-k (build + query). Approximate — recall measured
     * against bruteForceTopK in the spec suite and the 1M-vector scale
     * probe. `pretrained` supplies an existing quantizer (training is a

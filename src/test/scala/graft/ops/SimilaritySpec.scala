@@ -139,6 +139,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.size == brute.size) // still returns full k per query
   }
 
+  test("ivfRecallCensus: counts the deployed probe's hits against the exact leg") {
+    val queries = emb.filter($"vec_id" < 10)
+    // n_hit agrees with an independently-computed intersection of the two
+    // legs the census claims to compare (same params, both deterministic)
+    val census = Similarity.ivfRecallCensus(emb, queries, 10,
+        nlist = 20, nprobe = 4)
+      .as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 20, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val expected = (brute intersect ivf).groupBy(_._1).map { case (q, s) => q -> s.size.toLong }
+    assert(census.keySet == queries.select("vec_id").as[Long].collect().toSet,
+      "census must emit one row per query, including zero-hit ones")
+    census.foreach { case (q, n) =>
+      assert(n >= 0L && n <= 10L)
+      assert(n == expected.getOrElse(q, 0L), s"query $q: census $n != recount")
+    }
+    // probing every bucket IS brute force: recall must be exactly k
+    val full = Similarity.ivfRecallCensus(emb, queries, 10,
+        nlist = 20, nprobe = 20)
+      .as[(Long, Long)].collect()
+    full.foreach { case (q, n) => assert(n == 10L, s"full probe missed hits at $q") }
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
       .as[(Long, Long, Double)].collect()
