@@ -398,6 +398,30 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- product quantization (the compressed half of IVF-PQ) ----
+    // all three run the iters = 0 codebooks (slices of the 16 hash-smallest
+    // vectors, ordered by id) so DuckDB replays train→encode→reconstruct→
+    // score end-to-end; every argmin/rank comparison is over index-order
+    // folds, bit-identical across engines (the emb_ivf_recall rule)
+    "emb_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 0)
+      Similarity.pqEncode(emb, books)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+    "emb_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 20), 10,
+          m = 8, ksub = 16, iters = 0)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "emb_pq_distortion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 0)
+      Similarity.pqDistortion(emb, books).orderBy(col("vec_id"))
+    }),
+
     "docs_rrf_hybrid" -> ((s, dir) => {
       // hybrid retrieval: lexical BM25 top-50 ⊕ dense cosine top-50 fused
       // by reciprocal rank (Analytics.rrfFuse) — doc_id and vec_id share
@@ -2163,6 +2187,61 @@ object SparkEntry {
          |FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin
     }
+    // product quantization replayed end-to-end (iters = 0): codebooks are
+    // slices of the 16 hash-smallest vectors ordered by id (code = position),
+    // per-subspace assignment is the argmin of an index-order squared-diff
+    // fold (ties to the lower code — PqEncodeCodes' strict <), the
+    // reconstruction is an exact codeword concat, and ADC/distortion are
+    // index-order folds over it — every raw-double comparison bit-identical
+    val pqCtes = {
+      val (hashCtes, hashFinal) = OracleHashSql.xxh64LongChain(
+        "(SELECT vec_id FROM embeddings)", "vec_id")
+      val hashCteStr = hashCtes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $hashCteStr,
+         |seeds AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 16),
+         |sv AS (SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS code,
+         |         CAST(e.embedding AS DOUBLE[]) AS v
+         |       FROM embeddings e JOIN seeds s ON e.vec_id = s.vec_id),
+         |ss AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS subspace),
+         |cb AS MATERIALIZED (SELECT ss.subspace, CAST(sv.code AS INT) AS code,
+         |       sv.v[ss.subspace*8+1 : ss.subspace*8+8] AS cw FROM sv, ss),
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT c.vec_id, ss.subspace,
+         |          c.v[ss.subspace*8+1 : ss.subspace*8+8] AS x FROM corp c, ss),
+         |dist AS (SELECT s.vec_id, s.subspace, cb.code,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      i -> (s.x[i] - cb.cw[i]) * (s.x[i] - cb.cw[i]))), (a, b) -> a + b) AS d2
+         |  FROM sub s JOIN cb ON cb.subspace = s.subspace),
+         |enc AS MATERIALIZED (SELECT vec_id, subspace, code FROM (
+         |    SELECT vec_id, subspace, code, row_number() OVER
+         |      (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rnk
+         |    FROM dist) WHERE rnk = 1),
+         |recon AS MATERIALIZED (SELECT e.vec_id,
+         |    flatten(list(cb.cw ORDER BY e.subspace)) AS rv
+         |  FROM enc e JOIN cb ON cb.subspace = e.subspace AND cb.code = e.code
+         |  GROUP BY e.vec_id)""".stripMargin
+    }
+    val pqCodesSql =
+      s"""$pqCtes
+         |SELECT vec_id, subspace, code FROM enc ORDER BY vec_id, subspace""".stripMargin
+    val pqTopkSql =
+      s"""$pqCtes,
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 20),
+         |sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1),
+         |      i -> q.qv[i] * r.rv[i])), (a, b) -> a + b) AS adc
+         |  FROM qs q, recon r WHERE r.vec_id <> q.query_id),
+         |rk AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rnk FROM sc)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(adc, 4) AS adc_r
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    val pqDistortionSql =
+      s"""$pqCtes
+         |SELECT c.vec_id, round(list_reduce(list_prepend(0.0,
+         |    list_transform(range(1, len(c.v) + 1),
+         |      i -> (c.v[i] - r.rv[i]) * (c.v[i] - r.rv[i]))), (a, b) -> a + b), 4)
+         |  AS pq_err_r
+         |FROM corp c JOIN recon r ON r.vec_id = c.vec_id ORDER BY c.vec_id""".stripMargin
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -2420,6 +2499,9 @@ object SparkEntry {
       "emb_coreset_kcenter" -> kcenterSql,
       "emb_ivf_drift" -> ivfDriftSql,
       "emb_ivf_recall" -> ivfRecallSql,
+      "emb_pq_codes" -> pqCodesSql,
+      "emb_pq_topk" -> pqTopkSql,
+      "emb_pq_distortion" -> pqDistortionSql,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,

@@ -367,6 +367,92 @@ case class NearestCentroids(child: Expression, centIds: Seq[Long],
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: for subspace s of m equal slices, code[s] =
+  * argmin over the subspace's codebook of the squared-L2 distance to the
+  * vector's slice, ties to the LOWER code. Distances accumulate the
+  * squared diffs in element order, double precision — the same bits as the
+  * DuckDB fold `list_reduce(list_prepend(0, list_transform(range, i ->
+  * (a[i]-b[i])^2)), +)`, so the argmin (a raw-double comparison) can never
+  * flip between engines. One pass per row against a driver-collected
+  * codebook set (m · ksub · dim/m doubles — tiny; the IVF coarse-quantizer
+  * shape argument, see NearestCentroids).
+  */
+case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with NativeUnaryKernel {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val mat: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = mat.length
+    val dsub = if (m == 0) 0 else mat(0)(0).length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      val book = mat(s)
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (elemFloat) v.getFloat(off + i).toDouble
+                   else v.getDouble(off + i)) - cw(i)
+          d2 += x * x
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c } // strict: ties keep lower c
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Product-quantization decoder: codes → the concatenation of the chosen
+  * codewords (the reconstruction ADC scores against). Pure table lookup,
+  * no float arithmetic — reconstructions are exact copies of codebook
+  * entries, so any engine holding the same codebooks decodes identically.
+  */
+case class PqReconstruct(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with NativeUnaryKernel {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val mat: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def compute(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val m = mat.length
+    val dsub = if (m == 0) 0 else mat(0)(0).length
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      val cw = mat(s)(codes.getInt(s))
+      System.arraycopy(cw, 0, out, s * dsub, dsub)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All random-hyperplane band buckets in ONE pass: for band b, bucket =
   * Σ_j (dot(vec, plane[b·bitsPerBand+j]) > 0) << j. The plane matrix is
   * derived LAZILY from (bitsPerBand, bands, dim) via the deterministic
@@ -559,6 +645,12 @@ object VectorFunctions {
   def nearestCentroids(vec: Column, centIds: Seq[Long], cents: Seq[Seq[Double]],
                        nprobe: Int): Column =
     ColumnShim.column(NearestCentroids(ColumnShim.expression(vec), centIds, cents, nprobe))
+
+  def pqEncodeCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqEncodeCodes(ColumnShim.expression(vec), books))
+
+  def pqReconstruct(codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqReconstruct(ColumnShim.expression(codes), books))
 
   def fingerprint(text: Column): Column =
     ColumnShim.column(Fingerprint(ColumnShim.expression(text)))

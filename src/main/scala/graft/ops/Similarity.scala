@@ -18,9 +18,10 @@ package graft.ops
   *     (`zip_with`/`aggregate`) — no UDF serialization in the hot path.
   *
   * The object is the single public surface; the implementation lives in
-  * five cohesive self-typed partitions (one file each — [[SimilarityCore]],
-  * [[SimilarityIvf]], [[SimilarityNearDup]], [[SimilaritySelect]],
-  * [[SimilaritySpectral]]). Call sites are unchanged: every member is
+  * six cohesive self-typed partitions (one file each — [[SimilarityCore]],
+  * [[SimilarityIvf]], [[SimilarityPq]], [[SimilarityNearDup]],
+  * [[SimilaritySelect]], [[SimilaritySpectral]]). Call sites are unchanged:
+  * every member is
   * `Similarity.<op>`. Serializable for the same reason as [[TextAnalysis]]:
   * lambdas in TRAIT bodies capture the module instance through the
   * self-type (object-body lambdas compile to static MODULE$ access and
@@ -30,6 +31,7 @@ object Similarity
   extends Serializable
   with SimilarityCore
   with SimilarityIvf
+  with SimilarityPq
   with SimilarityNearDup
   with SimilaritySelect
   with SimilaritySpectral

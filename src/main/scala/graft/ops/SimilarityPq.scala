@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity partition: product quantization — the compressed-corpus half
+  * of the standard IVF-PQ architecture for billion-vector ANN [Jégou,
+  * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011]. The vector is split into `m` equal subspaces; each slice is
+  * quantized to the nearest of `ksub` per-subspace codewords, so a
+  * dim-float vector stores as m small codes (dim·4 bytes → m bytes at
+  * ksub ≤ 256 — 32× at the repo's 64-dim/m=8 defaults), and search scores
+  * against codeword reconstructions instead of raw vectors.
+  *
+  * Scale shape (100 TB): training reads a BOUNDED hash-ordered sample
+  * (TakeOrderedAndProject — O(ksub·sampleMult·dim) driver memory at any
+  * corpus size, the kmeansCentroids rule) and Lloyd-iterates on the driver
+  * over that sample only; encoding is one narrow codegen'd pass (the
+  * PqEncodeCodes kernel — no shuffle, no row explosion); the encoded
+  * corpus is the BUILD-ONCE ARTIFACT a query batch scores against
+  * (reconstruct + VecDot fused in one projection, queries broadcast,
+  * WindowGroupLimit top-k — the bruteForceTopK shape over a corpus that
+  * now fits in a fraction of the memory). Compose with the IVF partition
+  * for IVF-PQ: `ivfBuild` buckets prune the scan, PQ codes shrink what the
+  * probed buckets scan.
+  *
+  * Determinism: the sample and seeds are hash-ordered, driver-side Lloyd
+  * folds in fixed sample order, assignment ties break to the lower code,
+  * and the encode kernel accumulates squared diffs in element order — with
+  * `iters = 0` the codebooks are exact slices of corpus vectors and the
+  * whole encode→reconstruct→ADC pipeline replays in DuckDB bit-for-bit
+  * (the emb_ivf_recall machinery).
+  */
+trait SimilarityPq { self: Similarity.type =>
+
+  /** Trained PQ codebooks: `books(s)(c)` is codeword c of subspace s
+    * (dim/m doubles). Driver-held, like the IVF coarse quantizer; persist
+    * alongside the encoded corpus as the index artifact.
+    */
+  case class PqBooks(m: Int, books: Seq[Seq[Seq[Double]]]) {
+    def ksub: Int = if (books.isEmpty) 0 else books.head.size
+    def dsub: Int = if (books.isEmpty || books.head.isEmpty) 0 else books.head.head.size
+  }
+
+  /** Train per-subspace codebooks on a bounded hash-ordered sample.
+    *
+    * `iters = 0` pins the codebooks to slices of the `ksub` hash-smallest
+    * corpus vectors, ordered by id (the `centroids()` convention) — the
+    * oracle-replayable path. With `iters > 0`, each subspace seeds from
+    * its first `ksub` DISTINCT slices in hash order (duplicate seeds would
+    * freeze their twin codes — the kmeansCentroids dedup rule, applied per
+    * subspace since codebooks are independent) and runs Lloyd with
+    * lower-code tie-breaks and keep-previous empty-cluster handling; all
+    * folds run in fixed sample order, so retraining is reproducible.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 4,
+              sampleMult: Int = 32,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqBooks = {
+    val rows = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(ksub * math.max(sampleMult, 1))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, "pqTrain: empty corpus")
+    val dim = rows(0)._2.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m = $m")
+    val dsub = dim / m
+    def slice(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+    val books = (0 until m).map { s =>
+      var book: Array[Array[Double]] =
+        if (iters <= 0) {
+          // oracle convention: first ksub rows in hash order, codes by id asc
+          rows.take(ksub).sortBy(_._1).map(r => slice(r._2, s))
+        } else {
+          val distinct = rows.iterator.map(r => slice(r._2, s))
+            .map(_.toSeq).distinct.take(ksub).map(_.toArray).toArray
+          // fewer distinct slices than ksub: pad with repeats (harmless —
+          // the duplicate codes simply never win the strict-< argmin)
+          Array.tabulate(math.max(ksub, 1))(i => distinct(i % distinct.length))
+        }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(book.length, dsub)(0.0)
+        val counts = new Array[Long](book.length)
+        rows.foreach { case (_, v) =>
+          val x = slice(v, s)
+          var best = -1; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var d2 = 0.0; var i = 0
+            while (i < dsub) { val d = x(i) - book(c)(i); d2 += d * d; i += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        book = Array.tabulate(book.length) { c =>
+          if (counts(c) == 0) book(c) // empty cluster keeps its codeword
+          else Array.tabulate(dsub)(i => sums(c)(i) / counts(c))
+        }
+        it += 1
+      }
+      book.map(_.toSeq).toSeq
+    }
+    PqBooks(m, books)
+  }
+
+  /** Encode the corpus: one narrow kernel pass → (id, codes array<int>).
+    * This is the persistable artifact (m small ints per vector); encoding
+    * never shuffles and appending a crawl batch is encoding it — the
+    * frozen-codebook regime, same as `ivfAppend`.
+    */
+  def pqEncode(corpus: DataFrame, books: PqBooks,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      graft.functions.VectorFunctions.pqEncodeCodes(col(vecCol), books.books).as("codes"))
+
+  /** Reconstruction column for an encoded `codes` column (exact codeword
+    * concatenation — no float arithmetic).
+    */
+  def pqReconstructCol(codes: Column, books: PqBooks): Column =
+    graft.functions.VectorFunctions.pqReconstruct(codes, books.books)
+
+  /** ADC top-k over an ENCODED corpus: score = dot(query, reconstruction),
+    * which equals the classic per-subspace ADC table sum Σ_s
+    * dot(q_s, codeword(x_s)) — computed here as one full-dim index-order
+    * fold so the ranking bits are engine-reproducible. Approximate in the
+    * PQ sense (scores quantize the corpus side); spec-measured against the
+    * exact dot-product ranking. Output (query_id, rnk, neighbor_id, adc_r)
+    * with (adc DESC, id ASC) tie-breaks.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, k: Int, books: PqBooks,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val enc = encoded.select(col(idCol).as("neighbor_id"),
+      pqReconstructCol(col("codes"), books).as("rv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = enc.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", dot(col("qv"), col("rv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc_r"))
+  }
+
+  /** One-shot train + encode + ADC search (the ivfTopK convenience shape;
+    * for query-many production use, train once, persist `pqEncode`, and
+    * call `pqTopK` per batch).
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                    m: Int = 8, ksub: Int = 16, iters: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, ksub, iters, idCol = idCol, vecCol = vecCol)
+    pqTopK(pqEncode(corpus, books, idCol, vecCol), queries, k, books, idCol, vecCol)
+  }
+
+  /** Per-vector squared reconstruction error — the codebook-quality census
+    * (PQ's distortion objective, the number `iters` is spent minimizing).
+    * Index-order fold over (v − recon)², so the 4-dp rounded output is
+    * engine-exact. One narrow pass; at scale this is the monitor that
+    * decides when drifted data has outgrown frozen codebooks (the
+    * `ivfMaybeRebuild` pattern applies verbatim).
+    */
+  def pqDistortion(corpus: DataFrame, books: PqBooks,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rv = pqReconstructCol(
+      graft.functions.VectorFunctions.pqEncodeCodes(col(vecCol), books.books), books)
+    corpus.select(col(idCol),
+      round(aggregate(
+        zip_with(col(vecCol), rv,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (s, x) => s + x), 4).as("pq_err_r"))
+  }
+}
