@@ -421,6 +421,19 @@ object SparkEntry {
       val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 0)
       Similarity.pqDistortion(emb, books).orderBy(col("vec_id"))
     }),
+    "emb_ivfpq_topk" -> ((s, dir) => {
+      // the full IVF-PQ serving shape end-to-end: coarse probe prunes to
+      // nprobe=4 of nlist=16 buckets, PQ codes score the probed slice via
+      // ADC. Both quantizers pinned to the (shared) hash-ordered seed set,
+      // so DuckDB replays bucket assignment, probe choice, encode,
+      // reconstruction, and the ADC ranking — all raw-double cuts are
+      // index-order folds on both sides.
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfPqBuild(emb, nlist = 16, m = 8, ksub = 16,
+        trainIters = 0, pqIters = 0)
+      Similarity.ivfPqQuery(index, emb.filter(col("vec_id") < 20), 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
 
     "docs_rrf_hybrid" -> ((s, dir) => {
       // hybrid retrieval: lexical BM25 top-50 ⊕ dense cosine top-50 fused
@@ -2242,6 +2255,40 @@ object SparkEntry {
          |      i -> (c.v[i] - r.rv[i]) * (c.v[i] - r.rv[i]))), (a, b) -> a + b), 4)
          |  AS pq_err_r
          |FROM corp c JOIN recon r ON r.vec_id = c.vec_id ORDER BY c.vec_id""".stripMargin
+    // IVF-PQ end-to-end: the pq CTE chain (same 16 hash-ordered seeds feed
+    // BOTH quantizers) + the ivfRecallSql coarse machinery (cosine argmax
+    // assignment, top-nprobe probes) + ADC over the probed slice
+    val ivfPqTopkSql = {
+      def dt(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      s"""$pqCtes,
+         |cents AS MATERIALIZED (SELECT sv.v AS cv, sqrt(${dt("sv.v", "sv.v")}) AS cn,
+         |    s.vec_id AS cid
+         |  FROM sv JOIN (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         |                FROM seeds) s ON s.code = sv.code),
+         |corpn AS MATERIALIZED (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS vn FROM corp),
+         |asg AS (SELECT vec_id, cid AS bucket FROM (
+         |  SELECT c.vec_id, ct.cid, row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY ${dt("c.v", "ct.cv")} / (c.vn * ct.cn) DESC, ct.cid ASC) AS rnk
+         |  FROM corpn c, cents ct) WHERE rnk = 1),
+         |qs AS (SELECT vec_id AS query_id, v AS qv, vn AS qn
+         |       FROM corpn WHERE vec_id < 20),
+         |probes AS (SELECT query_id, cid AS bucket FROM (
+         |  SELECT q.query_id, ct.cid, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${dt("q.qv", "ct.cv")} / (q.qn * ct.cn) DESC, ct.cid ASC) AS rnk
+         |  FROM qs q, cents ct) WHERE rnk <= 4),
+         |sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1),
+         |      i -> q.qv[i] * r.rv[i])), (x, y) -> x + y) AS adc
+         |  FROM probes p JOIN asg a ON a.bucket = p.bucket
+         |    JOIN recon r ON r.vec_id = a.vec_id
+         |    JOIN qs q ON q.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rnk FROM sc)
+         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(adc, 4) AS adc_r
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -2502,6 +2549,7 @@ object SparkEntry {
       "emb_pq_codes" -> pqCodesSql,
       "emb_pq_topk" -> pqTopkSql,
       "emb_pq_distortion" -> pqDistortionSql,
+      "emb_ivfpq_topk" -> ivfPqTopkSql,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,

@@ -160,6 +160,73 @@ trait SimilarityPq { self: Similarity.type =>
     pqTopK(pqEncode(corpus, books, idCol, vecCol), queries, k, books, idCol, vecCol)
   }
 
+  /** A built IVF-PQ index: the coarse quantizer prunes which corpus rows a
+    * query scans (`nprobe` of `nlist` buckets), the PQ codes shrink what
+    * the probed rows cost to score — together the standard billion-vector
+    * serving shape [Jégou et al. 2011; the FAISS `IVFx,PQy` factory
+    * string]. `encoded` holds (id, bucket, codes): m+1 small integers per
+    * vector, the whole searchable corpus at ~(m+8)/(4·dim) of the raw
+    * footprint. BUILD-ONCE ARTIFACT like [[IvfIndex]]: persist `encoded`
+    * partitioned by bucket and the two quantizers alongside.
+    */
+  case class IvfPqIndex(encoded: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
+                        books: PqBooks, idCol: String, vecCol: String)
+
+  /** Train both quantizers and encode the corpus in ONE narrow pass per
+    * row (coarse assignment kernel + PQ encode kernel in the same
+    * projection — no shuffle, no second scan). `trainIters`/`pqIters` = 0
+    * pin both quantizers to the hash-ordered seed set for oracle replay.
+    */
+  def ivfPqBuild(corpus: DataFrame, nlist: Int = 64, m: Int = 8, ksub: Int = 16,
+                 trainIters: Int = 4, pqIters: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    val (ids, mat) =
+      if (trainIters <= 0) collectCentroids(centroids(corpus, nlist, idCol, vecCol))
+      else kmeansCentroids(corpus, nlist, trainIters, sampleMult = 32, idCol, vecCol)
+    val books = pqTrain(corpus, m, ksub, pqIters, idCol = idCol, vecCol = vecCol)
+    IvfPqIndex(encodeInto(corpus, ids, mat, books, idCol, vecCol),
+      ids, mat, books, idCol, vecCol)
+  }
+
+  private def encodeInto(batch: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
+                         books: PqBooks, idCol: String, vecCol: String): DataFrame =
+    batch.select(col(idCol),
+      element_at(graft.functions.VectorFunctions.nearestCentroids(
+        col(vecCol), ids, mat, 1), 1).as("bucket"),
+      graft.functions.VectorFunctions.pqEncodeCodes(col(vecCol), books.books).as("codes"))
+
+  /** Frozen-quantizer append, the `ivfAppend` regime: a crawl batch joins
+    * the index at O(batch) — one narrow encode pass, existing rows
+    * untouched (neither quantizer moves, so neither do assignments).
+    */
+  def ivfPqAppend(index: IvfPqIndex, batch: DataFrame): IvfPqIndex =
+    index.copy(encoded = index.encoded.unionByName(
+      encodeInto(batch, index.ids, index.mat, index.books, index.idCol, index.vecCol)))
+
+  /** Probe-then-ADC search: the `nprobe` nearest buckets per query are
+    * scanned (everything else is pruned), and the scanned rows score as
+    * dot(query, reconstruction) — reconstruct + VecDot fused in one
+    * projection over the probed slice. Output/tie-breaks identical to
+    * [[pqTopK]], so `nprobe = nlist` degenerates to exactly the unpruned
+    * ADC search (spec-pinned).
+    */
+  def ivfPqQuery(index: IvfPqIndex, queries: DataFrame, k: Int,
+                 nprobe: Int = 8): DataFrame = {
+    import index._
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.VectorFunctions.nearestCentroids(
+          col("qv"), ids, mat, nprobe)).as("bucket"))
+    val scored = encoded.join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc", dot(col("qv"), pqReconstructCol(col("codes"), books)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col(idCol).as("neighbor_id"),
+        round(col("adc"), 4).as("adc_r"))
+  }
+
   /** Per-vector squared reconstruction error — the codebook-quality census
     * (PQ's distortion objective, the number `iters` is spent minimizing).
     * Index-order fold over (v − recon)², so the 4-dp rounded output is

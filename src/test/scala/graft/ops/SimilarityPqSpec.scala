@@ -67,6 +67,38 @@ class SimilarityPqSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"ADC recall $recall collapsed (random would be ~0.02)")
   }
 
+  test("ivfPqQuery with nprobe = nlist degenerates to the unpruned ADC search") {
+    val index = Similarity.ivfPqBuild(emb, nlist = 20, m = 8, ksub = 16,
+      trainIters = 2, pqIters = 2)
+    val queries = emb.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "neighbor_id", "adc_r")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val full = rows(Similarity.ivfPqQuery(index, queries, 5, nprobe = 20))
+    val unpruned = rows(Similarity.pqTopK(
+      index.encoded.select($"vec_id", $"codes"), queries, 5, index.books))
+    assert(full == unpruned, "full probe must equal the unpruned ADC ranking")
+    // partial probe: still k rows per query, a subset of the scanned slice
+    val pruned = Similarity.ivfPqQuery(index, queries, 5, nprobe = 4)
+      .groupBy($"query_id").count().as[(Long, Long)].collect()
+    pruned.foreach { case (_, n) => assert(n == 5L) }
+  }
+
+  test("ivfPqAppend: frozen quantizers, appended == one-shot encode of the union") {
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val base = Similarity.ivfPqBuild(old, nlist = 20, m = 8, ksub = 16,
+      trainIters = 2, pqIters = 2)
+    val appended = Similarity.ivfPqAppend(base, emb.filter($"vec_id" % 2 === 1))
+    val queries = emb.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // one-shot: same quantizers applied to the whole union in one pass
+    val oneShot = Similarity.ivfPqAppend(
+      base.copy(encoded = base.encoded.limit(0)), emb)
+    assert(rows(Similarity.ivfPqQuery(appended, queries, 5, nprobe = 4)) ==
+      rows(Similarity.ivfPqQuery(oneShot, queries, 5, nprobe = 4)))
+  }
+
   test("encoded corpus persists to parquet and answers identically to in-memory") {
     val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 2)
     val enc = Similarity.pqEncode(emb, books)
