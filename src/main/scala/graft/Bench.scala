@@ -43,7 +43,8 @@ object Bench {
     "emb_ivf_drift", "docs_score_drift_by_source", "dedup_containment_cross",
     "dedup_exact_cross", "docs_source_digest", "dedup_lsh_quality",
     "text_cms_heavy", "text_textrank", "emb_ivf_recall",
-    "emb_pq_codes", "emb_pq_topk", "emb_pq_distortion", "emb_ivfpq_topk")
+    "emb_pq_codes", "emb_pq_topk", "emb_pq_distortion", "emb_ivfpq_topk",
+    "docs_cluster_labels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

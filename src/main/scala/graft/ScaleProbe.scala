@@ -339,6 +339,72 @@ object ScaleProbe {
     })
     if (brute != null && ivf != null)
       println(f"SCALE ann_recall: ${(brute intersect ivf).size.toDouble / brute.size}%.3f")
+    // round-10 PQ on the same clustered corpus: training Lloyd-iterates on
+    // the driver over a bounded 8k sample, encoding is one kernel pass over
+    // the corpus, ADC scans the compressed codes, IVF-PQ prunes the scan to
+    // nprobe buckets — the claims under test are that encode is scan-speed,
+    // ADC recall holds at production ksub, and pruning composes
+    var pqBooks: graft.ops.Similarity.PqBooks = null
+    time("pq_train_m8_k256")( {
+      pqBooks = graft.ops.Similarity.pqTrain(emb, m = 8, ksub = 256, iters = 4)
+      pqBooks.ksub.toLong
+    })
+    var pqEnc: org.apache.spark.sql.DataFrame = null
+    time("pq_encode")( {
+      if (pqBooks == null)
+        pqBooks = graft.ops.Similarity.pqTrain(emb, m = 8, ksub = 256, iters = 4)
+      pqEnc = graft.ops.Similarity.pqEncode(emb, pqBooks).cache()
+      pqEnc.count()
+    })
+    var pq: Set[(Long, Long)] = null
+    time("pq_adc_topk")( {
+      pq = graft.ops.Similarity.pqTopK(pqEnc, queries, 10, pqBooks)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pq.size.toLong
+    })
+    // ADC recall is judged against the exact DOT ranking (what ADC
+    // approximates), not the cosine ranking
+    var bruteDot: Set[(Long, Long)] = null
+    time("pq_exact_dot_topk")( {
+      val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d").desc, col("neighbor_id").asc)
+      bruteDot = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("d", graft.ops.Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      bruteDot.size.toLong
+    })
+    if (bruteDot != null && pq != null)
+      println(f"SCALE pq_adc_recall: ${(bruteDot intersect pq).size.toDouble / bruteDot.size}%.3f")
+    var ivfpq: graft.ops.Similarity.IvfPqIndex = null
+    time("ivfpq_build")( {
+      ivfpq = graft.ops.Similarity.ivfPqBuild(emb, nlist = 1000, m = 16, ksub = 256,
+        trainIters = 4, pqIters = 4)
+      ivfpq.encoded.cache().count()
+    })
+    var ivfpqHits: Set[(Long, Long)] = null
+    time("ann_ivfpq_topk")( {
+      ivfpqHits = graft.ops.Similarity.ivfPqQuery(ivfpq, queries, 10, nprobe = 32)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivfpqHits.size.toLong
+    })
+    if (bruteDot != null && ivfpqHits != null)
+      println(f"SCALE ivfpq_recall: ${(bruteDot intersect ivfpqHits).size.toDouble / bruteDot.size}%.3f")
+    var refined: Set[(Long, Long)] = null
+    time("ann_ivfpq_refined_topk")( {
+      refined = graft.ops.Similarity.ivfPqQueryRefined(ivfpq, emb, queries, 10,
+          nprobe = 32, refineMult = 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      refined.size.toLong
+    })
+    if (bruteDot != null && refined != null)
+      println(f"SCALE ivfpq_refined_recall: ${(bruteDot intersect refined).size.toDouble / bruteDot.size}%.3f")
     // round-9 label-aware retrieval on the same clustered corpus: the
     // label predicate rides inside the broadcast join, so the probe's
     // claim is simply "same cost as label-blind brute top-k"

@@ -791,6 +791,22 @@ object SparkEntry {
       // transfer across languages)
       TextAnalysis.qualityGate(t(s, dir, "documents"), "text")
         .orderBy(col("doc_id"))),
+    "docs_cluster_labels" -> ((s, dir) => {
+      // the data-map op end-to-end: assign embeddings to the hash-seeded
+      // 8-bucket quantizer (trainIters = 0 — the xxh64LongChain replay),
+      // join documents on the shared id space, label each bucket with its
+      // top-5 lift terms. Lift is ONE IEEE divide of exact-integer-valued
+      // doubles, so the (lift DESC, n_bw DESC, term ASC) ranking is
+      // bit-identical in DuckDB.
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val (ids, mat) = Similarity.collectCentroids(Similarity.centroids(emb, 8))
+      val assigned = Similarity.assignTo(emb, ids, mat)
+        .select(col("vec_id").as("doc_id"), col("bucket"))
+      Analytics.clusterLabels(docs, assigned, topK = 5, minDocs = 2)
+        .orderBy(col("bucket"), col("rnk"))
+    }),
+
     "docs_score_drift" -> ((s, dir) => {
       // quality-score distribution drift between two snapshots (the
       // per-crawl scorer monitor, Analytics.scoreDrift): the parity
@@ -2255,22 +2271,95 @@ object SparkEntry {
          |      i -> (c.v[i] - r.rv[i]) * (c.v[i] - r.rv[i]))), (a, b) -> a + b), 4)
          |  AS pq_err_r
          |FROM corp c JOIN recon r ON r.vec_id = c.vec_id ORDER BY c.vec_id""".stripMargin
-    // IVF-PQ end-to-end: the pq CTE chain (same 16 hash-ordered seeds feed
-    // BOTH quantizers) + the ivfRecallSql coarse machinery (cosine argmax
-    // assignment, top-nprobe probes) + ADC over the probed slice
-    val ivfPqTopkSql = {
+    // cluster labeling: the hash-seeded 8-bucket assignment (the
+    // ivfRecallSql coarse machinery) + doc join on the shared id space +
+    // per-bucket top-5 lift terms; lift = (n_bw·N)/(n_b·df_w) computed as
+    // cast-then-multiply doubles (the Spark side's ANSI-overflow-safe
+    // form) — identical bits, so the raw-double rank order can't flip
+    val clusterLabelsSql = {
       def dt(a: String, b: String) =
         s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-      s"""$pqCtes,
-         |cents AS MATERIALIZED (SELECT sv.v AS cv, sqrt(${dt("sv.v", "sv.v")}) AS cn,
-         |    s.vec_id AS cid
-         |  FROM sv JOIN (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-         |                FROM seeds) s ON s.code = sv.code),
-         |corpn AS MATERIALIZED (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS vn FROM corp),
+      val (hashCtes, hashFinal) = OracleHashSql.xxh64LongChain(
+        "(SELECT vec_id FROM embeddings)", "vec_id")
+      val hashCteStr = hashCtes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $hashCteStr,
+         |seeds AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 8),
+         |cents0 AS (SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings e JOIN seeds s ON e.vec_id = s.vec_id),
+         |cents AS MATERIALIZED (SELECT cid, cv, sqrt(${dt("cv", "cv")}) AS cn FROM cents0),
+         |corpn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |            sqrt(${dt("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS vn
+         |          FROM embeddings),
          |asg AS (SELECT vec_id, cid AS bucket FROM (
          |  SELECT c.vec_id, ct.cid, row_number() OVER (PARTITION BY c.vec_id
          |    ORDER BY ${dt("c.v", "ct.cv")} / (c.vn * ct.cn) DESC, ct.cid ASC) AS rnk
          |  FROM corpn c, cents ct) WHERE rnk = 1),
+         |joined AS (SELECT d.doc_id, d.text, a.bucket
+         |           FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+         |terms AS (SELECT doc_id, bucket, unnest(list_distinct($toks)) AS term
+         |          FROM joined),
+         |nbw AS (SELECT bucket, term, count(*) AS n_bw FROM terms GROUP BY 1, 2),
+         |dfw AS (SELECT term, count(*) AS df_w FROM terms GROUP BY 1),
+         |nb AS (SELECT bucket, count(*) AS n_b FROM joined GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_docs FROM joined),
+         |sc AS (SELECT nbw.bucket, nbw.term, n_bw,
+         |    (CAST(n_bw AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) * CAST(df_w AS DOUBLE)) AS lift
+         |  FROM nbw JOIN dfw USING (term) JOIN nb USING (bucket), nn
+         |  WHERE n_bw >= 2),
+         |rk AS (SELECT bucket, term, n_bw, lift, row_number() OVER
+         |    (PARTITION BY bucket ORDER BY lift DESC, n_bw DESC, term ASC) AS rnk
+         |  FROM sc)
+         |SELECT bucket, CAST(rnk AS INT) AS rnk, term, n_bw, round(lift, 4) AS lift_r
+         |FROM rk WHERE rnk <= 5 ORDER BY bucket, rnk""".stripMargin
+    }
+    // IVF-PQ end-to-end, RESIDUAL encoding (codes quantize x − centroid —
+    // the Jégou architecture; raw-vector coding measured recall 0.012 on
+    // the 1M clustered probe): the same 16 hash-ordered seeds feed both
+    // quantizers — coarse centroids are the seed vectors, PQ codebooks are
+    // slices of the seed rows' RESIDUALS ordered by id. Assignment/probes
+    // via index-order cosine folds, residual argmin via squared-diff folds,
+    // ADC = Σ q[i]·(centroid[i] + recon[i]) — bit-identical both engines.
+    val ivfPqTopkSql = {
+      def dt(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val (hashCtes, hashFinal) = OracleHashSql.xxh64LongChain(
+        "(SELECT vec_id FROM embeddings)", "vec_id")
+      val hashCteStr = hashCtes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $hashCteStr,
+         |seeds AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 16),
+         |cents0 AS (SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings e JOIN seeds s ON e.vec_id = s.vec_id),
+         |cents AS MATERIALIZED (SELECT cid, cv, sqrt(${dt("cv", "cv")}) AS cn FROM cents0),
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpn AS MATERIALIZED (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS vn FROM corp),
+         |asg AS MATERIALIZED (SELECT vec_id, cid AS bucket FROM (
+         |  SELECT c.vec_id, ct.cid, row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY ${dt("c.v", "ct.cv")} / (c.vn * ct.cn) DESC, ct.cid ASC) AS rnk
+         |  FROM corpn c, cents ct) WHERE rnk = 1),
+         |resid AS MATERIALIZED (SELECT c.vec_id, a.bucket,
+         |    list_transform(range(1, len(c.v) + 1), i -> c.v[i] - ct.cv[i]) AS r
+         |  FROM corp c JOIN asg a ON a.vec_id = c.vec_id
+         |    JOIN cents ct ON ct.cid = a.bucket),
+         |rsv AS (SELECT row_number() OVER (ORDER BY r2.vec_id) - 1 AS code, r2.r AS v
+         |        FROM resid r2 JOIN seeds s ON s.vec_id = r2.vec_id),
+         |ss AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS subspace),
+         |cb AS MATERIALIZED (SELECT ss.subspace, CAST(rsv.code AS INT) AS code,
+         |       rsv.v[ss.subspace*8+1 : ss.subspace*8+8] AS cw FROM rsv, ss),
+         |sub AS (SELECT r2.vec_id, ss.subspace,
+         |          r2.r[ss.subspace*8+1 : ss.subspace*8+8] AS x FROM resid r2, ss),
+         |pdist AS (SELECT s.vec_id, s.subspace, cb.code,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      i -> (s.x[i] - cb.cw[i]) * (s.x[i] - cb.cw[i]))), (a, b) -> a + b) AS d2
+         |  FROM sub s JOIN cb ON cb.subspace = s.subspace),
+         |enc AS (SELECT vec_id, subspace, code FROM (
+         |    SELECT vec_id, subspace, code, row_number() OVER
+         |      (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rnk
+         |    FROM pdist) WHERE rnk = 1),
+         |reconr AS MATERIALIZED (SELECT e.vec_id,
+         |    flatten(list(cb.cw ORDER BY e.subspace)) AS rv
+         |  FROM enc e JOIN cb ON cb.subspace = e.subspace AND cb.code = e.code
+         |  GROUP BY e.vec_id),
          |qs AS (SELECT vec_id AS query_id, v AS qv, vn AS qn
          |       FROM corpn WHERE vec_id < 20),
          |probes AS (SELECT query_id, cid AS bucket FROM (
@@ -2279,9 +2368,10 @@ object SparkEntry {
          |  FROM qs q, cents ct) WHERE rnk <= 4),
          |sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
          |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1),
-         |      i -> q.qv[i] * r.rv[i])), (x, y) -> x + y) AS adc
+         |      i -> q.qv[i] * (ct.cv[i] + rr.rv[i]))), (x, y) -> x + y) AS adc
          |  FROM probes p JOIN asg a ON a.bucket = p.bucket
-         |    JOIN recon r ON r.vec_id = a.vec_id
+         |    JOIN cents ct ON ct.cid = p.bucket
+         |    JOIN reconr rr ON rr.vec_id = a.vec_id
          |    JOIN qs q ON q.query_id = p.query_id
          |  WHERE a.vec_id <> p.query_id),
          |rk AS (SELECT query_id, neighbor_id, adc, row_number() OVER
@@ -2550,6 +2640,7 @@ object SparkEntry {
       "emb_pq_topk" -> pqTopkSql,
       "emb_pq_distortion" -> pqDistortionSql,
       "emb_ivfpq_topk" -> ivfPqTopkSql,
+      "docs_cluster_labels" -> clusterLabelsSql,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,

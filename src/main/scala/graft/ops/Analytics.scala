@@ -600,6 +600,58 @@ object Analytics {
     * shape applies per query_id with the join keyed (query_id, id) and a
     * per-query WindowGroupLimit cut instead of the global TakeOrdered.
     */
+  /** Cluster labeling — the "data map" op: per embedding-space cluster,
+    * the `topK` terms whose in-cluster document frequency most exceeds
+    * their corpus-wide rate (lift = (n_bw/n_b)/(df_w/N), the PMI argument
+    * without the log — a ratio of exact integer products divides to ONE
+    * IEEE double, so rankings hash-compare across engines; `wordLift`'s
+    * rule). This is how cluster-based curation (SemDeDup-style pruning,
+    * topic balance audits, Atlas-style corpus maps) turns an opaque
+    * quantizer bucket into something a human can read and a mix policy can
+    * target.
+    *
+    * `assigned` is any (id, bucket) relation — typically
+    * `Similarity.assignTo(...)` output, so the quantizer that prunes ANN
+    * search is the same one whose clusters get labeled.
+    *
+    * Scale shape: one distinct-terms explode (linear in corpus tokens),
+    * two hash aggregations — (bucket, term) and term — plus a ≤nlist-row
+    * bucket-size aggregate that broadcasts; the final per-bucket top-k
+    * window runs on the (bucket, term) AGGREGATED grain and
+    * `filter(rnk <= topK)` compiles to WindowGroupLimit (per-partition
+    * heaps before the bucket shuffle). `minDocs` prunes singleton noise
+    * terms before the window. Ties break (lift DESC, n_bw DESC, term ASC)
+    * — fully deterministic.
+    */
+  def clusterLabels(docs: DataFrame, assigned: DataFrame, topK: Int = 5,
+                    minDocs: Long = 2, idCol: String = "doc_id",
+                    textCol: String = "text", bucketCol: String = "bucket"): DataFrame = {
+    val joined = docs.select(col(idCol).as("__doc"), col(textCol).as("__text"))
+      .join(assigned.select(col(idCol).as("__doc"), col(bucketCol).as("bucket")), "__doc")
+    val terms = joined.select(col("__doc"), col("bucket"),
+      explode(array_distinct(TextAnalysis.tokens(col("__text")))).as("term"))
+    val nBw = terms.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("n_bw"))
+    val dfW = terms.groupBy(col("term")).agg(count(lit(1)).as("df_w"))
+    val nB = joined.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+    val n = joined.agg(count(lit(1)).as("n_docs"))
+    val scored = nBw.filter(col("n_bw") >= minDocs)
+      .join(dfW, "term")
+      .join(broadcast(nB), "bucket")
+      .crossJoin(broadcast(n))
+      // cast-then-multiply: a raw long product n_bw·N overflows ANSI long
+      // arithmetic at corpus scale (N² > 2⁶³ past ~3·10⁹ docs); double
+      // multiplies are IEEE-identical in both engines, so the ranking
+      // bits still hash-compare
+      .withColumn("lift",
+        (col("n_bw").cast("double") * col("n_docs").cast("double"))
+          / (col("n_b").cast("double") * col("df_w").cast("double")))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("lift").desc, col("n_bw").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("bucket"), col("rnk"), col("term"), col("n_bw"),
+        round(col("lift"), 4).as("lift_r"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String,
               kConst: Long = 60L, topK: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")

