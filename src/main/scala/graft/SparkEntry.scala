@@ -1001,6 +1001,14 @@ object SparkEntry {
       // still-current run) — see Events.scd2Compact
       Events.scd2Compact(t(s, dir, "events"))
         .orderBy(col("user_id"), col("seq"))),
+    "events_attribution" -> ((s, dir) =>
+      // first/last-touch attribution: purchases credited to the earliest/
+      // latest view-or-click by the same user in a 1-hour lookback — one
+      // RANGE-frame window, no conversion×touch join (see
+      // Events.attribution for the struct-extremum tie contract)
+      Events.attribution(t(s, dir, "events"), "purchase",
+          Seq("view", "click"), lookbackSecs = 3600L)
+        .orderBy(col("conv_id"))),
     "events_pattern_seq" -> ((s, dir) =>
       // MATCH_RECOGNIZE-style ordered-sequence detection: first
       // view → click → purchase chain per user (strictly increasing event
@@ -3146,6 +3154,29 @@ object SparkEntry {
           |CAST(coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run), -1) AS BIGINT) AS valid_to,
           |CAST(n_events AS BIGINT) AS n_events
           |FROM g ORDER BY user_id, seq""".stripMargin,
+      "events_attribution" ->
+        // the same one-window replay: conditional struct extrema over a
+        // seconds-keyed RANGE frame (struct comparison is lexicographic in
+        // both engines — ties at one ts break by event_id, verified by the
+        // repo's struct-extremum convention), conversions filtered after
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+          |x AS (SELECT event_id, user_id, event_type, ts_s,
+          |  min(CASE WHEN event_type IN ('view', 'click')
+          |      THEN {'t': ts_s, 'id': event_id} END) OVER
+          |    (PARTITION BY user_id ORDER BY ts_s
+          |     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS f,
+          |  max(CASE WHEN event_type IN ('view', 'click')
+          |      THEN {'t': ts_s, 'id': event_id} END) OVER
+          |    (PARTITION BY user_id ORDER BY ts_s
+          |     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS l
+          |  FROM e)
+          |SELECT event_id AS conv_id, user_id, ts_s AS conv_ts_s,
+          |  CAST(coalesce(f.id, -1) AS BIGINT) AS first_touch_id,
+          |  CAST(coalesce(f.t, -1) AS BIGINT) AS first_touch_ts_s,
+          |  CAST(coalesce(l.id, -1) AS BIGINT) AS last_touch_id,
+          |  CAST(coalesce(l.t, -1) AS BIGINT) AS last_touch_ts_s
+          |FROM x WHERE event_type = 'purchase' ORDER BY conv_id""".stripMargin,
       "events_tumbling" ->
         """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, event_type,
           |count(*) AS n_events, round(sum("value"), 2) AS sum_value

@@ -148,6 +148,46 @@ object Events {
         col("n_events"))
   }
 
+  /** Conversion attribution — first-touch and last-touch in one pass: for
+    * every conversion event, the earliest and latest touch event by the
+    * same user within the lookback window ending at the conversion
+    * (touch at the conversion's own timestamp counts — "at or before").
+    * The standard marketing-attribution models, and the general
+    * "which upstream interaction explains this outcome" join that event
+    * pipelines otherwise hand-roll badly as a per-conversion subquery.
+    *
+    * Shape: NO conversion×touch join — one RANGE-frame window over the
+    * unified per-user event stream (the `slidingValueSum` surface) carries
+    * a conditional running extremum of struct(ts, event_id); conversions
+    * filter afterwards. One hashpartitioning(user_id) exchange total, and
+    * the frame is time-bounded so state per row is the lookback's touches.
+    * Struct extrema order lexicographically in BOTH engines, so ties at
+    * one timestamp break deterministically (first → smaller event_id,
+    * last → larger) and the whole output hash-compares. Conversions with
+    * no touch in window emit -1s (the scd2 open-run convention).
+    */
+  def attribution(events: DataFrame, convType: String, touchTypes: Seq[String],
+                  lookbackSecs: Long = 86400L): DataFrame = {
+    for (c <- Seq("__first", "__last"))
+      require(!events.columns.contains(c),
+        s"attribution reserves column name '$c'; rename it in the input")
+    val tsS = unix_timestamp(col("ts"))
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val w = Window.partitionBy(col("user_id")).orderBy(tsS)
+      .rangeBetween(-lookbackSecs, 0)
+    val touchKey = when(isTouch, struct(tsS.as("t"), col("event_id").as("id")))
+    events
+      .withColumn("__first", min(touchKey).over(w))
+      .withColumn("__last", max(touchKey).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        tsS.as("conv_ts_s"),
+        coalesce(col("__first.id"), lit(-1L)).as("first_touch_id"),
+        coalesce(col("__first.t"), lit(-1L)).as("first_touch_ts_s"),
+        coalesce(col("__last.id"), lit(-1L)).as("last_touch_id"),
+        coalesce(col("__last.t"), lit(-1L)).as("last_touch_ts_s"))
+  }
+
   /** Per-user sliding 1-hour value sum — the RANGE-frame window surface
     * (logical offsets over event time, NOT row counts: all peers at the
     * same timestamp join the frame, so the result is tie-order

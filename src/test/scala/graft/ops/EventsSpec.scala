@@ -222,4 +222,36 @@ class EventsSpec extends AnyFunSuite {
       ("A", "B", 1L, 500000L), ("A", "C", 1L, 500000L),
       ("B", "A", 2L, 1000000L)))
   }
+
+  test("attribution: first/last touch in lookback, struct tie-breaks, -1 when empty") {
+    val ev = Seq(
+      // user 1: view@:00(1), click@:02(2) and view@:02(3) tie, purchase@:05(4)
+      (1L, t("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, t("2024-01-01 00:02:00"), 1L, "click", 0.0, "{}"),
+      (3L, t("2024-01-01 00:02:00"), 1L, "view", 0.0, "{}"),
+      (4L, t("2024-01-01 00:05:00"), 1L, "purchase", 1.0, "{}"),
+      // same user: purchase 2h later — every touch is outside the 1h lookback
+      (5L, t("2024-01-01 02:05:00"), 1L, "purchase", 1.0, "{}"),
+      // a touch AFTER a conversion never attributes to it
+      (6L, t("2024-01-01 02:10:00"), 1L, "view", 0.0, "{}"),
+      // user 2: touch at the conversion's exact timestamp counts
+      (7L, t("2024-01-01 00:30:00"), 2L, "click", 0.0, "{}"),
+      (8L, t("2024-01-01 00:30:00"), 2L, "purchase", 1.0, "{}"),
+      // user 3: no touches at all
+      (9L, t("2024-01-01 00:00:00"), 3L, "purchase", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.attribution(ev, "purchase", Seq("view", "click"), 3600L)
+      .select("conv_id", "first_touch_id", "last_touch_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (4L, 1L, 3L),   // first = earliest; last tie at :02 -> larger id 3
+      (5L, -1L, -1L), // lookback expired
+      (8L, 7L, 7L),   // same-timestamp touch counts
+      (9L, -1L, -1L), // no touches
+    ))
+    // reserved working names guarded
+    intercept[IllegalArgumentException] {
+      Events.attribution(ev.withColumn("__last", lit(1)), "purchase", Seq("view"))
+    }
+  }
 }
