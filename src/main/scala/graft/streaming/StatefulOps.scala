@@ -167,6 +167,71 @@ object StatefulOps {
     * user within the preceding hour — the streaming counterpart of the
     * batch `q_range_join`. Watermarks bound both join-state buffers.
     */
+  final case class AttrEvent(event_id: Long, user_id: Long, ts: Timestamp,
+                             event_type: String)
+  final case class Attribution(conv_id: Long, user_id: Long, conv_ts_s: Long,
+                               first_touch_id: Long, first_touch_ts_s: Long,
+                               last_touch_id: Long, last_touch_ts_s: Long)
+  final case class AttrState(touches: List[(Long, Long)]) // (ts_s, id) ascending
+
+  /** STREAMING conversion attribution — the incremental twin of
+    * `Events.attribution`: each conversion emits its first/last touch
+    * within the lookback the moment it arrives, with per-user state = ONLY
+    * the touches still inside the lookback horizon (pruned as event time
+    * advances — state per user is bounded by touch-rate·lookback, not
+    * history). Batch-parity contract (spec-pinned across a micro-batch
+    * boundary): within a batch, rows process in (ts, event_id) order and
+    * all touches AT a timestamp register before that timestamp's
+    * conversions — exactly the batch RANGE frame's all-peers-included "at
+    * or before" semantics, including the struct tie-breaks (ascending
+    * (ts, id) state makes head the first-touch and last the last-touch).
+    * Assumes per-user event-time-ordered arrival ACROSS batches (the
+    * streamingScd2Runs contract); a same-timestamp touch landing in a
+    * later batch than its conversion is missed, as in any online
+    * attribution.
+    */
+  def streamingAttribution(events: Dataset[AttrEvent], convType: String,
+                           touchTypes: Set[String],
+                           lookbackSecs: Long = 86400L): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          var touches = state.getOption.map(_.touches).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          var i = 0
+          while (i < sorted.length) {
+            val tsS = Math.floorDiv(sorted(i).ts.getTime, 1000L)
+            var j = i
+            while (j < sorted.length &&
+              Math.floorDiv(sorted(j).ts.getTime, 1000L) == tsS) j += 1
+            val cohort = sorted.slice(i, j)
+            touches = touches.dropWhile(_._1 < tsS - lookbackSecs)
+            // touches at this timestamp register before its conversions —
+            // the RANGE frame's all-peers rule; cohort is id-sorted so the
+            // appended run keeps the list (ts, id)-ascending
+            touches = touches ++ cohort.filter(e => touchTypes(e.event_type))
+              .map(e => (tsS, e.event_id))
+            cohort.filter(_.event_type == convType).foreach { c =>
+              if (touches.isEmpty)
+                out += Attribution(c.event_id, user, tsS, -1L, -1L, -1L, -1L)
+              else {
+                val (ft, fi) = touches.head
+                val (lt, li) = touches.last
+                out += Attribution(c.event_id, user, tsS, fi, ft, li, lt)
+              }
+            }
+            i = j
+          }
+          state.update(AttrState(touches))
+          out.iterator
+      }
+  }
+
   def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
     val p = purchases.withWatermark("p_ts", "2 hours")
     val e = errors.withWatermark("h_ts", "2 hours")

@@ -149,4 +149,45 @@ class StatefulOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
   }
+
+  test("streamingAttribution matches the batch RANGE-frame op across a micro-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AttrEvent]
+    val q = streamingAttribution(input.toDS(), "purchase", Set("view", "click"), 3600L)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    val ev = Seq(
+      AttrEvent(1L, 1L, t("2024-01-01 00:00:00"), "view"),
+      AttrEvent(2L, 1L, t("2024-01-01 00:02:00"), "click"),
+      AttrEvent(3L, 1L, t("2024-01-01 00:02:00"), "view"),  // tie at :02
+      AttrEvent(4L, 1L, t("2024-01-01 00:05:00"), "purchase"),
+      AttrEvent(7L, 2L, t("2024-01-01 00:30:00"), "click"),
+      AttrEvent(8L, 2L, t("2024-01-01 00:30:00"), "purchase"), // same-ts touch counts
+      // batch 2 — lookback state carries across the boundary: the :02
+      // touches are still inside the 1h window of a :50 conversion, and a
+      // 02:05 conversion finds everything expired
+      AttrEvent(9L, 1L, t("2024-01-01 00:50:00"), "purchase"),
+      AttrEvent(10L, 1L, t("2024-01-01 02:05:00"), "purchase"),
+      AttrEvent(11L, 3L, t("2024-01-01 00:00:00"), "purchase")) // touchless user
+    try {
+      input.addData(ev.take(6): _*)
+      q.processAllAvailable()
+      input.addData(ev.drop(6): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").as[Attribution].collect()
+        .map(a => (a.conv_id, a.user_id, a.conv_ts_s, a.first_touch_id,
+          a.first_touch_ts_s, a.last_touch_id, a.last_touch_ts_s))
+        .sorted.toList
+      val batch = graft.ops.Events.attribution(
+          ev.toDF().select($"event_id", $"ts", $"user_id", $"event_type"),
+          "purchase", Seq("view", "click"), 3600L)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sorted.toList
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.size == 5)
+      // the tie conversion picked (first=1, last=3) — the lexicographic rule
+      val tie = streamed.find(_._1 == 4L).get
+      assert(tie._4 == 1L && tie._6 == 3L)
+    } finally q.stop()
+  }
 }
