@@ -398,6 +398,15 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "emb_hamming_topk" -> ((s, dir) => {
+      // binary-quantization search: sign bits + popcount-of-XOR distances
+      // — pure integers end to end, so the RAW corpus oracles directly
+      // with no planted-twin forcing (see Similarity.hammingTopK)
+      val emb = t(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 20), 10, dim = 64)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- product quantization (the compressed half of IVF-PQ) ----
     // all three run the iters = 0 codebooks (slices of the 16 hash-smallest
     // vectors, ordered by id) so DuckDB replays train→encode→reconstruct→
@@ -2649,6 +2658,26 @@ object SparkEntry {
       "emb_pq_distortion" -> pqDistortionSql,
       "emb_ivfpq_topk" -> ivfPqTopkSql,
       "docs_cluster_labels" -> clusterLabelsSql,
+      "emb_hamming_topk" ->
+        // 32-bit chunks (DuckDB errors on 1 << 63), chunk = sum of distinct
+        // powers of two, distance = Σ bit_count(xor) — all integers, the
+        // one ANN oracle needing no determinism machinery at all
+        """WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |bits AS (SELECT vec_id, list_transform(range(0, 2), c ->
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32),
+          |      j -> CASE WHEN v[c*32 + j + 1] > 0 THEN (1::BIGINT << CAST(j AS INT))
+          |                ELSE 0::BIGINT END)), (a, b) -> a + b)) AS b
+          |  FROM corp),
+          |qs AS (SELECT vec_id AS query_id, b AS qb FROM bits WHERE vec_id < 20),
+          |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 3),
+          |      i -> CAST(bit_count(xor(c.b[i], q.qb[i])) AS BIGINT))),
+          |      (x, y) -> x + y) AS hamming
+          |  FROM qs q, bits c WHERE c.vec_id <> q.query_id),
+          |rk AS (SELECT query_id, neighbor_id, hamming, row_number() OVER
+          |    (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rnk FROM sc)
+          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
+          |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,

@@ -45,6 +45,53 @@ trait SimilarityCore { self: Similarity.type =>
         round(col("cos"), 4).as("cosine_r"))
   }
 
+  /** Binary (sign) quantization: bit j of chunk c is set iff
+    * vec[32c + j] > 0 — one bit per dimension, the most aggressive
+    * compression rung below PQ (dim float32 → dim/8 bytes: 32× at any
+    * dim), and the angular sketch behind "binary quantization" in
+    * production vector stores. Chunks carry 32 bits each so the set bits
+    * are sums of distinct powers < 2³² — no sign-bit/overflow hazard in
+    * either engine (DuckDB errors on 1 << 63). Pure integer output:
+    * downstream comparisons are exact by construction, no fold-order
+    * discipline needed.
+    */
+  def binarizeSign(vec: Column, dim: Int): Column = {
+    val chunks = (dim + 31) / 32
+    array((0 until chunks).map { c =>
+      val hi = math.min(32, dim - c * 32)
+      (0 until hi).map(j =>
+        when(element_at(vec, c * 32 + j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** Exact k-NN under Hamming distance over sign-quantized vectors: the
+    * compressed exhaustive search (popcount of XOR per 32-bit chunk — a
+    * few integer ops per candidate against a corpus at 1/32 of the float
+    * footprint). Hamming over sign bits is the standard proxy for angular
+    * distance; where exact top-k order matters, over-retrieve here and
+    * exact-rerank the candidates (the `ivfPqQueryRefined` join shape).
+    * Every distance is an integer, so the output — including the k
+    * boundary — is engine-exact with NO planted-twin forcing: the raw
+    * corpus oracles directly. Ties break (hamming ASC, id ASC).
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      binarizeSign(col(vecCol), dim).as("cb"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      binarizeSign(col(vecCol), dim).as("qb")))
+    val scored = cb.join(qb, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("cb"), col("qb"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (s, x) => s + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the k most-similar corpus vectors whose label DIFFERS from the
     * query's — the "hard" negatives that sit just outside the class

@@ -164,6 +164,37 @@ class SimilaritySpec extends AnyFunSuite {
     full.foreach { case (q, n) => assert(n == 10L, s"full probe missed hits at $q") }
   }
 
+  test("hammingTopK: exact twins at distance 0 rank first; distances are monotone ints") {
+    // corpus = originals ∪ byte-identical twins (id + 10M): each query's
+    // top-1 must be its own twin at hamming 0 — sign bits of identical
+    // floats are identical, and no other vector is bit-equal here
+    val twins = emb.select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(twins)
+    val got = Similarity.hammingTopK(corpus, emb.filter($"vec_id" < 10), 5, dim = 64)
+      .as[(Long, Int, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.head._3 == q + 10000000L && byRank.head._4 == 0L,
+        s"query $q top-1 is not its twin: ${byRank.head}")
+      val ds = byRank.map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      ds.foreach(d => assert(d >= 0L && d <= 64L))
+    }
+    // chunk values stay within 32 unsigned bits (no sign-bit hazard)
+    val chunks = emb.select(explode(Similarity.binarizeSign($"embedding", 64)))
+      .as[Long].collect()
+    chunks.foreach(c => assert(c >= 0L && c < (1L << 32)))
+    // sign-bit hamming tracks angular distance: recall vs cosine top-10 is
+    // far above random (10/500)
+    val queries = emb.filter($"vec_id" < 10)
+    val cosTop = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hamTop = Similarity.hammingTopK(emb, queries, 10, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (cosTop intersect hamTop).size.toDouble / cosTop.size
+    assert(recall >= 0.2, s"hamming recall $recall vs cosine collapsed (random ≈ 0.02)")
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
       .as[(Long, Long, Double)].collect()
