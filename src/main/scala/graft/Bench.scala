@@ -44,7 +44,8 @@ object Bench {
     "dedup_exact_cross", "docs_source_digest", "dedup_lsh_quality",
     "text_cms_heavy", "text_textrank", "emb_ivf_recall",
     "emb_pq_codes", "emb_pq_topk", "emb_pq_distortion", "emb_ivfpq_topk",
-    "docs_cluster_labels", "events_attribution", "emb_hamming_topk")
+    "docs_cluster_labels", "events_attribution", "emb_hamming_topk",
+    "docs_dedup_survivorship")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

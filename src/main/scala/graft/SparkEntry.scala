@@ -800,6 +800,12 @@ object SparkEntry {
       // transfer across languages)
       TextAnalysis.qualityGate(t(s, dir, "documents"), "text")
         .orderBy(col("doc_id"))),
+    "docs_dedup_survivorship" -> ((s, dir) =>
+      // per-quality-decile kept/dropped census of the exact keep-min dedup
+      // — the "did dedup shift my quality mix" monitor (see
+      // Dedup.dedupSurvivorship)
+      Dedup.dedupSurvivorship(t(s, dir, "documents"))
+        .orderBy(col("bucket"))),
     "docs_cluster_labels" -> ((s, dir) => {
       // the data-map op end-to-end: assign embeddings to the hash-seeded
       // 8-bucket quantizer (trainIters = 0 — the xxh64LongChain replay),
@@ -3855,6 +3861,29 @@ object SparkEntry {
            |SELECT doc_id, q.lang, quality_score, round(med, 2) AS lang_median
            |FROM q JOIN m USING (lang) WHERE quality_score >= med
            |ORDER BY doc_id""".stripMargin,
+      "docs_dedup_survivorship" ->
+        // the quality-gate score CTEs + full-text keep-min keepers (raw
+        // GROUP BY text — a fingerprint collision on the Spark side fails
+        // loudly, the dedup_exact_cross convention) + an 11-key integer
+        // census; bucket = round(score·10) from the same 2-dp double
+        s"""WITH f AS (SELECT doc_id, $toks AS w FROM documents),
+           |g AS (SELECT doc_id, len(w) AS n_tokens,
+           |  round(list_sum(list_transform(w, x -> length(x))) * 1.0 / greatest(len(w), 1), 4) AS avg_token_len,
+           |  round(len(list_filter(w, x -> list_contains(${markers(mk("en"))}, lower(x)))) * 1.0 / greatest(len(w), 1), 4) AS stopword_ratio
+           |FROM f),
+           |q AS (SELECT doc_id,
+           |round((CASE WHEN n_tokens BETWEEN 10 AND 200 THEN 0.4 ELSE 0.0 END)
+           |  + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.0 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+           |FROM g),
+           |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+           |j AS (SELECT q.doc_id, CAST(round(quality_score * 10, 0) AS INT) AS bucket,
+           |      CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+           |      FROM q LEFT JOIN k ON k.doc_id = q.doc_id)
+           |SELECT bucket, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+           |  CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+           |  round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS kept_share_r
+           |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
       "docs_source_cap" ->
         // same score construction, then top-10 per source by
         // (quality_score desc, doc_id asc) — the window form IS the

@@ -59,6 +59,36 @@ trait DedupExact { self: Dedup.type =>
       .drop("__h1", "__h2")
   }
 
+  /** Dedup survivorship census — the "what did dedup do to my
+    * distribution" monitor: per quality-score decile bucket, how many
+    * documents existed, survived the exact keep-min-id dedup, and were
+    * dropped. Duplicates concentrate in specific quality regimes
+    * (boilerplate is mid-quality, spam is low), so a dedup pass SHIFTS the
+    * quality mix; this census is the before/after evidence a curation
+    * pipeline reviews instead of trusting that the cut was neutral
+    * (feed two snapshots to `Analytics.scoreDrift` for the formal test).
+    *
+    * Shape: one `qualityScore` scan, the `exactDedup` keeper plan
+    * (fingerprint-keyed — payloads never shuffle), an id-only indicator
+    * join, and a ≤11-key aggregate. The bucket is round(score·10) — both
+    * engines derive it from the same 2-dp double, so the integer census
+    * hash-compares; kept_share is one IEEE divide of exact counts.
+    */
+  def dedupSurvivorship(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val scored = TextAnalysis.qualityScore(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), round(col("quality_score") * 10).cast("int").as("bucket"))
+    val keepers = exactDedup(df.select(col(idCol), col(textCol)), textCol, idCol)
+      .select(col(idCol)).withColumn("__kept", lit(1L))
+    scored.join(keepers, Seq(idCol), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("__kept"), lit(0L))).as("n_kept"))
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+      .withColumn("kept_share_r",
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
+  }
+
   /** Streaming exact dedup: first-seen-wins within the watermark horizon.
     * State is bounded by the watermark (old keys expire), so this runs
     * indefinitely at scale — the streaming counterpart of `exactDedup`.

@@ -553,4 +553,23 @@ class DedupSpec extends AnyFunSuite {
     val nd = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
     assert(hi == nd, s"bands ≥5 hold $hi pairs but J≥0.5 brute force finds $nd")
   }
+
+  test("dedupSurvivorship: per-quality-bucket kept/dropped counts on a planted mix") {
+    import spark.implicits._
+    // 11 tokens, sane lengths, stopwords present -> score 1.0 -> bucket 10;
+    // the three copies collapse to one keeper. Two distinct one-token docs
+    // score 0.0 -> bucket 0, both self-keepers.
+    val hq = "the quick brown fox jumps over and beyond a lazy dog"
+    val df = Seq(
+      (1L, hq), (2L, hq), (3L, hq),
+      (4L, "x"), (5L, "y"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSurvivorship(df)
+      .select("bucket", "n_total", "n_kept", "n_dropped", "kept_share_r")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 2L, 2L, 0L, 1.0),
+      (10, 3L, 1L, 2L, 0.3333),
+    ))
+  }
 }
