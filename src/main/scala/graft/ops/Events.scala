@@ -177,8 +177,12 @@ object Events {
       .rangeBetween(-lookbackSecs, 0)
     val touchKey = when(isTouch, struct(tsS.as("t"), col("event_id").as("id")))
     events
-      .withColumn("__first", min(touchKey).over(w))
-      .withColumn("__last", max(touchKey).over(w))
+      // both extrema in ONE projection: separate withColumns analyze to
+      // two Window nodes (fresh _w exprIds defeat CollapseWindow) and the
+      // partition frames get walked twice — plan-checked to a single node
+      .select(col("*"),
+        min(touchKey).over(w).as("__first"),
+        max(touchKey).over(w).as("__last"))
       .filter(col("event_type") === convType)
       .select(col("event_id").as("conv_id"), col("user_id"),
         tsS.as("conv_ts_s"),

@@ -253,5 +253,11 @@ class EventsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Events.attribution(ev.withColumn("__last", lit(1)), "purchase", Seq("view"))
     }
+    // plan pin: both extrema ride ONE Window node over one user_id
+    // exchange (separate withColumns would analyze to two Window passes)
+    val plan = Events.attribution(ev, "purchase", Seq("view", "click"), 3600L)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
   }
 }
