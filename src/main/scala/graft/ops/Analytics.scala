@@ -614,14 +614,18 @@ object Analytics {
     * `Similarity.assignTo(...)` output, so the quantizer that prunes ANN
     * search is the same one whose clusters get labeled.
     *
-    * Scale shape: one distinct-terms explode (linear in corpus tokens),
-    * two hash aggregations — (bucket, term) and term — plus a ≤nlist-row
-    * bucket-size aggregate that broadcasts; the final per-bucket top-k
-    * window runs on the (bucket, term) AGGREGATED grain and
-    * `filter(rnk <= topK)` compiles to WindowGroupLimit (per-partition
-    * heaps before the bucket shuffle). `minDocs` prunes singleton noise
-    * terms before the window. Ties break (lift DESC, n_bw DESC, term ASC)
-    * — fully deterministic.
+    * Scale shape: ONE distinct-terms explode (linear in corpus tokens) —
+    * the corpus-wide doc frequency and total are DERIVED from the
+    * (bucket, term) / bucket aggregated grains (each doc sits in exactly
+    * one bucket, so df_w = Σ_b n_bw and N = Σ_b n_b), which both avoids a
+    * second tokenize pass and lets ReuseExchange serve the self-join from
+    * one shuffle; plus a ≤nlist-row bucket-size aggregate that broadcasts.
+    * The final per-bucket top-k window runs on the (bucket, term)
+    * AGGREGATED grain and `filter(rnk <= topK)` compiles to
+    * WindowGroupLimit (per-partition heaps before the bucket shuffle).
+    * `minDocs` prunes singleton noise terms before the window (AFTER the
+    * df derivation — document frequency counts every doc). Ties break
+    * (lift DESC, n_bw DESC, term ASC) — fully deterministic.
     */
   def clusterLabels(docs: DataFrame, assigned: DataFrame, topK: Int = 5,
                     minDocs: Long = 2, idCol: String = "doc_id",
@@ -630,10 +634,16 @@ object Analytics {
       .join(assigned.select(col(idCol).as("__doc"), col(bucketCol).as("bucket")), "__doc")
     val terms = joined.select(col("__doc"), col("bucket"),
       explode(array_distinct(TextAnalysis.tokens(col("__text")))).as("term"))
-    val nBw = terms.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("n_bw"))
-    val dfW = terms.groupBy(col("term")).agg(count(lit(1)).as("df_w"))
+    // the (bucket, term) grain feeds BOTH the left side and the df
+    // derivation: materialize it once (harness-drained lazy checkpoint —
+    // the textRank shared-relation pattern) or the explode subtree runs
+    // twice; the grain is aggregated, orders of magnitude under corpus size
+    val nBw = graft.Cleanup.register(
+      terms.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("n_bw"))
+        .localCheckpoint(false))
+    val dfW = nBw.groupBy(col("term")).agg(sum(col("n_bw")).as("df_w"))
     val nB = joined.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
-    val n = joined.agg(count(lit(1)).as("n_docs"))
+    val n = nB.agg(sum(col("n_b")).as("n_docs"))
     val scored = nBw.filter(col("n_bw") >= minDocs)
       .join(dfW, "term")
       .join(broadcast(nB), "bucket")
