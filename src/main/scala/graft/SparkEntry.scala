@@ -674,6 +674,17 @@ object SparkEntry {
           round(col("priority"), 4).as("priority_r"),
           round(col("est_w"), 4).as("est_w_r"))
         .orderBy(col("doc_id"))),
+    "docs_weighted_sample_by" -> ((s, dir) =>
+      // stratified priority sampling: exactly 20 docs PER LANGUAGE,
+      // weighted by n_chars — the per-source quota form (a global sample
+      // lets one heavy source starve the rest); per-group τ estimator,
+      // WindowGroupLimit top-(k+1) (see TextAnalysis.prioritySampleBy)
+      TextAnalysis.prioritySampleBy(t(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", "text", 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("priority"), 4).as("priority_r"),
+          round(col("est_w"), 4).as("est_w_r"))
+        .orderBy(col("doc_id"))),
     "vocab_bpe_merges" -> ((s, dir) => // iterative trainer: rows-only oracle
       // BPE tokenizer induction: one corpus-scale word count, then 20
       // merge rounds over the small weighted vocab; deterministic
@@ -3026,6 +3037,24 @@ object SparkEntry {
           |SELECT doc_id, lang, n_chars, round(pr, 4) AS priority_r,
           |round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w_r
           |FROM s, tau ORDER BY doc_id""".stripMargin,
+      "docs_weighted_sample_by" ->
+        // the per-group replay: same fingerprint fold and priority
+        // arithmetic, per-language rank/τ instead of the global top-101
+        """WITH f AS (SELECT doc_id, lang, n_chars, list_reduce(
+          |  list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          |  (h, c) -> (h * 31 + c) % 1000000007) AS fp FROM documents),
+          |p AS (SELECT doc_id, lang, n_chars,
+          |  CAST(n_chars AS DOUBLE) * 1000003.0 / CAST(fp % 1000003 + 1 AS DOUBLE) AS pr FROM f),
+          |t AS MATERIALIZED (SELECT *, row_number() OVER
+          |  (PARTITION BY lang ORDER BY pr DESC, doc_id) AS rk FROM p),
+          |top AS (SELECT * FROM t WHERE rk <= 21),
+          |tau AS (SELECT lang, CASE WHEN count(*) = 21 THEN min(pr) ELSE 0.0 END AS tau
+          |        FROM top GROUP BY lang),
+          |s AS (SELECT * FROM top WHERE rk <= 20)
+          |SELECT s.doc_id, s.lang, s.n_chars, round(pr, 4) AS priority_r,
+          |round(greatest(CAST(n_chars AS DOUBLE), tau), 4) AS est_w_r
+          |FROM s JOIN tau USING (lang) ORDER BY doc_id""".stripMargin,
       "text_tfidf" ->
         // score = tf/df (rational, IEEE-exact division) — see
         // TextAnalysis.topTermsPerDoc for why there is deliberately no ln()

@@ -118,6 +118,76 @@ trait TextSampling { self: TextAnalysis.type =>
       .limit(k + 1)
   }
 
+  /** Per-group priority sampling: exactly min(k, |group|) rows PER GROUP
+    * (source, language, shard), weighted without replacement — the
+    * stratified form of `prioritySample` for "sample k docs from every
+    * source" quotas, where the global sampler would let one heavy source
+    * starve the rest. Same Duffield–Lund–Thorup estimator per group:
+    * priority = w·M/u from the content fingerprint, per-group τ = the
+    * (k+1)-th priority (0 when the group had ≤ k rows), est_w = max(w, τ)
+    * unbiased for within-group subset sums.
+    *
+    * Shape: the per-group top-(k+1) is `row_number ≤ k+1` — a
+    * WindowGroupLimit (per-partition heaps of k+1 per key BEFORE the group
+    * shuffle; never a whole group in one sort buffer); the retained
+    * ≤(k+1)·|groups| grain is checkpointed once and feeds both the sample
+    * and the τ aggregate; τ rejoins as a ≤|groups|-row broadcast. Same
+    * merge law as the global sampler, now per group: any member of a
+    * group's global top-(k+1) is in its shard's per-group top-(k+1), so
+    * folding batch artifacts with [[prioritySampleByMerge]] equals the
+    * one-shot computation (spec-pinned).
+    */
+  def prioritySampleBy(df: DataFrame, groupCol: String, idCol: String,
+                       weightCol: String, textCol: String, k: Int): DataFrame =
+    prioritySampleByFinalize(prioritySampleByBuild(df, groupCol, idCol, weightCol, textCol, k),
+      groupCol, idCol, weightCol, k)
+
+  /** The mergeable per-group artifact: each group's top-(k+1) rows by
+    * priority, priority column attached.
+    */
+  def prioritySampleByBuild(df: DataFrame, groupCol: String, idCol: String,
+                            weightCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1: $k")
+    Seq("priority", "est_w", "__tau", "__rk").foreach(c =>
+      require(!df.columns.contains(c), s"prioritySampleBy reserves column name '$c'"))
+    val M = 1000003L
+    val u = pmod(fingerprint(col(textCol)), lit(M)) + lit(1L)
+    val pr = (col(weightCol).cast("double") * lit(M.toDouble)) / u.cast("double")
+    df.withColumn("priority", pr)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k + 1)
+      .drop("__rk")
+  }
+
+  /** Fold per-group artifacts: union → per-group top-(k+1). Exact,
+    * associative, commutative; inputs are ≤(k+1)·|groups| rows each.
+    */
+  def prioritySampleByMerge(parts: Seq[DataFrame], groupCol: String,
+                            idCol: String, k: Int): DataFrame = {
+    require(parts.nonEmpty, "prioritySampleByMerge: nothing to merge")
+    parts.reduce(_ unionByName _)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k + 1)
+      .drop("__rk")
+  }
+
+  /** Per-group artifact → final sample: per-group τ + top-k + est_w. */
+  def prioritySampleByFinalize(artifact: DataFrame, groupCol: String,
+                               idCol: String, weightCol: String, k: Int): DataFrame = {
+    val top = graft.Cleanup.register(
+      artifact.withColumn("__rk", row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol).asc)))
+        .localCheckpoint(false)) // ≤(k+1)·|groups| rows; feeds sample AND τ
+    val tau = top.groupBy(col(groupCol)).agg(
+      when(count(lit(1)) === k + 1, min(col("priority"))).otherwise(lit(0.0)).as("__tau"))
+    top.filter(col("__rk") <= k)
+      .join(broadcast(tau), Seq(groupCol))
+      .withColumn("est_w", greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__rk", "__tau")
+  }
+
   /** Artifact → final sample: τ = the (k+1)-th priority (0 when the corpus
     * had ≤ k rows — every row sampled, est_w degenerates to w), top-k rows
     * with est_w = max(w, τ), the unbiased subset-sum estimator.

@@ -751,6 +751,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       "folding per-batch top-(k+1) artifacts must equal the one-shot sample bit-for-bit")
   }
 
+  test("prioritySampleBy: per-group top-k, per-group tau, grouped fold == one-shot") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val M = 1000003L
+    val pr = (col("n_chars").cast("double") * lit(M.toDouble)) /
+      (pmod(TextAnalysis.fingerprint(col("text")), lit(M)) + lit(1L)).cast("double")
+    val all = docs.select(col("lang"), col("doc_id"), col("n_chars"), pr.as("p"))
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy { case (_, id, _, p) => (-p, id) }).toMap
+    val got = TextAnalysis.prioritySampleBy(docs, "lang", "doc_id", "n_chars", "text", 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("est_w"))
+      .as[(String, Long, Long, Double)].collect().groupBy(_._1)
+    graft.Cleanup.drain()
+    assert(got.keySet == all.keySet, "every group must be represented")
+    got.foreach { case (g, rows) =>
+      val ranked = all(g)
+      assert(rows.length == math.min(20, ranked.length))
+      assert(rows.map(_._2).toSet == ranked.take(20).map(_._2).toSet,
+        s"group $g: sample is not its top-20 by priority")
+      val tau = if (ranked.length >= 21) ranked(20)._4 else 0.0
+      rows.foreach { case (_, _, w, e) => assert(e == math.max(w.toDouble, tau)) }
+    }
+    // grouped merge law: disjoint batches folded == one-shot, exactly
+    val oneShot = TextAnalysis.prioritySampleBy(docs, "lang", "doc_id", "n_chars", "text", 15)
+      .select(col("doc_id"), col("priority"), col("est_w"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    val parts = Seq(0, 1).map(r =>
+      TextAnalysis.prioritySampleByBuild(
+        docs.filter(pmod(col("doc_id"), lit(2)) === r), "lang", "doc_id", "n_chars", "text", 15))
+    val merged = TextAnalysis.prioritySampleByFinalize(
+        TextAnalysis.prioritySampleByMerge(parts, "lang", "doc_id", 15),
+        "lang", "doc_id", "n_chars", 15)
+      .select(col("doc_id"), col("priority"), col("est_w"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toList
+    graft.Cleanup.drain()
+    assert(merged == oneShot)
+  }
+
   test("lmScore: hand-computed bigram model on a 2-doc corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
     // c12: (a,b)=1 (b,a)=2; c1: a=1 b=2; V=2
