@@ -367,13 +367,7 @@ object ScaleProbe {
     // approximates), not the cosine ranking
     var bruteDot: Set[(Long, Long)] = null
     time("pq_exact_dot_topk")( {
-      val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("d").desc, col("neighbor_id").asc)
-      bruteDot = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-        .join(q, col("neighbor_id") =!= col("query_id"))
-        .withColumn("d", graft.ops.Similarity.dot(col("qv"), col("cv")))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      bruteDot = graft.ops.Similarity.dotTopK(emb, queries, 10)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       bruteDot.size.toLong

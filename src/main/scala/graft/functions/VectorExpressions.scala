@@ -390,12 +390,17 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
 
   override def compute(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
     val m = mat.length
     val dsub = if (m == 0) 0 else mat(0)(0).length
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
       val off = s * dsub
+      // clamp to the row's actual length (the VecDot/NearestCentroids
+      // rule): a ragged/short vector must not read past its buffer —
+      // UnsafeArrayData has no bounds check and would return garbage
+      val lim = math.max(math.min(dsub, n - off), 0)
       val book = mat(s)
       var best = -1
       var bestD = Double.MaxValue
@@ -404,7 +409,7 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
         val cw = book(c)
         var d2 = 0.0
         var i = 0
-        while (i < dsub) {
+        while (i < lim) {
           val x = (if (elemFloat) v.getFloat(off + i).toDouble
                    else v.getDouble(off + i)) - cw(i)
           d2 += x * x

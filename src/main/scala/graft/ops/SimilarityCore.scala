@@ -45,6 +45,29 @@ trait SimilarityCore { self: Similarity.type =>
         round(col("cos"), 4).as("cosine_r"))
   }
 
+  /** Exact inner-product (MIPS) top-k — `bruteForceTopK`'s dot-product
+    * sibling and the single definition of the exact leg that ADC and
+    * binary-quantization searches are audited against (one shared
+    * tie-break contract: (dot DESC, id ASC) — duplicating this shape per
+    * call site lets the contracts drift). Same scale shape: queries
+    * broadcast, corpus partition-local scoring, WindowGroupLimit top-k.
+    */
+  def dotTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("d"), 4).as("dot_r"))
+  }
+
   /** Binary (sign) quantization: bit j of chunk c is set iff
     * vec[32c + j] > 0 — one bit per dimension, the most aggressive
     * compression rung below PQ (dim float32 → dim/8 bytes: 32× at any

@@ -57,11 +57,14 @@ trait SimilarityPq { self: Similarity.type =>
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 4,
               sampleMult: Int = 32,
               idCol: String = "vec_id", vecCol: String = "embedding"): PqBooks = {
+    // iters = 0 uses only the first ksub rows — don't collect the 32×
+    // larger Lloyd sample for a path that ignores it
+    val need = if (iters <= 0) ksub else ksub * math.max(sampleMult, 1)
     val rows = corpus
       .select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(ksub * math.max(sampleMult, 1))
+      .limit(need)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(rows.nonEmpty, "pqTrain: empty corpus")
@@ -217,9 +220,20 @@ trait SimilarityPq { self: Similarity.type =>
     val (ids, mat) =
       if (trainIters <= 0) collectCentroids(centroids(corpus, nlist, idCol, vecCol))
       else kmeansCentroids(corpus, nlist, trainIters, sampleMult = 32, idCol, vecCol)
-    val resid = residuals(corpus, ids, mat, idCol, vecCol)
-    val books = pqTrain(resid, m, ksub, pqIters, idCol = idCol, vecCol = "__resid")
-    IvfPqIndex(encodeInto(resid, books, idCol), ids, mat, books, idCol, vecCol)
+    // pre-sample the TRAINING rows by the same hash order pqTrain uses
+    // (identical row set — xxhash64(id) + limit commute with the residual
+    // projection), so the nlist×dim assignment kernel runs over the
+    // bounded sample for training and corpus-wide exactly ONCE, in the
+    // encode pass. Feeding pqTrain the full residual relation made the
+    // TakeOrdered evaluate the assignment for every corpus row and the
+    // encode repeat it — 2× the build's dominant cost at probe scale.
+    val trainRows = corpus
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(if (pqIters <= 0) ksub else ksub * 32)
+    val books = pqTrain(residuals(trainRows, ids, mat, idCol, vecCol),
+      m, ksub, pqIters, idCol = idCol, vecCol = "__resid")
+    IvfPqIndex(encodeInto(residuals(corpus, ids, mat, idCol, vecCol), books, idCol),
+      ids, mat, books, idCol, vecCol)
   }
 
   private def encodeInto(resid: DataFrame, books: PqBooks, idCol: String): DataFrame =

@@ -201,8 +201,12 @@ object StatefulOps {
         (user: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
           var touches = state.getOption.map(_.touches).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          // sort on SECONDS, not millis: the batch op keys its frame on
+          // unix_timestamp (second truncation), so two touches inside one
+          // second are peers ordered by id — a millisecond sort would
+          // order them by arrival instant and flip first/last vs batch
           val sorted = rows.toSeq
-            .sortBy(e => (e.ts.getTime, e.event_id))
+            .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L), e.event_id))
           var i = 0
           while (i < sorted.length) {
             val tsS = Math.floorDiv(sorted(i).ts.getTime, 1000L)

@@ -54,14 +54,7 @@ class SimilarityPqSpec extends AnyFunSuite {
     val adc = Similarity.pqTopKTrained(emb, queries, 10, m = 8, ksub = 16, iters = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     // exact dot-product (MIPS) top-k, same tie-breaks
-    val q = broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv")))
-    val scored = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
-      .join(q, $"neighbor_id" =!= $"query_id")
-      .withColumn("d", Similarity.dot($"qv", $"cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"d".desc, $"neighbor_id".asc)
-    val exact = scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 10)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = exactDotTopK(emb, queries, 10)
     assert(adc.size == exact.size) // full k per query either way
     val recall = (adc intersect exact).size.toDouble / exact.size
     assert(recall >= 0.15, s"ADC recall $recall collapsed (random would be ~0.02)")
@@ -84,16 +77,9 @@ class SimilarityPqSpec extends AnyFunSuite {
 
   private def exactDotTopK(corpus: org.apache.spark.sql.DataFrame,
                            queries: org.apache.spark.sql.DataFrame,
-                           k: Int): Set[(Long, Long)] = {
-    val q = broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"d".desc, $"neighbor_id".asc)
-    corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
-      .join(q, $"neighbor_id" =!= $"query_id")
-      .withColumn("d", Similarity.dot($"qv", $"cv"))
-      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+                           k: Int): Set[(Long, Long)] =
+    Similarity.dotTopK(corpus, queries, k)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-  }
 
   test("residual coding is the difference between working and collapsed ANN on clustered data") {
     val queries = clustered.filter($"vec_id" < 10)

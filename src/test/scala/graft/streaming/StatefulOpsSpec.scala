@@ -163,6 +163,10 @@ class StatefulOpsSpec extends AnyFunSuite {
       AttrEvent(3L, 1L, t("2024-01-01 00:02:00"), "view"),  // tie at :02
       AttrEvent(4L, 1L, t("2024-01-01 00:05:00"), "purchase"),
       AttrEvent(7L, 2L, t("2024-01-01 00:30:00"), "click"),
+      // lower id but LATER millisecond in the same second: the batch op
+      // truncates to seconds, so id 6 must still be the FIRST touch — a
+      // millisecond-keyed stream sort would order id 7 ahead of it
+      AttrEvent(6L, 2L, t("2024-01-01 00:30:00.9"), "click"),
       AttrEvent(8L, 2L, t("2024-01-01 00:30:00"), "purchase"), // same-ts touch counts
       // batch 2 — lookback state carries across the boundary: the :02
       // touches are still inside the 1h window of a :50 conversion, and a
@@ -171,9 +175,9 @@ class StatefulOpsSpec extends AnyFunSuite {
       AttrEvent(10L, 1L, t("2024-01-01 02:05:00"), "purchase"),
       AttrEvent(11L, 3L, t("2024-01-01 00:00:00"), "purchase")) // touchless user
     try {
-      input.addData(ev.take(6): _*)
+      input.addData(ev.take(7): _*)
       q.processAllAvailable()
-      input.addData(ev.drop(6): _*)
+      input.addData(ev.drop(7): _*)
       q.processAllAvailable()
       val streamed = spark.table("attr_out").as[Attribution].collect()
         .map(a => (a.conv_id, a.user_id, a.conv_ts_s, a.first_touch_id,
@@ -188,6 +192,9 @@ class StatefulOpsSpec extends AnyFunSuite {
       // the tie conversion picked (first=1, last=3) — the lexicographic rule
       val tie = streamed.find(_._1 == 4L).get
       assert(tie._4 == 1L && tie._6 == 3L)
+      // the sub-second case: id 6 (later millis, same second) is FIRST
+      val sub = streamed.find(_._1 == 8L).get
+      assert(sub._4 == 6L && sub._6 == 7L)
     } finally q.stop()
   }
 }
