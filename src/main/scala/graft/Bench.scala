@@ -45,7 +45,7 @@ object Bench {
     "text_cms_heavy", "text_textrank", "emb_ivf_recall",
     "emb_pq_codes", "emb_pq_topk", "emb_pq_distortion", "emb_ivfpq_topk",
     "docs_cluster_labels", "events_attribution", "emb_hamming_topk",
-    "docs_dedup_survivorship", "docs_weighted_sample_by")
+    "docs_dedup_survivorship", "docs_weighted_sample_by", "emb_hamming_refined")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -407,6 +407,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "emb_hamming_refined" -> ((s, dir) => {
+      // BQ + refine end-to-end: Hamming prefilter to 40 candidates, exact
+      // dot rerank of only those rows — the codes pick WHO gets scored,
+      // never the final order (see Similarity.hammingTopKRefined)
+      val emb = t(s, dir, "embeddings")
+      Similarity.hammingTopKRefined(emb, emb.filter(col("vec_id") < 20), 10,
+          dim = 64, refineMult = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- product quantization (the compressed half of IVF-PQ) ----
     // all three run the iters = 0 codebooks (slices of the 16 hash-smallest
     // vectors, ordered by id) so DuckDB replays train→encode→reconstruct→
@@ -2695,6 +2705,35 @@ object SparkEntry {
           |    (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rnk FROM sc)
           |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, hamming
           |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+      "emb_hamming_refined" ->
+        // the hamming CTEs cut to rank <= 40, then an exact index-order
+        // dot fold reranks only the candidates (the sim_hard_negatives
+        // fold rule — the refined k-boundary compares raw doubles)
+        """WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |bits AS (SELECT vec_id, list_transform(range(0, 2), c ->
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32),
+          |      j -> CASE WHEN v[c*32 + j + 1] > 0 THEN (1::BIGINT << CAST(j AS INT))
+          |                ELSE 0::BIGINT END)), (a, b) -> a + b)) AS b
+          |  FROM corp),
+          |qs AS (SELECT vec_id AS query_id, b AS qb FROM bits WHERE vec_id < 20),
+          |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 3),
+          |      i -> CAST(bit_count(xor(c.b[i], q.qb[i])) AS BIGINT))),
+          |      (x, y) -> x + y) AS hamming
+          |  FROM qs q, bits c WHERE c.vec_id <> q.query_id),
+          |cand AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+          |    FROM sc) WHERE rnk <= 40),
+          |ex AS (SELECT cd.query_id, cd.neighbor_id,
+          |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv.v) + 1),
+          |      i -> qv.v[i] * cv.v[i])), (x, y) -> x + y) AS d
+          |  FROM cand cd JOIN corp cv ON cv.vec_id = cd.neighbor_id
+          |    JOIN corp qv ON qv.vec_id = cd.query_id),
+          |rk2 AS (SELECT query_id, neighbor_id, d, row_number() OVER
+          |    (PARTITION BY query_id ORDER BY d DESC, neighbor_id ASC) AS rnk FROM ex)
+          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(d, 4) AS dot_r
+          |FROM rk2 WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
       "emb_pca_power" -> pcaSql,
       "emb_whiten_residual" -> whitenSql,
       "sim_mmr_select" -> mmrSql,

@@ -115,6 +115,32 @@ trait SimilarityCore { self: Similarity.type =>
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("hamming"))
   }
 
+  /** Binary-quantization search with exact rerank: Hamming-prefilter to
+    * `refineMult·k` candidates over the 1/32-footprint sign bits, then
+    * join ONLY those rows back to the raw corpus and re-rank by exact dot
+    * — the BQ+refine production shape (the `ivfPqQueryRefined` stage over
+    * the Hamming leg). The codes decide WHO gets scored exactly, never
+    * the final order, so the output ranking carries `dotTopK`'s exact
+    * tie-break contract restricted to the candidate set. Fully
+    * oracle-replayable: the candidate cut is integer Hamming ranks, the
+    * rerank an index-order fold.
+    */
+  def hammingTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                         refineMult: Int = 4,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = hammingTopK(corpus, queries, k * refineMult, dim, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val exact = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .join(q, Seq("query_id"))
+      .withColumn("d", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("d"), 4).as("dot_r"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the k most-similar corpus vectors whose label DIFFERS from the
     * query's — the "hard" negatives that sit just outside the class

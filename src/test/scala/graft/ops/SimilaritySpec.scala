@@ -195,6 +195,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"hamming recall $recall vs cosine collapsed (random ≈ 0.02)")
   }
 
+  test("hammingTopKRefined: exact rerank — a full candidate pool reproduces dotTopK exactly") {
+    val queries = emb.filter($"vec_id" < 10)
+    // refineMult large enough that the Hamming cut retains the whole
+    // corpus: the refine stage must then BE the exact MIPS ranking
+    val refined = Similarity.hammingTopKRefined(emb, queries, 10, dim = 64, refineMult = 50)
+      .select($"query_id", $"rnk", $"neighbor_id", $"dot_r")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val exact = Similarity.dotTopK(emb, queries, 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"dot_r")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(refined == exact)
+    // a production-sized pool: still k rows per query, recall >= the
+    // unrefined hamming ordering's (the refine never loses candidates)
+    val narrow = Similarity.hammingTopKRefined(emb, queries, 10, dim = 64, refineMult = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(narrow.length == 100)
+    val exactSet = exact.map(r => (r._1, r._3)).toSet
+    val hamSet = Similarity.hammingTopK(emb, queries, 10, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refSet = narrow.toSet
+    val rHam = (hamSet intersect exactSet).size.toDouble / exactSet.size
+    val rRef = (refSet intersect exactSet).size.toDouble / exactSet.size
+    assert(rRef >= rHam, s"refine lost recall: hamming=$rHam refined=$rRef")
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
       .as[(Long, Long, Double)].collect()
