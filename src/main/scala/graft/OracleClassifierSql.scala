@@ -1,0 +1,175 @@
+package graft
+
+/** DuckDB-SQL replay of `TextAnalysis.classifierTrainVector` /
+  * `dsirBucketLift` / `dsirSelect` — the oracles for the
+  * `docs_classifier_*` and `docs_dsir_*` queries.
+  *
+  * The training loop replays round-for-round as a chained-CTE loop (the
+  * `OracleBpeSql`/`emb_pca_power` pattern): round r's weight vector is a
+  * one-row relation `w{r}` cross-joined into round r+1's residual pass.
+  * The arithmetic is the operator's own: margins are index-order IEEE
+  * folds over bit-identical feature doubles, each LMS gradient addend
+  * (y − s)·x_b is quantized to 2⁻²⁰ fixed point and summed in HUGEINT
+  * (associative — matches Spark's decimal(27,0) aggregation bit-for-bit),
+  * and the weight update performs the identical divide/divide/multiply/add
+  * sequence, so the learned trajectory cannot diverge between engines.
+  *
+  * Token hashing reuses [[OracleHashSql.xxhChain]] (closed-form XXH64 of
+  * short-ASCII tokens, loud error() preconditions) — the classifier's
+  * feature buckets are `pmod(xxhash64(token), dim)` on both sides. The
+  * default teacher label replays `TextAnalysis.qualityFeatures`'
+  * stopword_ratio (the same rounded-4dp fragment the docs_score_drift
+  * oracle uses) at the fixed 0.15 threshold.
+  */
+object OracleClassifierSql {
+
+  /** The default y = +1 teacher rule: English-function-word density ≥ 15%
+    * (`q.swr` comes from the qf CTE in [[featCtes]]).
+    */
+  val DefaultTargetSql = "q.swr >= 0.15"
+
+  private val enMarkers = "['the', 'a', 'and', 'of', 'fast', 'slow']"
+
+  /** Render a dyadic double as an exact SQL literal (0.015625 etc.). */
+  private def dlit(x: Double): String =
+    new java.math.BigDecimal(x).stripTrailingZeros().toPlainString
+
+  /** Shared prefix: documents → stopword-density teacher → tokens → XXH64
+    * chain → per-doc density-relative feature vectors with the ±1 label.
+    * `targetSql` is the y = +1 predicate over doc columns aliased `d` and
+    * the teacher column `q.swr`.
+    */
+  private def featCtes(dim: Int, targetSql: String): String = {
+    val (ctes, last) = OracleHashSql.xxhChain("tok")
+    val chain = ctes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+    val toks = raw"string_split_regex(trim(text), '\s+')"
+    s"""WITH docs AS (SELECT doc_id AS id, text, lang, source FROM documents),
+       |qf AS (SELECT doc_id AS id,
+       |  round(len(list_filter($toks, x -> list_contains($enMarkers, lower(x)))) * 1.0
+       |        / greatest(len($toks), 1), 4) AS swr
+       |  FROM documents),
+       |tok AS (SELECT id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM docs),
+       |$chain,
+       |hb AS (SELECT id, ((h % $dim) + $dim) % $dim AS b FROM $last),
+       |dg AS (SELECT id, list(b) AS hs, count(*) AS n FROM hb GROUP BY id),
+       |feat AS MATERIALIZED (SELECT d.id,
+       |  list_transform(range(0, $dim), bb ->
+       |    (CAST(len(list_filter(g.hs, z -> z = bb)) AS DOUBLE) * ${dlit(dim.toDouble)}.0) / CAST(g.n AS DOUBLE)) AS x,
+       |  CASE WHEN $targetSql THEN 1.0 ELSE -1.0 END AS y, d.lang, d.source
+       |  FROM docs d JOIN dg g ON g.id = d.id JOIN qf q ON q.id = d.id)""".stripMargin
+  }
+
+  /** The training-round chain through `w{iters}` (each: residuals against
+    * the previous round's weights, fixed-point gradient sums, update).
+    */
+  private def trainCtes(dim: Int, iters: Int, eta: Double,
+                        targetSql: String): String = {
+    require(eta > 0 && eta == math.pow(2, math.getExponent(eta)),
+      s"oracle replays dyadic steps only (exact literals): $eta")
+    val d1 = dim + 1
+    val e = dlit(eta)
+    def fold(list: String) =
+      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
+    val sb = new StringBuilder
+    // AS MATERIALIZED on EVERY per-round CTE is load-bearing (the
+    // emb_coreset_kcenter lesson, DESIGN §12): w{r} references w{r-1}
+    // twice — inlined, the chain re-expands combinatorially across 64
+    // rounds and the statement never finishes
+    sb ++= featCtes(dim, targetSql)
+    sb ++= ",\ncn AS MATERIALIZED (SELECT count(*) AS n FROM feat),\n"
+    sb ++= s"w0 AS (SELECT list_transform(range(0, $dim), i -> 0.0) AS vv, 0.0 AS bias),\n"
+    for (r <- 1 to iters) {
+      sb ++= s"m$r AS MATERIALIZED (SELECT f.x, f.y - (" +
+        fold(s"list_transform(range(1, $d1), i -> f.x[i] * c.vv[i])") +
+        s" + c.bias) AS rs FROM feat f, w${r - 1} c),\n"
+      sb ++= s"a$r AS MATERIALIZED (SELECT i, " +
+        "sum(CAST(round(rs * x[i] * 1048576.0) AS HUGEINT)) AS sb " +
+        s"FROM m$r, unnest(range(1, $d1)) AS t(i) GROUP BY i),\n"
+      sb ++= s"b$r AS MATERIALIZED (SELECT sum(CAST(round(rs * 1048576.0) AS HUGEINT)) AS sb FROM m$r),\n"
+      sb ++= s"w$r AS MATERIALIZED (SELECT " +
+        s"(SELECT list(c.vv[a.i] + $e * ((CAST(a.sb AS DOUBLE) / 1048576.0) / CAST(cn.n AS DOUBLE)) ORDER BY a.i) " +
+        s"FROM a$r a, w${r - 1} c, cn) AS vv, " +
+        s"(SELECT c.bias + $e * ((CAST(b.sb AS DOUBLE) / 1048576.0) / CAST(cn.n AS DOUBLE)) " +
+        s"FROM b$r b, w${r - 1} c, cn) AS bias)" + (if (r == iters) "\n" else ",\n")
+    }
+    sb.toString
+  }
+
+  /** Oracle for `docs_classifier_train`: the final weight vector (and
+    * bias at pos = dim), rounded to 6 dp.
+    */
+  def weightsSql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
+                 targetSql: String = DefaultTargetSql): String =
+    s"""${trainCtes(dim, iters, eta, targetSql)},
+       |sel AS (SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 6) AS w_r
+       |        FROM w$iters, unnest(range(1, ${dim + 1})) AS t(i)
+       |        UNION ALL SELECT CAST($dim AS BIGINT), round(bias, 6) FROM w$iters)
+       |SELECT pos, w_r FROM sel ORDER BY pos""".stripMargin
+
+  /** Oracle for `docs_classifier_apply`: per-source prediction census
+    * under the final weights (margin > 0 ⇒ predicted positive).
+    */
+  def applySql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
+               targetSql: String = DefaultTargetSql): String = {
+    def fold(list: String) =
+      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
+    s"""${trainCtes(dim, iters, eta, targetSql)},
+       |app AS (SELECT f.source, f.y, ${fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * c.vv[i])")} + c.bias AS sc
+       |        FROM feat f, w$iters c)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       |  CAST(sum(CASE WHEN (sc > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN (sc > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 4) AS acc_r
+       |FROM app GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The per-bucket importance census CTEs (shared by lift + select):
+    * bucket-grain token counts for the target subset and the whole
+    * corpus, with every bucket present, plus the smoothed UNROUNDED
+    * ratio — the exact rational arithmetic `dsirBucketLift` runs.
+    */
+  private def liftCtes(dim: Int, targetSql: String): String =
+    s"""tb AS (SELECT hb.id, hb.b, CASE WHEN $targetSql THEN 1 ELSE 0 END AS tgt
+       |       FROM hb JOIN docs d ON d.id = hb.id JOIN qf q ON q.id = hb.id),
+       |cb AS (SELECT b, CAST(sum(tgt) AS BIGINT) AS n_target, CAST(count(*) AS BIGINT) AS n_all
+       |       FROM tb GROUP BY b),
+       |fb AS (SELECT r.bucket, coalesce(cb.n_target, 0) AS n_target, coalesce(cb.n_all, 0) AS n_all
+       |       FROM (SELECT unnest(range(0, $dim)) AS bucket) r LEFT JOIN cb ON cb.b = r.bucket),
+       |tots AS (SELECT sum(n_target) AS nt, sum(n_all) AS na FROM fb),
+       |fl AS (SELECT bucket, n_target, n_all,
+       |  (CAST(n_target + 1 AS DOUBLE) / CAST(nt + $dim AS DOUBLE)) /
+       |  (CAST(n_all + 1 AS DOUBLE) / CAST(na + $dim AS DOUBLE)) AS lift
+       |  FROM fb, tots)""".stripMargin
+
+  /** Oracle for `docs_dsir_lift`: the dim-row bucket census with the
+    * smoothed importance ratio rounded to 6 dp.
+    */
+  def liftSql(dim: Int = 32, targetSql: String = DefaultTargetSql): String =
+    s"""${featCtes(dim, targetSql)},
+       |${liftCtes(dim, targetSql)}
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_target, n_all,
+       |  round(lift, 6) AS lift_r
+       |FROM fl ORDER BY bucket""".stripMargin
+
+  /** Oracle for `docs_dsir_select`: top-k documents by mean per-token
+    * importance ratio (ties by id), with the weight rounded to 6 dp.
+    * The weight fold divides the density-relative features back by dim
+    * (exact dyadic divide) so the score is the plain per-token mean
+    * ratio — matching `dsirSelect`.
+    */
+  def selectSql(dim: Int = 32, k: Int = 50,
+                targetSql: String = DefaultTargetSql): String = {
+    def fold(list: String) =
+      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
+    s"""${featCtes(dim, targetSql)},
+       |${liftCtes(dim, targetSql)},
+       |lfv AS (SELECT list(lift ORDER BY bucket) AS lv FROM fl),
+       |scored AS (SELECT f.id, f.lang, f.source,
+       |  ${fold(s"list_transform(range(1, ${dim + 1}), i -> (f.x[i] / ${dlit(dim.toDouble)}.0) * lf.lv[i])")} AS wgt
+       |  FROM feat f, lfv lf),
+       |sel AS (SELECT * FROM scored ORDER BY wgt DESC, id LIMIT $k)
+       |SELECT id AS doc_id, lang, source, round(wgt, 6) AS w_r
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+}

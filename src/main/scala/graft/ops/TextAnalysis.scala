@@ -8,10 +8,10 @@ package graft.ops
   * codegen-friendly; at 100 TB the expression ops run at scan speed.
   *
   * The object is the single public surface; the implementation lives in
-  * six cohesive self-typed partitions (one file each — [[TextCore]],
+  * seven cohesive self-typed partitions (one file each — [[TextCore]],
   * [[TextDecontaminate]], [[TextSampling]], [[TextRetrieval]],
-  * [[TextCuration]], [[TextVocab]]) so no single file carries thirty
-  * operators. Call sites are unchanged: every member is
+  * [[TextCuration]], [[TextVocab]], [[TextClassifier]]) so no single file
+  * carries thirty operators. Call sites are unchanged: every member is
   * `TextAnalysis.<op>`.
   *
   * Serializable because lambdas defined in the TRAIT bodies reference
@@ -30,3 +30,4 @@ object TextAnalysis
   with TextRetrieval
   with TextCuration
   with TextVocab
+  with TextClassifier

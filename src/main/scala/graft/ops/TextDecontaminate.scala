@@ -31,6 +31,48 @@ trait TextDecontaminate { self: TextAnalysis.type =>
       .withColumnsRenamed(Map("bench_hits" -> "train_hits"))
   }
 
+  /** Leakage-safe train/val/test split: assign every document the split of
+    * its near-dup CLUSTER REPRESENTATIVE, so a connected component of
+    * near-duplicates lands on ONE side of every split boundary by
+    * construction. This closes the leakage class [[splitLeakage]] exists to
+    * measure: content-hash assignment ([[splitAssignment]]) sends byte-
+    * identical copies to the same split, but NEAR-copies hash to unrelated
+    * buckets and straddle the boundary — the train/eval contamination that
+    * silently inflates held-out metrics. Bucketing the component
+    * representative (`pmod(xxhash64(rep), 100)`) makes the split a pure
+    * function of the cluster, so leakage across splits is structurally
+    * zero for every detected near-dup pair (spec-pinned: the composed
+    * cross-split pair count is empty where the naive split's is not).
+    *
+    * Scale shape: `clusters` is the build-once assignment artifact
+    * ([[Dedup.duplicateClusters]] — id → component min); the only work
+    * here is ONE equi-join of the corpus against that id-grain relation
+    * (bucketed storage on the id key makes it exchange-free) plus a
+    * scan-speed hash projection. Docs absent from the artifact (new
+    * singletons) fall back to their own id — identical semantics to a
+    * singleton cluster, so a stale artifact degrades to the content-hash
+    * status quo, never to an error.
+    *
+    * @param clusters (id, rep) rows from [[Dedup.duplicateClusters]]
+    * @return docs plus `cluster_rep` and `split` ∈ train/val/test
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+                       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 100,
+      s"leakageSafeSplit: bad split percentages ($trainPct, $valPct)")
+    Seq("cluster_rep", "split", "__rep").foreach(c =>
+      require(!docs.columns.contains(c), s"leakageSafeSplit reserves column name '$c'"))
+    val reps = clusters.select(col("id").as(idCol), col("rep").as("__rep"))
+    val bucket = pmod(xxhash64(col("cluster_rep")), lit(100L))
+    docs.join(reps, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("__rep"), col(idCol)))
+      .drop("__rep")
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Benchmark decontamination: per document, the n-gram CONTAINMENT
     * against a benchmark corpus — |shingles(doc) ∩ benchmarkShingles| /
     * |shingles(doc)| — the standard check that training data doesn't leak

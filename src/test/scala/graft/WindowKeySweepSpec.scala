@@ -114,7 +114,6 @@ class WindowKeySweepSpec extends AnyFunSuite {
     * per key reach the window). Project/Filter/Sort/aliasing don't change
     * the argument; another Window doesn't either (row-preserving).
     */
-  @annotation.tailrec
   private def boundedGrain(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
     case _: WindowGroupLimit => true
@@ -124,6 +123,13 @@ class WindowKeySweepSpec extends AnyFunSuite {
     // Deliberately NOT LocalLimit: per-partition limits bound rows × the
     // cluster's partition count, which grows with the deployment.
     case _: GlobalLimit => true
+    // a Range leaf is a plan-constant relation (spark.range(dim) — the
+    // bucket-roster shape dsirBucketLift joins its census against).
+    // Deliberately NO Join rule: "Aggregate ⇒ bounded" is a census
+    // heuristic whose lattice can still be corpus-scale (group-by-doc_id),
+    // so propagating it through joins would structurally bless genuinely
+    // growing buffers (text_postings' audited whole-df window, for one)
+    case _: Range => true
     case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
               _: Window | _: RepartitionOperation) =>
       boundedGrain(n.children.head)
@@ -159,6 +165,15 @@ class WindowKeySweepSpec extends AnyFunSuite {
     */
   private def measure(child: LogicalPlan, keys: Seq[Expression]): (Long, Long) = {
     val n = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false), "__n")()
+    if (keys.isEmpty) {
+      // a GLOBAL collect (no grouping key) buffers its entire input in one
+      // aggregation buffer: its "key" is one constant value, so only the
+      // input-growth half of the rule applies — measuredOk(n1, 1, nL, 1)
+      // flags it exactly when the input grows with the corpus
+      val row = spark.sessionState.executePlan(Aggregate(Nil, Seq(n), child))
+        .executedPlan.executeCollect().head
+      return (row.getLong(0), 1L)
+    }
     val d = Alias(AggregateExpression(Count(keys), Complete, isDistinct = true), "__d")()
     val row = spark.sessionState.executePlan(Aggregate(Nil, Seq(n, d), child))
       .executedPlan.executeCollect().head

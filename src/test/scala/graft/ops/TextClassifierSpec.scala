@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `TextAnalysis` classifier partition (TextClassifier) — the
+  * fasttext-shaped linear quality classifier and DSIR importance
+  * reweighting. Pins:
+  *  - the feature map's exact invariants (bucket counts partition the
+  *    token count; density-relative features sum to exactly dim);
+  *  - trained-classifier quality: 64 LMS rounds separate a
+  *    token-expressible teacher rule to high accuracy, and the margin
+  *    fold agrees with a driver-side dot product;
+  *  - the load-bearing determinism claim: the training trajectory is
+  *    BIT-IDENTICAL under repartitioning (the 2^-20 fixed-point decimal
+  *    sums are order-independent — same contract powerIteration pins);
+  *  - the dyadic-step and reserved-name guards;
+  *  - DSIR censuses foot to the corpus token totals, the smoothed lift
+  *    recomputes exactly from the emitted integer counts, and selection
+  *    ranks target-distribution lookalikes above off-distribution docs,
+  *    invariant under repartitioning.
+  */
+class TextClassifierSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  // 30 positive docs dominated by one marker token, 30 negatives drawn
+  // from a disjoint vocabulary — a rule the hashed bag-of-words map can
+  // express, so the linear probe ceiling is ~1.0
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val negVocab = Vector("red", "blue", "green", "iron", "stone", "wool")
+    val pos = (0 until 30).map { i =>
+      (i.toLong, ("ppp " * (3 + rnd.nextInt(4))) + negVocab(rnd.nextInt(6)))
+    }
+    val neg = (0 until 30).map { i =>
+      ((100 + i).toLong,
+        Seq.fill(4 + rnd.nextInt(4))(negVocab(rnd.nextInt(6))).mkString(" "))
+    }
+    (pos ++ neg).toDF("id", "text")
+  }
+  private val isPos = col("text").contains("ppp")
+
+  test("hashedTokenCounts partitions the token count; features sum to dim") {
+    val dim = 8
+    val rows = corpus.select(
+        size(TextAnalysis.tokens(col("text"))).as("n"),
+        TextAnalysis.hashedTokenCounts(col("text"), dim).as("c"),
+        TextAnalysis.hashedBowFeatures(col("text"), dim).as("x"))
+      .select(col("n"),
+        aggregate(col("c"), lit(0), (a, v) => a + v).as("csum"),
+        aggregate(col("x"), lit(0.0), (a, v) => a + v).as("xsum"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(0), "bucket counts must partition tokens")
+      // sum_b dim*c_b/n: each addend is one IEEE divide of an integer
+      // product; the sum is dim up to last-ulp accumulation only
+      assert(math.abs(r.getDouble(2) - dim) < 1e-9, r)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedTokenCounts(col("text"), 0)
+    }
+  }
+
+  test("training separates the teacher rule; score matches a driver fold") {
+    val (w, b) = TextAnalysis.classifierTrainVector(
+      corpus, "text", isPos, dim = 16, iters = 64, eta = 1.0 / 64)
+    graft.Cleanup.drain()
+    assert(w.forall(java.lang.Double.isFinite) && java.lang.Double.isFinite(b))
+    val scored = corpus.select(isPos.as("y"),
+        TextAnalysis.classifierScore(col("text"), w, b, dim = 16).as("s"),
+        TextAnalysis.hashedBowFeatures(col("text"), 16).as("x"))
+      .collect()
+    val acc = scored.count(r => (r.getDouble(1) > 0) == r.getBoolean(0)) /
+      scored.length.toDouble
+    assert(acc >= 0.95, s"linear probe should separate the marker rule: $acc")
+    // the margin column IS the index-order fold: replay one row on the
+    // driver in the same order and demand bit equality
+    val r0 = scored.head
+    val x0 = r0.getSeq[Double](2)
+    val manual = x0.indices.foldLeft(0.0)((a, i) => a + x0(i) * w(i)) + b
+    assert(r0.getDouble(1) === manual)
+  }
+
+  test("training trajectory is bit-identical under repartitioning") {
+    val (w1, b1) = TextAnalysis.classifierTrainVector(
+      corpus, "text", isPos, dim = 8, iters = 12)
+    val (w2, b2) = TextAnalysis.classifierTrainVector(
+      corpus.repartition(7), "text", isPos, dim = 8, iters = 12)
+    graft.Cleanup.drain()
+    assert(w1.toSeq === w2.toSeq, "decimal fixed-point sums must be order-independent")
+    assert(b1 === b2)
+  }
+
+  test("guards: dyadic step, positive iters, empty corpus") {
+    intercept[IllegalArgumentException] {   // 0.01 is not a power of two
+      TextAnalysis.classifierTrainVector(corpus, "text", isPos, eta = 0.01)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierTrainVector(corpus, "text", isPos, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierTrainVector(
+        corpus.filter(lit(false)), "text", isPos)
+    }
+    graft.Cleanup.drain()
+  }
+
+  test("dsirBucketLift: dim rows, censuses foot, lift recomputes exactly") {
+    val dim = 8
+    val out = TextAnalysis.dsirBucketLift(corpus, "text", isPos, dim).collect()
+    assert(out.length === dim)
+    assert(out.map(_.getLong(0)).sorted.toSeq === (0L until dim))
+    val totalTokens = corpus
+      .agg(sum(size(TextAnalysis.tokens(col("text"))))).head.getLong(0)
+    val targetTokens = corpus.filter(isPos)
+      .agg(sum(size(TextAnalysis.tokens(col("text"))))).head.getLong(0)
+    assert(out.map(_.getLong(2)).sum === totalTokens)
+    assert(out.map(_.getLong(1)).sum === targetTokens)
+    out.foreach { r =>
+      val want = ((r.getLong(1) + 1).toDouble / (targetTokens + dim).toDouble) /
+        ((r.getLong(2) + 1).toDouble / (totalTokens + dim).toDouble)
+      assert(r.getDouble(3) === want, "lift must be the exact smoothed ratio")
+    }
+  }
+
+  test("dsirSelect ranks target lookalikes first, repartition-invariant") {
+    // 3 labeled target docs of pure marker text; 3 unlabeled lookalikes;
+    // 6 off-distribution docs — selection must prefer the lookalikes
+    val df = (
+      (0 until 3).map(i => (i.toLong, "tgt tgt tgt", true)) ++
+      (10 until 13).map(i => (i.toLong, "tgt tgt misc", false)) ++
+      (20 until 26).map(i => (i.toLong, "red blue green iron", false))
+    ).toDF("id", "text", "is_t")
+    val top = TextAnalysis.dsirSelect(df, "id", "text", col("is_t"),
+      dim = 8, k = 6).select("id").as[Long].collect().toSet
+    assert(top === Set(0L, 1L, 2L, 10L, 11L, 12L),
+      s"top-6 must be the target docs plus the lookalikes: $top")
+    val top2 = TextAnalysis.dsirSelect(df.repartition(5), "id", "text",
+      col("is_t"), dim = 8, k = 6).select("id").as[Long].collect().toSet
+    assert(top2 === top)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirSelect(df.withColumn("dsir_w", lit(1)),
+        "id", "text", col("is_t"))
+    }
+  }
+}
