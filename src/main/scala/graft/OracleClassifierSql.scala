@@ -124,6 +124,25 @@ object OracleClassifierSql {
        |FROM app GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Oracle for `docs_classifier_calibration`: the reliability census —
+    * margin buckets (0.25-wide via an exact ×4 floor, integer-clamped to
+    * [-8, 7]) × docs × observed teacher-positives under the final weights.
+    */
+  def calibrationSql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
+                     targetSql: String = DefaultTargetSql): String = {
+    def fold(list: String) =
+      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
+    s"""${trainCtes(dim, iters, eta, targetSql)},
+       |app AS (SELECT f.y, ${fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * c.vv[i])")} + c.bias AS sc
+       |        FROM feat f, w$iters c),
+       |bk AS (SELECT greatest(least(CAST(floor(sc * 4.0) AS BIGINT), 7), -8) AS bucket, y FROM app)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 4) AS pos_share_r
+       |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** The per-bucket importance census CTEs (shared by lift + select):
     * bucket-grain token counts for the target subset and the whole
     * corpus, with every bucket present, plus the smoothed UNROUNDED

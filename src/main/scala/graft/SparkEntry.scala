@@ -911,6 +911,17 @@ object SparkEntry {
           col("n_docs").cast("double"), 4))
         .orderBy(col("source"))
     }),
+    "docs_classifier_calibration" -> ((s, dir) => {
+      // the reliability diagram next to the accuracy number: margin
+      // buckets (0.25-wide, clamped to [-2,2)) × observed teacher-positive
+      // share. Bucket boundaries are engine-exact (index-order-fold margin
+      // × a power-of-two constant, exact floor, integer clamp), so the
+      // census hash-oracles through the same 64-round weight replay
+      val (w, b) = classifierArtifact(s, dir)
+      TextAnalysis.classifierCalibration(classifierLabeled(s, dir), "text",
+          classifierTarget, w, b, dim = 32)
+        .orderBy(col("bucket"))
+    }),
     "docs_dsir_lift" -> ((s, dir) =>
       // the DSIR hashed-bucket importance model [Xie et al. 2023]: per
       // feature bucket, target-subset vs whole-corpus token counts and
@@ -2957,6 +2968,7 @@ object SparkEntry {
       // arithmetic, chained-CTE loops where iterative (OracleClassifierSql)
       "docs_classifier_train" -> OracleClassifierSql.weightsSql(),
       "docs_classifier_apply" -> OracleClassifierSql.applySql(),
+      "docs_classifier_calibration" -> OracleClassifierSql.calibrationSql(),
       "docs_dsir_lift" -> OracleClassifierSql.liftSql(),
       "docs_dsir_select" -> OracleClassifierSql.selectSql(),
       "docs_score_drift" ->

@@ -172,10 +172,13 @@ trait TextClassifier { self: TextAnalysis.type =>
     (w, bias)
   }
 
-  /** The trained weight vector as a relation: (pos, w_r) with pos ∈
+  /** The trained weight vector as a relation: (pos, w) with pos ∈
     * [0, dim) the feature buckets and pos = dim the bias — the persistable
     * model artifact (at 100 TB: train once, write the (dim+1)-row table,
-    * `classifierScore` consumers read it back as literals).
+    * score every later batch through [[classifierScoreWith]]). Weights are
+    * UNROUNDED exact doubles — parquet round-trips them bit-for-bit, so
+    * the relational scorer reproduces the in-memory [[classifierScore]]
+    * exactly (spec-pinned); query surfaces round for display.
     */
   def classifierWeights(df: DataFrame, textCol: String, positive: Column,
                         dim: Int = 32, iters: Int = 64,
@@ -186,7 +189,54 @@ trait TextClassifier { self: TextAnalysis.type =>
     (w :+ b).toIndexedSeq.zipWithIndex
       .map { case (x, i) => (i.toLong, x) }
       .toDF("pos", "w")
-      .select(col("pos"), round(col("w"), 6).as("w_r"))
+  }
+
+  /** Score a corpus or STREAM against a persisted [[classifierWeights]]
+    * relation — the apply half of the train-once/score-everywhere seam.
+    * The (dim+1)-row model folds into one broadcast array (ordered by
+    * pos, so the fold order — and therefore every scored double — is
+    * bit-identical to [[classifierScore]] under the same weights;
+    * spec-pinned). Stateless: a projection plus a broadcast 1-row cross
+    * join, so the same call works unchanged on a streaming DataFrame
+    * (static model side, zero state — the `calibrateQualityWith` rule;
+    * batch/stream parity spec-pinned). A model relation of the wrong
+    * width surfaces as a null `clf_score` (zip_with null-pads), never a
+    * silent partial dot product.
+    */
+  def classifierScoreWith(df: DataFrame, textCol: String, model: DataFrame,
+                          dim: Int = 32): DataFrame = {
+    Seq("clf_score", "__wv").foreach(c =>
+      require(!df.columns.contains(c), s"classifierScoreWith reserves column name '$c'"))
+    val wv = model.agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("s"))
+      .select(transform(col("s"), s => s("w")).as("__wv"))
+    df.crossJoin(broadcast(wv))
+      .withColumn("clf_score",
+        aggregate(zip_with(hashedBowFeatures(col(textCol), dim),
+            slice(col("__wv"), 1, dim), (x, w) => x * w),
+          lit(0.0), (a, v) => a + v) + element_at(col("__wv"), dim + 1))
+      .drop("__wv")
+  }
+
+  /** Reliability census of a trained classifier — the calibration
+    * diagram a model-gated curation stage ships next to its accuracy
+    * number: margin buckets (0.25-wide, clamped to [-2, 2)) × how many
+    * docs land there × how many are actually teacher-positive. Every
+    * boundary is engine-exact: the margin is the index-order IEEE fold,
+    * ×4 is a power-of-two multiply, floor of an exact double is exact,
+    * and the clamp is integer — so the bucket assignment (and the whole
+    * census) hash-oracles. One scan, one ≤17-key hash aggregate.
+    */
+  def classifierCalibration(df: DataFrame, textCol: String, positive: Column,
+                            weights: Array[Double], bias: Double,
+                            dim: Int = 32): DataFrame = {
+    val sc = classifierScore(col(textCol), weights, bias, dim)
+    val bkt = greatest(least(floor(sc * lit(4.0)).cast("long"), lit(7L)), lit(-8L))
+    df.select(bkt.as("bucket"), positive.as("__p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_share_r",
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 4))
   }
 
   /** Per-bucket DSIR importance statistics: for each feature-hash bucket,
@@ -262,9 +312,27 @@ trait TextClassifier { self: TextAnalysis.type =>
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
                  target: Column, dim: Int = 32, k: Int = 50): DataFrame = {
     require(k >= 1, s"dsirSelect: k must be >= 1: $k")
+    dsirWeightWith(df, textCol, dsirBucketLift(df, textCol, target, dim), dim)
+      .orderBy(col("dsir_w").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Weigh a corpus or STREAM against a persisted [[dsirBucketLift]]
+    * artifact — the apply half of the DSIR seam (the bucket census is the
+    * expensive corpus pass; new crawl batches re-acquire importance
+    * weights against the FROZEN target model without rescanning the
+    * reference corpus). The dim-row lift relation folds into one
+    * broadcast array ordered by bucket, so every weight is the same
+    * index-order IEEE fold [[dsirSelect]] computes (self-application
+    * parity spec-pinned). Stateless — a projection plus a broadcast 1-row
+    * cross join — so the same call works unchanged on a streaming
+    * DataFrame (batch/stream parity spec-pinned).
+    */
+  def dsirWeightWith(df: DataFrame, textCol: String, lift: DataFrame,
+                     dim: Int = 32): DataFrame = {
     Seq("dsir_w", "__lv").foreach(c =>
-      require(!df.columns.contains(c), s"dsirSelect reserves column name '$c'"))
-    val lv = dsirBucketLift(df, textCol, target, dim)
+      require(!df.columns.contains(c), s"dsirWeightWith reserves column name '$c'"))
+    val lv = lift
       .agg(transform(sort_array(collect_list(struct(col("bucket"), col("lift")))),
         s => s("lift")).as("__lv"))
     df.crossJoin(broadcast(lv))
@@ -274,7 +342,5 @@ trait TextClassifier { self: TextAnalysis.type =>
         aggregate(zip_with(hashedBowFeatures(col(textCol), dim), col("__lv"),
           (x, l) => (x / lit(dim.toDouble)) * l), lit(0.0), (a, v) => a + v))
       .drop("__lv")
-      .orderBy(col("dsir_w").desc, col(idCol).asc)
-      .limit(k)
   }
 }

@@ -124,6 +124,88 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierScoreWith reproduces the literal scorer bit-for-bit " +
+       "through a parquet round-trip, batch and stream") {
+    val (w, b) = TextAnalysis.classifierTrainVector(
+      corpus, "text", isPos, dim = 8, iters = 8)
+    graft.Cleanup.drain()
+    val want = corpus.select(col("id"),
+        TextAnalysis.classifierScore(col("text"), w, b, dim = 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the persisted-artifact contract: write the weight RELATION, read it
+    // back, and demand the relational scorer's doubles are bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("clfw").toString
+    TextAnalysis.classifierWeights(corpus, "text", isPos, dim = 8, iters = 8)
+      .write.mode("overwrite").parquet(dir)
+    graft.Cleanup.drain()
+    val model = spark.read.parquet(dir)
+    val got = TextAnalysis.classifierScoreWith(corpus, "text", model, dim = 8)
+      .select(col("id"), col("clf_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    // stateless ⇒ the same call runs unchanged on a stream with parity
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+    val q = TextAnalysis.classifierScoreWith(
+        in.toDF().toDF("id", "text"), "text", model, dim = 8)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("clf_stream").select(col("id"), col("clf_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === want)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierScoreWith(
+        corpus.withColumn("clf_score", lit(0.0)), "text", model, dim = 8)
+    }
+  }
+
+  test("classifierCalibration: census foots, buckets clamped, share exact") {
+    val (w, b) = TextAnalysis.classifierTrainVector(
+      corpus, "text", isPos, dim = 8, iters = 8)
+    graft.Cleanup.drain()
+    val rows = TextAnalysis.classifierCalibration(
+      corpus, "text", isPos, w, b, dim = 8).collect()
+    assert(rows.map(_.getLong(1)).sum === corpus.count())
+    assert(rows.map(_.getLong(2)).sum === corpus.filter(isPos).count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= -8 && r.getLong(0) <= 7, r)
+      val want = BigDecimal(r.getLong(2).toDouble / r.getLong(1).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want, r)
+    }
+  }
+
+  test("dsirWeightWith self-application equals dsirSelect's weights; " +
+       "streaming parity") {
+    val lift = TextAnalysis.dsirBucketLift(corpus, "text", isPos, dim = 8)
+    val viaWith = TextAnalysis.dsirWeightWith(corpus, "text", lift, dim = 8)
+      .select(col("id"), col("dsir_w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaSelect = TextAnalysis.dsirSelect(corpus, "id", "text", isPos,
+        dim = 8, k = corpus.count().toInt)
+      .select(col("id"), col("dsir_w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.Cleanup.drain()
+    assert(viaWith === viaSelect)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dsirl").toString
+    lift.write.mode("overwrite").parquet(dir)
+    graft.Cleanup.drain()
+    val frozen = spark.read.parquet(dir)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+    val q = TextAnalysis.dsirWeightWith(
+        in.toDF().toDF("id", "text"), "text", frozen, dim = 8)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_stream").select(col("id"), col("dsir_w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === viaWith)
+  }
+
   test("dsirSelect ranks target lookalikes first, repartition-invariant") {
     // 3 labeled target docs of pure marker text; 3 unlabeled lookalikes;
     // 6 off-distribution docs — selection must prefer the lookalikes
