@@ -596,6 +596,44 @@ object ScaleProbe {
           concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(40L)))),
         "source", "text", budgetEpochs = 1.45, alpha = 0.5, maxEpochs = 1.6)
         .count())
+    // model-based curation at n docs. Training: featurize+checkpoint once,
+    // then iters shuffle-free codegen scans (dim+1 decimal sums each) — the
+    // probe runs 8 rounds; the wired 64-round default is linear in iters
+    // (per-round slope = this figure / 8). Teacher = the planted odd-doc
+    // marker, a content rule the hashed features can express.
+    time("classifier_train_8r")( {
+      val (w, _) = graft.ops.TextAnalysis.classifierTrainVector(
+        docs, "text", col("text").contains("extraword"), dim = 32, iters = 8)
+      Cleanup.drain(); w.length.toLong
+    })
+    // apply path: the margin is a scan-speed literal fold — no join, no
+    // shuffle beyond the count's own aggregate
+    time("classifier_score")( {
+      val w = Array.tabulate(32)(i => (i + 1) / 64.0)
+      docs.select(graft.ops.TextAnalysis.classifierScore(
+          col("text"), w, -0.5, 32).as("s"))
+        .filter(col("s") > 0).count()
+    })
+    // DSIR: one bucket census (checkpointed at 32 rows) + a broadcast
+    // lift fold + TakeOrderedAndProject top-1k — no corpus shuffle
+    time("dsir_lift_select_1k")( {
+      val r = graft.ops.TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("text").contains("extraword"), dim = 32, k = 1000).count()
+      Cleanup.drain(); r
+    })
+    // leakage-safe split end-to-end: LSH pairs → star-contraction
+    // clusters → one id-grain join + hash projection (the split stage
+    // itself is the cheap tail; the figure is dominated by the pair/
+    // cluster build it composes with)
+    time("leakage_safe_split")( {
+      val pairs = graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val clusters = graft.ops.Dedup.duplicateClusters(
+        pairs, docs.select(col("doc_id").as("id")), "id")
+      val r = graft.ops.TextAnalysis.leakageSafeSplit(docs, clusters, "doc_id")
+        .groupBy(col("split")).count().count()
+      Cleanup.drain(); r
+    })
     spark.stop()
   }
 }

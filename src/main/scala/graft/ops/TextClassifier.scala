@@ -43,17 +43,24 @@ trait TextClassifier { self: TextAnalysis.type =>
   /** Per-token feature-hash bucket counts: array of `dim` integer counts,
     * bucket = pmod(xxhash64(token), dim). The feature map every
     * fasttext-shaped pipeline uses (hashing trick — no vocabulary build,
-    * no OOV path, fixed width at any corpus size). One pass over the
-    * token array per bucket via a codegen'd HOF filter; dim is a small
-    * constant so the per-row cost stays O(dim·tokens) at scan speed.
-    * Tokenization is the repo-wide whitespace rule (`tokens`), giving a
-    * blank document the single empty token — total, never null.
+    * no OOV path, fixed width at any corpus size). ONE aggregate fold over
+    * the token array into a dim-slot accumulator — the first cut built
+    * `dim` separate size(filter(...)) expressions and, because HOF lambdas
+    * get no codegen CSE (the `decontaminationScoreBloom` lesson), each
+    * duplicated the whole tokenize+hash pipeline: a ~dim× larger
+    * expression tree whose analysis/codegen cost dominated every consumer
+    * query (~5 s of driver-side constant per query at dim = 32, measured).
+    * Per-row work is O(dim·tokens) either way; the fold keeps the TREE
+    * O(1) in dim's pipeline copies. Tokenization is the repo-wide
+    * whitespace rule (`tokens`), giving a blank document the single empty
+    * token — total, never null.
     */
   def hashedTokenCounts(text: Column, dim: Int): Column = {
     require(dim >= 1, s"hashedTokenCounts: dim must be >= 1: $dim")
-    val hs = transform(tokens(text), tk => xxhash64(tk))
-    array((0 until dim).map(b =>
-      size(filter(hs, h => pmod(h, lit(dim.toLong)) === lit(b.toLong)))): _*)
+    val hs = transform(tokens(text),
+      tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
+    aggregate(hs, array_repeat(lit(0), dim),
+      (acc, b) => transform(acc, (c, i) => when(i === b, c + 1).otherwise(c)))
   }
 
   /** Density-relative hashed bag-of-words features
