@@ -57,11 +57,16 @@ trait TextClassifier { self: TextAnalysis.type =>
     */
   def hashedTokenCounts(text: Column, dim: Int): Column = {
     require(dim >= 1, s"hashedTokenCounts: dim must be >= 1: $dim")
-    val hs = transform(tokens(text),
-      tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
-    aggregate(hs, array_repeat(lit(0), dim),
-      (acc, b) => transform(acc, (c, i) => when(i === b, c + 1).otherwise(c)))
+    aggregate(bucketHashes(text, dim), array_repeat(lit(0), dim), bucketIncr)
   }
+
+  /** Per-token bucket assignments (the shared front of the feature map). */
+  private def bucketHashes(text: Column, dim: Int): Column =
+    transform(tokens(text), tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
+
+  /** One fold step: increment the hit bucket's slot. */
+  private def bucketIncr(acc: Column, b: Column): Column =
+    transform(acc, (c, i) => when(i === b, c + 1).otherwise(c))
 
   /** Density-relative hashed bag-of-words features
     * x_b = dim · count_b / n — bucket density relative to uniform (mean
@@ -76,12 +81,22 @@ trait TextClassifier { self: TextAnalysis.type =>
     * in tens of rounds. Each component is one exact integer-valued
     * multiply (count·dim) and one correctly-rounded IEEE divide, so any
     * engine computes the identical doubles.
+    *
+    * Single-pass: counts AND the token total fold together in one
+    * struct accumulator, and the normalization runs in the aggregate's
+    * FINISH lambda. The obvious `transform(counts, c => c·dim/n)` with
+    * n = size(tokens(text)) re-tokenizes the document once PER ELEMENT —
+    * HOF lambda bodies re-evaluate outer expressions per element (no
+    * hoisting, no CSE) — i.e. dim extra regex splits per row at scan
+    * time; here n is one cheap field access off the fold result.
     */
-  def hashedBowFeatures(text: Column, dim: Int): Column = {
-    val n = size(tokens(text)).cast("double")
-    transform(hashedTokenCounts(text, dim),
-      c => (c.cast("double") * lit(dim.toDouble)) / n)
-  }
+  def hashedBowFeatures(text: Column, dim: Int): Column =
+    aggregate(bucketHashes(text, dim),
+      struct(array_repeat(lit(0), dim).as("a"), lit(0).as("n")),
+      (acc, b) => struct(bucketIncr(acc("a"), b).as("a"),
+        (acc("n") + lit(1)).as("n")),
+      acc => transform(acc("a"),
+        c => (c.cast("double") * lit(dim.toDouble)) / acc("n").cast("double")))
 
   /** Margin score of a trained linear classifier: w·x + b with the
     * explicit index-order fold (seed 0.0 — the same left-to-right
@@ -162,16 +177,19 @@ trait TextClassifier { self: TextAnalysis.type =>
       val wl = array(w.map(lit).toIndexedSeq: _*)
       val sc = aggregate(zip_with(col("x"), wl, (x, wc) => x * wc),
         lit(0.0), (a, v) => a + v) + lit(bias)
-      val res = col("y") - sc
+      // the residual computes ONCE per row in a lower projection — inlined
+      // into each of the dim+1 sums it would re-run its dim-element fold
+      // per aggregate expression (no CSE across aggregate buffers)
+      val scored = base.select(col("x"), (col("y") - sc).as("__r"))
       // round → long → decimal: |(y−s)·x_b·2^20| stays far under 2^53
       // (integral double after round), so the long hop is exact (the
       // powerIteration cast chain — Decimal(long) skips per-element
       // BigDecimal work)
       val aggs = (0 until dim).map(i =>
-        sum(round(res * element_at(col("x"), i + 1) * lit(Q))
+        sum(round(col("__r") * element_at(col("x"), i + 1) * lit(Q))
           .cast("long").cast("decimal(27,0)")).as(s"s$i")) :+
-        sum(round(res * lit(Q)).cast("long").cast("decimal(27,0)")).as("sb")
-      val row = base.agg(aggs.head, aggs.tail: _*).collect().head
+        sum(round(col("__r") * lit(Q)).cast("long").cast("decimal(27,0)")).as("sb")
+      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
       w = Array.tabulate(dim)(i =>
         w(i) + eta * ((row.getDecimal(i).longValue().toDouble / Q) / nD))
       bias = bias + eta * ((row.getDecimal(dim).longValue().toDouble / Q) / nD)
