@@ -28,11 +28,24 @@ object OracleClassifierSql {
     */
   val DefaultTargetSql = "q.swr >= 0.15"
 
-  private val enMarkers = "['the', 'a', 'and', 'of', 'fast', 'slow']"
+  /** The English-function-word list, rendered from the SAME
+    * `TextAnalysis.langMarkers` source the operators read — hardcoding it
+    * here would silently desynchronize these oracles from the teacher rule
+    * the day the marker list changes.
+    */
+  private def enMarkers: String =
+    graft.ops.TextAnalysis.langMarkers.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Render a dyadic double as an exact SQL literal (0.015625 etc.). */
   private def dlit(x: Double): String =
     new java.math.BigDecimal(x).stripTrailingZeros().toPlainString
+
+  /** The index-order left fold both engines share — the load-bearing
+    * summation contract; every consumer must use THIS string.
+    */
+  private def fold(list: String): String =
+    s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
 
   /** Shared prefix: documents → stopword-density teacher → tokens → XXH64
     * chain → per-doc density-relative feature vectors with the ±1 label.
@@ -64,12 +77,12 @@ object OracleClassifierSql {
     */
   private def trainCtes(dim: Int, iters: Int, eta: Double,
                         targetSql: String): String = {
-    require(eta > 0 && eta == math.pow(2, math.getExponent(eta)),
+    require(eta > 0 && java.lang.Double.isFinite(eta) &&
+      math.abs(math.getExponent(eta)) <= 30 &&
+      eta == math.pow(2, math.getExponent(eta)),
       s"oracle replays dyadic steps only (exact literals): $eta")
     val d1 = dim + 1
     val e = dlit(eta)
-    def fold(list: String) =
-      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
     val sb = new StringBuilder
     // AS MATERIALIZED on EVERY per-round CTE is load-bearing (the
     // emb_coreset_kcenter lesson, DESIGN §12): w{r} references w{r-1}
@@ -111,8 +124,6 @@ object OracleClassifierSql {
     */
   def applySql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
                targetSql: String = DefaultTargetSql): String = {
-    def fold(list: String) =
-      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
     s"""${trainCtes(dim, iters, eta, targetSql)},
        |app AS (SELECT f.source, f.y, ${fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * c.vv[i])")} + c.bias AS sc
        |        FROM feat f, w$iters c)
@@ -130,8 +141,6 @@ object OracleClassifierSql {
     */
   def calibrationSql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
                      targetSql: String = DefaultTargetSql): String = {
-    def fold(list: String) =
-      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
     s"""${trainCtes(dim, iters, eta, targetSql)},
        |app AS (SELECT f.y, ${fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * c.vv[i])")} + c.bias AS sc
        |        FROM feat f, w$iters c),
@@ -179,8 +188,6 @@ object OracleClassifierSql {
     */
   def selectSql(dim: Int = 32, k: Int = 50,
                 targetSql: String = DefaultTargetSql): String = {
-    def fold(list: String) =
-      s"list_reduce(list_prepend(0.0, $list), (a, z) -> a + z)"
     s"""${featCtes(dim, targetSql)},
        |${liftCtes(dim, targetSql)},
        |lfv AS (SELECT list(lift ORDER BY bucket) AS lv FROM fl),

@@ -66,7 +66,10 @@ object SparkEntry {
   // construction, so lang/source labels would train a coin flip).
   private def classifierTarget = col("stopword_ratio") >= 0.15
   private def classifierLabeled(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+    // non-null text only: the oracle's unnest drops tokenless docs, so the
+    // censuses must count the same population (no-op on the driver corpus)
+    TextAnalysis.qualityFeatures(
+      t(s, dir, "documents").where(col("text").isNotNull), "text")
   private val classifierMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (Array[Double], Double)]
   private def classifierArtifact(s: SparkSession, dir: String): (Array[Double], Double) =
@@ -886,10 +889,7 @@ object SparkEntry {
       // engine-exact: the oracle replays all 64 rounds as a chained-CTE
       // loop (OracleClassifierSql) and hash-matches the weights
       val (w, b) = classifierArtifact(s, dir)
-      import s.implicits._
-      ((w :+ b).toIndexedSeq.zipWithIndex
-        .map { case (x, i) => (i.toLong, x) })
-        .toDF("pos", "w")
+      TextAnalysis.classifierWeightsFrom(w, b, s)
         .select(col("pos"), round(col("w"), 6).as("w_r"))
         .orderBy(col("pos"))
     }),

@@ -163,12 +163,16 @@ trait TextClassifier { self: TextAnalysis.type =>
       math.abs(math.getExponent(eta)) <= 30 &&
       eta == math.pow(2, math.getExponent(eta)),
       s"classifierTrainVector: eta must be a dyadic power of two (exact double arithmetic): $eta")
+    // null-text rows carry no features (every sum skips them) but would
+    // still inflate the 1/n divisor — and the oracle's unnest drops them
+    // entirely. Exclude them up front so both engines train on the same n.
     val base = graft.Cleanup.register(
-      df.select(hashedBowFeatures(col(textCol), dim).as("x"),
+      df.where(col(textCol).isNotNull)
+        .select(hashedBowFeatures(col(textCol), dim).as("x"),
           when(positive, 1.0).otherwise(-1.0).as("y"))
         .localCheckpoint(false))
     val n = base.count()
-    require(n > 0, "classifierTrainVector: empty corpus")
+    require(n > 0, "classifierTrainVector: empty corpus (no non-null text)")
     val Q = 1048576.0 // 2^20: exact power-of-two fixed-point scale
     val nD = n.toDouble
     var w = Array.fill(dim)(0.0)
@@ -209,9 +213,17 @@ trait TextClassifier { self: TextAnalysis.type =>
                         dim: Int = 32, iters: Int = 64,
                         eta: Double = 1.0 / 64): DataFrame = {
     val (w, b) = classifierTrainVector(df, textCol, positive, dim, iters, eta)
-    val spark = df.sparkSession
+    classifierWeightsFrom(w, b, df.sparkSession)
+  }
+
+  /** The (pos, w) artifact layout from an already-trained vector — the
+    * ONE place the pos-ordering/bias-at-dim convention is written, shared
+    * by [[classifierWeights]] and callers holding a memoized train result.
+    */
+  def classifierWeightsFrom(w: Array[Double], bias: Double,
+                            spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    (w :+ b).toIndexedSeq.zipWithIndex
+    (w :+ bias).toIndexedSeq.zipWithIndex
       .map { case (x, i) => (i.toLong, x) }
       .toDF("pos", "w")
   }
@@ -225,8 +237,11 @@ trait TextClassifier { self: TextAnalysis.type =>
     * join, so the same call works unchanged on a streaming DataFrame
     * (static model side, zero state — the `calibrateQualityWith` rule;
     * batch/stream parity spec-pinned). A model relation of the wrong
-    * width surfaces as a null `clf_score` (zip_with null-pads), never a
-    * silent partial dot product.
+    * width surfaces as a null `clf_score` — the size gate covers BOTH
+    * directions (a too-narrow model would null-pad the zip anyway, but a
+    * too-WIDE one would otherwise slice to a plausible-looking partial
+    * dot product with a feature weight standing in for the bias;
+    * spec-pinned).
     */
   def classifierScoreWith(df: DataFrame, textCol: String, model: DataFrame,
                           dim: Int = 32): DataFrame = {
@@ -236,9 +251,10 @@ trait TextClassifier { self: TextAnalysis.type =>
       .select(transform(col("s"), s => s("w")).as("__wv"))
     df.crossJoin(broadcast(wv))
       .withColumn("clf_score",
-        aggregate(zip_with(hashedBowFeatures(col(textCol), dim),
-            slice(col("__wv"), 1, dim), (x, w) => x * w),
-          lit(0.0), (a, v) => a + v) + element_at(col("__wv"), dim + 1))
+        when(size(col("__wv")) === dim + 1,
+          aggregate(zip_with(hashedBowFeatures(col(textCol), dim),
+              slice(col("__wv"), 1, dim), (x, w) => x * w),
+            lit(0.0), (a, v) => a + v) + element_at(col("__wv"), dim + 1)))
       .drop("__wv")
   }
 
@@ -256,7 +272,10 @@ trait TextClassifier { self: TextAnalysis.type =>
                             dim: Int = 32): DataFrame = {
     val sc = classifierScore(col(textCol), weights, bias, dim)
     val bkt = greatest(least(floor(sc * lit(4.0)).cast("long"), lit(7L)), lit(-8L))
-    df.select(bkt.as("bucket"), positive.as("__p"))
+    // null text ⇒ null margin ⇒ a null bucket row the oracle (whose
+    // unnest drops tokenless docs) never sees — exclude it like training
+    df.where(col(textCol).isNotNull)
+      .select(bkt.as("bucket"), positive.as("__p"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__p"), 1L).otherwise(0L)).as("n_pos"))

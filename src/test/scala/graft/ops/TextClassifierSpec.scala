@@ -159,6 +159,29 @@ class TextClassifierSpec extends AnyFunSuite {
       TextAnalysis.classifierScoreWith(
         corpus.withColumn("clf_score", lit(0.0)), "text", model, dim = 8)
     }
+    // a wrong-WIDTH model must surface as null scores, never a partial
+    // dot product with a feature weight standing in for the bias
+    val wide = TextAnalysis.classifierWeightsFrom(
+      Array.fill(16)(0.5), 0.25, spark) // 17 rows against dim = 8
+    val wideScores = TextAnalysis.classifierScoreWith(corpus, "text", wide, dim = 8)
+      .select(col("clf_score")).collect()
+    assert(wideScores.forall(_.isNullAt(0)))
+  }
+
+  test("null-text rows are excluded from training (oracle population parity)") {
+    val withNull = corpus.unionByName(
+      Seq((999L, null.asInstanceOf[String])).toDF("id", "text"))
+    val (w1, b1) = TextAnalysis.classifierTrainVector(
+      corpus, "text", isPos, dim = 8, iters = 4)
+    val (w2, b2) = TextAnalysis.classifierTrainVector(
+      withNull, "text", isPos, dim = 8, iters = 4)
+    graft.Cleanup.drain()
+    assert(w1.toSeq === w2.toSeq && b1 === b2,
+      "a featureless null-text row must not inflate the 1/n divisor")
+    intercept[IllegalArgumentException] {   // all-null corpus is loud
+      TextAnalysis.classifierTrainVector(
+        Seq((1L, null.asInstanceOf[String])).toDF("id", "text"), "text", isPos)
+    }
   }
 
   test("classifierCalibration: census foots, buckets clamped, share exact") {
