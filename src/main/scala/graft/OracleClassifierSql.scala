@@ -198,4 +198,33 @@ object OracleClassifierSql {
        |SELECT id AS doc_id, lang, source, round(wgt, 6) AS w_r
        |FROM sel ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for `docs_dsir_resample`: the DSIR weight pipeline feeding the
+    * deterministic priority sampler — the same rolling-hash fingerprint
+    * fold and w·M/u priority arithmetic the `docs_weighted_sample` oracle
+    * replays (one IEEE multiply + one divide on the exact dsir weight, so
+    * the top-(k+1) boundary and τ are bit-identical across engines).
+    */
+  def resampleSql(dim: Int = 32, k: Int = 50,
+                  targetSql: String = DefaultTargetSql): String = {
+    s"""${featCtes(dim, targetSql)},
+       |${liftCtes(dim, targetSql)},
+       |lfv AS (SELECT list(lift ORDER BY bucket) AS lv FROM fl),
+       |scored AS (SELECT f.id, f.lang, f.source,
+       |  ${fold(s"list_transform(range(1, ${dim + 1}), i -> (f.x[i] / ${dlit(dim.toDouble)}.0) * lf.lv[i])")} AS wgt
+       |  FROM feat f, lfv lf),
+       |fp AS (SELECT s.id, s.lang, s.source, s.wgt, list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(d.text) + 1), i -> CAST(ascii(substr(d.text, i, 1)) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 1000000007) AS f FROM scored s JOIN docs d ON d.id = s.id),
+       |p AS (SELECT id, lang, source, wgt,
+       |  wgt * 1000003.0 / CAST(f % 1000003 + 1 AS DOUBLE) AS pr FROM fp),
+       |t AS MATERIALIZED (SELECT * FROM p ORDER BY pr DESC, id LIMIT ${k + 1}),
+       |tau AS (SELECT CASE WHEN count(*) = ${k + 1} THEN min(pr) ELSE 0.0 END AS tau FROM t),
+       |s AS (SELECT * FROM t ORDER BY pr DESC, id LIMIT $k)
+       |SELECT id AS doc_id, lang, source, round(wgt, 6) AS w_r,
+       |  round(pr, 4) AS priority_r,
+       |  round(greatest(wgt, tau), 4) AS est_w_r
+       |FROM s, tau ORDER BY doc_id""".stripMargin
+  }
 }

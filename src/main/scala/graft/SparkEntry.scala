@@ -945,6 +945,25 @@ object SparkEntry {
           round(col("dsir_w"), 6).as("w_r"))
         .orderBy(col("doc_id"))),
 
+    "docs_dsir_resample" -> ((s, dir) => {
+      // DSIR as the paper actually runs it: importance RESAMPLING — the
+      // frozen bucket-lift model weighs every document (dsirWeightWith)
+      // and the deterministic priority sampler draws 50 without
+      // replacement ∝ weight, τ subset-sum estimator riding along. Pure
+      // composition of two audited ops: census + broadcast fold, then
+      // top-(k+1) TakeOrderedAndProject — no corpus shuffle anywhere
+      val labeled = classifierLabeled(s, dir)
+      val weighted = TextAnalysis.dsirWeightWith(labeled, "text",
+        TextAnalysis.dsirBucketLift(labeled, "text", classifierTarget,
+          dim = 32), dim = 32)
+      TextAnalysis.prioritySample(weighted, "doc_id", "dsir_w", "text", 50)
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("dsir_w"), 6).as("w_r"),
+          round(col("priority"), 4).as("priority_r"),
+          round(col("est_w"), 4).as("est_w_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     "docs_score_drift" -> ((s, dir) => {
       // quality-score distribution drift between two snapshots (the
       // per-crawl scorer monitor, Analytics.scoreDrift): the parity
@@ -2971,6 +2990,7 @@ object SparkEntry {
       "docs_classifier_calibration" -> OracleClassifierSql.calibrationSql(),
       "docs_dsir_lift" -> OracleClassifierSql.liftSql(),
       "docs_dsir_select" -> OracleClassifierSql.selectSql(),
+      "docs_dsir_resample" -> OracleClassifierSql.resampleSql(),
       "docs_score_drift" ->
         // the text_quality CTE chain (same rounding points), then
         // integer-cent buckets, per-side counts, full-outer census join,
