@@ -52,16 +52,30 @@ object OracleClassifierSql {
     * `targetSql` is the y = +1 predicate over doc columns aliased `d` and
     * the teacher column `q.swr`.
     */
-  private def featCtes(dim: Int, targetSql: String): String = {
+  private def featCtes(dim: Int, targetSql: String, maxN: Int = 1): String = {
+    require(maxN >= 1 && maxN <= 2, s"featCtes: maxN must be 1 or 2: $maxN")
     val (ctes, last) = OracleHashSql.xxhChain("tok")
     val chain = ctes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
     val toks = raw"string_split_regex(trim(text), '\s+')"
+    // maxN = 2 appends word bigrams (w_i || ' ' || w_{i+1} — byte-identical
+    // to Spark's concat) to the hashed gram stream; everything downstream
+    // (bucketing, censuses, density normalization by the GRAM total) is
+    // n-agnostic on both engines
+    val tokCte =
+      if (maxN == 1)
+        raw"tok AS (SELECT id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM docs)"
+      else
+        raw"""t0 AS (SELECT id, regexp_split_to_array(trim(text), '\s+') AS ws FROM docs),
+             |tok AS (SELECT id, unnest(ws) AS w FROM t0
+             |        UNION ALL
+             |        SELECT id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+             |        FROM t0, unnest(generate_series(1, len(ws) - 1)) AS t(i))""".stripMargin
     s"""WITH docs AS (SELECT doc_id AS id, text, lang, source FROM documents),
        |qf AS (SELECT doc_id AS id,
        |  round(len(list_filter($toks, x -> list_contains($enMarkers, lower(x)))) * 1.0
        |        / greatest(len($toks), 1), 4) AS swr
        |  FROM documents),
-       |tok AS (SELECT id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM docs),
+       |$tokCte,
        |$chain,
        |hb AS (SELECT id, ((h % $dim) + $dim) % $dim AS b FROM $last),
        |dg AS (SELECT id, list(b) AS hs, count(*) AS n FROM hb GROUP BY id),
@@ -173,8 +187,9 @@ object OracleClassifierSql {
   /** Oracle for `docs_dsir_lift`: the dim-row bucket census with the
     * smoothed importance ratio rounded to 6 dp.
     */
-  def liftSql(dim: Int = 32, targetSql: String = DefaultTargetSql): String =
-    s"""${featCtes(dim, targetSql)},
+  def liftSql(dim: Int = 32, targetSql: String = DefaultTargetSql,
+              maxN: Int = 1): String =
+    s"""${featCtes(dim, targetSql, maxN)},
        |${liftCtes(dim, targetSql)}
        |SELECT CAST(bucket AS BIGINT) AS bucket, n_target, n_all,
        |  round(lift, 6) AS lift_r
@@ -187,8 +202,8 @@ object OracleClassifierSql {
     * ratio — matching `dsirSelect`.
     */
   def selectSql(dim: Int = 32, k: Int = 50,
-                targetSql: String = DefaultTargetSql): String = {
-    s"""${featCtes(dim, targetSql)},
+                targetSql: String = DefaultTargetSql, maxN: Int = 1): String = {
+    s"""${featCtes(dim, targetSql, maxN)},
        |${liftCtes(dim, targetSql)},
        |lfv AS (SELECT list(lift ORDER BY bucket) AS lv FROM fl),
        |scored AS (SELECT f.id, f.lang, f.source,

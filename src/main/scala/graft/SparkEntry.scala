@@ -945,6 +945,24 @@ object SparkEntry {
           round(col("dsir_w"), 6).as("w_r"))
         .orderBy(col("doc_id"))),
 
+    "docs_dsir_lift2" -> ((s, dir) =>
+      // the DSIR paper's ACTUAL feature space: hashed unigrams + BIGRAMS
+      // (maxN = 2) — bigrams carry the word-order signal a pure bag of
+      // words discards; same dim-bounded census/smoothing machinery, the
+      // oracle hashes w_i||' '||w_{i+1} through the identical XXH64 chain
+      TextAnalysis.dsirBucketLift(classifierLabeled(s, dir), "text",
+          classifierTarget, dim = 32, maxN = 2)
+        .select(col("bucket"), col("n_target"), col("n_all"),
+          round(col("lift"), 6).as("lift_r"))
+        .orderBy(col("bucket"))),
+    "docs_dsir_select2" -> ((s, dir) =>
+      // selection under the unigram+bigram importance model — the full
+      // Xie et al. configuration, end-to-end
+      TextAnalysis.dsirSelect(classifierLabeled(s, dir), "doc_id", "text",
+          classifierTarget, dim = 32, k = 50, maxN = 2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("dsir_w"), 6).as("w_r"))
+        .orderBy(col("doc_id"))),
     "docs_dsir_resample" -> ((s, dir) => {
       // DSIR as the paper actually runs it: importance RESAMPLING — the
       // frozen bucket-lift model weighs every document (dsirWeightWith)
@@ -2991,6 +3009,8 @@ object SparkEntry {
       "docs_dsir_lift" -> OracleClassifierSql.liftSql(),
       "docs_dsir_select" -> OracleClassifierSql.selectSql(),
       "docs_dsir_resample" -> OracleClassifierSql.resampleSql(),
+      "docs_dsir_lift2" -> OracleClassifierSql.liftSql(maxN = 2),
+      "docs_dsir_select2" -> OracleClassifierSql.selectSql(maxN = 2),
       "docs_score_drift" ->
         // the text_quality CTE chain (same rounding points), then
         // integer-cent buckets, per-side counts, full-outer census join,

@@ -55,14 +55,38 @@ trait TextClassifier { self: TextAnalysis.type =>
     * whitespace rule (`tokens`), giving a blank document the single empty
     * token — total, never null.
     */
-  def hashedTokenCounts(text: Column, dim: Int): Column = {
+  def hashedTokenCounts(text: Column, dim: Int, maxN: Int = 1): Column = {
     require(dim >= 1, s"hashedTokenCounts: dim must be >= 1: $dim")
-    aggregate(bucketHashes(text, dim), array_repeat(lit(0), dim), bucketIncr)
+    aggregate(gramBuckets(text, dim, maxN), array_repeat(lit(0), dim), bucketIncr)
   }
 
-  /** Per-token bucket assignments (the shared front of the feature map). */
-  private def bucketHashes(text: Column, dim: Int): Column =
-    transform(tokens(text), tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
+  /** Per-gram bucket assignments, n = 1..maxN word grams (the shared
+    * front of the feature map). maxN = 2 is the DSIR paper's actual
+    * feature space — hashed unigrams AND bigrams — where bigrams carry
+    * the word-order signal a pure bag of words discards; the bigram
+    * string is `concat(w_i, " ", w_{i+1})` so the oracle's
+    * `w[i] || ' ' || w[i+1]` hashes identically. Built with zip_with
+    * against the 1-shifted array (both array arguments evaluate ONCE per
+    * row — an index-based transform would re-tokenize per element, the
+    * HOF re-evaluation trap hashedBowFeatures documents); the shift pads
+    * the final pair with null, which maps to a null bucket and is
+    * filtered, so a 1-token document contributes unigrams only.
+    */
+  private def gramBuckets(text: Column, dim: Int, maxN: Int): Column = {
+    require(maxN >= 1 && maxN <= 2, s"gramBuckets: maxN must be 1 or 2: $maxN")
+    val uni = transform(tokens(text),
+      tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
+    if (maxN == 1) uni
+    else {
+      val ws = tokens(text)
+      val bi = filter(
+        zip_with(ws, slice(ws, 2, 1073741823), (a, b) =>
+          when(b.isNotNull,
+            pmod(xxhash64(concat(a, lit(" "), b)), lit(dim.toLong)).cast("int"))),
+        h => h.isNotNull)
+      concat(uni, bi)
+    }
+  }
 
   /** One fold step: increment the hit bucket's slot. */
   private def bucketIncr(acc: Column, b: Column): Column =
@@ -90,8 +114,8 @@ trait TextClassifier { self: TextAnalysis.type =>
     * hoisting, no CSE) — i.e. dim extra regex splits per row at scan
     * time; here n is one cheap field access off the fold result.
     */
-  def hashedBowFeatures(text: Column, dim: Int): Column =
-    aggregate(bucketHashes(text, dim),
+  def hashedBowFeatures(text: Column, dim: Int, maxN: Int = 1): Column =
+    aggregate(gramBuckets(text, dim, maxN),
       struct(array_repeat(lit(0), dim).as("a"), lit(0).as("n")),
       (acc, b) => struct(bucketIncr(acc("a"), b).as("a"),
         (acc("n") + lit(1)).as("n")),
@@ -300,9 +324,9 @@ trait TextClassifier { self: TextAnalysis.type =>
     * exactly.
     */
   def dsirBucketLift(df: DataFrame, textCol: String, target: Column,
-                     dim: Int = 32): DataFrame = {
+                     dim: Int = 32, maxN: Int = 1): DataFrame = {
     require(dim >= 1, s"dsirBucketLift: dim must be >= 1: $dim")
-    val hb = df.select(posexplode(hashedTokenCounts(col(textCol), dim))
+    val hb = df.select(posexplode(hashedTokenCounts(col(textCol), dim, maxN))
         .as(Seq("bucket", "cnt")), target.as("__tgt"))
     // the ONE corpus-scale pass, materialized at ≤dim rows: census feeds
     // two plan branches (the roster join and the totals aggregate) and a
@@ -354,9 +378,11 @@ trait TextClassifier { self: TextAnalysis.type =>
     * [[prioritySample]] — the two ops compose exactly.
     */
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
-                 target: Column, dim: Int = 32, k: Int = 50): DataFrame = {
+                 target: Column, dim: Int = 32, k: Int = 50,
+                 maxN: Int = 1): DataFrame = {
     require(k >= 1, s"dsirSelect: k must be >= 1: $k")
-    dsirWeightWith(df, textCol, dsirBucketLift(df, textCol, target, dim), dim)
+    dsirWeightWith(df, textCol,
+        dsirBucketLift(df, textCol, target, dim, maxN), dim, maxN)
       .orderBy(col("dsir_w").desc, col(idCol).asc)
       .limit(k)
   }
@@ -373,7 +399,7 @@ trait TextClassifier { self: TextAnalysis.type =>
     * DataFrame (batch/stream parity spec-pinned).
     */
   def dsirWeightWith(df: DataFrame, textCol: String, lift: DataFrame,
-                     dim: Int = 32): DataFrame = {
+                     dim: Int = 32, maxN: Int = 1): DataFrame = {
     Seq("dsir_w", "__lv").foreach(c =>
       require(!df.columns.contains(c), s"dsirWeightWith reserves column name '$c'"))
     val lv = lift
@@ -383,7 +409,7 @@ trait TextClassifier { self: TextAnalysis.type =>
       .withColumn("dsir_w",
         // divide the density-relative features back by dim (exact dyadic)
         // so the weight is the plain per-token mean importance ratio
-        aggregate(zip_with(hashedBowFeatures(col(textCol), dim), col("__lv"),
+        aggregate(zip_with(hashedBowFeatures(col(textCol), dim, maxN), col("__lv"),
           (x, l) => (x / lit(dim.toDouble)) * l), lit(0.0), (a, v) => a + v))
       .drop("__lv")
   }

@@ -62,6 +62,36 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram feature map: gram counts partition 2t-1; features sum to dim") {
+    val dim = 8
+    val rows = corpus.select(
+        size(TextAnalysis.tokens(col("text"))).as("t"),
+        TextAnalysis.hashedTokenCounts(col("text"), dim, maxN = 2).as("c"),
+        TextAnalysis.hashedBowFeatures(col("text"), dim, maxN = 2).as("x"))
+      .select(col("t"),
+        aggregate(col("c"), lit(0), (a, v) => a + v).as("csum"),
+        aggregate(col("x"), lit(0.0), (a, v) => a + v).as("xsum"))
+      .collect()
+    rows.foreach { r =>
+      // t unigrams + (t-1) bigrams; a 1-token doc has unigrams only
+      assert(r.getInt(1) === 2 * r.getInt(0) - 1, r)
+      assert(math.abs(r.getDouble(2) - dim) < 1e-9, r)
+    }
+    // bigram buckets must differ from the unigram-only map (word order
+    // now matters): two docs with the same words in different orders get
+    // identical unigram counts but different bigram counts
+    val pair = Seq((1L, "red blue green"), (2L, "green blue red")).toDF("id", "text")
+    val m = pair.select(col("id"),
+        TextAnalysis.hashedTokenCounts(col("text"), 64, maxN = 1).as("u"),
+        TextAnalysis.hashedTokenCounts(col("text"), 64, maxN = 2).as("g"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Int](2))).toMap
+    assert(m(1L)._1 === m(2L)._1, "unigram maps must agree on permuted docs")
+    assert(m(1L)._2 !== m(2L)._2, "bigram maps must distinguish word order")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedTokenCounts(col("text"), 8, maxN = 3)
+    }
+  }
+
   test("training separates the teacher rule; score matches a driver fold") {
     val (w, b) = TextAnalysis.classifierTrainVector(
       corpus, "text", isPos, dim = 16, iters = 64, eta = 1.0 / 64)
