@@ -65,6 +65,34 @@ class LeakageSafeSplitSpec extends AnyFunSuite {
     assert((1L to 60L).count(i => safe(i) != safe(i + 1000L)) === 0)
   }
 
+  test("streaming twin: the batch call runs unchanged on a stream, parity-exact") {
+    // stateless shape (one stream-static left join + a hash projection),
+    // so arriving crawl docs split against the FROZEN cluster artifact
+    // with zero streaming state — the strongest streaming-twin form
+    // (the streamingExactDedupWith rule: the batch call IS the streaming call)
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L to 10L).map(i => (i, i + 20L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(
+      pairs, docs.select(col("doc_id").as("id")), "id")
+      .localCheckpoint(false) // freeze the artifact for both consumers
+    val want = TextAnalysis.leakageSafeSplit(docs, clusters, "doc_id")
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData((1L to 40L).map(i => (i, s"doc $i")): _*)
+    val q = TextAnalysis.leakageSafeSplit(
+        in.toDF().toDF("doc_id", "text"), clusters, "doc_id")
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .writeStream.format("memory").queryName("lk_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lk_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    graft.Cleanup.drain()
+    assert(got === want)
+  }
+
   test("singleton fallback, proportions, and guards") {
     val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val emptyClusters = Seq.empty[(Long, Long)].toDF("id", "rep")
