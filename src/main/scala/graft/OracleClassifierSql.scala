@@ -86,11 +86,14 @@ object OracleClassifierSql {
        |  FROM docs d JOIN dg g ON g.id = d.id JOIN qf q ON q.id = d.id)""".stripMargin
   }
 
-  /** The training-round chain through `w{iters}` (each: residuals against
-    * the previous round's weights, fixed-point gradient sums, update).
+  /** One class's training-round chain `${p}w0 .. ${p}w{iters}` (each
+    * round: residuals under `yExpr` against the previous round's weights,
+    * fixed-point gradient sums, update). Reads `feat` and `cn`, which the
+    * caller must have emitted; `yExpr` is the ±1 label over `f`. Emitted
+    * WITHOUT a trailing comma so chains concatenate.
     */
-  private def trainCtes(dim: Int, iters: Int, eta: Double,
-                        targetSql: String): String = {
+  private def trainChain(p: String, dim: Int, iters: Int, eta: Double,
+                         yExpr: String): String = {
     require(eta > 0 && java.lang.Double.isFinite(eta) &&
       math.abs(math.getExponent(eta)) <= 30 &&
       eta == math.pow(2, math.getExponent(eta)),
@@ -102,24 +105,93 @@ object OracleClassifierSql {
     // emb_coreset_kcenter lesson, DESIGN §12): w{r} references w{r-1}
     // twice — inlined, the chain re-expands combinatorially across 64
     // rounds and the statement never finishes
-    sb ++= featCtes(dim, targetSql)
-    sb ++= ",\ncn AS MATERIALIZED (SELECT count(*) AS n FROM feat),\n"
-    sb ++= s"w0 AS (SELECT list_transform(range(0, $dim), i -> 0.0) AS vv, 0.0 AS bias),\n"
+    sb ++= s"${p}w0 AS (SELECT list_transform(range(0, $dim), i -> 0.0) AS vv, 0.0 AS bias),\n"
     for (r <- 1 to iters) {
-      sb ++= s"m$r AS MATERIALIZED (SELECT f.x, f.y - (" +
+      sb ++= s"${p}m$r AS MATERIALIZED (SELECT f.x, ($yExpr) - (" +
         fold(s"list_transform(range(1, $d1), i -> f.x[i] * c.vv[i])") +
-        s" + c.bias) AS rs FROM feat f, w${r - 1} c),\n"
-      sb ++= s"a$r AS MATERIALIZED (SELECT i, " +
+        s" + c.bias) AS rs FROM feat f, ${p}w${r - 1} c),\n"
+      sb ++= s"${p}a$r AS MATERIALIZED (SELECT i, " +
         "sum(CAST(round(rs * x[i] * 1048576.0) AS HUGEINT)) AS sb " +
-        s"FROM m$r, unnest(range(1, $d1)) AS t(i) GROUP BY i),\n"
-      sb ++= s"b$r AS MATERIALIZED (SELECT sum(CAST(round(rs * 1048576.0) AS HUGEINT)) AS sb FROM m$r),\n"
-      sb ++= s"w$r AS MATERIALIZED (SELECT " +
+        s"FROM ${p}m$r, unnest(range(1, $d1)) AS t(i) GROUP BY i),\n"
+      sb ++= s"${p}b$r AS MATERIALIZED (SELECT sum(CAST(round(rs * 1048576.0) AS HUGEINT)) AS sb FROM ${p}m$r),\n"
+      sb ++= s"${p}w$r AS MATERIALIZED (SELECT " +
         s"(SELECT list(c.vv[a.i] + $e * ((CAST(a.sb AS DOUBLE) / 1048576.0) / CAST(cn.n AS DOUBLE)) ORDER BY a.i) " +
-        s"FROM a$r a, w${r - 1} c, cn) AS vv, " +
+        s"FROM ${p}a$r a, ${p}w${r - 1} c, cn) AS vv, " +
         s"(SELECT c.bias + $e * ((CAST(b.sb AS DOUBLE) / 1048576.0) / CAST(cn.n AS DOUBLE)) " +
-        s"FROM b$r b, w${r - 1} c, cn) AS bias)" + (if (r == iters) "\n" else ",\n")
+        s"FROM ${p}b$r b, ${p}w${r - 1} c, cn) AS bias)" + (if (r == iters) "" else ",\n")
     }
     sb.toString
+  }
+
+  /** The binary training prefix: features + count + one unprefixed chain
+    * through `w{iters}` (the shape every binary classifier oracle reads).
+    */
+  private def trainCtes(dim: Int, iters: Int, eta: Double,
+                        targetSql: String): String =
+    featCtes(dim, targetSql) +
+      ",\ncn AS MATERIALIZED (SELECT count(*) AS n FROM feat),\n" +
+      trainChain("", dim, iters, eta, "f.y") + "\n"
+
+  /** Feature CTEs with a multiclass STRING label `lbl` instead of the ±1
+    * `y`: the teacher is the 3-band stopword-density rule (lo < 0.12 ≤
+    * mid < 0.17 ≤ hi over the same rounded-4dp swr the binary teacher
+    * uses) — content-derived, balanced at every SF, and computed
+    * identically by both engines.
+    */
+  private def featCtesLabeled(dim: Int): String = {
+    val (ctes, last) = OracleHashSql.xxhChain("tok")
+    val chain = ctes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+    val toks = raw"string_split_regex(trim(text), '\s+')"
+    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+       |qf AS (SELECT doc_id AS id,
+       |  round(len(list_filter($toks, x -> list_contains($enMarkers, lower(x)))) * 1.0
+       |        / greatest(len($toks), 1), 4) AS swr
+       |  FROM documents),
+       |lb AS (SELECT id, CASE WHEN swr < 0.12 THEN 'lo'
+       |  WHEN swr < 0.17 THEN 'mid' ELSE 'hi' END AS lbl FROM qf),
+       |tok AS (SELECT id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM docs),
+       |$chain,
+       |hb AS (SELECT id, ((h % $dim) + $dim) % $dim AS b FROM $last),
+       |dg AS (SELECT id, list(b) AS hs, count(*) AS n FROM hb GROUP BY id),
+       |feat AS MATERIALIZED (SELECT d.id,
+       |  list_transform(range(0, $dim), bb ->
+       |    (CAST(len(list_filter(g.hs, z -> z = bb)) AS DOUBLE) * ${dlit(dim.toDouble)}.0) / CAST(g.n AS DOUBLE)) AS x,
+       |  l.lbl
+       |  FROM docs d JOIN dg g ON g.id = d.id JOIN lb l ON l.id = d.id)""".stripMargin
+  }
+
+  /** Oracle for `docs_classifier_multiclass`: one-vs-rest distillation of
+    * the langId teacher — |classes| independent LMS chains over the shared
+    * feature relation, then the argmax-margin prediction (CASE chain in
+    * class order: the earliest class wins exact-margin ties, matching
+    * `classifierPredict`'s (margin, -index) struct max) and the
+    * (teacher, predicted) confusion census.
+    */
+  def multiclassSql(classes: Seq[String], dim: Int = 32, iters: Int = 16,
+                    eta: Double = 1.0 / 64): String = {
+    require(classes.nonEmpty && classes.distinct == classes)
+    val chains = classes.map { c =>
+      trainChain(s"${c}_", dim, iters, eta,
+        s"CASE WHEN f.lbl = '$c' THEN 1.0 ELSE -1.0 END")
+    }.mkString(",\n")
+    val froms = classes.map(c => s"${c}_w$iters ${c}c").mkString(", ")
+    val margins = classes.map { c =>
+      fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * ${c}c.vv[i])") +
+        s" + ${c}c.bias AS m_$c"
+    }.mkString(",\n|  ")
+    val pred = classes.init.zipWithIndex.map { case (c, i) =>
+      val rest = classes.drop(i + 1).map(o => s"m_$c >= m_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$c'"
+    }.mkString("CASE\n|  ", "\n|  ", s"\n|  ELSE '${classes.last}' END")
+    s"""${featCtesLabeled(dim)},
+       |cn AS MATERIALIZED (SELECT count(*) AS n FROM feat),
+       |$chains,
+       |app AS (SELECT f.lbl,
+       |  $margins
+       |  FROM feat f, $froms),
+       |p AS (SELECT lbl, $pred AS pred FROM app)
+       |SELECT lbl AS band_true, pred AS band_pred, count(*) AS n
+       |FROM p GROUP BY lbl, pred ORDER BY band_true, band_pred""".stripMargin
   }
 
   /** Oracle for `docs_classifier_train`: the final weight vector (and

@@ -77,6 +77,29 @@ object SparkEntry {
       TextAnalysis.classifierTrainVector(classifierLabeled(s, dir), "text",
         classifierTarget, dim = 32, iters = 64, eta = 1.0 / 64))
 
+  // One-vs-rest distillation artifact (docs_classifier_multiclass): the
+  // teacher is the 3-BAND stopword-density rule (lo < 0.12 ≤ mid < 0.17 ≤
+  // hi over the binary teacher's own rounded swr) — content-derived AND
+  // balanced at every SF (langId was tried first and is 97% one class on
+  // this corpus, a degenerate demonstration; the metadata lang column is
+  // token-independent by construction and would train a coin flip).
+  // Alphabetical class order is the argmax tie-break priority. The mid
+  // band is an interval — NOT linearly separable one-vs-rest — which is
+  // exactly what makes the argmax composition the interesting part: the
+  // boundary probes approach their linear ceilings while mid is carved
+  // only where both neighbors go negative (measured 0.56 accuracy at 24
+  // rounds vs 0.59 at 48 — a structural ceiling, not under-training, so
+  // the cheaper round count is the right default).
+  private val multiclassClasses = Seq("hi", "lo", "mid")
+  private def densityBand = when(col("stopword_ratio") < 0.12, "lo")
+    .when(col("stopword_ratio") < 0.17, "mid").otherwise("hi")
+  private val multiclassMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), Seq[(String, Array[Double], Double)]]
+  private def multiclassArtifact(s: SparkSession, dir: String): Seq[(String, Array[Double], Double)] =
+    multiclassMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+      TextAnalysis.classifierTrainOneVsRest(classifierLabeled(s, dir), "text",
+        densityBand, multiclassClasses, dim = 32, iters = 24, eta = 1.0 / 64))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
@@ -910,6 +933,23 @@ object SparkEntry {
         .withColumn("acc_r", round(col("n_correct").cast("double") /
           col("n_docs").cast("double"), 4))
         .orderBy(col("source"))
+    }),
+    "docs_classifier_multiclass" -> ((s, dir) => {
+      // one-vs-rest distillation of the 3-band density teacher into 3
+      // scan-speed linear probes (24 LMS rounds each over ONE shared
+      // featurized checkpoint), reported as the (teacher, predicted)
+      // confusion census. Argmax ties break to the alphabetically-first
+      // class — bit-exact in both engines (margins are index-order
+      // folds), and the oracle replays all 3×8 training rounds as
+      // prefixed CTE chains
+      val models = multiclassArtifact(s, dir)
+      classifierLabeled(s, dir)
+        .select(densityBand.as("band_true"),
+          TextAnalysis.classifierPredict(col("text"), models, dim = 32)
+            .as("band_pred"))
+        .groupBy(col("band_true"), col("band_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("band_true"), col("band_pred"))
     }),
     "docs_classifier_calibration" -> ((s, dir) => {
       // the reliability diagram next to the accuracy number: margin
@@ -3006,6 +3046,8 @@ object SparkEntry {
       "docs_classifier_train" -> OracleClassifierSql.weightsSql(),
       "docs_classifier_apply" -> OracleClassifierSql.applySql(),
       "docs_classifier_calibration" -> OracleClassifierSql.calibrationSql(),
+      "docs_classifier_multiclass" ->
+        OracleClassifierSql.multiclassSql(multiclassClasses, iters = 24),
       "docs_dsir_lift" -> OracleClassifierSql.liftSql(),
       "docs_dsir_select" -> OracleClassifierSql.selectSql(),
       "docs_dsir_resample" -> OracleClassifierSql.resampleSql(),

@@ -182,11 +182,7 @@ trait TextClassifier { self: TextAnalysis.type =>
   def classifierTrainVector(df: DataFrame, textCol: String, positive: Column,
                             dim: Int = 32, iters: Int = 64,
                             eta: Double = 1.0 / 64): (Array[Double], Double) = {
-    require(iters >= 1, s"classifierTrainVector: iters must be >= 1: $iters")
-    require(eta > 0 && java.lang.Double.isFinite(eta) &&
-      math.abs(math.getExponent(eta)) <= 30 &&
-      eta == math.pow(2, math.getExponent(eta)),
-      s"classifierTrainVector: eta must be a dyadic power of two (exact double arithmetic): $eta")
+    requireTrainParams("classifierTrainVector", iters, eta)
     // null-text rows carry no features (every sum skips them) but would
     // still inflate the 1/n divisor — and the oracle's unnest drops them
     // entirely. Exclude them up front so both engines train on the same n.
@@ -197,6 +193,25 @@ trait TextClassifier { self: TextAnalysis.type =>
         .localCheckpoint(false))
     val n = base.count()
     require(n > 0, "classifierTrainVector: empty corpus (no non-null text)")
+    lmsRounds(base, col("y"), n, dim, iters, eta)
+  }
+
+  private def requireTrainParams(op: String, iters: Int, eta: Double): Unit = {
+    require(iters >= 1, s"$op: iters must be >= 1: $iters")
+    require(eta > 0 && java.lang.Double.isFinite(eta) &&
+      math.abs(math.getExponent(eta)) <= 30 &&
+      eta == math.pow(2, math.getExponent(eta)),
+      s"$op: eta must be a dyadic power of two (exact double arithmetic): $eta")
+  }
+
+  /** The shared LMS round loop over an already-featurized checkpoint
+    * (`base` must carry the feature array `x`; `y` is the ±1 label
+    * expression over base's columns). One shuffle-free codegen scan per
+    * round; the fixed-point decimal sums make the trajectory
+    * order-independent (see [[classifierTrainVector]]).
+    */
+  private def lmsRounds(base: DataFrame, y: Column, n: Long, dim: Int,
+                        iters: Int, eta: Double): (Array[Double], Double) = {
     val Q = 1048576.0 // 2^20: exact power-of-two fixed-point scale
     val nD = n.toDouble
     var w = Array.fill(dim)(0.0)
@@ -208,7 +223,7 @@ trait TextClassifier { self: TextAnalysis.type =>
       // the residual computes ONCE per row in a lower projection — inlined
       // into each of the dim+1 sums it would re-run its dim-element fold
       // per aggregate expression (no CSE across aggregate buffers)
-      val scored = base.select(col("x"), (col("y") - sc).as("__r"))
+      val scored = base.select(col("x"), (y - sc).as("__r"))
       // round → long → decimal: |(y−s)·x_b·2^20| stays far under 2^53
       // (integral double after round), so the long hop is exact (the
       // powerIteration cast chain — Decimal(long) skips per-element
@@ -223,6 +238,53 @@ trait TextClassifier { self: TextAnalysis.type =>
       bias = bias + eta * ((row.getDecimal(dim).longValue().toDouble / Q) / nD)
     }
     (w, bias)
+  }
+
+  /** One-vs-rest multiclass training: one binary LMS probe per class over
+    * ONE shared featurized checkpoint — the corpus featurizes and
+    * materializes once, then each class runs its `iters` shuffle-free
+    * round scans against it (|classes|·iters scans total; at 100 TB this
+    * is the featurize-once discipline that makes multiclass affordable).
+    * The canonical use is distilling a rule-based multiclass teacher
+    * (e.g. the marker-count [[langId]]) into scan-speed linear probes.
+    * Same determinism contract as [[classifierTrainVector]] per class.
+    * Returns (class, weights, bias) in the caller's class order — the
+    * order [[classifierPredict]] uses for tie-breaking.
+    */
+  def classifierTrainOneVsRest(df: DataFrame, textCol: String, label: Column,
+                               classes: Seq[String], dim: Int = 32,
+                               iters: Int = 16, eta: Double = 1.0 / 64)
+      : Seq[(String, Array[Double], Double)] = {
+    requireTrainParams("classifierTrainOneVsRest", iters, eta)
+    require(classes.nonEmpty && classes.distinct == classes,
+      s"classifierTrainOneVsRest: classes must be non-empty and distinct: $classes")
+    val base = graft.Cleanup.register(
+      df.where(col(textCol).isNotNull)
+        .select(hashedBowFeatures(col(textCol), dim).as("x"), label.as("__lbl"))
+        .localCheckpoint(false))
+    val n = base.count()
+    require(n > 0, "classifierTrainOneVsRest: empty corpus (no non-null text)")
+    classes.map { c =>
+      val y = when(col("__lbl") === lit(c), 1.0).otherwise(-1.0)
+      val (w, b) = lmsRounds(base, y, n, dim, iters, eta)
+      (c, w, b)
+    }
+  }
+
+  /** Multiclass prediction: argmax of the per-class margins, ties broken
+    * to the EARLIEST class in `models` order (struct max over
+    * (margin, -index) — margins are bit-identical index-order folds in
+    * both engines, so the winner can never diverge). |models| feature
+    * folds per row, all scan-speed literals.
+    */
+  def classifierPredict(text: Column, models: Seq[(String, Array[Double], Double)],
+                        dim: Int = 32): Column = {
+    require(models.nonEmpty, "classifierPredict: no models")
+    val scored = models.zipWithIndex.map { case ((c, w, b), i) =>
+      struct(classifierScore(text, w, b, dim).as("m"),
+        lit(-i).as("ni"), lit(c).as("c"))
+    }
+    array_max(array(scored: _*)).getField("c")
   }
 
   /** The trained weight vector as a relation: (pos, w) with pos ∈

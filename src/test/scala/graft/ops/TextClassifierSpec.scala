@@ -214,6 +214,39 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("one-vs-rest: separable 3-class teacher learned; per-class chain " +
+       "equals the binary trainer; argmax ties break to earliest class") {
+    val rnd = new scala.util.Random(11)
+    val mk = Vector("alpha", "bravo", "carol")
+    val tri = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, (s"${mk(c)} " * (3 + rnd.nextInt(3))) + s"w${rnd.nextInt(9)}", mk(c))
+    }.toDF("id", "text", "cls")
+    val models = TextAnalysis.classifierTrainOneVsRest(
+      tri, "text", col("cls"), mk, dim = 16, iters = 16)
+    val pred = tri.select(col("cls"),
+        TextAnalysis.classifierPredict(col("text"), models, dim = 16).as("p"))
+      .collect()
+    val acc = pred.count(r => r.getString(0) == r.getString(1)) / pred.length.toDouble
+    assert(acc >= 0.95, s"separable marker classes must be learned: $acc")
+    // each class's probe is EXACTLY the binary trainer under the same
+    // one-vs-rest label (the shared-checkpoint refactor changes nothing)
+    val (wb, bb) = TextAnalysis.classifierTrainVector(
+      tri, "text", col("cls") === "bravo", dim = 16, iters = 16)
+    graft.Cleanup.drain()
+    val mb = models.find(_._1 == "bravo").get
+    assert(mb._2.toSeq === wb.toSeq && mb._3 === bb)
+    // exact-margin ties go to the EARLIEST model in order
+    val tied = Seq(("z", Array.fill(4)(0.0), 1.0), ("a", Array.fill(4)(0.0), 1.0))
+    val winner = tri.limit(1).select(
+      TextAnalysis.classifierPredict(col("text"), tied, dim = 4)).head.getString(0)
+    assert(winner === "z", "tie must break to the first model, not alphabetically")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierTrainOneVsRest(tri, "text", col("cls"),
+        Seq("a", "a"), dim = 4)
+    }
+  }
+
   test("classifierCalibration: census foots, buckets clamped, share exact") {
     val (w, b) = TextAnalysis.classifierTrainVector(
       corpus, "text", isPos, dim = 8, iters = 8)
