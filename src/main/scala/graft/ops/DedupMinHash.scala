@@ -431,19 +431,30 @@ trait DedupMinHash { self: Dedup.type =>
     * The DuckDB oracle replays the cap exactly, so the trade is
     * value-checked, not hidden.
     *
-    * 100 TB shape: one gram explode, one ≤maxDf-bounded self-join keyed
-    * on the gram string, one (id_a, id_b) count aggregate, one
-    * broadcast-size join back to per-doc counts. All exchange keys are
-    * data-scale (gram, id pair); no window, no driver state.
+    * 100 TB shape: one gram explode, one ≤maxDf-bounded self-join, one
+    * (id_a, id_b) count aggregate, one broadcast-size join back to
+    * per-doc counts. Every corpus-scale exchange — the df census, the
+    * semi-join, and the candidate self-join — is keyed on xxhash64(gram)
+    * 8-byte longs, never the gram string (the `dupGramBuild`
+    * hashGrams rule: word `shingleN`-grams average tens of bytes, so the
+    * exploded gram relation's shuffle payload drops ~5×). The DuckDB
+    * oracle keeps RAW-STRING grouping, so a hash collision (two distinct
+    * grams sharing an xxhash64, inflating an intersection count) fails
+    * the hash compare loudly instead of passing silently. No window, no
+    * driver state.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
                        threshold: Double, maxDf: Int): DataFrame = {
     require(maxDf > 0, "containmentPairs requires a positive gram df cap " +
       "(the self-join is quadratic in the hottest gram's document frequency)")
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // hash at the explode — no downstream operator ever needs the string
+    // back (counts and sizes are gram-identity-only), so the string dies
+    // before the first exchange
     val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val cool = ex.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val cool = ex.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
     // materialize the capped gram relation ONCE: it feeds BOTH sides of
     // the self-join, and without the checkpoint each side re-pays the
@@ -451,9 +462,9 @@ trait DedupMinHash { self: Dedup.type =>
     // → 3.4 s at sf0.1 — the minHashEstimatedPairs lesson; the remaining
     // cost is the genuine Σ df² directed-candidate aggregate)
     val bounded = graft.Cleanup.register(
-      ex.join(cool.select(col("g")), Seq("g"), "leftsemi").localCheckpoint(false))
+      ex.join(cool.select(col("gh")), Seq("gh"), "leftsemi").localCheckpoint(false))
     val inter = bounded.as("a").join(bounded.as("b"),
-        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+        col("a.gh") === col("b.gh") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -469,8 +480,12 @@ trait DedupMinHash { self: Dedup.type =>
     * batch-invariant like `crossCorpusNearDupsWith`'s bucket cap: how a
     * crawl is micro-batched can never change which grams survive, and
     * every surviving gram bounds probe fan-out at `maxDf` reference rows
-    * per new-doc gram). In production this is persisted once per
-    * reference snapshot (parquet keyed by gram hash); `persist()` is the
+    * per new-doc gram). `refGrams` carries (gh = xxhash64(gram), id_ref) —
+    * 16 bytes/row however long the grams are (the `containmentPairs`
+    * hashing rule; probes hash their own grams before the join, and the
+    * raw-string DuckDB oracle turns any collision into a loud hash
+    * mismatch). In production this is persisted once per reference
+    * snapshot (parquet keyed by gram hash); `persist()` is the
     * in-session form.
     */
   case class ContainmentIndex(refGrams: DataFrame, shingleN: Int, maxDf: Int) {
@@ -485,10 +500,11 @@ trait DedupMinHash { self: Dedup.type =>
                        shingleN: Int, maxDf: Int): ContainmentIndex = {
     require(maxDf > 0, "containmentBuild requires a positive reference-side gram df cap")
     val grams = reference.select(col(idCol).as("id_ref"),
-      explode(shingles(col(textCol), shingleN)).as("g"))
-    val cool = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select(col("g"))
-    ContainmentIndex(grams.join(cool, Seq("g"), "leftsemi"), shingleN, maxDf)
+        explode(shingles(col(textCol), shingleN)).as("g"))
+      .select(col("id_ref"), xxhash64(col("g")).as("gh"))
+    val cool = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("gh"))
+    ContainmentIndex(grams.join(cool, Seq("gh"), "leftsemi"), shingleN, maxDf)
   }
 
   /** One-shot convenience: build the reference artifact and probe it. */
@@ -518,8 +534,9 @@ trait DedupMinHash { self: Dedup.type =>
     val sh = corpus.select(col(idCol).as("id_new"),
       shingles(col(textCol), index.shingleN).as("sh"))
     val ex = sh.select(col("id_new"), explode(col("sh")).as("g"))
+      .select(col("id_new"), xxhash64(col("g")).as("gh"))
     val sizes = sh.select(col("id_new"), size(col("sh")).as("n"))
-    ex.join(index.refGrams, Seq("g"))
+    ex.join(index.refGrams, Seq("gh"))
       .groupBy(col("id_new"), col("id_ref")).agg(count(lit(1)).as("__c"))
       .join(sizes, "id_new")
       .withColumn("__cont", col("__c").cast("double") / col("n"))
@@ -548,8 +565,9 @@ trait DedupMinHash { self: Dedup.type =>
         shingles(col(textCol), index.shingleN).as("__sh"))
       .withColumn("__n", size(col("__sh")))
       .select(col("ts"), col("id_new"), col("__n"), explode(col("__sh")).as("g"))
+      .select(col("ts"), col("id_new"), col("__n"), xxhash64(col("g")).as("gh"))
       .withWatermark("ts", watermark)
-      .join(index.refGrams, Seq("g")) // stream-static: no state
+      .join(index.refGrams, Seq("gh")) // stream-static: no state
       .groupBy(window(col("ts"), windowLen), col("id_new"), col("__n"), col("id_ref"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("containment_r",

@@ -455,6 +455,21 @@ class DedupSpec extends AnyFunSuite {
       val u = uncapped.getOrElse((a, b), 0.0)
       assert(c <= u + 1e-9, s"cap RAISED containment for ($a,$b): $c > $u")
     }
+
+    // plan pin (round 11): the candidate self-join must key on LONGs —
+    // the hashGrams rule applied to the one corpus-scale exchange this
+    // family still carried on raw gram strings; a string key here is a
+    // ~5× shuffle-payload regression at scale
+    val joins = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6, maxDf = 100)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isDefined => j }
+    val keyTypes = joins.flatMap(_.condition.get.collect {
+      case eq: org.apache.spark.sql.catalyst.expressions.EqualTo => eq.left.dataType })
+    assert(keyTypes.contains(org.apache.spark.sql.types.LongType),
+      s"no long-keyed join found in containmentPairs plan: $keyTypes")
+    assert(!keyTypes.contains(org.apache.spark.sql.types.StringType),
+      s"containmentPairs still carries a string-keyed join: $keyTypes")
   }
 
   test("cross-corpus containment: artifact == one-shot; batch folding invariant; matches directed brute force") {

@@ -472,7 +472,8 @@ class StreamTextPipelineSpec extends AnyFunSuite {
       val sh = fresh.select($"doc_id".as("id_new"),
         graft.ops.Dedup.shingles($"text", 3).as("sh"))
       val expect = sh.select($"id_new", size($"sh").as("n"), explode($"sh").as("g"))
-        .join(idx.refGrams, Seq("g"))
+        .select($"id_new", $"n", xxhash64($"g").as("gh"))
+        .join(idx.refGrams, Seq("gh"))
         .groupBy($"id_new", $"id_ref", $"n").agg(count(lit(1)).as("c"))
         .filter(round($"c".cast("double") / $"n", 4) >= 0.6)
         .select($"id_new", $"id_ref").as[(Long, Long)].collect().toSet
