@@ -45,7 +45,8 @@ object Bench {
     "text_cms_heavy", "text_textrank", "emb_ivf_recall",
     "emb_pq_codes", "emb_pq_topk", "emb_pq_distortion", "emb_ivfpq_topk",
     "docs_cluster_labels", "events_attribution", "emb_hamming_topk",
-    "docs_dedup_survivorship", "docs_weighted_sample_by", "emb_hamming_refined")
+    "docs_dedup_survivorship", "docs_weighted_sample_by", "emb_hamming_refined",
+    "docs_classifier_multiclass_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,17 +71,17 @@ object Bench {
       force(spark.range(1000000).selectExpr("sum(id) as s"))
     } catch { case _: Throwable => () }
 
-    // min of two runs per query (three for the headline subset): the
-    // second run reuses warmed code paths, and min-of-N suppresses
-    // GC/compilation noise from earlier queries in the shared JVM — this
-    // is the steady-state number a long-running cluster job would see.
-    // The headline queries' third sample exists for the median/spread
-    // stats below (round 9): two unchanged queries once swung +131%/+35%
-    // on single-shot shared-box timing, burning a round of git
-    // archaeology to prove non-regression — the median-of-3 with min/max
-    // spread makes round-over-round comparison noise-aware. The rest of
-    // the sweep stays at two runs so the headline "total" remains
-    // comparable with earlier rounds' payloads.
+    // three runs per query, EVERY query (round 11 — previously 2 with a
+    // 3-sample headline subset): min-of-3 suppresses GC/compilation noise
+    // from earlier queries in the shared JVM (the steady-state number a
+    // long-running cluster job would see), and the med/min/max spread now
+    // covers the full sweep. The round-10 driver capture carried a
+    // 24.99 s single-shot `emb_pca_power` where the committed same-code
+    // run measured 2.97 s — an 8× box-noise artifact sitting exactly in
+    // the 89-query gap the old headline-only stats didn't cover, misread
+    // as a regression by anyone not doing git archaeology. No
+    // single-shot (or spread-less) figure appears anywhere in the
+    // payload now.
     def time(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
              runsFor: String => Int) =
       entries.sortBy(_._1).map { case (name, fn) =>
@@ -104,19 +105,19 @@ object Bench {
     val (oracleEntries, prodEntries) =
       SparkEntry.queries.toSeq.partition(e => SparkEntry.oracleOnly(e._1))
     val headlineSet = headline.toSet
-    val prodSamples = time(prodEntries, n => if (headlineSet(n)) 3 else 2)
+    val prodSamples = time(prodEntries, _ => 3)
     val results = prodSamples.map { case (n, ts) => n -> ts.min }
-    // oracle entries get the same 3-sample treatment as the headline
-    // (round 10): dedup_ngram_jaccard once swung 3.02→2.26 s across
-    // rounds on a single-shot timer — pure box noise that med/min/max
-    // spread stats make visible instead of debatable
     val oracleSamples = time(oracleEntries, _ => 3)
     val oracleResults = oracleSamples.map { case (n, ts) => n -> ts.min }
     // per-query median with min/max spread over the 3 samples — goes in
-    // the full payload only (the compact stdout line is size-capped)
+    // the full payload only (the compact stdout line is size-capped).
+    // `query_stats` covers EVERY production query; `headline_stats` is
+    // retained as the stable subset earlier rounds' payloads carried so
+    // round-over-round comparisons don't lose their anchor.
     def spread(samples: Seq[(String, Seq[Double])]) =
       samples.map { case (n, ts) => val s = ts.sorted; n -> (s(s.size / 2), s.head, s.last) }
-    val headlineStats = spread(prodSamples.filter(e => headlineSet(e._1)))
+    val queryStats = spread(prodSamples)
+    val headlineStats = queryStats.filter(e => headlineSet(e._1))
     val oracleStats = spread(oracleSamples)
     // Router throughput: the reference's own workload shape — a synthetic
     // corpus with sample_input.txt's composition (noise + matches + CIDR
@@ -207,11 +208,12 @@ object Bench {
         "\"" + k + s"""\":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}""" }
       .mkString("{", ",", "}")
     val statsJson = statsObj(headlineStats)
+    val queryStatsJson = statsObj(queryStats)
     val oracleStatsJson = statsObj(oracleStats)
     val tailCommon =
       s""""sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec}$streamJson}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results, fmt)},"headline_stats":$statsJson,"oracles":${obj(oracleResults, fmt)},"oracle_stats":$oracleStatsJson,""" + tailCommon
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results, fmt)},"headline_stats":$statsJson,"query_stats":$queryStatsJson,"oracles":${obj(oracleResults, fmt)},"oracle_stats":$oracleStatsJson,""" + tailCommon
 
     // The driver keeps only the LAST 2000 characters of the sbt log (plus
     // sbt's ~81-char "[success] ..." trailer lands after us), so the final

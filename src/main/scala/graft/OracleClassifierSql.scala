@@ -170,6 +170,12 @@ object OracleClassifierSql {
   def multiclassSql(classes: Seq[String], dim: Int = 32, iters: Int = 16,
                     eta: Double = 1.0 / 64): String = {
     require(classes.nonEmpty && classes.distinct == classes)
+    // class names are interpolated verbatim into CTE identifiers
+    // (`${c}_w0`) and string literals — a space, quote, or dash would
+    // emit malformed SQL with no loud precondition (round-10 advice
+    // finding); fail here, not in DuckDB's parser
+    require(classes.forall(_.matches("[A-Za-z0-9_]+")),
+      s"multiclassSql: class names must be SQL-identifier-safe ([A-Za-z0-9_]+): $classes")
     val chains = classes.map { c =>
       trainChain(s"${c}_", dim, iters, eta,
         s"CASE WHEN f.lbl = '$c' THEN 1.0 ELSE -1.0 END")

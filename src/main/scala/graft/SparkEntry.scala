@@ -951,6 +951,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("band_true"), col("band_pred"))
     }),
+    "docs_classifier_multiclass_apply" -> ((s, dir) => {
+      // the SAME confusion census scored through the RELATIONAL seam:
+      // the one-vs-rest artifact lives as a (cls, cls_idx, pos, w)
+      // relation (classifierWeightsMulti — at 100 TB: train once,
+      // persist the 3·33-row table, score every later crawl or stream
+      // through classifierPredictWith's broadcast fold). Predictions are
+      // bit-identical to the in-memory path (spec-pinned), so this query
+      // shares docs_classifier_multiclass's full 3×24-round oracle
+      // replay — the strongest possible check that the seam loses
+      // nothing: same hash, different execution path
+      val model = TextAnalysis.classifierWeightsMultiFrom(
+        multiclassArtifact(s, dir), s)
+      TextAnalysis.classifierPredictWith(
+          classifierLabeled(s, dir).select(col("text"),
+            densityBand.as("band_true")),
+          "text", model, dim = 32)
+        .groupBy(col("band_true"), col("clf_pred").as("band_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("band_true"), col("band_pred"))
+    }),
     "docs_classifier_calibration" -> ((s, dir) => {
       // the reliability diagram next to the accuracy number: margin
       // buckets (0.25-wide, clamped to [-2,2)) × observed teacher-positive
@@ -3047,6 +3067,12 @@ object SparkEntry {
       "docs_classifier_apply" -> OracleClassifierSql.applySql(),
       "docs_classifier_calibration" -> OracleClassifierSql.calibrationSql(),
       "docs_classifier_multiclass" ->
+        OracleClassifierSql.multiclassSql(multiclassClasses, iters = 24),
+      "docs_classifier_multiclass_apply" ->
+        // the relational-seam twin is bit-identical to the in-memory
+        // path by construction (classifierPredictWith spec), so it
+        // replays the SAME 3×24-round training + argmax census — one
+        // oracle, two execution paths, both must land on its hash
         OracleClassifierSql.multiclassSql(multiclassClasses, iters = 24),
       "docs_dsir_lift" -> OracleClassifierSql.liftSql(),
       "docs_dsir_select" -> OracleClassifierSql.selectSql(),

@@ -275,7 +275,11 @@ trait TextClassifier { self: TextAnalysis.type =>
     * to the EARLIEST class in `models` order (struct max over
     * (margin, -index) — margins are bit-identical index-order folds in
     * both engines, so the winner can never diverge). |models| feature
-    * folds per row, all scan-speed literals.
+    * folds per row, all scan-speed literals. A null document predicts
+    * NULL, matching [[classifierScore]]'s null propagation — without the
+    * guard, every struct's margin field is null and the array_max tie
+    * falls through to index 0, a plausible-looking wrong label
+    * (round-10 advice finding).
     */
   def classifierPredict(text: Column, models: Seq[(String, Array[Double], Double)],
                         dim: Int = 32): Column = {
@@ -284,7 +288,7 @@ trait TextClassifier { self: TextAnalysis.type =>
       struct(classifierScore(text, w, b, dim).as("m"),
         lit(-i).as("ni"), lit(c).as("c"))
     }
-    array_max(array(scored: _*)).getField("c")
+    when(text.isNotNull, array_max(array(scored: _*)).getField("c"))
   }
 
   /** The trained weight vector as a relation: (pos, w) with pos ∈
@@ -342,6 +346,87 @@ trait TextClassifier { self: TextAnalysis.type =>
               slice(col("__wv"), 1, dim), (x, w) => x * w),
             lit(0.0), (a, v) => a + v) + element_at(col("__wv"), dim + 1)))
       .drop("__wv")
+  }
+
+  /** The one-vs-rest model as a relation: (cls, cls_idx, pos, w) with the
+    * per-class layout of [[classifierWeightsFrom]] (pos ∈ [0, dim)
+    * feature buckets, pos = dim the bias) plus `cls_idx` carrying the
+    * tie-break order [[classifierPredict]] uses — the multiclass half of
+    * the train-once/score-everywhere seam (the binary half is
+    * [[classifierWeights]]; round-10's "seam-asymmetry" lesson: the
+    * in-memory `Seq[(String, Array[Double], Double)]` could never leave
+    * the driver that trained it, so every later crawl or stream had to
+    * retrain). |classes|·(dim+1) rows; weights UNROUNDED exact doubles so
+    * parquet round-trips them bit-for-bit and [[classifierPredictWith]]
+    * reproduces [[classifierPredict]] exactly (spec-pinned).
+    */
+  def classifierWeightsMultiFrom(models: Seq[(String, Array[Double], Double)],
+                                 spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    require(models.nonEmpty, "classifierWeightsMultiFrom: no models")
+    models.zipWithIndex.flatMap { case ((c, w, b), ci) =>
+      (w :+ b).toIndexedSeq.zipWithIndex.map { case (x, i) =>
+        (c, ci.toLong, i.toLong, x) }
+    }.toDF("cls", "cls_idx", "pos", "w")
+  }
+
+  /** Train one-vs-rest and return the persistable model relation — the
+    * multiclass twin of [[classifierWeights]].
+    */
+  def classifierWeightsMulti(df: DataFrame, textCol: String, label: Column,
+                             classes: Seq[String], dim: Int = 32,
+                             iters: Int = 16, eta: Double = 1.0 / 64): DataFrame =
+    classifierWeightsMultiFrom(
+      classifierTrainOneVsRest(df, textCol, label, classes, dim, iters, eta),
+      df.sparkSession)
+
+  /** Predict classes for a corpus or STREAM against a persisted
+    * [[classifierWeightsMulti]] relation — the apply half of the
+    * multiclass seam. The |classes|·(dim+1)-row model folds into ONE
+    * broadcast array of (cls_idx, cls, wv) structs ordered by cls_idx;
+    * each row featurizes once (`__x` is a materialized column, so the
+    * per-class lambda reads an attribute instead of re-running the
+    * feature fold — the hashedBowFeatures HOF-hoisting rule) and takes
+    * the same (margin, -idx) struct argmax as [[classifierPredict]], so
+    * predictions are bit-identical under the same weights (spec-pinned).
+    * Stateless — a projection plus a broadcast 1-row cross join — so the
+    * same call scores a streaming DataFrame unchanged (static model
+    * side, zero state; parity spec-pinned).
+    *
+    * Artifact-integrity guard: `clf_pred` is NULL (never a
+    * plausible-looking label) when any class's weight vector has the
+    * wrong width OR the cls_idx sequence is not contiguous from 0 — a
+    * model relation missing a class's rows (a partial write, a bad
+    * filter) or carrying duplicate positions must fail loudly, the
+    * [[classifierScoreWith]] wrong-width rule extended to the dimension
+    * relational multiclass artifacts add. Null text predicts null,
+    * matching [[classifierPredict]].
+    */
+  def classifierPredictWith(df: DataFrame, textCol: String, model: DataFrame,
+                            dim: Int = 32): DataFrame = {
+    Seq("clf_pred", "__x", "__models").foreach(c =>
+      require(!df.columns.contains(c), s"classifierPredictWith reserves column name '$c'"))
+    val packed = model
+      .groupBy(col("cls"), col("cls_idx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("s"))
+      .select(struct(col("cls_idx"), col("cls"),
+        transform(col("s"), x => x("w")).as("wv")).as("m"))
+      .agg(sort_array(collect_list(col("m"))).as("__models"))
+    val ok = size(col("__models")) >= 1 &&
+      forall(col("__models"), m => size(m("wv")) === dim + 1) &&
+      forall(zip_with(col("__models"),
+          sequence(lit(0L), size(col("__models")).cast("long") - 1L),
+          (m, i) => m("cls_idx") === i), x => x)
+    val scored = transform(col("__models"), m =>
+      struct(
+        (aggregate(zip_with(col("__x"), slice(m("wv"), 1, dim), (x, w) => x * w),
+          lit(0.0), (a, v) => a + v) + element_at(m("wv"), dim + 1)).as("m"),
+        (-m("cls_idx")).as("ni"), m("cls").as("c")))
+    df.crossJoin(broadcast(packed))
+      .withColumn("__x", hashedBowFeatures(col(textCol), dim))
+      .withColumn("clf_pred",
+        when(col(textCol).isNotNull && ok, array_max(scored).getField("c")))
+      .drop("__x", "__models")
   }
 
   /** Reliability census of a trained classifier — the calibration

@@ -312,4 +312,69 @@ class TextClassifierSpec extends AnyFunSuite {
         "id", "text", col("is_t"))
     }
   }
+
+  test("classifierPredictWith reproduces classifierPredict bit-for-bit " +
+       "through a parquet round-trip, batch and stream; guards fire") {
+    val rnd = new scala.util.Random(13)
+    val mk = Vector("alpha", "bravo", "carol")
+    val tri = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, (s"${mk(c)} " * (3 + rnd.nextInt(3))) + s"w${rnd.nextInt(9)}", mk(c))
+    }.toDF("id", "text", "cls")
+    val models = TextAnalysis.classifierTrainOneVsRest(
+      tri, "text", col("cls"), mk, dim = 16, iters = 16)
+    graft.Cleanup.drain()
+    val want = tri.select(col("id"),
+        TextAnalysis.classifierPredict(col("text"), models, dim = 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the persisted-artifact contract: write the (cls, cls_idx, pos, w)
+    // RELATION, read it back, and demand identical labels
+    val dir = java.nio.file.Files.createTempDirectory("clfm").toString
+    TextAnalysis.classifierWeightsMultiFrom(models, spark)
+      .write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    def predictions(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.classifierPredictWith(df, "text", model, dim = 16)
+        .select(col("id"), col("clf_pred"))
+    val got = predictions(tri).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want)
+    // null text predicts NULL — matching classifierPredict's round-11
+    // null propagation (both paths, pinned here side by side)
+    val withNull = Seq((999L, null.asInstanceOf[String], "x")).toDF("id", "text", "cls")
+    assert(predictions(withNull).collect().forall(_.isNullAt(1)))
+    assert(withNull.select(TextAnalysis.classifierPredict(
+        col("text"), models, dim = 16)).collect().forall(_.isNullAt(0)))
+    // stateless ⇒ the same call runs unchanged on a stream with parity
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData(tri.select(col("id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+    val q = TextAnalysis.classifierPredictWith(
+        in.toDF().toDF("id", "text"), "text", model, dim = 16)
+      .select(col("id"), col("clf_pred"))
+      .writeStream.format("memory").queryName("clfm_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("clfm_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === want)
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierPredictWith(
+        tri.withColumn("clf_pred", lit("x")), "text", model, dim = 16)
+    }
+    // wrong-WIDTH artifact (a class with dim+1 ≠ expected rows) must
+    // surface as null labels, never a partial-dot-product argmax
+    val wide = TextAnalysis.classifierWeightsMultiFrom(
+      mk.map(c => (c, Array.fill(16)(0.5), 0.25)), spark) // 17-wide vs dim=8
+    assert(TextAnalysis.classifierPredictWith(tri, "text", wide, dim = 8)
+      .select(col("clf_pred")).collect().forall(_.isNullAt(0)))
+    // MISSING-CLASS artifact (one class's rows filtered away leaves a
+    // cls_idx gap) must also null out — a partial write or bad filter
+    // may never silently re-label a corpus with the surviving classes
+    val gap = model.filter(col("cls") =!= "bravo")
+    assert(TextAnalysis.classifierPredictWith(tri, "text", gap, dim = 16)
+      .select(col("clf_pred")).collect().forall(_.isNullAt(0)))
+  }
 }
