@@ -204,16 +204,22 @@ trait TextRetrieval { self: TextAnalysis.type =>
     * below.
     *
     * Scale shape: the edge relation is built once (one token-pair
-    * explode + one (a, b) count aggregate) and persisted; each round is
-    * ONE join keyed on the source node + ONE aggregate keyed on the
-    * destination — both data-scale keys, no window, no driver state
-    * (ranks live relational; nothing collects). Isolated nodes (no
-    * edges) hold the damping floor via the left join from the node
-    * relation, so the node set never shrinks across rounds. At real
-    * scale, pre-partitioning ranks and edges on the node key makes the
-    * per-round join exchange-free; `iters` is a small constant (10 —
-    * TextRank converges in 20–30 rounds at 1e-4, and ranking stabilizes
-    * much earlier).
+    * explode + one (a, b) count aggregate), REPARTITIONED ON THE SOURCE
+    * KEY, and persisted — the checkpoint pins HashPartitioning(a), so
+    * every round's rank join (a = w) and the strength aggregate
+    * (groupBy a) are exchange-free against it, and the node relation
+    * (distinct ⇒ hash-partitioned on w) keeps the rank relation
+    * co-partitioned through the left join. The ONE exchange each round
+    * keeps is the contribution aggregate keyed on the DESTINATION node —
+    * that is the data motion PageRank is (rank mass genuinely moves from
+    * u to v); everything else rides the pinned partitioning
+    * (plan-pinned: setup + ~1 exchange/round, was ~5/round before
+    * round 11). No window, no driver state (ranks live relational;
+    * nothing collects). Isolated nodes (no edges) hold the damping floor
+    * via the left join from the node relation, so the node set never
+    * shrinks across rounds. `iters` is a small constant (10 — TextRank
+    * converges in 20–30 rounds at 1e-4, and ranking stabilizes much
+    * earlier).
     */
   def textRank(df: DataFrame, textCol: String, iters: Int = 10): DataFrame = {
     require(iters >= 1, s"textRank needs iters >= 1: $iters")
@@ -225,15 +231,31 @@ trait TextRetrieval { self: TextAnalysis.type =>
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
-    // symmetric directed edges with co-occurrence weights
-    val edges = graft.Cleanup.register(
+    // Partition-pinning idiom (round 11): repartition on the join key,
+    // persist, and materialize EAGERLY — only a FINALIZED cached
+    // AdaptiveSparkPlan reports its HashPartitioning to later queries
+    // (a lazy cache or a localCheckpoint under AQE reports
+    // UnknownPartitioning and every round re-exchanges: the measured
+    // difference is ~5 exchanges/round vs ~1). The materializing action
+    // is the same work the old checkpoint paid; `unpersist` via the
+    // Cleanup registry is recoverable for caches where a drained
+    // checkpoint was not.
+    def pin(rel: DataFrame, key: String): DataFrame = {
+      val p = graft.Cleanup.register(rel.repartition(col(key)).persist())
+      p.count()
+      p
+    }
+    // symmetric directed edges with co-occurrence weights, pinned to
+    // HashPartitioning(a) — the source key every round joins on
+    val edges = pin(
       pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wab"))
-        .localCheckpoint(false))
-    val strength = edges.groupBy(col("a")).agg(sum(col("wab")).as("sw"))
-    val nodes = graft.Cleanup.register(
-      df.select(explode(tokens(col(textCol))).as("w")).distinct()
-        .localCheckpoint(false))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wab")), "a")
+    // exchange-free aggregate over the pinned edges; pinned itself so the
+    // per-round strength join proves co-partitioning instead of re-running
+    val strength = pin(edges.groupBy(col("a")).agg(sum(col("wab")).as("sw")), "a")
+    // the node lattice the rank relation lives on, pinned on w
+    val nodes = pin(
+      df.select(explode(tokens(col(textCol))).as("w")).distinct(), "w")
     var ranks = nodes.select(col("w"), lit(1000000000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edges

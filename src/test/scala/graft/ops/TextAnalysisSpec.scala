@@ -887,4 +887,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     // at minimum the relation is total over the full vocabulary
     assert(one.size == docs.select(explode(TextAnalysis.tokens($"text"))).distinct().count())
   }
+
+  test("textRank plan: rounds ride the pinned partitioning — ~1 exchange per round, not ~5") {
+    // the checkpointed edge relation is HashPartitioning(a) and nodes
+    // HashPartitioning(w), so the per-round rank join, strength
+    // aggregate, and node left-join are all exchange-free; the ONE
+    // per-round exchange is the destination-keyed contribution aggregate
+    // (rank mass genuinely moves). Pin the marginal cost: extra rounds
+    // may add at most ~1 exchange each, and the absolute count stays far
+    // below the old ~5/round shape (54 nodes at iters=10 before round 11)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // tree-walk count, not a string count: InMemoryTableScan leaves embed
+    // their (already-executed) cached build plans in toString, which
+    // would bill the one-time pin exchanges once per round they're
+    // REFERENCED; collect() does not descend into cached relations. AQE
+    // off for the planning window so executedPlan is a plain tree
+    // (AdaptiveSparkPlanExec is a leaf and would hide everything).
+    def exchanges(iters: Int): Int = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val n = TextAnalysis.textRank(docs, "text", iters)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+        graft.Cleanup.drain()
+        n
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val e4 = exchanges(4)
+    val e8 = exchanges(8)
+    assert(e8 - e4 <= 5, s"marginal exchanges per 4 extra rounds: ${e8 - e4} (e4=$e4, e8=$e8)")
+    assert(e8 <= 8 + 6, s"absolute exchange count regressed: $e8 at iters=8")
+  }
 }
