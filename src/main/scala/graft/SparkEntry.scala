@@ -512,6 +512,34 @@ object SparkEntry {
       Similarity.ivfPqQuery(index, emb.filter(col("vec_id") < 20), 10, nprobe = 4)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    "emb_ivfpq_drift" -> ((s, dir) => {
+      // the COMPOSITE index's drift-gated rebuild end-to-end (the
+      // emb_ivf_drift machinery over the residual-distortion lattice):
+      // even ids are the training snapshot, odd ids the planted drifted
+      // crawl (x·0.25 + 2.0 — exact binary constants); the monitor is
+      // scoreDrift over ivfPqDistortion (assign → residual → encode →
+      // ‖resid − recon‖², all frozen artifacts), and the verdict is the
+      // integer-summed TVD > 0.1 gate ivfPqMaybeRebuild applies.
+      // ksub = 32 > nlist = 16 so the pinned codebooks carry 16 REAL
+      // residual codewords beyond the 16 zero seed-residuals — the
+      // monitor measures codebook coverage, not just coarse distance
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val ref = emb.filter(col("vec_id") % 2 === 0)
+      val drifted = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(0.25) + lit(2.0)).cast("float")).as("embedding"))
+      val index = Similarity.ivfPqBuild(ref, nlist = 16, m = 8, ksub = 32,
+        trainIters = 0, pqIters = 0)
+      val report = Analytics.scoreDrift(
+        Similarity.ivfPqDistortion(index, ref),
+        Similarity.ivfPqDistortion(index, drifted), "pq_err_r")
+      val fired = report.agg(
+        (sum(round(col("d_ppm") * 1e4).cast("long")) > 2000000000L)
+          .as("rebuild_fired"))
+      report.crossJoin(fired) // 1-row verdict broadcast
+        .orderBy(col("bucket"))
+    }),
 
     "docs_rrf_hybrid" -> ((s, dir) => {
       // hybrid retrieval: lexical BM25 top-50 ⊕ dense cosine top-50 fused
@@ -2622,6 +2650,80 @@ object SparkEntry {
          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(adc, 4) AS adc_r
          |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     }
+    // the composite drift monitor replayed end-to-end: frozen coarse
+    // quantizer (16 hash-smallest EVEN ids), frozen residual codebooks
+    // (32 hash-smallest even ids — 16 zero seed-residuals + 16 real ones,
+    // codes by id asc), assign → residual → encode → ‖resid − recon‖²
+    // for the even snapshot AND the planted drifted odd batch in one
+    // pipeline (ids are parity-disjoint), then the scoreDrift cent-bucket
+    // census and the integer-summed TVD > 0.1 verdict
+    val ivfPqDriftSql = {
+      def dt(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      val (hashCtes, hashFinal) = OracleHashSql.xxh64LongChain(
+        "(SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0)", "vec_id")
+      val hashCteStr = hashCtes.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $hashCteStr,
+         |seeds AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 16),
+         |pq32 AS (SELECT vec_id FROM $hashFinal ORDER BY zh, vec_id LIMIT 32),
+         |cents0 AS (SELECT e.vec_id AS cid, CAST(e.embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings e JOIN seeds s ON e.vec_id = s.vec_id),
+         |cents AS MATERIALIZED (SELECT cid, cv, sqrt(${dt("cv", "cv")}) AS cn FROM cents0),
+         |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |         FROM embeddings WHERE vec_id % 2 = 0
+         |         UNION ALL
+         |         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(CAST(x * 0.25 + 2.0 AS FLOAT) AS DOUBLE)) AS v
+         |         FROM embeddings WHERE vec_id % 2 = 1),
+         |alln AS MATERIALIZED (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS vn FROM allv),
+         |asg AS MATERIALIZED (SELECT vec_id, cid AS bucket FROM (
+         |  SELECT a.vec_id, ct.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${dt("a.v", "ct.cv")} / (a.vn * ct.cn) DESC, ct.cid ASC) AS rnk
+         |  FROM alln a, cents ct) WHERE rnk = 1),
+         |resid AS MATERIALIZED (SELECT c.vec_id, a.bucket,
+         |    list_transform(range(1, len(c.v) + 1), i -> c.v[i] - ct.cv[i]) AS r
+         |  FROM allv c JOIN asg a ON a.vec_id = c.vec_id
+         |    JOIN cents ct ON ct.cid = a.bucket),
+         |rsv AS (SELECT row_number() OVER (ORDER BY r2.vec_id) - 1 AS code, r2.r AS v
+         |        FROM resid r2 JOIN pq32 p ON p.vec_id = r2.vec_id),
+         |ss AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS subspace),
+         |cb AS MATERIALIZED (SELECT ss.subspace, CAST(rsv.code AS INT) AS code,
+         |       rsv.v[ss.subspace*8+1 : ss.subspace*8+8] AS cw FROM rsv, ss),
+         |sub AS (SELECT r2.vec_id, ss.subspace,
+         |          r2.r[ss.subspace*8+1 : ss.subspace*8+8] AS x FROM resid r2, ss),
+         |pdist AS (SELECT s.vec_id, s.subspace, cb.code,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      i -> (s.x[i] - cb.cw[i]) * (s.x[i] - cb.cw[i]))), (a, b) -> a + b) AS d2
+         |  FROM sub s JOIN cb ON cb.subspace = s.subspace),
+         |enc AS (SELECT vec_id, subspace, code FROM (
+         |    SELECT vec_id, subspace, code, row_number() OVER
+         |      (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rnk
+         |    FROM pdist) WHERE rnk = 1),
+         |reconr AS MATERIALIZED (SELECT e.vec_id,
+         |    flatten(list(cb.cw ORDER BY e.subspace)) AS rv
+         |  FROM enc e JOIN cb ON cb.subspace = e.subspace AND cb.code = e.code
+         |  GROUP BY e.vec_id),
+         |err AS (SELECT r2.vec_id,
+         |    round(list_reduce(list_prepend(0.0, list_transform(range(1, len(r2.r) + 1),
+         |      i -> (r2.r[i] - rr.rv[i]) * (r2.r[i] - rr.rv[i]))), (a, b) -> a + b), 2)
+         |      AS pq_err
+         |  FROM resid r2 JOIN reconr rr ON rr.vec_id = r2.vec_id),
+         |hr AS (SELECT CAST(round(round(pq_err, 2) * 100, 0) AS INT) AS bucket,
+         |       count(*) AS n FROM err WHERE vec_id % 2 = 0 GROUP BY 1),
+         |hc AS (SELECT CAST(round(round(pq_err, 2) * 100, 0) AS INT) AS bucket,
+         |       count(*) AS n FROM err WHERE vec_id % 2 = 1 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(n) FROM hr) AS tr, (SELECT sum(n) FROM hc) AS tc),
+         |census AS (SELECT coalesce(hr.bucket, hc.bucket) AS bucket,
+         |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_ref,
+         |  CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cur,
+         |  round(abs(CAST(coalesce(hr.n, 0) AS DOUBLE) / tr
+         |    - CAST(coalesce(hc.n, 0) AS DOUBLE) / tc) * 1e6, 4) AS d_ppm
+         |  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket, tot),
+         |fired AS (SELECT sum(CAST(round(d_ppm * 1e4, 0) AS BIGINT)) > 2000000000
+         |          AS rebuild_fired FROM census)
+         |SELECT bucket, n_ref, n_cur, d_ppm, rebuild_fired
+         |FROM census, fired ORDER BY bucket""".stripMargin
+    }
     Map(
       "route_first_match" ->
         s"SELECT doc_id, coalesce($routeCase, '__dropped') AS topic FROM documents ORDER BY doc_id",
@@ -2903,6 +3005,7 @@ object SparkEntry {
       "emb_pq_topk" -> pqTopkSql,
       "emb_pq_distortion" -> pqDistortionSql,
       "emb_ivfpq_topk" -> ivfPqTopkSql,
+      "emb_ivfpq_drift" -> ivfPqDriftSql,
       "docs_cluster_labels" -> clusterLabelsSql,
       "emb_hamming_topk" ->
         // 32-bit chunks (DuckDB errors on 1 << 63), chunk = sum of distinct

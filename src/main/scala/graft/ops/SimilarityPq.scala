@@ -308,6 +308,58 @@ trait SimilarityPq { self: Similarity.type =>
     * decides when drifted data has outgrown frozen codebooks (the
     * `ivfMaybeRebuild` pattern applies verbatim).
     */
+  /** Per-vector squared reconstruction error UNDER THE COMPOSITE INDEX —
+    * the residual-space twin of [[pqDistortion]]: assign to the frozen
+    * coarse quantizer, take the residual, encode with the frozen
+    * codebooks, and measure ‖resid − recon‖². This is the staleness
+    * monitor for the frozen-codebook append regime ([[ivfPqAppend]]): as
+    * a crawl drifts away from the training snapshot, residuals leave the
+    * codebooks' coverage and distortion mass slides upward — the same
+    * recall-loss signal `ivfAssignScores` gives the coarse half. One
+    * narrow kernel pass + the ≤nlist-row centroid broadcast; the fold is
+    * index-order and rounded ONCE at the 2-dp monitor lattice (the
+    * `ivfAssignScores` acos convention — a 4-dp intermediate round
+    * manufactures exact .xx50 halves that a second 2-dp round splits
+    * differently across engines; measured one bucket-flip per ~1000
+    * vectors at sf0.1).
+    */
+  def ivfPqDistortion(index: IvfPqIndex, batch: DataFrame): DataFrame = {
+    import index._
+    val res = residuals(batch, ids, mat, idCol, vecCol)
+    val rv = pqReconstructCol(
+      graft.functions.VectorFunctions.pqEncodeCodes(col("__resid"), books.books), books)
+    res.select(col(idCol),
+      round(aggregate(
+        zip_with(col("__resid"), rv, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x), 2).as("pq_err_r"))
+  }
+
+  /** Drift-gated rebuild for the COMPOSITE index — `ivfMaybeRebuild`
+    * extended to IVF-PQ (round 11: the frozen-codebook append regime has
+    * the same drift exposure its coarse half got gated for in round 10).
+    * `driftReport` is `Analytics.scoreDrift(refDistortion, batchDistortion,
+    * "pq_err_r")` over [[ivfPqDistortion]] outputs (training snapshot vs
+    * the incoming batch); TVD = Σ d_ppm / 2·10⁶ over the distortion
+    * lattice. At or below `tvdThreshold` the SAME index returns
+    * (`eq`-identical — append-only continues for free). Above it, BOTH
+    * quantizers retrain on `corpus` — the caller passes the raw current
+    * corpus because, unlike `IvfIndex.bucketed`, the encoded artifact
+    * deliberately no longer carries full-precision vectors (that is the
+    * 32× compression), so a rebuild is a fresh [[ivfPqBuild]] over the
+    * source-of-truth relation. nlist/m/ksub carry over from the index;
+    * geometry changes are a new build, not a rebuild.
+    */
+  def ivfPqMaybeRebuild(index: IvfPqIndex, corpus: DataFrame,
+                        driftReport: DataFrame, tvdThreshold: Double = 0.1,
+                        trainIters: Int = 4, pqIters: Int = 4): IvfPqIndex = {
+    val row = driftReport.agg(coalesce(sum(col("d_ppm")), lit(0.0)).as("s")).head()
+    val tvd = row.getDouble(0) / 2e6
+    if (tvd <= tvdThreshold) index
+    else ivfPqBuild(corpus, nlist = index.ids.size, m = index.books.m,
+      ksub = index.books.ksub, trainIters = trainIters, pqIters = pqIters,
+      idCol = index.idCol, vecCol = index.vecCol)
+  }
+
   def pqDistortion(corpus: DataFrame, books: PqBooks,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val rv = pqReconstructCol(

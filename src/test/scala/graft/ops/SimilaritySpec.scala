@@ -683,6 +683,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfQuery(rebuilt, queries, 5, nprobe = 4).count() == 5 * 5)
   }
 
+  test("ivfPqMaybeRebuild: distortion drift fires a composite retrain; self-comparison is identity") {
+    // the round-10 coarse-quantizer gate extended to the composite: the
+    // frozen-codebook append regime is monitored on the RESIDUAL
+    // distortion lattice (ivfPqDistortion), and the rebuild retrains
+    // both quantizers from the raw corpus (the encoded artifact
+    // deliberately has no full-precision vectors to rebuild from)
+    val index = Similarity.ivfPqBuild(emb, nlist = 16, m = 8, ksub = 16)
+    val refDist = Similarity.ivfPqDistortion(index, emb)
+
+    val calmReport = Analytics.scoreDrift(refDist, refDist, "pq_err_r")
+    assert(Similarity.ivfPqMaybeRebuild(index, emb, calmReport).eq(index),
+      "zero distortion drift must return the identical index object")
+
+    // planted drift: collapse toward a far constant direction — residuals
+    // leave the codebooks' coverage, distortion mass shifts wholesale
+    val drifted = emb.select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => (x * 0.05 + 5.0).cast("float")).as("embedding"))
+    val appended = Similarity.ivfPqAppend(index, drifted)
+    val driftReport = Analytics.scoreDrift(
+      refDist, Similarity.ivfPqDistortion(index, drifted), "pq_err_r")
+    val tvd = driftReport.agg(sum($"d_ppm")).as[Double].head() / 2e6
+    assert(tvd > 0.1, s"planted drift should move >10% of distortion mass, got TVD=$tvd")
+
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(drifted)
+    val rebuilt = Similarity.ivfPqMaybeRebuild(appended, corpus, driftReport)
+    assert(!rebuilt.eq(appended), "above-threshold drift must retrain")
+    assert(rebuilt.mat != appended.mat,
+      "rebuild must produce a retrained coarse quantizer, not the frozen one")
+    assert(rebuilt.books != appended.books,
+      "rebuild must produce retrained codebooks, not the frozen ones")
+    assert(rebuilt.ids.size == appended.ids.size
+      && rebuilt.books.m == appended.books.m
+      && rebuilt.books.ksub == appended.books.ksub,
+      "index geometry carries over a rebuild")
+    // the retrained artifact covers the full corpus, re-encoded
+    assert(rebuilt.encoded.count() == appended.encoded.count())
+    // and is still a queryable index: full k results per query
+    val queries = emb.filter($"vec_id" < 5)
+    assert(Similarity.ivfPqQuery(rebuilt, queries, 5, nprobe = 4).count() == 5 * 5)
+  }
+
   test("cosineNearDupLsh equals the brute-force oracle at every test SF") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
