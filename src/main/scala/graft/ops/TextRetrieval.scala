@@ -147,6 +147,32 @@ trait TextRetrieval { self: TextAnalysis.type =>
     pmod(conv(substring(md5(concat_ws("\u0001", lane.cast("string"), w)), 1, 15),
       16, 10).cast("long"), lit(width.toLong))
 
+  /** The standard (ε, δ) → geometry derivation [Cormode & Muthukrishnan
+    * 2005]: width = ⌈e/ε⌉ makes each lane's expected overcount ≤ (ε/e)·N
+    * so P(overcount > ε·N) ≤ 1/e per lane, and depth = ⌈ln(1/δ)⌉
+    * independent lanes drive the min's failure probability to
+    * e^(−depth) ≤ δ. A user states the accuracy CONTRACT ("estimates
+    * within ε·N of truth with probability 1−δ") instead of a counter
+    * geometry, and the documented overcount tail becomes the input.
+    * Driver-side ln is fine here — geometry derivation, not data-path
+    * arithmetic (the no-transcendental rule guards ORACLE-compared
+    * values; both engines see the same already-derived ints).
+    */
+  def cmsGeometry(eps: Double, delta: Double): (Int, Int) = {
+    require(eps > 0 && eps < 1, s"cmsGeometry: eps must be in (0, 1): $eps")
+    require(delta > 0 && delta < 1, s"cmsGeometry: delta must be in (0, 1): $delta")
+    val depth = math.max(1, math.ceil(math.log(1.0 / delta)).toInt)
+    val width = math.max(2, math.ceil(math.E / eps).toInt)
+    (depth, width)
+  }
+
+  /** [[cmsBuild]] from an accuracy contract instead of a geometry. */
+  def cmsBuildEps(df: DataFrame, textCol: String,
+                  eps: Double, delta: Double): CmsSketch = {
+    val (depth, width) = cmsGeometry(eps, delta)
+    cmsBuild(df, textCol, depth, width)
+  }
+
   def cmsBuild(df: DataFrame, textCol: String,
                depth: Int = 4, width: Int = 1024): CmsSketch = {
     require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2: $depth, $width")

@@ -93,7 +93,7 @@ trait TextSampling { self: TextAnalysis.type =>
     require(k >= 1, s"sample size must be >= 1: $k")
     // the op appends these to the caller's columns (packBins lesson:
     // silently overwriting an input column corrupts downstream selects)
-    Seq("priority", "est_w", "tau").foreach(c =>
+    Seq("priority", "est_w", "tau", "__k").foreach(c =>
       require(!df.columns.contains(c), s"prioritySample reserves column name '$c'"))
     // u in (0, M]/M: fingerprint mod M, shifted off zero so q is finite;
     // M prime keeps the residues equidistributed under the polynomial hash
@@ -105,15 +105,29 @@ trait TextSampling { self: TextAnalysis.type =>
     df.withColumn("priority", pr)
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k + 1)
+      // k rides IN the artifact: merging parts built at a different k
+      // would silently break the split-fold == one-shot law (a global
+      // top-(k+1) member can be absent from a smaller part artifact) and
+      // corrupt the τ estimator — the merge guard needs the number the
+      // artifact was actually built with, not the caller's word for it
+      .withColumn("__k", lit(k))
   }
 
   /** Fold priority-sample artifacts (shards, crawl batches) into one:
     * union → top-(k+1). Exact, associative, commutative — each input is
-    * ≤ k+1 rows, so the fold is driver-cheap at any corpus size.
+    * ≤ k+1 rows, so the fold is driver-cheap at any corpus size. HARD
+    * CONTRACT: every part must have been built with the same k as this
+    * merge — enforced against the artifact's own `__k` column
+    * (row-cheap: artifacts are ≤ k+1 rows), failing loudly instead of
+    * silently violating the merge law (round-10 advice finding).
     */
   def prioritySampleMerge(parts: Seq[DataFrame], idCol: String, k: Int): DataFrame = {
     require(parts.nonEmpty, "prioritySampleMerge: nothing to merge")
     parts.reduce(_ unionByName _)
+      .withColumn("priority", when(col("__k") === lit(k), col("priority"))
+        .otherwise(raise_error(concat(
+          lit(s"prioritySampleMerge(k = $k) got an artifact built with k = "),
+          col("__k")))))
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k + 1)
   }
@@ -148,7 +162,7 @@ trait TextSampling { self: TextAnalysis.type =>
   def prioritySampleByBuild(df: DataFrame, groupCol: String, idCol: String,
                             weightCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"sample size must be >= 1: $k")
-    Seq("priority", "est_w", "__tau", "__rk").foreach(c =>
+    Seq("priority", "est_w", "__tau", "__rk", "__k").foreach(c =>
       require(!df.columns.contains(c), s"prioritySampleBy reserves column name '$c'"))
     val M = 1000003L
     val u = pmod(fingerprint(col(textCol)), lit(M)) + lit(1L)
@@ -158,15 +172,22 @@ trait TextSampling { self: TextAnalysis.type =>
         Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol).asc)))
       .filter(col("__rk") <= k + 1)
       .drop("__rk")
+      .withColumn("__k", lit(k)) // merge-guard: see prioritySampleBuild
   }
 
   /** Fold per-group artifacts: union → per-group top-(k+1). Exact,
     * associative, commutative; inputs are ≤(k+1)·|groups| rows each.
+    * Same k-consistency contract as [[prioritySampleMerge]], enforced
+    * against the artifact's `__k`.
     */
   def prioritySampleByMerge(parts: Seq[DataFrame], groupCol: String,
                             idCol: String, k: Int): DataFrame = {
     require(parts.nonEmpty, "prioritySampleByMerge: nothing to merge")
     parts.reduce(_ unionByName _)
+      .withColumn("priority", when(col("__k") === lit(k), col("priority"))
+        .otherwise(raise_error(concat(
+          lit(s"prioritySampleByMerge(k = $k) got an artifact built with k = "),
+          col("__k")))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol).asc)))
       .filter(col("__rk") <= k + 1)
@@ -185,7 +206,7 @@ trait TextSampling { self: TextAnalysis.type =>
     top.filter(col("__rk") <= k)
       .join(broadcast(tau), Seq(groupCol))
       .withColumn("est_w", greatest(col(weightCol).cast("double"), col("__tau")))
-      .drop("__rk", "__tau")
+      .drop("__rk", "__tau", "__k")
   }
 
   /** Artifact → final sample: τ = the (k+1)-th priority (0 when the corpus
@@ -201,7 +222,7 @@ trait TextSampling { self: TextAnalysis.type =>
     top.orderBy(col("priority").desc, col(idCol).asc).limit(k)
       .crossJoin(broadcast(tau)) // 1-row scalar, verified pattern
       .withColumn("est_w", greatest(col(weightCol).cast("double"), col("tau")))
-      .drop("tau")
+      .drop("tau", "__k")
   }
   /** Bounded rows-probe deciding whether the two-phase window
     * decomposition pays for itself: below `autoDegradeBelow` TOTAL rows,

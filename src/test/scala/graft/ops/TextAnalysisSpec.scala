@@ -749,6 +749,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     graft.Cleanup.drain()
     assert(merged == oneShot,
       "folding per-batch top-(k+1) artifacts must equal the one-shot sample bit-for-bit")
+    // k-consistency is a HARD contract (round-10 advice): an artifact
+    // built at a smaller k may be missing a global top-(k+1) member, so
+    // folding it must fail loudly, not corrupt the τ estimator
+    val small = TextAnalysis.prioritySampleBuild(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "n_chars", "text", 10)
+    val bad = TextAnalysis.prioritySampleMerge(Seq(parts(1), small), "doc_id", 40)
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("built with k"), s"wrong error: ${e.getMessage}")
+    graft.Cleanup.drain()
+    // grouped form: same guard
+    val gSmall = TextAnalysis.prioritySampleByBuild(
+      docs, "lang", "doc_id", "n_chars", "text", 5)
+    val gOk = TextAnalysis.prioritySampleByBuild(
+      docs, "lang", "doc_id", "n_chars", "text", 15)
+    val gBad = TextAnalysis.prioritySampleByMerge(Seq(gOk, gSmall), "lang", "doc_id", 15)
+    val ge = intercept[Exception] { gBad.collect() }
+    assert(ge.getMessage.contains("built with k"), s"wrong error: ${ge.getMessage}")
+    graft.Cleanup.drain()
   }
 
   test("prioritySampleBy: per-group top-k, per-group tau, grouped fold == one-shot") {
@@ -860,6 +878,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.cmsMerge(one, TextAnalysis.cmsBuild(docs, "text", width = 16))
     }
+  }
+
+  test("cmsGeometry derives (depth, width) from the (eps, delta) contract; bound holds at the derived geometry") {
+    // the textbook derivation: width = ceil(e/eps), depth = ceil(ln(1/delta))
+    assert(TextAnalysis.cmsGeometry(0.01, 0.05) === (3, 272))
+    assert(TextAnalysis.cmsGeometry(0.001, 0.01) === (5, 2719))
+    // degenerate corners clamp instead of emitting a zero-lane sketch
+    assert(TextAnalysis.cmsGeometry(0.9, 0.9)._1 === 1)
+    assert(TextAnalysis.cmsGeometry(0.9, 0.9)._2 >= 2)
+    intercept[IllegalArgumentException] { TextAnalysis.cmsGeometry(0.0, 0.5) }
+    intercept[IllegalArgumentException] { TextAnalysis.cmsGeometry(0.5, 1.0) }
+    // the contract on the fixed test corpus: every estimate is within
+    // eps*N of truth (no-undercount is structural; the eps*N overcount
+    // tail has probability <= delta per token — on this deterministic
+    // corpus the realized max is a fixed fact, asserted as the contract
+    // the geometry was derived to meet)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val eps = 0.01
+    val sk = TextAnalysis.cmsBuildEps(docs, "text", eps, 0.05)
+    assert(sk.depth === 3 && sk.width === 272)
+    val exact = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n_exact"))
+    val n = exact.agg(sum($"n_exact")).as[Long].head()
+    val over = TextAnalysis.cmsEstimateWith(exact, "w", sk)
+      .join(exact, "w")
+      .select(($"n_cms" - $"n_exact").as[Long]).collect()
+    assert(over.forall(_ >= 0), "CMS must never undercount")
+    val failures = over.count(_ > (eps * n).toLong)
+    assert(failures <= math.ceil(0.05 * over.length).toLong,
+      s"more than a delta fraction of tokens exceeded eps*N: $failures/${over.length}")
   }
 
   test("textRank: star center dominates, symmetric leaves tie exactly, isolated node holds the floor") {
