@@ -466,6 +466,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "emb_sq8_topk" -> ((s, dir) => {
+      // scalar 8-bit quantization search (FAISS SQ8): per-vector max-abs
+      // scale, round-to-int8 codes, quantized dot = (s_q·s_c)·Σ cq·cc —
+      // the training-free 4× compression rung between sign bits and PQ;
+      // the integer sum is exact and the two scale multiplies are
+      // fixed-order IEEE, so the raw corpus oracles directly (see
+      // Similarity.sq8TopK)
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 20), 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     "emb_hamming_refined" -> ((s, dir) => {
       // BQ + refine end-to-end: Hamming prefilter to 40 candidates, exact
       // dot rerank of only those rows — the codes pick WHO gets scored,
@@ -3007,6 +3018,28 @@ object SparkEntry {
       "emb_ivfpq_topk" -> ivfPqTopkSql,
       "emb_ivfpq_drift" -> ivfPqDriftSql,
       "docs_cluster_labels" -> clusterLabelsSql,
+      "emb_sq8_topk" ->
+        // training-free scalar quantization: scale and codes recompute
+        // exactly (abs/max exact, one divide, round half-away — both
+        // engines), the dot's integer sum is order-free, and the two
+        // scale multiplies are stated in the same fixed order as
+        // Similarity.sq8TopK: (qs · cs) · Σ
+        """WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |sc AS (SELECT vec_id, v,
+          |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM corp),
+          |enc AS MATERIALIZED (SELECT vec_id, s,
+          |    CASE WHEN s = 0 THEN list_transform(v, x -> 0::BIGINT)
+          |         ELSE list_transform(v, x -> CAST(round(x / s, 0) AS BIGINT)) END AS c
+          |  FROM sc),
+          |qs AS (SELECT vec_id AS query_id, s AS q_s, c AS qc FROM enc WHERE vec_id < 20),
+          |sco AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    (q.q_s * e.s) * CAST(list_sum(list_transform(range(1, len(q.qc) + 1),
+          |      i -> q.qc[i] * e.c[i])) AS DOUBLE) AS sqdot
+          |  FROM qs q, enc e WHERE e.vec_id <> q.query_id),
+          |rk AS (SELECT query_id, neighbor_id, sqdot, row_number() OVER
+          |    (PARTITION BY query_id ORDER BY sqdot DESC, neighbor_id ASC) AS rnk FROM sco)
+          |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(sqdot, 4) AS sqdot_r
+          |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
       "emb_hamming_topk" ->
         // 32-bit chunks (DuckDB errors on 1 << 63), chunk = sum of distinct
         // powers of two, distance = Σ bit_count(xor) — all integers, the

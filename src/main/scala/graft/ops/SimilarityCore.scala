@@ -141,6 +141,67 @@ trait SimilarityCore { self: Similarity.type =>
         round(col("d"), 4).as("dot_r"))
   }
 
+  /** Scalar 8-bit quantization (FAISS SQ8): per-vector max-abs scale
+    * s = max|xᵢ|/127, codes cᵢ = round(xᵢ/s) ∈ [−127, 127] — the 4×
+    * compression rung BETWEEN sign bits (32×, angle-only) and PQ
+    * (codebook-trained): no training, per-vector exact scale recovery,
+    * ~7 significant bits per component. Every step is engine-exact IEEE
+    * (abs/max exact, ONE divide per component, round half-away-from-zero
+    * in both engines), so SQ8 search oracles on the raw corpus with no
+    * planted forcing — unlike PQ, whose codebooks need the pinned-seed
+    * convention. The all-zero vector keeps scale 0 with all-zero codes
+    * (its quantized dot is 0 — the only self-consistent reading).
+    * Output: (id, sq_scale, sq_codes array<tinyint-valued ints>).
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    corpus
+      .withColumn("__v", v)
+      .withColumn("sq_scale",
+        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .withColumn("sq_codes",
+        when(col("sq_scale") === 0.0,
+            transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            x => round(x / col("sq_scale")).cast("long"))))
+      .select(col(idCol), col("sq_scale"), col("sq_codes"))
+  }
+
+  /** Exact k-NN over SQ8 codes: the quantized dot
+    * (s_q · s_c) · Σ cqᵢ·ccᵢ — the integer sum is exact (|code| ≤ 127,
+    * so dim·127² fits a long at any practical dim), the two scale
+    * multiplies are fixed-order IEEE, and ranks tie-break on id — the
+    * whole ranking, k boundary included, is engine-exact. The compressed
+    * exhaustive search at 1/4 the float footprint; for exact final order
+    * compose with the over-retrieve-and-rerank stage exactly as
+    * [[hammingTopKRefined]] does for sign bits.
+    *
+    * Scale shape: queries (encoded once) broadcast; corpus side scans its
+    * 1-byte-per-dim codes partition-locally; `filter(rnk <= k)` compiles
+    * to WindowGroupLimit so only k·|queries| candidates reach the
+    * per-query shuffle.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = sq8Encode(corpus, idCol, vecCol)
+      .withColumnsRenamed(Map(idCol -> "neighbor_id",
+        "sq_scale" -> "cs", "sq_codes" -> "cc"))
+    val qb = broadcast(sq8Encode(queries, idCol, vecCol)
+      .withColumnsRenamed(Map(idCol -> "query_id",
+        "sq_scale" -> "qs", "sq_codes" -> "qc")))
+    val scored = cb.join(qb, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sqdot",
+        (col("qs") * col("cs")) * aggregate(
+          zip_with(col("qc"), col("cc"), (a, b) => a * b),
+          lit(0L), (s, x) => s + x).cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqdot").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sqdot"), 4).as("sqdot_r"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the k most-similar corpus vectors whose label DIFFERS from the
     * query's — the "hard" negatives that sit just outside the class

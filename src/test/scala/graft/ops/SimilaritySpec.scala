@@ -683,6 +683,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfQuery(rebuilt, queries, 5, nprobe = 4).count() == 5 * 5)
   }
 
+  test("sq8: per-component error <= scale/2; near-exact recall vs brute force; zero vector safe") {
+    // quantization law: |x - c*s| <= s/2 for every component (round to
+    // nearest multiple of the scale), and codes stay in [-127, 127]
+    val enc = Similarity.sq8Encode(emb).join(
+      emb.select($"vec_id", $"embedding"), "vec_id")
+    val bad = enc.select($"vec_id", $"sq_scale",
+        expr("""filter(zip_with(embedding, sq_codes,
+          (x, c) -> struct(CAST(x AS DOUBLE) AS x, c AS c)),
+          p -> abs(p.x - p.c * sq_scale) > sq_scale / 2 + 1e-12
+            OR p.c > 127 OR p.c < -127)""").as("viol"))
+      .filter(size($"viol") > 0).count()
+    assert(bad === 0, "SQ8 must round every component to within scale/2")
+    // ~7 significant bits keep the top-10 nearly intact at dim 64: the
+    // quantized ranking recovers >=8 of the exact top-10 per query on the
+    // fixed corpus (deterministic fact once green)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.dotTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = Similarity.sq8TopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) => (ex & sq(q)).size }
+    assert(recalls.forall(_ >= 8), s"SQ8 recall@10 degraded: $recalls")
+    // the all-zero vector encodes to scale 0 / all-zero codes, scores 0
+    val withZero = emb.select($"vec_id", $"embedding").unionByName(
+      Seq((999999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.sq8Encode(withZero).filter($"vec_id" === 999999L)
+      .select($"sq_scale", expr("aggregate(sq_codes, 0L, (a, c) -> a + abs(c))"))
+      .as[(Double, Long)].head()
+    assert(z == ((0.0, 0L)))
+    assert(Similarity.sq8TopK(withZero, withZero.filter($"vec_id" === 999999L), 5)
+      .count() === 5)
+  }
+
   test("ivfPqMaybeRebuild: distortion drift fires a composite retrain; self-comparison is identity") {
     // the round-10 coarse-quantizer gate extended to the composite: the
     // frozen-codebook append regime is monitored on the RESIDUAL
