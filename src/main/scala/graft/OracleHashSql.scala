@@ -261,4 +261,49 @@ object OracleHashSql {
        |SELECT jband, count(*) AS n_pairs, CAST(sum(det) AS BIGINT) AS n_detected
        |FROM u GROUP BY jband ORDER BY jband""".stripMargin
   }
+
+  /** The winnowing selection CTE prefix shared by `text_winnowing` and
+    * `text_winnowing_matches` (Dedup.winnowFingerprints): positioned word
+    * `n`-grams (position folded into the chain's opaque id as
+    * doc_id·10⁶ + pos — the chain is row-wise, so a composite key rides
+    * through it losslessly; token counts are far below 10⁶), closed-form
+    * xxhash64 per gram, per-doc hash sequence in position order, window
+    * minima, distinct. Ends in `fps(doc_id, fp)`.
+    */
+  private def winnowFpsCtes(n: Int, window: Int): String = {
+    val (ctes, last) = xxhChain("gr")
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+       |gr AS (SELECT doc_id * 1000000 + r.i AS id, array_to_string(ts[r.i + 1 : r.i + $n], ' ') AS w
+       |       FROM tk, unnest(generate_series(0, len(ts) - $n)) AS r(i) WHERE len(ts) >= $n),
+       |${cteStr(ctes)},
+       |gh AS (SELECT id // 1000000 AS doc_id, id % 1000000 AS pos, h FROM $last),
+       |ghl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM gh GROUP BY doc_id),
+       |fps AS (SELECT doc_id, unnest(CASE WHEN len(hs) <= $window THEN [list_min(hs)]
+       |        ELSE list_distinct(list_transform(range(0, len(hs) - ${window - 1}),
+       |          i -> list_min(hs[i + 1 : i + $window]))) END) AS fp
+       |        FROM ghl)""".stripMargin
+  }
+
+  /** Full-value oracle for `text_winnowing`: the per-doc selected
+    * fingerprint relation itself — the strongest check (the hash VALUES
+    * drive selection, so the replay must agree fingerprint-for-
+    * fingerprint, not just in counts).
+    */
+  def winnowingSql(n: Int = 3, window: Int = 4): String =
+    s"""WITH ${winnowFpsCtes(n, window)}
+       |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin
+
+  /** Full-value oracle for `text_winnowing_matches`
+    * (Dedup.winnowMatches): df-cap the fingerprint relation, self-join,
+    * count shared fingerprints.
+    */
+  def winnowMatchesSql(n: Int = 3, window: Int = 4,
+                       minShared: Int = 2, maxDf: Int = 20): String =
+    s"""WITH ${winnowFpsCtes(n, window)},
+       |cool AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+       |         WHERE df <= $maxDf),
+       |fpc AS (SELECT f.doc_id, f.fp FROM fps f JOIN cool c ON c.fp = f.fp)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+       |FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY id_a, id_b""".stripMargin
 }

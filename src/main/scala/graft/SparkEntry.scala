@@ -874,6 +874,28 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "text_winnowing" -> ((s, dir) =>
+      // MOSS winnowing fingerprints [Schleimer et al., SIGMOD 2003]: the
+      // min-hash-per-window selection whose coverage guarantee (every
+      // window contributes a fingerprint) and ~2/(w+1) density make it
+      // the gram index you can AFFORD to self-join at corpus scale; the
+      // selection rides the hash VALUES, so the oracle replays xxhash64
+      // in closed form (Dedup.winnowFingerprints / OracleHashSql)
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 4)
+        .orderBy(col("doc_id"), col("fp"))),
+    "text_winnowing_matches" -> ((s, dir) =>
+      // the detector over the sparse index: doc pairs sharing >= 3
+      // df-capped fingerprints — quote-reuse/plagiarism candidates at
+      // ~(w+1)²/4 the containment join's candidate cost
+      // trigrams + a TIGHT df cap: the synthetic 25-word vocabulary
+      // makes bigram fingerprints non-discriminative (the sf0.1 bigram
+      // census measured ~10^7 candidate pairs — the exact blowup the
+      // df cap exists to prevent; with n = 3, maxDf = 20 the candidate
+      // budget is sum df^2 <= 400*|fps|)
+      Dedup.winnowMatches(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 4, minShared = 2, maxDf = 20)
+        .orderBy(col("id_a"), col("id_b"))),
     "text_bm25" -> ((s, dir) =>
       // retrieval scoring for topic mining: rational-idf Okapi BM25 of
       // every doc vs a fixed 3-term query (see bm25Score for why no ln)
@@ -3518,6 +3540,8 @@ object SparkEntry {
            |CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
            |coalesce(text_clean, '') AS text_clean
            |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "text_winnowing" -> OracleHashSql.winnowingSql(),
+      "text_winnowing_matches" -> OracleHashSql.winnowMatchesSql(),
       "text_remove_spans_cross" ->
         // same construction, but the dup-gram set comes from the even-id
         // REFERENCE half only (the prebuilt-index semantics); coverage

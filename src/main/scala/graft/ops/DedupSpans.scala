@@ -235,4 +235,91 @@ trait DedupSpans { self: Dedup.type =>
           .as("n_removed"),
         array_join(col("__kept"), " ").as("text_clean"))
   }
+
+  /** Winnowing document fingerprints [Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm]: hash every word `n`-gram
+    * (xxhash64 — the production gram keying), slide a `window`-gram
+    * window, and keep each window's MINIMUM hash. The selection
+    * guarantees of the paper hold by construction: (coverage) every run
+    * of `window` consecutive grams contributes at least one selected
+    * fingerprint, so any shared passage of ≥ window+n−1 words between
+    * two documents shares at least one fingerprint; (density) expected
+    * selections ≈ 2/(window+1) of positions — the index stays ~w/2×
+    * sparser than the full gram relation `duplicatedSpans` carries,
+    * which is the whole point: winnowing is the fingerprint index you
+    * can AFFORD to self-join at corpus scale. Unlike a fixed-stride
+    * subsample (0 mod k positions), the min-rule is position-free — two
+    * copies of a passage select the SAME grams no matter how the copies
+    * are offset in their documents.
+    *
+    * Selection depends on the hash VALUES, so the DuckDB oracle replays
+    * xxhash64 in closed form (OracleHashSql.xxhChain — grams must stay
+    * under its 32-byte ASCII bound, which word bigrams of this corpus
+    * honor the same way the MinHash shingle oracles do). One row per
+    * distinct (doc, fingerprint).
+    *
+    * Scale shape: positioned grams hash through the codegen'd explode
+    * projection (the `duplicatedSpans` hashGrams path), ONE doc-keyed
+    * aggregate rebuilds each doc's position-ordered hash sequence, and
+    * the window-min selection is a per-row HOF over that materialized
+    * array. The aggregation is load-bearing beyond the shuffle: a pure
+    * withColumn pipeline let the window lambda re-evaluate the whole
+    * gram-hash transform PER WINDOW ELEMENT (no HOF CSE, and projection
+    * collapse inlines the previous stage) — measured 20 s for 500 docs,
+    * ~50× the honest cost; the aggregate is a barrier projections cannot
+    * collapse through.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 2, window: Int = 4): DataFrame = {
+    require(n >= 1, s"winnowFingerprints: n-gram order must be >= 1: $n")
+    require(window >= 1, s"winnowFingerprints: window must be >= 1: $window")
+    val positioned = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - n),
+          i => xxhash64(array_join(slice(col("__w"), i + lit(1), lit(n)), " ")))))
+      .withColumnRenamed("col", "gh")
+    positioned
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("gh")))),
+        s => s("gh")).as("__hs"))
+      .withColumn("__fps",
+        when(size(col("__hs")) <= window, array(array_min(col("__hs"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(0), size(col("__hs")) - window),
+              i => array_min(slice(col("__hs"), i + lit(1), lit(window)))))))
+      .select(col("id").as(idCol), explode(col("__fps")).as("fp"))
+  }
+
+  /** Winnowing-candidate pairs: documents sharing ≥ `minShared` selected
+    * fingerprints — the plagiarism/quote-reuse detector MOSS runs, as a
+    * self-join over the SPARSE fingerprint relation (expected
+    * 2/(window+1) of the gram relation, so the Σ df² candidate cost is
+    * ~(w+1)²/4× below the containment join's). Same df-cap discipline as
+    * `containmentPairs`: fingerprints in more than `maxDf` documents are
+    * dropped before the join (boilerplate passages every document
+    * shares are not reuse evidence), bounding each surviving fingerprint
+    * at maxDf² directed pairs. All exchange keys are 8-byte hashes.
+    * Undirected pairs (id_a < id_b), count of shared fingerprints.
+    */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, window: Int = 4, minShared: Int = 3,
+                    maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1 && maxDf > 0,
+      s"winnowMatches: need minShared >= 1, maxDf > 0: $minShared, $maxDf")
+    val fps = winnowFingerprints(df, idCol, textCol, n, window)
+      .withColumnRenamed(idCol, "id")
+    val cool = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    // one materialization feeds both join sides (the containmentPairs
+    // checkpoint lesson)
+    val bounded = graft.Cleanup.register(
+      fps.join(cool.select(col("fp")), Seq("fp"), "leftsemi").localCheckpoint(false))
+    bounded.as("a").join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
 }

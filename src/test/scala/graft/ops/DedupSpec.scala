@@ -472,6 +472,63 @@ class DedupSpec extends AnyFunSuite {
       s"containmentPairs still carries a string-keyed join: $keyTypes")
   }
 
+  test("winnowing: matches the reference selection exactly; offset-invariant shared-passage guarantee; cap only narrows") {
+    val n = 3; val w = 4
+    // reference implementation straight from the paper: hash every
+    // n-gram, keep each w-window's min, distinct
+    def reference(text: String): Set[Long] = {
+      val ts = text.trim.split("\\s+").toSeq
+      if (ts.length < n) Set.empty
+      else {
+        val gh = (0 to ts.length - n).map { i =>
+          val g = ts.slice(i, i + n).mkString(" ")
+          // replay Spark xxhash64 through the engine itself (1-row eval)
+          spark.sql(s"SELECT xxhash64('${g}')").head().getLong(0)
+        }
+        if (gh.length <= w) Set(gh.min)
+        else (0 to gh.length - w).map(i => gh.slice(i, i + w).min).toSet
+      }
+    }
+    val passage = "quick brown fox jumps over the lazy sleeping dog tonight again"
+    val a = passage
+    val b = s"alpha beta gamma delta $passage omega psi"
+    val fix = Seq((1L, a), (2L, b), (3L, "unrelated words only here nothing shared zz yy xx")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(fix, "doc_id", "text", n, w)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == reference(a), "doc 1 selection diverges from the paper's algorithm")
+    assert(got(2L) == reference(b), "doc 2 selection diverges from the paper's algorithm")
+    // the winnowing guarantee: a shared passage of >= window+n-1 words
+    // shares >= 1 fingerprint REGARDLESS of its offset in each document
+    // (the min rule is position-free — a fixed-stride subsample has no
+    // such property)
+    assert((got(1L) & got(2L)).nonEmpty, "offset copy must share a fingerprint")
+    assert((got(1L) & got(3L)).isEmpty && (got(2L) & got(3L)).isEmpty)
+    // the detector surfaces the pair
+    val pairs = Dedup.winnowMatches(fix, "doc_id", "text", n, w,
+        minShared = 1, maxDf = 10)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // density sanity on the corpus: expected ~2/(w+1) of positions; pin a
+    // generous envelope so a selection bug (keep-everything or
+    // keep-one-per-doc) fails loudly
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", n, w)
+    val perDoc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      .join(docs.select(col("doc_id"),
+        (size(Dedup.tokens(col("text"))) - (n - 1)).as("ng")), "doc_id")
+      .select((col("nfp").cast("double") / col("ng")).as[Double]).collect()
+    val meanDensity = perDoc.sum / perDoc.length
+    assert(meanDensity > 0.15 && meanDensity < 0.75,
+      s"winnowing density out of envelope: $meanDensity (expected ~${2.0 / (w + 1)})")
+    // df-cap monotonicity: capped pairs are a subset of uncapped pairs
+    val unc = Dedup.winnowMatches(docs, "doc_id", "text", n, w, 2, 1000000)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val cap = Dedup.winnowMatches(docs, "doc_id", "text", n, w, 2, 20)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(cap.nonEmpty && (cap -- unc).isEmpty,
+      "the df cap may only DROP candidate pairs, never add")
+    graft.Cleanup.drain()
+  }
+
   test("cross-corpus containment: artifact == one-shot; batch folding invariant; matches directed brute force") {
     val n = docs.count().toInt
     val ref = docs.filter($"doc_id" % 2 === 0)
