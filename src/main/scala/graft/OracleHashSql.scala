@@ -306,4 +306,21 @@ object OracleHashSql {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
        |FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY id_a, id_b""".stripMargin
+
+  /** Full-value oracle for `text_winnowing_cross`
+    * (Dedup.winnowBuild/winnowFlagsWith: even ids are the reference,
+    * odd ids the fresh crawl; the df cap counts REFERENCE docs only —
+    * batch-invariant).
+    */
+  def winnowCrossSql(n: Int = 3, window: Int = 4,
+                     minShared: Int = 2, maxDf: Int = 20): String =
+    s"""WITH ${winnowFpsCtes(n, window)},
+       |ref AS (SELECT doc_id AS id_ref, fp FROM fps WHERE doc_id % 2 = 0),
+       |cool AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM ref GROUP BY fp)
+       |         WHERE df <= $maxDf),
+       |refc AS (SELECT r.id_ref, r.fp FROM ref r JOIN cool c ON c.fp = r.fp),
+       |nw AS (SELECT doc_id AS id_new, fp FROM fps WHERE doc_id % 2 = 1)
+       |SELECT nw.id_new, refc.id_ref, count(*) AS shared_fp
+       |FROM nw JOIN refc ON nw.fp = refc.fp
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared ORDER BY id_new, id_ref""".stripMargin
 }

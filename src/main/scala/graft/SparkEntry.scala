@@ -896,6 +896,19 @@ object SparkEntry {
       Dedup.winnowMatches(t(s, dir, "documents"), "doc_id", "text",
           n = 3, window = 4, minShared = 2, maxDf = 20)
         .orderBy(col("id_a"), col("id_b"))),
+    "text_winnowing_cross" -> ((s, dir) => {
+      // the quote-reuse detector through the Build/With seam: fresh
+      // crawl docs (odd ids) sharing >= 2 capped fingerprints with some
+      // training doc (even ids) — the sparse-index sibling of
+      // dedup_containment_cross, at ~2/(w+1) the index size; reference-
+      // side df cap only (batch-invariant), streaming twin spec-pinned
+      val d = t(s, dir, "documents")
+      Dedup.winnowFlagsWith(d.filter(col("doc_id") % 2 === 1),
+          Dedup.winnowBuild(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", n = 3, window = 4, maxDf = 20),
+          "doc_id", "text", minShared = 2)
+        .orderBy(col("id_new"), col("id_ref"))
+    }),
     "text_bm25" -> ((s, dir) =>
       // retrieval scoring for topic mining: rational-idf Okapi BM25 of
       // every doc vs a fixed 3-term query (see bm25Score for why no ln)
@@ -3542,6 +3555,7 @@ object SparkEntry {
            |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
       "text_winnowing" -> OracleHashSql.winnowingSql(),
       "text_winnowing_matches" -> OracleHashSql.winnowMatchesSql(),
+      "text_winnowing_cross" -> OracleHashSql.winnowCrossSql(),
       "text_remove_spans_cross" ->
         // same construction, but the dup-gram set comes from the even-id
         // REFERENCE half only (the prebuilt-index semantics); coverage

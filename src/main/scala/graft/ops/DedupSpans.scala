@@ -258,38 +258,36 @@ trait DedupSpans { self: Dedup.type =>
     * honor the same way the MinHash shingle oracles do). One row per
     * distinct (doc, fingerprint).
     *
-    * Scale shape: positioned grams hash through the codegen'd explode
-    * projection (the `duplicatedSpans` hashGrams path), ONE doc-keyed
-    * aggregate rebuilds each doc's position-ordered hash sequence, and
-    * the window-min selection is a per-row HOF over that materialized
-    * array. The aggregation is load-bearing beyond the shuffle: a pure
-    * withColumn pipeline let the window lambda re-evaluate the whole
-    * gram-hash transform PER WINDOW ELEMENT (no HOF CSE, and projection
-    * collapse inlines the previous stage) — measured 20 s for 500 docs,
-    * ~50× the honest cost; the aggregate is a barrier projections cannot
-    * collapse through.
+    * Scale shape: a PURE PROJECTION — tokenize, gram-hash, window-min,
+    * distinct, all per row, zero joins, zero shuffles — so the same
+    * column works unchanged on an unbounded stream (the Bloom-scrub
+    * class). The nested single-element-array lambda bindings are
+    * load-bearing: HOF lambdas get no CSE and projection collapse
+    * inlines prior withColumns, so a naive chain re-evaluated the whole
+    * gram-hash transform PER WINDOW ELEMENT (measured 20 s for 500 docs,
+    * ~50× the honest cost); binding each stage to a lambda VARIABLE
+    * (`transform(array(expr), x => …)`) evaluates it exactly once per
+    * row and every inner reference is a variable read.
     */
+  private[ops] def winnowFpsCol(text: Column, n: Int, window: Int): Column =
+    element_at(transform(array(tokens(text)), ws =>
+      when(size(ws) >= n,
+        element_at(transform(array(
+          transform(sequence(lit(0), size(ws) - n),
+            i => xxhash64(array_join(slice(ws, i + lit(1), lit(n)), " ")))),
+          hs =>
+            when(size(hs) <= window, array(array_min(hs)))
+              .otherwise(array_distinct(
+                transform(sequence(lit(0), size(hs) - window),
+                  i => array_min(slice(hs, i + lit(1), lit(window))))))), 1))
+        .otherwise(array().cast("array<bigint>"))), 1)
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 2, window: Int = 4): DataFrame = {
     require(n >= 1, s"winnowFingerprints: n-gram order must be >= 1: $n")
     require(window >= 1, s"winnowFingerprints: window must be >= 1: $window")
-    val positioned = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= n)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), size(col("__w")) - n),
-          i => xxhash64(array_join(slice(col("__w"), i + lit(1), lit(n)), " ")))))
-      .withColumnRenamed("col", "gh")
-    positioned
-      .groupBy(col("id"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("gh")))),
-        s => s("gh")).as("__hs"))
-      .withColumn("__fps",
-        when(size(col("__hs")) <= window, array(array_min(col("__hs"))))
-          .otherwise(array_distinct(
-            transform(sequence(lit(0), size(col("__hs")) - window),
-              i => array_min(slice(col("__hs"), i + lit(1), lit(window)))))))
-      .select(col("id").as(idCol), explode(col("__fps")).as("fp"))
+    df.select(col(idCol), winnowFpsCol(col(textCol), n, window).as("__fps"))
+      .select(col(idCol), explode(col("__fps")).as("fp"))
   }
 
   /** Winnowing-candidate pairs: documents sharing ≥ `minShared` selected
@@ -321,5 +319,79 @@ trait DedupSpans { self: Dedup.type =>
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
+  }
+
+  /** The build-once reference artifact for cross-corpus winnowing: the
+    * reference's df-capped (fp, id_ref) fingerprint relation — expected
+    * 2/(window+1) the size of the gram relation the containment seam
+    * carries, 16 bytes/row. The cap counts REFERENCE docs only, so how a
+    * crawl is micro-batched can never change which fingerprints survive
+    * (the `crossCorpusNearDupsWith` batch-invariance rule), and every
+    * surviving fingerprint bounds probe fan-out at `maxDf` reference
+    * rows. Persist as parquet keyed by fp; `persist()` is in-session.
+    */
+  case class WinnowIndex(refFps: DataFrame, n: Int, window: Int, maxDf: Int) {
+    def persist(): this.type = { refFps.persist(); this }
+    def unpersist(): this.type = { refFps.unpersist(); this }
+  }
+
+  /** Winnow + df-cap the reference corpus once — the per-snapshot half of
+    * the cross-corpus quote-reuse detector.
+    */
+  def winnowBuild(reference: DataFrame, idCol: String, textCol: String,
+                  n: Int = 2, window: Int = 4, maxDf: Int = 100): WinnowIndex = {
+    require(maxDf > 0, s"winnowBuild requires a positive reference-side fp df cap: $maxDf")
+    val fps = winnowFingerprints(reference, idCol, textCol, n, window)
+      .withColumnRenamed(idCol, "id_ref")
+    val cool = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("fp"))
+    WinnowIndex(fps.join(cool, Seq("fp"), "leftsemi"), n, window, maxDf)
+  }
+
+  /** Cross-corpus winnowing flags against a PREBUILT reference artifact:
+    * new documents sharing ≥ `minShared` selected fingerprints with some
+    * reference document — "this crawl page reuses a passage of training
+    * data", the sparse-index sibling of `containmentFlagsWith` (winnowing
+    * trades the containment RATIO for a shared-fingerprint COUNT at
+    * ~2/(w+1) the index size and candidate cost; the coverage guarantee
+    * makes a shared passage of ≥ window+n−1 words detectable by
+    * construction). One row per flagged (new doc, reference doc) pair
+    * with the shared count — work is linear in the batch: each new-doc
+    * fingerprint meets ≤ maxDf reference rows.
+    */
+  def winnowFlagsWith(corpus: DataFrame, index: WinnowIndex,
+                      idCol: String, textCol: String,
+                      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"winnowFlagsWith: minShared must be >= 1: $minShared")
+    winnowFingerprints(corpus, idCol, textCol, index.n, index.window)
+      .withColumnRenamed(idCol, "id_new")
+      .join(index.refFps, Seq("fp"))
+      .groupBy(col("id_new"), col("id_ref"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
+  /** STREAMING cross-corpus winnowing: the fingerprint selection is the
+    * SAME pure projection the batch path runs (winnowFpsCol —
+    * stream-safe by construction), the reference join is stream-static,
+    * and the per-(new doc, ref doc) shared count is one
+    * watermark-bounded windowed aggregation — the
+    * `streamingContainmentFlagsWith` shape exactly.
+    */
+  def streamingWinnowFlagsWith(stream: DataFrame, index: WinnowIndex,
+                               tsCol: String, idCol: String, textCol: String,
+                               minShared: Int = 2, watermark: String = "10 minutes",
+                               windowLen: String = "1 hour"): DataFrame = {
+    stream
+      .select(col(tsCol).cast("timestamp").as("ts"), col(idCol).as("id_new"),
+        winnowFpsCol(col(textCol), index.n, index.window).as("__fps"))
+      .select(col("ts"), col("id_new"), explode(col("__fps")).as("fp"))
+      .withWatermark("ts", watermark)
+      .join(index.refFps, Seq("fp")) // stream-static: no state
+      .groupBy(window(col("ts"), windowLen), col("id_new"), col("id_ref"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .select(col("window.start").as("ts"), col("id_new"), col("id_ref"),
+        col("shared_fp"))
   }
 }

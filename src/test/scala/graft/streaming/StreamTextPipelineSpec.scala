@@ -482,6 +482,42 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("streaming cross-corpus winnowing flags == batch flags against the same artifact") {
+    // the winnowing seam joins the Build/With/streaming convention: the
+    // fingerprint selection is the SAME pure projection in both paths,
+    // the reference join is stream-static, shared counts come from one
+    // watermark-bounded windowed aggregation
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val idx = graft.ops.Dedup.winnowBuild(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      n = 3, window = 4, maxDf = 20).persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val flags = graft.ops.Dedup.streamingWinnowFlagsWith(
+      in.toDF().toDF("ts", "doc_id", "text"), idx,
+      "ts", "doc_id", "text", minShared = 2, watermark = "1 hour")
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_winnow").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val fresh = docs.filter($"doc_id" % 2 === 1)
+      val newDocs = fresh.select($"doc_id", $"text").as[(Long, String)].collect()
+      in.addData(newDocs.map { case (id, tx) => (t0, id, tx) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 999999L,
+        "watermark advancer row zzz qq ww"))
+      q.processAllAvailable()
+      val got = spark.table("stream_winnow")
+        .select($"id_new", $"id_ref", $"shared_fp")
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = graft.ops.Dedup.winnowFlagsWith(fresh, idx, "doc_id", "text",
+          minShared = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expect, "stream winnowing flags diverge from the batch pair set")
+      assert(got.nonEmpty)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming exact cross dedup: stateless stream-static anti join == batch survivors") {
     // the strongest streaming twin: the batch call IS the streaming call —
     // no watermark, no state store; each row's verdict is its own
