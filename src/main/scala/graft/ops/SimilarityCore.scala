@@ -149,24 +149,19 @@ trait SimilarityCore { self: Similarity.type =>
     * (abs/max exact, ONE divide per component, round half-away-from-zero
     * in both engines), so SQ8 search oracles on the raw corpus with no
     * planted forcing — unlike PQ, whose codebooks need the pinned-seed
-    * convention. The all-zero vector keeps scale 0 with all-zero codes
-    * (its quantized dot is 0 — the only self-consistent reading).
-    * Output: (id, sq_scale, sq_codes array<tinyint-valued ints>).
+    * convention. The quantizer itself is [[quantizeInt8]] — the storage
+    * op this search path shares, so encode-for-storage and
+    * encode-for-search can never drift apart; its all-zero-vector
+    * convention (scale clamps to MIN_NORMAL, codes all zero) makes the
+    * quantized dot 0 regardless of which side is degenerate. Output:
+    * (id, sq_scale, sq_codes array<long> in [−127, 127]).
     */
   def sq8Encode(corpus: DataFrame, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
+                vecCol: String = "embedding"): DataFrame =
     corpus
-      .withColumn("__v", v)
-      .withColumn("sq_scale",
-        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
-      .withColumn("sq_codes",
-        when(col("sq_scale") === 0.0,
-            transform(col("__v"), _ => lit(0L)))
-          .otherwise(transform(col("__v"),
-            x => round(x / col("sq_scale")).cast("long"))))
-      .select(col(idCol), col("sq_scale"), col("sq_codes"))
-  }
+      .select(col(idCol), quantizeInt8(col(vecCol)).as("__qz"))
+      .select(col(idCol), col("__qz").getField("scale").as("sq_scale"),
+        transform(col("__qz").getField("q"), c => c.cast("long")).as("sq_codes"))
 
   /** Exact k-NN over SQ8 codes: the quantized dot
     * (s_q · s_c) · Σ cqᵢ·ccᵢ — the integer sum is exact (|code| ≤ 127,

@@ -707,13 +707,14 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (q, ex) => (ex & sq(q)).size }
     assert(recalls.forall(_ >= 8), s"SQ8 recall@10 degraded: $recalls")
-    // the all-zero vector encodes to scale 0 / all-zero codes, scores 0
+    // the all-zero vector encodes to all-zero codes (scale clamps to
+    // MIN_NORMAL via the shared quantizeInt8 convention) and scores 0
     val withZero = emb.select($"vec_id", $"embedding").unionByName(
       Seq((999999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
     val z = Similarity.sq8Encode(withZero).filter($"vec_id" === 999999L)
       .select($"sq_scale", expr("aggregate(sq_codes, 0L, (a, c) -> a + abs(c))"))
       .as[(Double, Long)].head()
-    assert(z == ((0.0, 0L)))
+    assert(z == ((java.lang.Double.MIN_NORMAL, 0L)))
     assert(Similarity.sq8TopK(withZero, withZero.filter($"vec_id" === 999999L), 5)
       .count() === 5)
   }
