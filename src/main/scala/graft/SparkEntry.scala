@@ -2014,6 +2014,16 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "n_chars", "doc_id")
         .orderBy(col("doc_id"))),
+    "docs_qnorm_length" -> ((s, dir) =>
+      // quantile normalization across sources: each doc's within-source
+      // midrank maps onto the POOLED n_chars distribution — the
+      // model-free cross-source score calibration (one threshold for
+      // many crawls); exact integer ranks + a pooled-rank lookup, no new
+      // float arithmetic anywhere (Analytics.quantileNormalize)
+      Analytics.quantileNormalize(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars")
+        .orderBy(col("doc_id"))),
     "events_ohlc" -> ((s, dir) =>
       // 15-min OHLC bars per event type — tie-proof argmin/argmax over a
       // unique order key, one hash aggregate (Events.ohlcBars scaladoc)
@@ -4465,6 +4475,19 @@ object SparkEntry {
       "docs_global_rank" ->
         """SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "docs_qnorm_length" ->
+        // within-source midrank -> pooled-rank lookup, all integer
+        // arithmetic; DuckDB // is floor division == Spark DIV on longs
+        """WITH src AS (SELECT doc_id, source, n_chars FROM documents),
+          |r AS (SELECT doc_id, source, n_chars,
+          |      row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+          |      count(*) OVER (PARTITION BY source) AS ns FROM src),
+          |p AS (SELECT n_chars AS qnorm,
+          |      row_number() OVER (ORDER BY n_chars, doc_id) AS gr FROM src),
+          |n AS (SELECT count(*) AS nt FROM src)
+          |SELECT r.doc_id, r.source, r.n_chars, p.qnorm
+          |FROM r, n, p WHERE p.gr = ((2 * r.r - 1) * n.nt) // (2 * r.ns) + 1
+          |ORDER BY r.doc_id""".stripMargin,
       "docs_budget_select" ->
         // the text_quality oracle's score construction → integer rank
         // key → ONE-window prefix sum (the oracle form of the two-phase

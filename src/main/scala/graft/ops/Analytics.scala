@@ -289,6 +289,52 @@ object Analytics {
     twoPhaseOrdered(df, keyCol, idCol, posBuckets, autoDegradeBelow,
       outCol = "global_rank", valCol = None)
 
+  /** Quantile normalization of a per-row value ACROSS GROUPS [Bolstad et
+    * al. 2003's microarray technique, re-expressed for corpus curation]:
+    * map each row's within-group midrank quantile onto the POOLED value
+    * distribution, so scores from sources with incomparable scales or
+    * shifted distributions become directly comparable — the
+    * model-free calibration a mixing policy needs before it can apply
+    * one threshold to many crawls (the model-based sibling is
+    * `calibrateQuality`'s per-source margin recalibration).
+    *
+    * Exact integer construction, no interpolation: within group g of
+    * size n_g, the row at rank r (ties broken by id — a total order)
+    * maps to pooled rank idx = ((2r − 1)·N) div (2·n_g) + 1, the
+    * midrank-scaled position, and `qnorm` is the VALUE at that pooled
+    * rank — an existing data value, not an average, so no new float
+    * arithmetic exists anywhere and the whole op hash-oracles. Overflow
+    * headroom: (2r − 1)·N must fit a long (ANSI fails loudly past it) —
+    * r ≤ max group size, so the op is exact while
+    * max|group|·N < 2⁶², e.g. a 10⁸-row source in a 10¹⁰-row pool; past
+    * that, swap the product for the decimal form the tie sub-bucketing
+    * path already uses.
+    *
+    * Scale shape: one window rank per group (group-keyed — parallel;
+    * giant groups inherit the `globalRank` tie-sub-bucket caveat), the
+    * pooled order via the two-phase `globalRankAll` (never a
+    * single-partition corpus window), one equi-join on the pooled rank,
+    * N as a broadcast 1-row aggregate.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    Seq("__r", "__ns", "__N", "__idx", "__gr", "qnorm").foreach(c =>
+      require(!df.columns.contains(c), s"quantileNormalize reserves column name '$c'"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val pooled = globalRankAll(df.select(col(idCol), col(valueCol)),
+        valueCol, idCol)
+      .select(col("global_rank").as("__gr"), col(valueCol).as("qnorm"))
+    val n = df.agg(count(lit(1)).as("__N"))
+    ranked.crossJoin(broadcast(n)) // 1-row scalar, verified pattern
+      .withColumn("__idx",
+        expr("((2 * __r - 1) * __N) DIV (2 * __ns)") + lit(1L))
+      .join(pooled, col("__idx") === col("__gr"))
+      .drop("__r", "__ns", "__N", "__idx", "__gr")
+  }
+
   /** Scalable global prefix SUM over the total order (keyCol, idCol) —
     * the sum-generalization of `globalRankAll`: intra-key running sum of
     * `valCol` (window partitioned by key — parallel), plus key offsets

@@ -327,4 +327,36 @@ class AnalyticsSpec extends AnyFunSuite {
       .filter($"term" === "singletonword").count()
     assert(got2 == 0)
   }
+
+  test("quantileNormalize: single group is identity; shifted source calibrates onto the pool; order preserved") {
+    // one group == the pool: midrank idx collapses to the row's own
+    // pooled rank, so qnorm == value exactly
+    val one = (1 to 40).map(i => (i.toLong, "s", (i * 7 % 23).toLong))
+      .toDF("id", "g", "v")
+    val idOne = Analytics.quantileNormalize(one, "g", "id", "v")
+      .select($"v", $"qnorm").as[(Long, Long)].collect()
+    assert(idOne.forall { case (v, q) => v == q }, "single-group qnorm must be identity")
+    // two sources drawing the same shape at wildly different scales: a
+    // 0-99 source and a +1000-shifted source — after normalization both
+    // land on the POOLED value set and each source's median maps near
+    // the pooled median (the property quantile normalization exists for)
+    val a = (0 until 50).map(i => (i.toLong, "a", i.toLong * 2))
+    val b = (0 until 50).map(i => ((100 + i).toLong, "b", 1000L + i * 2))
+    val df = (a ++ b).toDF("id", "g", "v")
+    val out = Analytics.quantileNormalize(df, "g", "id", "v")
+      .select($"id", $"g", $"v", $"qnorm").as[(Long, String, Long, Long)].collect()
+    val pooled = df.select($"v").as[Long].collect().sorted
+    out.foreach { case (_, _, _, q) =>
+      assert(pooled.contains(q), "qnorm must be an existing pooled value, never interpolated") }
+    // equal-size groups at equal ranks get the SAME normalized score —
+    // the distributions are made identical, which is the calibration
+    val byRank = out.groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    assert(byRank("a") == byRank("b"),
+      "equal-size sources must normalize onto identical distributions")
+    // within-source order is preserved (monotone map)
+    byRank.values.foreach(qs => assert(qs == qs.sorted))
+    intercept[IllegalArgumentException] {
+      Analytics.quantileNormalize(df.withColumn("qnorm", lit(1)), "g", "id", "v")
+    }
+  }
 }
