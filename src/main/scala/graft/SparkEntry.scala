@@ -2024,6 +2024,18 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
           "source", "doc_id", "n_chars")
         .orderBy(col("doc_id"))),
+    "docs_len_hist_quantiles" -> ((s, dir) => {
+      // the mergeable histogram quantile sketch end-to-end: a fixed
+      // [0, 512)/64-bin length census (≤64 counter rows at any corpus
+      // size, map-side-collapsed before the one shuffle) answering the
+      // p50/p90/p99 ranks with one-bin-width error BY CONSTRUCTION —
+      // exact integers everywhere, so the sketch AND the quantile reads
+      // hash-oracle directly (Analytics.histBuild/histQuantiles)
+      val sk = Analytics.histBuild(t(s, dir, "documents"), "n_chars",
+        lo = 0L, hi = 512L, bins = 64)
+      Analytics.histQuantiles(sk, Seq(500, 900, 990))
+        .orderBy(col("q_pm"))
+    }),
     "events_ohlc" -> ((s, dir) =>
       // 15-min OHLC bars per event type — tie-proof argmin/argmax over a
       // unique order key, one hash aggregate (Events.ohlcBars scaladoc)
@@ -4488,6 +4500,19 @@ object SparkEntry {
           |SELECT r.doc_id, r.source, r.n_chars, p.qnorm
           |FROM r, n, p WHERE p.gr = ((2 * r.r - 1) * n.nt) // (2 * r.ns) + 1
           |ORDER BY r.doc_id""".stripMargin,
+      "docs_len_hist_quantiles" ->
+        // clamp -> integer floor-div binning -> bounded running sum ->
+        // ceiling-rank lookup; // is floor division == Spark DIV
+        """WITH v AS (SELECT greatest(0, least(n_chars, 511)) AS v FROM documents),
+          |h AS (SELECT v // 8 AS bin, count(*) AS n FROM v GROUP BY 1),
+          |c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+          |t AS (SELECT sum(n) AS nt FROM h),
+          |q(q_pm) AS (VALUES (500), (900), (990)),
+          |r AS (SELECT q_pm, CAST((nt * q_pm + 999) // 1000 AS BIGINT) AS rnk FROM q, t),
+          |sel AS (SELECT r.q_pm, r.rnk, min(c.bin) AS bin
+          |        FROM r JOIN c ON c.cum >= r.rnk GROUP BY r.q_pm, r.rnk)
+          |SELECT CAST(q_pm AS INT) AS q_pm, bin, (bin + 1) * 8 AS est_hi, rnk AS rank
+          |FROM sel ORDER BY q_pm""".stripMargin,
       "docs_budget_select" ->
         // the text_quality oracle's score construction → integer rank
         // key → ONE-window prefix sum (the oracle form of the two-phase

@@ -501,6 +501,83 @@ object Analytics {
     * nothing here is keyed below the data scale except the bounded
     * lattice census itself.
     */
+  /** Mergeable equi-width histogram sketch over an integral column —
+    * the quantile sibling of `cmsBuild` (counts) and the mergeable-
+    * artifact family's member for ORDER statistics: ≤ `bins` counter
+    * rows however large the corpus, exact-integer construction end to
+    * end, so unlike a t-digest/KLL the sketch AND every quantile read
+    * off it hash-oracle directly. Geometry is FIXED ([lo, hi) with
+    * `bins` dividing the range exactly), never data-dependent — that is
+    * what makes per-batch sketches mergeable by pure counter addition
+    * ([[histMerge]]) and a running corpus-length histogram possible over
+    * crawl batches with `bins` longs of state. Out-of-range values clamp
+    * to the edge bins (they stay counted; the edge-bin mass is the
+    * "widen the range" signal).
+    *
+    * 100 TB shape: the census aggregate's key domain is ≤ `bins`, so
+    * map-side partial aggregation collapses each task's stream before
+    * the ONE shuffle — the `cmsBuild` bounded-lattice argument verbatim.
+    */
+  case class HistSketch(counters: DataFrame, lo: Long, hi: Long, bins: Int) {
+    def width: Long = (hi - lo) / bins
+    def persist(): this.type = { counters.persist(); this }
+    def unpersist(): this.type = { counters.unpersist(); this }
+  }
+
+  def histBuild(df: DataFrame, valueCol: String,
+                lo: Long, hi: Long, bins: Int): HistSketch = {
+    require(bins >= 1 && hi > lo && (hi - lo) % bins == 0,
+      s"histBuild needs hi > lo and bins dividing the range exactly: [$lo, $hi) / $bins")
+    val width = (hi - lo) / bins
+    val counters = df
+      .select(greatest(lit(lo), least(col(valueCol).cast("long"), lit(hi - 1))).as("__v"))
+      .selectExpr(s"(__v - ${lo}L) DIV ${width}L AS bin")
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    HistSketch(counters, lo, hi, bins)
+  }
+
+  /** Elementwise counter sum — the union sketch (`cmsMerge`'s shape). */
+  def histMerge(a: HistSketch, b: HistSketch): HistSketch = {
+    require(a.lo == b.lo && a.hi == b.hi && a.bins == b.bins,
+      s"histMerge of incompatible sketches: [${a.lo},${a.hi})/${a.bins} vs [${b.lo},${b.hi})/${b.bins}")
+    HistSketch(
+      a.counters.unionByName(b.counters)
+        .groupBy(col("bin")).agg(sum(col("n")).as("n")),
+      a.lo, a.hi, a.bins)
+  }
+
+  /** Quantile reads off the sketch: for each requested permille q (an
+    * exact integer — a double q·N would be the one float in an otherwise
+    * integer pipeline), target rank = ⌈N·q/1000⌉ via integer ceiling
+    * division, the answering bin is the smallest with cumulative count ≥
+    * rank, and `est_hi` is that bin's exclusive upper edge — so the true
+    * q-quantile of the IN-RANGE data is < est_hi and ≥ est_hi − width:
+    * the error is bounded by one bin width BY CONSTRUCTION (spec-pinned
+    * against the exact quantile), the contract a fixed geometry buys.
+    * All work is over the ≤ bins-row artifact: one bounded running sum,
+    * one broadcast join against the |qs|-row request relation.
+    */
+  def histQuantiles(sketch: HistSketch, qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      s"histQuantiles: permille quantiles must be in [1, 1000]: $qPermille")
+    val spark = sketch.counters.sparkSession
+    import spark.implicits._
+    val cum = sketch.counters
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bin")) // ≤ bins rows: bounded single-partition
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = sketch.counters.agg(sum(col("n")).as("__N"))
+    qPermille.toDF("q_pm")
+      .crossJoin(broadcast(total)) // 1-row scalar, verified pattern
+      .selectExpr("q_pm", "(__N * q_pm + 999) DIV 1000 AS rnk")
+      .join(broadcast(cum), col("cum") >= col("rnk"))
+      .groupBy(col("q_pm"), col("rnk"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q_pm"), col("bin"),
+        (lit(sketch.lo) + (col("bin") + 1) * lit(sketch.width)).as("est_hi"),
+        col("rnk").as("rank"))
+  }
+
   def scoreDrift(ref: DataFrame, cur: DataFrame, scoreCol: String): DataFrame = {
     // integer-cent bucket via round-then-cast: score·100 lands within
     // ~1e-12 of an integer for a 2-dp score, and the 0-dp round snaps it

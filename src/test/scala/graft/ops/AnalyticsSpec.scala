@@ -359,4 +359,50 @@ class AnalyticsSpec extends AnyFunSuite {
       Analytics.quantileNormalize(df.withColumn("qnorm", lit(1)), "g", "id", "v")
     }
   }
+
+  test("histSketch: one-bin-width quantile bound vs exact; merge == one-shot; clamping; geometry guards") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val (lo, hi, bins) = (0L, 512L, 64)
+    val width = (hi - lo) / bins
+    val sk = Analytics.histBuild(docs, "n_chars", lo, hi, bins)
+    val qs = Seq(100, 250, 500, 750, 900, 990, 1000)
+    val got = Analytics.histQuantiles(sk, qs)
+      .select($"q_pm", $"est_hi", $"rank").as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // exact k-th smallest (clamped like the sketch) for each rank: the
+    // true quantile must sit INSIDE the answering bin — est_hi − width ≤
+    // exact < est_hi, the bound the fixed geometry buys
+    val sorted = docs.select(
+        greatest(lit(lo), least($"n_chars", lit(hi - 1))).as[Long])
+      .collect().sorted
+    qs.foreach { q =>
+      val (estHi, rank) = got(q)
+      val exact = sorted((rank - 1).toInt)
+      assert(exact < estHi && exact >= estHi - width,
+        s"q=$q: exact $exact outside bin (${estHi - width}, $estHi]")
+    }
+    // merge law: per-batch sketches folded == the one-shot census, and
+    // every quantile read is identical
+    val m = Analytics.histMerge(
+      Analytics.histBuild(docs.filter($"doc_id" % 2 === 0), "n_chars", lo, hi, bins),
+      Analytics.histBuild(docs.filter($"doc_id" % 2 === 1), "n_chars", lo, hi, bins))
+    val oneC = sk.counters.as[(Long, Long)].collect().toSet
+    val mC = m.counters.as[(Long, Long)].collect().toSet
+    assert(mC == oneC, "merged counters must equal the one-shot census")
+    // out-of-range values clamp to the edge bins and stay counted
+    val oor = Seq(-5L, 0L, 511L, 10000L).toDF("v")
+    val cs = Analytics.histBuild(oor, "v", lo, hi, bins)
+      .counters.as[(Long, Long)].collect().toMap
+    assert(cs(0L) == 2L && cs(63L) == 2L)
+    // geometry guards
+    intercept[IllegalArgumentException] {
+      Analytics.histBuild(docs, "n_chars", 0L, 100L, 7) // 7 does not divide 100
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.histMerge(sk, Analytics.histBuild(docs, "n_chars", 0L, 512L, 32))
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.histQuantiles(sk, Seq(0))
+    }
+  }
 }
