@@ -2036,6 +2036,15 @@ object SparkEntry {
       Analytics.histQuantiles(sk, Seq(500, 900, 990))
         .orderBy(col("q_pm"))
     }),
+    "events_ewma" -> ((s, dir) =>
+      // per-user event-time EWMA with dyadic α = 1/4: the decay multiply
+      // is exact IEEE and the fold order is pinned to the (ts, event_id)
+      // total order, so every intermediate double is bit-identical across
+      // engines — the sequential-recurrence counterpart of the
+      // order-free integer-cent monitors (Events.ewmaByUser; streaming
+      // twin StatefulOps.streamingEwma, parity spec-pinned)
+      Events.ewmaByUser(t(s, dir, "events"))
+        .orderBy(col("user_id"))),
     "events_ohlc" -> ((s, dir) =>
       // 15-min OHLC bars per event type — tie-proof argmin/argmax over a
       // unique order key, one hash aggregate (Events.ohlcBars scaladoc)
@@ -4513,6 +4522,15 @@ object SparkEntry {
           |        FROM r JOIN c ON c.cum >= r.rnk GROUP BY r.q_pm, r.rnk)
           |SELECT CAST(q_pm AS INT) AS q_pm, bin, (bin + 1) * 8 AS est_hi, rnk AS rank
           |FROM sel ORDER BY q_pm""".stripMargin,
+      "events_ewma" ->
+        // seedless list_reduce uses the first element as the seed —
+        // exactly the batch op's convention; the fold order is the
+        // repo's (ts, event_id) event total order
+        """WITH l AS (SELECT user_id, count(*) AS n_events,
+          |      list("value" ORDER BY ts, event_id) AS vs FROM events GROUP BY user_id)
+          |SELECT user_id, n_events,
+          |  round(list_reduce(vs, (a, x) -> a + (x - a) * 0.25), 4) AS ewma_r
+          |FROM l ORDER BY user_id""".stripMargin,
       "docs_budget_select" ->
         // the text_quality oracle's score construction → integer rank
         // key → ONE-window prefix sum (the oracle form of the two-phase

@@ -299,6 +299,44 @@ object Events {
       .select(col("event_id"), col("event_type"), round(z, 4).as("z_r"))
   }
 
+  /** Per-user exponentially weighted moving average of `value` in event
+    * time — the standard smoothing a metrics/reputation pipeline keeps
+    * per entity (recent behavior dominates, old behavior decays
+    * geometrically) with α restricted to DYADIC rationals
+    * (num / 2^k, e.g. the default 1/4): the decay multiply is then an
+    * exact IEEE operation, and because the fold is evaluated in ONE
+    * pinned order (events sorted (ts, event_id), the repo's event total
+    * order; update form s ← s + (x − s)·α, seed s = first value —
+    * DuckDB's seedless `list_reduce` convention) every intermediate
+    * double is bit-identical across engines and the 4-dp output
+    * hash-oracles. The deliberate contrast with `anomalyZScores`'s
+    * order-free integer-cent sums: a sequential recurrence cannot be
+    * made order-independent, so determinism comes from PINNING the
+    * order instead (the `docs_rrf_hybrid` index-order-fold rule).
+    *
+    * Scale shape: one user-keyed aggregate (sort_array over each user's
+    * collected events — per-user event counts are the bounded grain
+    * every stateful op in this family assumes), no window, no driver
+    * state. The streaming twin is `StatefulOps.streamingEwma` (running
+    * state = one (ewma, n) pair per user; batch-parity spec-pinned).
+    */
+  def ewmaByUser(events: DataFrame, alphaNum: Int = 1, alphaDen: Int = 4): DataFrame = {
+    require(alphaDen >= 2 && (alphaDen & (alphaDen - 1)) == 0,
+      s"ewmaByUser: alphaDen must be a power of two (exact IEEE decay): $alphaDen")
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"ewmaByUser: need 1 <= alphaNum < alphaDen: $alphaNum/$alphaDen")
+    val alpha = alphaNum.toDouble / alphaDen
+    events
+      .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("__e"))
+      .groupBy(col("user_id"))
+      .agg(transform(sort_array(collect_list(col("__e"))), e => e("value")).as("__vs"))
+      .select(col("user_id"), size(col("__vs")).cast("long").as("n_events"),
+        round(aggregate(
+          slice(col("__vs"), lit(2), greatest(size(col("__vs")) - 1, lit(0))),
+          element_at(col("__vs"), 1),
+          (a, x) => a + (x - a) * lit(alpha)), 4).as("ewma_r"))
+  }
+
   /** Per-user running value (analytic window function surface). */
   def runningTotals(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

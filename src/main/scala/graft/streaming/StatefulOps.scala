@@ -44,6 +44,46 @@ object StatefulOps {
       }
   }
 
+  final case class SeqValueEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  final case class UserEwma(user_id: Long, n_events: Long, ewma_r: Double)
+
+  /** STREAMING per-user EWMA — the incremental twin of the batch
+    * `Events.ewmaByUser`: per-user state is ONE (ewma, n) pair, each
+    * micro-batch's arrivals fold in event-time order ((ts, event_id) —
+    * sorted WITHIN the batch because mapGroupsWithState hands the group
+    * iterator in arbitrary order), and the same dyadic-α update form
+    * s ← s + (x − s)·α produces bit-identical doubles to the batch fold
+    * when batches respect event time (the parity precondition every
+    * sequential streaming twin in this file carries — out-of-order
+    * arrival across batches is a watermark/reordering concern upstream
+    * of the recurrence). Emits the updated (user, n, ewma) per key per
+    * batch; the final batch's emission equals the batch op's row
+    * (parity spec-pinned across a micro-batch boundary).
+    */
+  def streamingEwma(events: Dataset[SeqValueEvent],
+                    alphaNum: Int = 1, alphaDen: Int = 4): Dataset[UserEwma] = {
+    require(alphaDen >= 2 && (alphaDen & (alphaDen - 1)) == 0 &&
+      alphaNum >= 1 && alphaNum < alphaDen,
+      s"streamingEwma: need a dyadic alpha in (0, 1): $alphaNum/$alphaDen")
+    val alpha = alphaNum.toDouble / alphaDen
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Double, Long), UserEwma](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SeqValueEvent], state: GroupState[(Double, Long)]) =>
+          // full sub-millisecond order: getTime is millis, getNanos the
+          // fraction — matching the batch op's (ts, event_id) µs order
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val next = ordered.foldLeft(state.getOption.getOrElse((0.0, 0L))) {
+            case ((s, n), e) =>
+              (if (n == 0L) e.value else s + (e.value - s) * alpha, n + 1)
+          }
+          state.update(next)
+          UserEwma(user, next._2,
+            BigDecimal(next._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class Conversion(user_id: Long, view_ts: Timestamp, purchase_ts: Timestamp)
   final case class FunnelState(firstView: Option[Timestamp], fired: Boolean)

@@ -150,6 +150,47 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
   }
 
+  test("streamingEwma matches the batch fold across a micro-batch boundary, out-of-order within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeqValueEvent]
+    val q = streamingEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    val ev = Seq(
+      // user 1: three events, delivered OUT of order within the batch —
+      // the in-batch sort must restore event-time order
+      SeqValueEvent(1L, t("2024-01-01 00:02:00"), 3L, 7.0),
+      SeqValueEvent(1L, t("2024-01-01 00:00:00"), 1L, 1.0),
+      SeqValueEvent(1L, t("2024-01-01 00:01:00"), 2L, 100.0),
+      // user 2: single event — EWMA is the seed itself
+      SeqValueEvent(2L, t("2024-01-01 00:00:30"), 4L, 42.5),
+      // batch 2: user 1 continues (state crosses the boundary)
+      SeqValueEvent(1L, t("2024-01-01 00:09:00"), 5L, -4.25))
+    try {
+      input.addData(ev.take(4): _*)
+      q.processAllAvailable()
+      input.addData(ev.drop(4): _*)
+      q.processAllAvailable()
+      // Update mode re-emits per batch; keep the LAST emission per user
+      val streamed = spark.table("ewma_out").as[UserEwma].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).values
+        .map(u => (u.user_id, u.n_events, u.ewma_r)).toList.sorted
+      val batch = graft.ops.Events.ewmaByUser(
+          ev.toDF().select($"user_id", $"ts", $"event_id", $"value"))
+        .as[(Long, Long, Double)].collect().toList.sorted
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // hand check: u1 = fold(1.0; 100.0, 7.0, -4.25) with s += (x-s)/4
+      val s1 = Seq(100.0, 7.0, -4.25).foldLeft(1.0)((s, x) => s + (x - s) * 0.25)
+      assert(batch.find(_._1 == 1L).get._3 ==
+        BigDecimal(s1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(batch.find(_._1 == 2L).get._3 == 42.5)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      graft.ops.Events.ewmaByUser(ev.toDF(), alphaNum = 1, alphaDen = 3)
+    }
+  }
+
   test("streamingAttribution matches the batch RANGE-frame op across a micro-batch boundary") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AttrEvent]
