@@ -634,6 +634,48 @@ object ScaleProbe {
         .groupBy(col("split")).count().count()
       Cleanup.drain(); r
     })
+
+    // ---- round-11 ops at n docs/vectors ----
+    // winnowing: the selection is one shuffle-free projection (the claim:
+    // scan speed), the match join's candidate budget is Σ df² over the
+    // df-capped SPARSE index (~2/(w+1) of the gram relation)
+    time("winnow_fingerprints")(
+      graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4).count())
+    time("winnow_matches")( {
+      val r = graft.ops.Dedup.winnowMatches(docs, "doc_id", "text", 3, 4,
+        minShared = 2, maxDf = 20).count()
+      Cleanup.drain(); r
+    })
+    // quantile normalization: one per-source window + the two-phase pooled
+    // rank + one index equi-join — the claim is rank-pipeline cost, no
+    // corpus-squared anything
+    time("qnorm_50src")( {
+      val src = docs.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id"), lit(7)), lit(50L)).as("source"),
+        length(col("text")).as("v"))
+      graft.ops.Analytics.quantileNormalize(src, "source", "doc_id", "v").count()
+    })
+    // histogram sketch: the census key domain is 64 bins, so the build is
+    // one map-side-collapsed aggregate; quantile reads are artifact-sized
+    time("hist_build_quantiles")( {
+      val sk = graft.ops.Analytics.histBuild(
+        docs.select(length(col("text")).as("v")), "v", 0L, 4096L, 64)
+      graft.ops.Analytics.histQuantiles(sk, Seq(500, 900, 990)).count()
+    })
+    // SQ8 at n vectors: training-free encode is one projection; the
+    // 20-query search scans int8 codes at 1/4 the float footprint
+    val embQ = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("double") / 1000.0)
+          - 1.0).cast("float")).as("embedding")).cache()
+    embQ.count()
+    time("sq8_encode")(graft.ops.Similarity.sq8Encode(embQ).count())
+    time("sq8_topk_20q")(
+      graft.ops.Similarity.sq8TopK(embQ, embQ.filter(col("vec_id") < 20), 10).count())
+    embQ.unpersist()
+    // EWMA over the ne-event stream (events relation above): one
+    // user-keyed aggregate, per-user fold ~ne/10k elements
+    time("events_ewma")(Events.ewmaByUser(events).count())
     spark.stop()
   }
 }
