@@ -286,8 +286,14 @@ trait DedupSpans { self: Dedup.type =>
                          n: Int = 2, window: Int = 4): DataFrame = {
     require(n >= 1, s"winnowFingerprints: n-gram order must be >= 1: $n")
     require(window >= 1, s"winnowFingerprints: window must be >= 1: $window")
+    // explode_OUTER, then drop the null rows short docs produce: a plain
+    // explode makes InferFiltersFromGenerate plant `size(fps) > 0` BELOW
+    // the projection, re-evaluating the whole selection expression per
+    // row (plan-audited 2× scan cost); the outer form skips that rule
+    // and the post-generate null filter is an attribute comparison
     df.select(col(idCol), winnowFpsCol(col(textCol), n, window).as("__fps"))
-      .select(col(idCol), explode(col("__fps")).as("fp"))
+      .select(col(idCol), explode_outer(col("__fps")).as("fp"))
+      .filter(col("fp").isNotNull)
   }
 
   /** Winnowing-candidate pairs: documents sharing ≥ `minShared` selected
