@@ -16,6 +16,16 @@ trait NativeUnaryKernel extends UnaryExpression {
   /** The kernel: input is the non-null child value (ArrayData etc.). */
   def compute(input: Any): Any
 
+  // null in ⇒ null out (nullSafeEval) — DECLARED so constraint
+  // propagation can derive IsNotNull(child) from IsNotNull(kernel(x))
+  // and push the cheap guard toward the scan. (Verified this does NOT
+  // make the optimizer REPLACE a join-inferred IsNotNull(size(kernel))
+  // guard — Spark never rewrites IsNotNull(f(x)) → IsNotNull(x) — so
+  // the sizes-leg guard on dedup_containment still evaluates the
+  // kernel in its Filter; acceptable 2× on one of that plan's passes,
+  // noted in PLANS.md rather than hidden.)
+  override def nullIntolerant: Boolean = true
+
   override def nullSafeEval(input: Any): Any = compute(input)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

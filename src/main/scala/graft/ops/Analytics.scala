@@ -310,20 +310,43 @@ object Analytics {
     * that, swap the product for the decimal form the tie sub-bucketing
     * path already uses.
     *
-    * Scale shape: one window rank per group (group-keyed — parallel;
-    * giant groups inherit the `globalRank` tie-sub-bucket caveat), the
-    * pooled order via the two-phase `globalRankAll` (never a
-    * single-partition corpus window), one equi-join on the pooled rank,
-    * N as a broadcast 1-row aggregate.
+    * Scale shape: NO group-partitioned corpus window anywhere (the
+    * measured window sweep flagged the obvious
+    * `row_number over (partition source)` form as the config-scale
+    * funnel it is — a giant source funnels its rank through one task).
+    * Instead the within-group rank derives from the two-phase
+    * `globalRankAll` over the composite (group, value) total order
+    * minus each group's exclusive row-count offset: groups are
+    * contiguous in that order, so
+    * rank_within_group = global_rank − offset(group) EXACTLY
+    * (spec-pinned against the window form). The offset census is
+    * |groups| rows (its running sum is a bounded-grain window), the
+    * pooled order is a second two-phase rank, and the final lookup is
+    * one equi-join on the pooled rank; N rides as a broadcast 1-row
+    * aggregate.
     */
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String): DataFrame = {
-    Seq("__r", "__ns", "__N", "__idx", "__gr", "qnorm").foreach(c =>
-      require(!df.columns.contains(c), s"quantileNormalize reserves column name '$c'"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
-    val ranked = df
-      .withColumn("__r", row_number().over(w))
-      .withColumn("__ns", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    Seq("__r", "__ns", "__N", "__idx", "__gr", "__sv", "__cnt0", "__off0", "qnorm")
+      .foreach(c =>
+        require(!df.columns.contains(c), s"quantileNormalize reserves column name '$c'"))
+    // composite total order (group, value, id): within it each group is a
+    // contiguous run, ranked by (value, id) — the within-group order
+    val granked = globalRankAll(
+        df.withColumn("__sv", struct(col(groupCol), col(valueCol))), "__sv", idCol)
+      .withColumnRenamed("global_rank", "__gr")
+    // per-group sizes and exclusive offsets: a |groups|-row census; the
+    // running sum's window input is census-sized, not corpus-sized
+    val census = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt0"))
+    val offsets = census.withColumn("__off0",
+      coalesce(sum(col("__cnt0")).over(
+        Window.orderBy(col(groupCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = granked
+      .join(broadcast(offsets), Seq(groupCol))
+      .withColumn("__r", col("__gr") - col("__off0"))
+      .withColumn("__ns", col("__cnt0"))
+      .drop("__gr", "__cnt0", "__off0", "__sv")
     val pooled = globalRankAll(df.select(col(idCol), col(valueCol)),
         valueCol, idCol)
       .select(col("global_rank").as("__gr"), col(valueCol).as("qnorm"))

@@ -99,6 +99,15 @@ class WindowKeySweepSpec extends AnyFunSuite {
         "twoPhaseOrdered fix as docs_global_rank (rank_key is a rounded " +
         "score — a saturating value key); forced (key, __b) shape " +
         "plan-pinned, equality spec-pinned"),
+    ("docs_qnorm_length", Seq("n_chars")) ->
+      ("the POOLED leg of quantileNormalize is globalRankAll over the " +
+        "value key — the probe-degraded tie-local rank at ≤64k measured " +
+        "rows, the same saturating-value-key case and the same " +
+        "twoPhaseOrdered fix as docs_global_rank (forced (key, __b) " +
+        "shape plan-pinned there); the within-GROUP leg carries no " +
+        "group-partitioned window at all — it derives from the composite " +
+        "(group, value) two-phase rank minus census offsets, " +
+        "equality spec-pinned in AnalyticsSpec"),
     ("text_postings", Seq("df", "term")) ->
       ("whole-list postings are the top-k oracle surface: the k=20 " +
         "broadcast roster bounds the GROUP COUNT (measured flat), but " +

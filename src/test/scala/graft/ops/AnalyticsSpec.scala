@@ -355,6 +355,30 @@ class AnalyticsSpec extends AnyFunSuite {
       "equal-size sources must normalize onto identical distributions")
     // within-source order is preserved (monotone map)
     byRank.values.foreach(qs => assert(qs == qs.sorted))
+    // the composite-rank-minus-offset derivation equals the naive
+    // group-partitioned window form EXACTLY (the window form is the
+    // config-scale funnel the measured sweep rejects; this pin is what
+    // lets the scale shape replace it)
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val viaOp = Analytics.quantileNormalize(
+        docs.select($"doc_id", $"source", $"n_chars"), "source", "doc_id", "n_chars")
+      .select($"doc_id", $"qnorm").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val naive = docs
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .crossJoin(docs.agg(count(lit(1)).as("__N")))
+      .withColumn("__idx", expr("((2 * __r - 1) * __N) DIV (2 * __ns)") + lit(1L))
+    val pooledRanks = docs.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"n_chars", $"doc_id")).cast("long").as("__gr"),
+        $"n_chars".as("qn"))
+    val viaWindow = naive.join(pooledRanks, $"__idx" === $"__gr")
+      .select($"doc_id", $"qn").as[(Long, Long)].collect().toMap
+    assert(viaOp == viaWindow,
+      "two-phase qnorm must equal the one-window reference form")
     intercept[IllegalArgumentException] {
       Analytics.quantileNormalize(df.withColumn("qnorm", lit(1)), "g", "id", "v")
     }
