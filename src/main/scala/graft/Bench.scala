@@ -85,9 +85,9 @@ object Bench {
     // single-shot (or spread-less) figure appears anywhere in the
     // payload now.
     def time(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-             runsFor: String => Int) =
+             runs: Int = 3) =
       entries.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to runsFor(name)).map { _ =>
+        val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try force(fn(spark, sfDir))
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -107,9 +107,9 @@ object Bench {
     val (oracleEntries, prodEntries) =
       SparkEntry.queries.toSeq.partition(e => SparkEntry.oracleOnly(e._1))
     val headlineSet = headline.toSet
-    val prodSamples = time(prodEntries, _ => 3)
+    val prodSamples = time(prodEntries)
     val results = prodSamples.map { case (n, ts) => n -> ts.min }
-    val oracleSamples = time(oracleEntries, _ => 3)
+    val oracleSamples = time(oracleEntries)
     val oracleResults = oracleSamples.map { case (n, ts) => n -> ts.min }
     // per-query median with min/max spread over the 3 samples — goes in
     // the full payload only (the compact stdout line is size-capped).

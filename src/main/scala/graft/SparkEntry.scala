@@ -542,9 +542,14 @@ object SparkEntry {
             x => (x * lit(0.25) + lit(2.0)).cast("float")).as("embedding"))
       val index = Similarity.ivfPqBuild(ref, nlist = 16, m = 8, ksub = 32,
         trainIters = 0, pqIters = 0)
-      val report = Analytics.scoreDrift(
-        Similarity.ivfPqDistortion(index, ref),
-        Similarity.ivfPqDistortion(index, drifted), "pq_err_r")
+      // the census feeds TWO branches (output rows + the verdict
+      // aggregate) — materialize its ≤|lattice| rows once or the whole
+      // assign→residual→encode→reconstruct pipeline runs twice for both
+      // populations (the dedup_embedding_cosine multi-branch rule)
+      val report = graft.Cleanup.register(Analytics.scoreDrift(
+          Similarity.ivfPqDistortion(index, ref),
+          Similarity.ivfPqDistortion(index, drifted), "pq_err_r")
+        .localCheckpoint(false))
       val fired = report.agg(
         (sum(round(col("d_ppm") * 1e4).cast("long")) > 2000000000L)
           .as("rebuild_fired"))
@@ -885,7 +890,7 @@ object SparkEntry {
           n = 3, window = 4)
         .orderBy(col("doc_id"), col("fp"))),
     "text_winnowing_matches" -> ((s, dir) =>
-      // the detector over the sparse index: doc pairs sharing >= 3
+      // the detector over the sparse index: doc pairs sharing >= 2
       // df-capped fingerprints — quote-reuse/plagiarism candidates at
       // ~(w+1)²/4 the containment join's candidate cost
       // trigrams + a TIGHT df cap: the synthetic 25-word vocabulary

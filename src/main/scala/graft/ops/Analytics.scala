@@ -553,6 +553,11 @@ object Analytics {
       s"histBuild needs hi > lo and bins dividing the range exactly: [$lo, $hi) / $bins")
     val width = (hi - lo) / bins
     val counters = df
+      // nulls are EXCLUDED, not clamped: Spark's least/greatest skip
+      // nulls, so without the filter a null value would silently land in
+      // the top bin and shift every quantile rank (round-11 review
+      // finding) — null is "no measurement", not "out of range"
+      .where(col(valueCol).isNotNull)
       .select(greatest(lit(lo), least(col(valueCol).cast("long"), lit(hi - 1))).as("__v"))
       .selectExpr(s"(__v - ${lo}L) DIV ${width}L AS bin")
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))

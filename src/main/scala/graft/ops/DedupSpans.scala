@@ -268,6 +268,13 @@ trait DedupSpans { self: Dedup.type =>
     * ~50× the honest cost); binding each stage to a lambda VARIABLE
     * (`transform(array(expr), x => …)`) evaluates it exactly once per
     * row and every inner reference is a variable read.
+    *
+    * Defaults (n = 3, window = 4, and the match family's minShared = 2 /
+    * maxDf = 20) MATCH the paired DuckDB oracle generators
+    * (OracleHashSql.winnowingSql/winnowMatchesSql/winnowCrossSql) — a
+    * default drift between the two sides is a guaranteed hash-mismatch
+    * hunt; bigrams in particular are the measured ~10⁷-candidate-pair
+    * blowup on low-vocabulary corpora (the wired-query comment).
     */
   private[ops] def winnowFpsCol(text: Column, n: Int, window: Int): Column =
     element_at(transform(array(tokens(text)), ws =>
@@ -283,7 +290,7 @@ trait DedupSpans { self: Dedup.type =>
         .otherwise(array().cast("array<bigint>"))), 1)
 
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 2, window: Int = 4): DataFrame = {
+                         n: Int = 3, window: Int = 4): DataFrame = {
     require(n >= 1, s"winnowFingerprints: n-gram order must be >= 1: $n")
     require(window >= 1, s"winnowFingerprints: window must be >= 1: $window")
     // explode_OUTER, then drop the null rows short docs produce: a plain
@@ -308,8 +315,8 @@ trait DedupSpans { self: Dedup.type =>
     * Undirected pairs (id_a < id_b), count of shared fingerprints.
     */
   def winnowMatches(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 2, window: Int = 4, minShared: Int = 3,
-                    maxDf: Int = 100): DataFrame = {
+                    n: Int = 3, window: Int = 4, minShared: Int = 2,
+                    maxDf: Int = 20): DataFrame = {
     require(minShared >= 1 && maxDf > 0,
       s"winnowMatches: need minShared >= 1, maxDf > 0: $minShared, $maxDf")
     val fps = winnowFingerprints(df, idCol, textCol, n, window)
@@ -345,7 +352,7 @@ trait DedupSpans { self: Dedup.type =>
     * the cross-corpus quote-reuse detector.
     */
   def winnowBuild(reference: DataFrame, idCol: String, textCol: String,
-                  n: Int = 2, window: Int = 4, maxDf: Int = 100): WinnowIndex = {
+                  n: Int = 3, window: Int = 4, maxDf: Int = 20): WinnowIndex = {
     require(maxDf > 0, s"winnowBuild requires a positive reference-side fp df cap: $maxDf")
     val fps = winnowFingerprints(reference, idCol, textCol, n, window)
       .withColumnRenamed(idCol, "id_ref")
@@ -391,7 +398,11 @@ trait DedupSpans { self: Dedup.type =>
     stream
       .select(col(tsCol).cast("timestamp").as("ts"), col(idCol).as("id_new"),
         winnowFpsCol(col(textCol), index.n, index.window).as("__fps"))
-      .select(col("ts"), col("id_new"), explode(col("__fps")).as("fp"))
+      // explode_OUTER + null filter, same as the batch path: a plain
+      // explode re-evaluates the whole selection per row via the
+      // inferred size() guard (winnowFingerprints comment)
+      .select(col("ts"), col("id_new"), explode_outer(col("__fps")).as("fp"))
+      .filter(col("fp").isNotNull)
       .withWatermark("ts", watermark)
       .join(index.refFps, Seq("fp")) // stream-static: no state
       .groupBy(window(col("ts"), windowLen), col("id_new"), col("id_ref"))

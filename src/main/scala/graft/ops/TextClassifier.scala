@@ -410,10 +410,17 @@ trait TextClassifier { self: TextAnalysis.type =>
       .groupBy(col("cls"), col("cls_idx"))
       .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("s"))
       .select(struct(col("cls_idx"), col("cls"),
-        transform(col("s"), x => x("w")).as("wv")).as("m"))
+        transform(col("s"), x => x("w")).as("wv"),
+        transform(col("s"), x => x("pos")).as("pv")).as("m"))
       .agg(sort_array(collect_list(col("m"))).as("__models"))
+    // pv === [0..dim] is the full position-integrity check: it implies
+    // the dim+1 width AND rejects duplicate-pos/missing-pos corruption a
+    // bare width test passes (a pos=5 duplicate with pos=7 absent still
+    // has dim+1 rows but misaligns every weight above it — round-11
+    // review finding)
     val ok = size(col("__models")) >= 1 &&
-      forall(col("__models"), m => size(m("wv")) === dim + 1) &&
+      forall(col("__models"),
+        m => m("pv") === sequence(lit(0L), lit(dim.toLong))) &&
       forall(zip_with(col("__models"),
           sequence(lit(0L), size(col("__models")).cast("long") - 1L),
           (m, i) => m("cls_idx") === i), x => x)

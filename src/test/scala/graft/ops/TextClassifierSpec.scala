@@ -376,5 +376,15 @@ class TextClassifierSpec extends AnyFunSuite {
     val gap = model.filter(col("cls") =!= "bravo")
     assert(TextAnalysis.classifierPredictWith(tri, "text", gap, dim = 16)
       .select(col("clf_pred")).collect().forall(_.isNullAt(0)))
+    // DUPLICATE-POS artifact: same dim+1 row count per class (a bare
+    // width check passes), but a pos appears twice and another is
+    // missing — sort_array misaligns every weight above the duplicate,
+    // so the position-integrity guard must null out, never mis-score
+    // (round-11 review finding)
+    val dup = model.withColumn("pos",
+      when(col("cls") === "bravo" && col("pos") === 7L, lit(5L))
+        .otherwise(col("pos")))
+    assert(TextAnalysis.classifierPredictWith(tri, "text", dup, dim = 16)
+      .select(col("clf_pred")).collect().forall(_.isNullAt(0)))
   }
 }
