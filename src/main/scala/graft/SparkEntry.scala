@@ -1526,33 +1526,72 @@ object SparkEntry {
           round(min(col("o_totalprice")), 2).as("p_min"),
           round(max(col("o_totalprice")), 2).as("p_max"))
         .orderBy(col("o_orderpriority"))),
-    "q_percentiles_approx" -> ((s, dir) =>
-      // the 100 TB path for q_percentiles: exact percentile() sorts every
-      // group; approx_percentile is a bounded-memory mergeable sketch.
-      // Promoted to a FULL hash oracle via the within-rank-bound verdict:
-      // at accuracy 1000 the sketch returns an element whose rank is
-      // within N/1000 of the target, i.e. its quantile is within ±0.001 —
-      // so it must lie between the EXACT percentiles at q ∓ 0.003 (0.001
-      // sketch error + interpolation/discreteness slack, ≥ 2/(N−1) for
-      // the N ≥ 1000 groups where the sketch approximates at all; below
-      // that it stores every value and is exact). Both engines state the
-      // boolean identically; the constant ∓ fractions keep percentile()
-      // foldable (a per-group dynamic fraction would not plan).
+    "q_percentiles_approx" -> ((s, dir) => {
+      // the 100 TB path for q_percentiles: exact percentile() buffers
+      // every group value; approx_percentile is a bounded-memory
+      // mergeable sketch. The verdict bound is ALSO bounded-memory
+      // since round 12 — the round-11 form computed FOUR exact
+      // percentile() legs (at q ∓ 0.003) to state the rank-error
+      // contract, so the self-described scale path carried the very
+      // all-values-per-group buffer it exists to avoid (round-11
+      // verdict). The bound now reads off a grouped equi-width
+      // histogram census over integer cents (histBuild's fixed-geometry
+      // argument, inlined with the group key): exact integer
+      // construction, ≤ |priorities|·1000 census rows at any corpus
+      // size, cumulated by a window over the census (bounded grain).
+      // Soundness: accuracy-1000 returns an element whose exact rank is
+      // within N/1000 of target (below ~500 rows/group it stores every
+      // value — exact), so with the ∓0.005 margin (≥ 2 ranks of slack
+      // for every N this corpus produces: N ≥ 300/group at sf0.001,
+      // growing with SF) its rank is ≥ r_lo = ⌈N(q−0.005)⌉ and
+      // ≤ r_hi = ⌈N(q+0.005)⌉; a value of rank ≥ r_lo is ≥ the
+      // inclusive lower edge of the bin answering r_lo, and of rank
+      // ≤ r_hi is < the exclusive upper edge of the bin answering r_hi.
+      // Both engines state the boolean identically (oracle: constant
+      // true over the exactly-recomputed group keys).
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      val loC = 0L; val hiC = 80000000L; val bins = 1000
+      val width = (hiC - loC) / bins // 80000 cents; o_totalprice < $500k
+      val hist = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("__c"))
+        .select(col("o_orderpriority"),
+          (greatest(lit(loC), least(col("__c"), lit(hiC - 1))) - lit(loC)).as("__v"))
+        .selectExpr("o_orderpriority", s"__v DIV ${width}L AS bin")
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val cum = hist.withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("__N"))
+      def rnk(pm: Int) = expr(s"(__N * $pm + 999) DIV 1000")
+      val bounds = cum.join(broadcast(tot), "o_orderpriority")
+        .withColumn("__rlo50", rnk(495)).withColumn("__rhi50", rnk(505))
+        .withColumn("__rlo90", rnk(895)).withColumn("__rhi90", rnk(905))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(when(col("cum") >= col("__rlo50"), col("bin"))).as("__blo50"),
+          min(when(col("cum") >= col("__rhi50"), col("bin"))).as("__bhi50"),
+          min(when(col("cum") >= col("__rlo90"), col("bin"))).as("__blo90"),
+          min(when(col("cum") >= col("__rhi90"), col("bin"))).as("__bhi90"))
+      def loEdge(b: Column) = lit(loC) + b * lit(width) // inclusive
+      def hiEdge(b: Column) = lit(loC) + (b + lit(1)) * lit(width) // exclusive
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__a50"),
-          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("__a90"),
-          expr("percentile(o_totalprice, 0.497)").as("__lo50"),
-          expr("percentile(o_totalprice, 0.503)").as("__hi50"),
-          expr("percentile(o_totalprice, 0.897)").as("__lo90"),
-          expr("percentile(o_totalprice, 0.903)").as("__hi90"))
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("__a90"))
+        .join(broadcast(bounds), "o_orderpriority")
         .select(col("o_orderpriority"),
-          (col("__a50") >= col("__lo50") && col("__a50") <= col("__hi50"))
+          (round(col("__a50") * 100).cast("long") >= loEdge(col("__blo50")) &&
+            round(col("__a50") * 100).cast("long") < hiEdge(col("__bhi50")))
             .as("p50_in_bound"),
-          (col("__a90") >= col("__lo90") && col("__a90") <= col("__hi90"))
+          (round(col("__a90") * 100).cast("long") >= loEdge(col("__blo90")) &&
+            round(col("__a90") * 100).cast("long") < hiEdge(col("__bhi90")))
             .as("p90_in_bound"))
-        .orderBy(col("o_orderpriority"))),
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // for each event, the user's latest purchase value at or before it
       val ev = t(s, dir, "events")
@@ -3938,8 +3977,9 @@ object SparkEntry {
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "q_percentiles_approx" ->
         // group keys recomputed exactly; the sketch's rank-error contract
-        // is the constant-true verdict Spark measures against exact
-        // percentiles at the ∓0.003 quantile margin
+        // is the constant-true verdict Spark measures against the grouped
+        // histogram census's bin edges at the ∓0.005 rank margin (no
+        // exact percentile anywhere — the bound is bounded-memory too)
         """SELECT o_orderpriority, true AS p50_in_bound, true AS p90_in_bound
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "q_asof_join" ->

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Row shapes for `ewmaByUser`'s O(1)-state ordered partition scan.
+    * `value` is Option so a null measurement deserializes (and
+    * propagates through the fold) instead of NPE-ing the task.
+    */
+  final case class EwmaScanRow(user_id: Long, ts: java.sql.Timestamp,
+                               event_id: Long, value: Option[Double])
+  final case class EwmaScanOut(user_id: Long, n_events: Long, ewma: Option[Double])
+
   /** Tumbling-window aggregate; window start emitted as epoch seconds so
     * result comparison is timezone/format-proof.
     */
@@ -314,11 +322,25 @@ object Events {
     * made order-independent, so determinism comes from PINNING the
     * order instead (the `docs_rrf_hybrid` index-order-fold rule).
     *
-    * Scale shape: one user-keyed aggregate (sort_array over each user's
-    * collected events — per-user event counts are the bounded grain
-    * every stateful op in this family assumes), no window, no driver
-    * state. The streaming twin is `StatefulOps.streamingEwma` (running
-    * state = one (ewma, n) pair per user; batch-parity spec-pinned).
+    * Scale shape: ONE hash exchange on user_id (every user's events land
+    * wholly in one partition), a within-partition sort on (user_id, ts,
+    * event_id), then a streaming per-partition scan that folds each
+    * user's run with O(1) state — current user, running s, running n —
+    * emitting at user boundaries. This replaced a round-11
+    * `sort_array(collect_list(...))` form whose aggregation buffer held
+    * a user's ENTIRE history (the repo's one unbounded order-dependent
+    * buffer, round-11 verdict): a bot account with 10⁸ events would OOM
+    * the task. A declarative aggregate cannot fix it — the fold is
+    * associative-but-not-commutative (affine-map composition), and
+    * Spark merges partial aggregation buffers in nondeterministic order
+    * — so this is the mandate's genuine per-partition-imperative case.
+    * The scan evaluates the IDENTICAL sequence of IEEE ops on the same
+    * doubles in the same order as the old fold (JVM `a + (x - a) *
+    * alpha` with no fma contraction == Catalyst's codegen of the same
+    * expression), so the DuckDB list_reduce oracle is unchanged and the
+    * 4-dp output hashes stay green. The streaming twin is
+    * `StatefulOps.streamingEwma` (running state = one (ewma, n) pair
+    * per user; batch-parity spec-pinned).
     */
   def ewmaByUser(events: DataFrame, alphaNum: Int = 1, alphaDen: Int = 4): DataFrame = {
     require(alphaDen >= 2 && (alphaDen & (alphaDen - 1)) == 0,
@@ -326,15 +348,40 @@ object Events {
     require(alphaNum >= 1 && alphaNum < alphaDen,
       s"ewmaByUser: need 1 <= alphaNum < alphaDen: $alphaNum/$alphaDen")
     val alpha = alphaNum.toDouble / alphaDen
-    events
-      .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("__e"))
-      .groupBy(col("user_id"))
-      .agg(transform(sort_array(collect_list(col("__e"))), e => e("value")).as("__vs"))
-      .select(col("user_id"), size(col("__vs")).cast("long").as("n_events"),
-        round(aggregate(
-          slice(col("__vs"), lit(2), greatest(size(col("__vs")) - 1, lit(0))),
-          element_at(col("__vs"), 1),
-          (a, x) => a + (x - a) * lit(alpha)), 4).as("ewma_r"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ts stays in the row through the scan (unused there) so no Project
+    // sits between the sort and the deserialize — the sort feeds the
+    // scan directly and cannot be pruned or reordered around
+    val scanned = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .as[EwmaScanRow]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[EwmaScanOut] {
+          def hasNext: Boolean = it.hasNext
+          def next(): EwmaScanOut = {
+            val first = it.next()
+            val user = first.user_id
+            var n = 1L
+            // null propagates exactly as the old HOF fold's three-valued
+            // arithmetic did: a null seed or element nulls the result
+            var s: Option[Double] = first.value
+            while (it.hasNext && it.head.user_id == user) {
+              val e = it.next(); n += 1
+              s = for (a <- s; x <- e.value) yield a + (x - a) * alpha
+            }
+            EwmaScanOut(user, n, s)
+          }
+        }
+      }
+    scanned.toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("ewma"), 4).as("ewma_r"))
   }
 
   /** Per-user running value (analytic window function surface). */
