@@ -73,6 +73,124 @@ object Bench {
       force(spark.range(1000000).selectExpr("sum(id) as s"))
     } catch { case _: Throwable => () }
 
+    import org.apache.spark.sql.functions._
+
+    // ------------------------------------------------------ router benches
+    // Run FIRST, right after warmup (round-11 verdict task 1): in round 11
+    // these were the LAST measurements of a 567-execution sweep and the two
+    // unchanged-code router metrics read 6-8× their r07-r10 values together
+    // — accumulated JVM/listener/GC pressure, not a plan change. They are
+    // the only reference-workload-shaped numbers in the payload, so they
+    // get the cold-ish, just-warmed JVM the reference's single binary gets.
+    //
+    // Batch router throughput: the reference's own workload shape — a
+    // synthetic corpus with sample_input.txt's composition (noise + matches
+    // + CIDR hits + near-miss decoys) routed through a production-shaped
+    // plan (regex CIDR + 4 substring splits + drop). rows/sec of the pure
+    // routing projection, the number to compare against the reference's
+    // single-node message loop.
+    val nCorpus = 4000000L
+    val corpus = spark.range(nCorpus).select(
+      col("id").cast("string").as("key"),
+      when(pmod(col("id"), lit(100)) === 0,
+          concat(lit("pre"), col("id"), lit("source\":\"/var/log/syslog tail")))
+        .when(pmod(col("id"), lit(100)) === 1,
+          concat(lit("x\"source\":\"10.220.64."), pmod(col("id"), lit(250)), lit("\"y")))
+        .when(pmod(col("id"), lit(100)) === 2, lit("/var/log/ceph/ceph.logweWIx")) // decoy
+        .when(pmod(col("id"), lit(100)) === 3,
+          concat(lit("a"), col("id"), lit("source\":\"/var/log/ceph/ceph-mon t")))
+        .otherwise(concat(lit("noise-"), md5(col("id").cast("string"))))
+        .as("value"))
+      .cache()
+    corpus.count() // materialize: measure routing, not generation
+    val routedBatch = graft.router.Router.route(corpus, graft.fixtures.RefRoutePlan.openstack)
+    val routerRuns = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      force(routedBatch)
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    corpus.unpersist()
+    val routerSecs = routerRuns.head
+    val rowsPerSec = (nCorpus / routerSecs).toLong
+
+    // Streaming-path router throughput: the same routing expression driven
+    // through Structured Streaming micro-batches (rate-micro-batch source →
+    // route → noop sink) — the honest comparison against the reference's
+    // streaming loop, including per-batch planning/commit overhead. THREE
+    // independent stream runs (fresh query + fresh temp checkpoint each)
+    // with med/min/max over per-run throughput — round 11's single 30 s
+    // window was the last spread-less figure in the payload and it read 8×
+    // off on unchanged code.
+    def streamRun(): Option[(Long, Long, Long)] = try {
+      val perBatch = 2000000L
+      val stream = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", perBatch.toString)
+        .option("numPartitions", cpus)
+        .load()
+        .select(col("value").cast("string").as("key"),
+          when(pmod(col("value"), lit(100)) === 0,
+              concat(lit("pre"), col("value"), lit("source\":\"/var/log/syslog tail")))
+            .when(pmod(col("value"), lit(100)) === 1, lit("/var/log/ceph/ceph.logweWIx"))
+            // cheap non-matching noise pad (NOT md5: the batch router number
+            // excludes corpus synthesis via cache(), so the stream synthesis
+            // must stay negligible for the comparison to isolate routing +
+            // micro-batch overhead). Width matches the batch corpus's
+            // 38-char md5 noise so both paths route comparable payloads.
+            .otherwise(concat(lit("noise-"), col("value"),
+              lit("-qqpadqqwwpadwwxxpadxxyypadyy")))
+            .as("value"))
+      val routed = graft.router.Router.route(stream, graft.fixtures.RefRoutePlan.openstack)
+      val q = routed.writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val p = q.recentProgress
+        done = p.map(_.numInputRows).sum >= perBatch * 6
+      }
+      val progresses = q.recentProgress
+      // silence the TaskKilled/stage-cancelled WARN burst that query.stop()
+      // triggers, then restore WARN once the burst has drained (the runs
+      // now happen at the START of the sweep, so leaving the level OFF
+      // would swallow every later query's diagnostics)
+      spark.sparkContext.setLogLevel("OFF")
+      q.stop()
+      Thread.sleep(500)
+      spark.sparkContext.setLogLevel("WARN")
+      val rows = progresses.map(_.numInputRows).sum
+      val execMs = progresses.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
+      if (rows > 0 && execMs > 0) Some((rows, execMs, rows * 1000L / execMs)) else None
+    } catch { case e: Throwable => System.err.println(s"[bench] stream failed: $e"); None }
+    val streamRuns = (1 to 3).flatMap(_ => streamRun())
+    // med/min/max over per-run rows_per_sec; rows/exec_ms reported from the
+    // median-throughput run so the three headline figures cohere
+    val streamStats = streamRuns.sortBy(_._3) match {
+      case rs if rs.nonEmpty => Some((rs(rs.size / 2), rs.head._3, rs.last._3, rs.size))
+      case _ => None
+    }
+    val streamJson = streamStats
+      .map { case ((r, ms, rps), mn, mx, n) =>
+        s""","stream_router":{"rows":$r,"exec_ms":$ms,"rows_per_sec":$rps,"rps_min":$mn,"rps_max":$mx,"runs":$n}""" }
+      .getOrElse("")
+
+    // ------------------------------------------------- trainer attribution
+    // Force the build-once artifact memos BEFORE the timed sweep and report
+    // each as its own line (round-11 verdict task 5): the memoized 64-round
+    // classifier train previously landed inside whichever docs_classifier_*
+    // query the sweep happened to time first (max 99.15 s vs med 8.48 s in
+    // BENCH_r11), misread as an apply-path regression. A 100 TB deployment
+    // trains once and serves the artifact table; timing train and apply as
+    // separate lines is that deployment's honest cost model.
+    val trainerSecs: Seq[(String, Double)] = SparkEntry.trainerWarmers.toSeq.sortBy(_._1)
+      .map { case (name, warm) =>
+        val t0 = System.nanoTime()
+        try warm(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] trainer $name failed: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
     // three runs per query, EVERY query (round 11 — previously 2 with a
     // 3-sample headline subset): min-of-3 suppresses GC/compilation noise
     // from earlier queries in the shared JVM (the steady-state number a
@@ -121,82 +239,6 @@ object Bench {
     val queryStats = spread(prodSamples)
     val headlineStats = queryStats.filter(e => headlineSet(e._1))
     val oracleStats = spread(oracleSamples)
-    // Router throughput: the reference's own workload shape — a synthetic
-    // corpus with sample_input.txt's composition (noise + matches + CIDR
-    // hits + near-miss decoys) routed through a production-shaped plan
-    // (regex CIDR + 4 substring splits + drop). rows/sec of the pure
-    // routing projection, the number to compare against the reference's
-    // single-node message loop.
-    import org.apache.spark.sql.functions._
-    val nCorpus = 4000000L
-    val corpus = spark.range(nCorpus).select(
-      col("id").cast("string").as("key"),
-      when(pmod(col("id"), lit(100)) === 0,
-          concat(lit("pre"), col("id"), lit("source\":\"/var/log/syslog tail")))
-        .when(pmod(col("id"), lit(100)) === 1,
-          concat(lit("x\"source\":\"10.220.64."), pmod(col("id"), lit(250)), lit("\"y")))
-        .when(pmod(col("id"), lit(100)) === 2, lit("/var/log/ceph/ceph.logweWIx")) // decoy
-        .when(pmod(col("id"), lit(100)) === 3,
-          concat(lit("a"), col("id"), lit("source\":\"/var/log/ceph/ceph-mon t")))
-        .otherwise(concat(lit("noise-"), md5(col("id").cast("string"))))
-        .as("value"))
-      .cache()
-    corpus.count() // materialize: measure routing, not generation
-    val routed = graft.router.Router.route(corpus, graft.fixtures.RefRoutePlan.openstack)
-    val routerSecs = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      force(routed)
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    corpus.unpersist()
-    val rowsPerSec = (nCorpus / routerSecs).toLong
-
-    // Streaming-path router throughput: the same routing expression driven
-    // through Structured Streaming micro-batches (rate-micro-batch source →
-    // route → noop sink) — the honest comparison against the reference's
-    // streaming loop, including per-batch planning/commit overhead.
-    val streamStats = try {
-      val perBatch = 2000000L
-      val stream = spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", perBatch.toString)
-        .option("numPartitions", cpus)
-        .load()
-        .select(col("value").cast("string").as("key"),
-          when(pmod(col("value"), lit(100)) === 0,
-              concat(lit("pre"), col("value"), lit("source\":\"/var/log/syslog tail")))
-            .when(pmod(col("value"), lit(100)) === 1, lit("/var/log/ceph/ceph.logweWIx"))
-            // cheap non-matching noise pad (NOT md5: the batch router number
-            // excludes corpus synthesis via cache(), so the stream synthesis
-            // must stay negligible for the comparison to isolate routing +
-            // micro-batch overhead). Width matches the batch corpus's
-            // 38-char md5 noise so both paths route comparable payloads.
-            .otherwise(concat(lit("noise-"), col("value"),
-              lit("-qqpadqqwwpadwwxxpadxxyypadyy")))
-            .as("value"))
-      val routed = graft.router.Router.route(stream, graft.fixtures.RefRoutePlan.openstack)
-      val q = routed.writeStream.format("noop")
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-        .start()
-      val deadline = System.nanoTime() + 30L * 1000000000L
-      var done = false
-      while (!done && System.nanoTime() < deadline) {
-        Thread.sleep(500)
-        val p = q.recentProgress
-        done = p.map(_.numInputRows).sum >= perBatch * 6
-      }
-      val progresses = q.recentProgress
-      // silence the TaskKilled/stage-cancelled WARN burst that query.stop()
-      // triggers — in round 1 that spam drowned the final JSON line and the
-      // driver recorded parsed:null
-      spark.sparkContext.setLogLevel("OFF")
-      q.stop()
-      val rows = progresses.map(_.numInputRows).sum
-      val execMs = progresses.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
-      if (rows > 0 && execMs > 0) Some((rows, execMs, rows * 1000L / execMs)) else None
-    } catch { case e: Throwable => System.err.println(s"[bench] stream failed: $e"); None }
-    val streamJson = streamStats
-      .map { case (r, ms, rps) => s""","stream_router":{"rows":$r,"exec_ms":$ms,"rows_per_sec":$rps}""" }
-      .getOrElse("")
 
     // 4-decimal (0.1 ms) timings for the on-disk payload; 2-decimal for
     // the stdout line, whose size is a hard constraint (below)
@@ -212,8 +254,9 @@ object Bench {
     val statsJson = statsObj(headlineStats)
     val queryStatsJson = statsObj(queryStats)
     val oracleStatsJson = statsObj(oracleStats)
+    val trainersJson = obj(trainerSecs, fmt)
     val tailCommon =
-      s""""sf":"$sfDir","router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec}$streamJson}"""
+      s""""sf":"$sfDir","trainers":$trainersJson,"router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec,"secs_med":${fmt(routerRuns(routerRuns.size / 2))},"secs_max":${fmt(routerRuns.last)}}$streamJson}"""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results, fmt)},"headline_stats":$statsJson,"query_stats":$queryStatsJson,"oracles":${obj(oracleResults, fmt)},"oracle_stats":$oracleStatsJson,""" + tailCommon
 

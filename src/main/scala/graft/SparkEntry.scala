@@ -100,6 +100,20 @@ object SparkEntry {
       TextAnalysis.classifierTrainOneVsRest(classifierLabeled(s, dir), "text",
         densityBand, multiclassClasses, dim = 32, iters = 24, eta = 1.0 / 64))
 
+  /** Bench seam: the build-once artifact memos, exposed so the bench can
+    * force (and time) each trainer BEFORE the per-query sweep instead of
+    * letting the training cost land inside whichever consumer query the
+    * sweep happens to time first (BENCH_r11: `docs_classifier_apply`
+    * max 99.15 s vs med 8.48 s was exactly the memoized 64-round train).
+    * A 100 TB deployment trains once and serves the artifact table —
+    * train and apply are separate bench lines because they are separate
+    * jobs there. Keys are the bench-payload line names.
+    */
+  val trainerWarmers: Map[String, (SparkSession, String) => Unit] = Map(
+    "cluster_build" -> ((s, dir) => { clusterArtifact(s, dir).count(); () }),
+    "classifier_train" -> ((s, dir) => { classifierArtifact(s, dir); () }),
+    "multiclass_train" -> ((s, dir) => { multiclassArtifact(s, dir); () }))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(spark, "/root/testdata/sf0.001")

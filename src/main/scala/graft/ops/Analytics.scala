@@ -584,6 +584,18 @@ object Analytics {
     * against the exact quantile), the contract a fixed geometry buys.
     * All work is over the ≤ bins-row artifact: one bounded running sum,
     * one broadcast join against the |qs|-row request relation.
+    *
+    * EMPTY-SKETCH CONTRACT (round-11 advice): a sketch built from zero
+    * non-null values yields an EMPTY result relation — not nulls, not an
+    * error. Mechanically: sum over no rows gives a null N, the null rank
+    * joins nothing, and the output has 0 rows for every requested q.
+    * This is deliberate: the op is relational (a loud `require` would
+    * force an eager count at plan-BUILD time on every composition), and
+    * "no data ⇒ no quantiles" composes with downstream joins the way
+    * NULL quantile rows would not. Callers that must distinguish "empty
+    * corpus" from "no answer" check `sketch.counters.isEmpty` — the
+    * artifact is ≤ bins rows, so the probe is free. Spec-pinned
+    * (AnalyticsSpec "empty sketch → empty relation").
     */
   def histQuantiles(sketch: HistSketch, qPermille: Seq[Int]): DataFrame = {
     require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),

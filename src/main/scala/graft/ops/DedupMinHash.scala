@@ -442,6 +442,25 @@ trait DedupMinHash { self: Dedup.type =>
     * grams sharing an xxhash64, inflating an intersection count) fails
     * the hash compare loudly instead of passing silently. No window, no
     * driver state.
+    *
+    * 64-bit collision budget at target scale (round-11 advice — in
+    * production no oracle runs, so the rate must be argued, not
+    * observed): with V distinct grams, expected colliding PAIRS are
+    * ≈ V²/2⁶⁵; at the 100 TB ambition's V ≈ 10¹⁰ that is ~2.7 collisions
+    * across the whole vocabulary — present, as the birthday bound says,
+    * but bounded in EFFECT, not just count. A collision merges exactly
+    * two grams, so per affected document pair the intersection count
+    * inflates by at most min(df_g1, df_g2) ≤ maxDf occurrences — i.e.
+    * containment shifts by ≤ maxDf/|Sₐ| absolute on the handful of pairs
+    * touching a colliding gram (or, if the merged df exceeds maxDf, both
+    * grams fall to the cap — the documented LOWER-only miss direction).
+    * With ~3 collisions among 10¹⁰ grams this perturbs a measured ratio
+    * on a ~10⁻⁹ fraction of candidate pairs by ≤ maxDf shingles — far
+    * below the threshold granularity any dedup policy acts on. If a
+    * deployment needs exact counts regardless, widen the key to the
+    * 128-bit (xxhash64(g), xxhash64(reverse(g))) pair — 16-byte keys,
+    * same plan shape; the default stays 8-byte because the error budget
+    * above doesn't justify 2× key payload.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int,
                        threshold: Double, maxDf: Int): DataFrame = {

@@ -254,8 +254,13 @@ trait DedupSpans { self: Dedup.type =>
     *
     * Selection depends on the hash VALUES, so the DuckDB oracle replays
     * xxhash64 in closed form (OracleHashSql.xxhChain — grams must stay
-    * under its 32-byte ASCII bound, which word bigrams of this corpus
-    * honor the same way the MinHash shingle oracles do). One row per
+    * under its 32-byte ASCII bound, which the wired word TRIGRAMS of
+    * this corpus honor: max measured 3-word shingle is 26 bytes, same as
+    * the MinHash shingle oracles). The bound is NOT silently assumed:
+    * xxhChain's `g1` CTE raises error('xxh64 oracle: token not
+    * short-ASCII') inside the oracle itself whenever any gram is ≥ 32
+    * bytes or non-ASCII, so a corpus that breaks the precondition fails
+    * the oracle loudly instead of hash-mismatching. One row per
     * distinct (doc, fingerprint).
     *
     * Scale shape: a PURE PROJECTION — tokenize, gram-hash, window-min,
@@ -293,6 +298,13 @@ trait DedupSpans { self: Dedup.type =>
                          n: Int = 3, window: Int = 4): DataFrame = {
     require(n >= 1, s"winnowFingerprints: n-gram order must be >= 1: $n")
     require(window >= 1, s"winnowFingerprints: window must be >= 1: $window")
+    // reserved-output guard, same discipline as containmentPairs /
+    // classifierPredictWith: an idCol of 'fp' (or a pre-existing
+    // 'fp'/'__fps' column) would otherwise surface as ambiguous columns
+    // deep in a downstream join instead of failing loudly here
+    Seq("fp", "__fps").foreach(c => require(
+      idCol != c && !df.columns.contains(c),
+      s"winnowFingerprints reserves column name '$c'"))
     // explode_OUTER, then drop the null rows short docs produce: a plain
     // explode makes InferFiltersFromGenerate plant `size(fps) > 0` BELOW
     // the projection, re-evaluating the whole selection expression per
@@ -319,6 +331,10 @@ trait DedupSpans { self: Dedup.type =>
                     maxDf: Int = 20): DataFrame = {
     require(minShared >= 1 && maxDf > 0,
       s"winnowMatches: need minShared >= 1, maxDf > 0: $minShared, $maxDf")
+    // 'fp'/'__fps' are guarded inside winnowFingerprints, whose output is
+    // EXACTLY (idCol, fp) — so the downstream renames to id/id_ref/id_new
+    // and the pair aliases id_a/id_b can never collide with a caller
+    // column (anything else in df is projected away before they exist)
     val fps = winnowFingerprints(df, idCol, textCol, n, window)
       .withColumnRenamed(idCol, "id")
     val cool = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))

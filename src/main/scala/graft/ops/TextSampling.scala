@@ -194,11 +194,22 @@ trait TextSampling { self: TextAnalysis.type =>
       .drop("__rk")
   }
 
-  /** Per-group artifact → final sample: per-group τ + top-k + est_w. */
+  /** Per-group artifact → final sample: per-group τ + top-k + est_w.
+    * Same k-consistency contract as the merge paths (round-11 advice):
+    * finalizing at a k the artifact wasn't built with would silently
+    * collapse τ to 0 (`count === k+1` never fires) or mis-size the
+    * sample, so the artifact's own `__k` is checked row-wise and fails
+    * loudly (artifacts are ≤(k+1)·|groups| rows — the check is free).
+    */
   def prioritySampleByFinalize(artifact: DataFrame, groupCol: String,
                                idCol: String, weightCol: String, k: Int): DataFrame = {
+    val checked = artifact.withColumn("priority",
+      when(col("__k") === lit(k), col("priority"))
+        .otherwise(raise_error(concat(
+          lit(s"prioritySampleByFinalize(k = $k) got an artifact built with k = "),
+          col("__k")))))
     val top = graft.Cleanup.register(
-      artifact.withColumn("__rk", row_number().over(
+      checked.withColumn("__rk", row_number().over(
           Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, col(idCol).asc)))
         .localCheckpoint(false)) // ≤(k+1)·|groups| rows; feeds sample AND τ
     val tau = top.groupBy(col(groupCol)).agg(
@@ -211,12 +222,18 @@ trait TextSampling { self: TextAnalysis.type =>
 
   /** Artifact → final sample: τ = the (k+1)-th priority (0 when the corpus
     * had ≤ k rows — every row sampled, est_w degenerates to w), top-k rows
-    * with est_w = max(w, τ), the unbiased subset-sum estimator.
+    * with est_w = max(w, τ), the unbiased subset-sum estimator. Same
+    * `__k` consistency guard as [[prioritySampleByFinalize]].
     */
   def prioritySampleFinalize(artifact: DataFrame, idCol: String,
                              weightCol: String, k: Int): DataFrame = {
+    val checked = artifact.withColumn("priority",
+      when(col("__k") === lit(k), col("priority"))
+        .otherwise(raise_error(concat(
+          lit(s"prioritySampleFinalize(k = $k) got an artifact built with k = "),
+          col("__k")))))
     val top = graft.Cleanup.register(
-      artifact.localCheckpoint(false)) // ≤ k+1 rows; feeds sample AND τ
+      checked.localCheckpoint(false)) // ≤ k+1 rows; feeds sample AND τ
     val tau = top.agg(
       when(count(lit(1)) === k + 1, min(col("priority"))).otherwise(lit(0.0)).as("tau"))
     top.orderBy(col("priority").desc, col(idCol).asc).limit(k)

@@ -45,20 +45,38 @@ object StatefulOps {
   }
 
   final case class SeqValueEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
-  final case class UserEwma(user_id: Long, n_events: Long, ewma_r: Double)
+  final case class UserEwma(user_id: Long, n_events: Long, ewma_r: Double,
+                            late_events: Long)
 
   /** STREAMING per-user EWMA — the incremental twin of the batch
-    * `Events.ewmaByUser`: per-user state is ONE (ewma, n) pair, each
-    * micro-batch's arrivals fold in event-time order ((ts, event_id) —
-    * sorted WITHIN the batch because mapGroupsWithState hands the group
-    * iterator in arbitrary order), and the same dyadic-α update form
-    * s ← s + (x − s)·α produces bit-identical doubles to the batch fold
-    * when batches respect event time (the parity precondition every
-    * sequential streaming twin in this file carries — out-of-order
-    * arrival across batches is a watermark/reordering concern upstream
-    * of the recurrence). Emits the updated (user, n, ewma) per key per
-    * batch; the final batch's emission equals the batch op's row
-    * (parity spec-pinned across a micro-batch boundary).
+    * `Events.ewmaByUser`: per-user state is ONE (ewma, n, maxTs, late)
+    * quadruple, each micro-batch's arrivals fold in event-time order
+    * ((ts, event_id) — sorted WITHIN the batch because
+    * mapGroupsWithState hands the group iterator in arbitrary order),
+    * and the same dyadic-α update form s ← s + (x − s)·α produces
+    * bit-identical doubles to the batch fold when batches respect event
+    * time (the parity precondition every sequential streaming twin in
+    * this file carries — out-of-order arrival across batches is a
+    * watermark/reordering concern upstream of the recurrence).
+    *
+    * That precondition is OBSERVABLE, not just documented (round-11
+    * advice): state carries the user's max-seen order key — the
+    * (event-time micros, event_id) pair the batch op sorts by — and
+    * every arriving event whose key is STRICTLY BELOW max-seen is one
+    * the recurrence has already folded past and can no longer place in
+    * order; each increments `late_events` in the emitted row. Within
+    * one batch the sort makes keys strictly increasing (event_id breaks
+    * ts ties, so a same-ts pair in one batch is NOT a violation — its
+    * order is recovered exactly as the batch op recovers it); a
+    * violation can therefore only be a genuine cross-batch reordering.
+    * A production monitor alerts on `late_events > 0` instead of
+    * silently serving an EWMA whose fold order diverged from event
+    * order. The late event is still folded (in its within-batch
+    * position) so the twin degrades exactly like any at-least-once
+    * consumer, never drops data. Emits the updated (user, n, ewma,
+    * late) per key per batch; with late_events = 0 the final emission
+    * equals the batch op's row (parity spec-pinned across a micro-batch
+    * boundary, violation counting spec-pinned with a late batch).
     */
   def streamingEwma(events: Dataset[SeqValueEvent],
                     alphaNum: Int = 1, alphaDen: Int = 4): Dataset[UserEwma] = {
@@ -69,18 +87,29 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[(Double, Long), UserEwma](GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[SeqValueEvent], state: GroupState[(Double, Long)]) =>
+      .mapGroupsWithState[(Double, Long, Long, Long, Long), UserEwma](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SeqValueEvent],
+         state: GroupState[(Double, Long, Long, Long, Long)]) =>
           // full sub-millisecond order: getTime is millis, getNanos the
           // fraction — matching the batch op's (ts, event_id) µs order
+          def micros(e: SeqValueEvent): Long =
+            e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
           val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          val next = ordered.foldLeft(state.getOption.getOrElse((0.0, 0L))) {
-            case ((s, n), e) =>
-              (if (n == 0L) e.value else s + (e.value - s) * alpha, n + 1)
+          val next = ordered.foldLeft(
+            state.getOption.getOrElse((0.0, 0L, Long.MinValue, Long.MinValue, 0L))) {
+            case ((s, n, maxTs, maxId, late), e) =>
+              val m = micros(e)
+              val isLate = n > 0L && (m < maxTs || (m == maxTs && e.event_id < maxId))
+              val (nextTs, nextId) =
+                if (m > maxTs || (m == maxTs && e.event_id > maxId)) (m, e.event_id)
+                else (maxTs, maxId)
+              (if (n == 0L) e.value else s + (e.value - s) * alpha, n + 1,
+                nextTs, nextId, if (isLate) late + 1 else late)
           }
           state.update(next)
           UserEwma(user, next._2,
-            BigDecimal(next._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            BigDecimal(next._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            next._5)
       }
   }
 

@@ -195,9 +195,34 @@ class WindowKeySweepSpec extends AnyFunSuite {
   /** The measured rule (scaladoc): flag iff the input grows while the key
     * set stays flat. Tiny inputs at the large SF are never flagged — the
     * growth signal is meaningless under ~100 rows.
+    *
+    * Round-12 extension (the ewmaByUser lesson): for COLLECT buffers the
+    * key-growth escape is not enough — a collect whose keys grow with
+    * the corpus can still hold a per-key buffer that ALSO grows with the
+    * corpus (rows/key = n/d rising across SFs), which is a per-task OOM
+    * at 100 TB however parallel the key is. Collect nodes therefore
+    * additionally require a FLAT per-key buffer (n/d growing < growMin×
+    * between SFs). Known limitation, documented rather than hidden: a
+    * buffer that is corpus-INVARIANT on the synthetic data but unbounded
+    * in the wild (the old `ewmaByUser` collected a user's whole history;
+    * events/user is flat at every SF by generator design) is invisible
+    * to any growth measurement — that class is closed by construction
+    * instead (the op was rewritten to an O(1)-state ordered partition
+    * scan), and new order-restoring collects (`sort_array(collect_list)`)
+    * should state their buffer bound in the op scaladoc the way
+    * `sessionPaths` (session-gap-bounded) and the per-doc token ops
+    * (document-length-bounded) do.
     */
-  private def measuredOk(n1: Long, d1: Long, nL: Long, dL: Long): Boolean =
-    nL < 100 || nL < 2L * n1 || dL >= growMin * d1
+  private def measuredOk(kind: String, n1: Long, d1: Long, nL: Long, dL: Long): Boolean = {
+    val keyRule = nL < 100 || nL < 2L * n1 || dL >= growMin * d1
+    if (kind != "collect") keyRule
+    else {
+      val buf1 = n1.toDouble / math.max(d1, 1L)
+      val bufL = nL.toDouble / math.max(dL, 1L)
+      val bufferFlat = nL < 100 || bufL < growMin * math.max(buf1, 1.0)
+      keyRule && bufferFlat
+    }
+  }
 
   /** Classify every window/collect of one query build; returns violation
     * strings. Shared by the wired-surface sweep and the planted-defect
@@ -232,10 +257,12 @@ class WindowKeySweepSpec extends AnyFunSuite {
         "audit the SF-dependent form")
     val out = pending.zip(m1).flatMap { case ((nd, idx), (n1, d1)) =>
       val (nL, dL) = measure(nsL(idx).child, nsL(idx).keyExprs)
-      if (measuredOk(n1, d1, nL, dL)) None
+      if (measuredOk(nd.kind, n1, d1, nL, dL)) None
       else Some(s"$name: ${nd.kind} over (${nd.keys.mkString(", ")}) — input " +
-        s"grows $n1→$nL rows while the key stays $d1→$dL distinct: " +
-        "config-scale funnel at 100 TB (sub-bucket it or write an audit entry)")
+        s"$n1→$nL rows, key $d1→$dL distinct (buffer " +
+        f"${n1.toDouble / math.max(d1, 1L)}%.1f→${nL.toDouble / math.max(dL, 1L)}%.1f rows/key): " +
+        "config-scale funnel or growing per-key buffer at 100 TB " +
+        "(sub-bucket / segment it, or write an audit entry)")
     }
     Cleanup.drain()
     unpart ++ out
@@ -278,5 +305,29 @@ class WindowKeySweepSpec extends AnyFunSuite {
     }, seen)
     assert(renamed.isEmpty,
       s"a data-scale key must pass regardless of its name, got: $renamed")
+  }
+
+  test("planted growing-buffer collect IS flagged even though its key grows; flat-buffer collect is NOT") {
+    import org.apache.spark.sql.functions._
+    val seen = scala.collection.mutable.Set.empty[(String, Seq[String])]
+    // keys grow ~3× (⌊√docs⌋: 22→70 across the 10× corpus) — the old
+    // key-growth rule passes — but rows/key ALSO grows ~3×: the per-task
+    // buffer that OOMs at 100 TB however parallel the key is
+    val planted = classify("planted_growing_buffer", dir => {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      d.select(floor(sqrt(col("doc_id"))).as("k"), col("n_chars"))
+        .groupBy(col("k")).agg(collect_list(col("n_chars")).as("vs"))
+    }, seen)
+    assert(planted.exists(_.contains("planted_growing_buffer")),
+      s"a collect whose per-key buffer grows with the corpus must be flagged: $planted")
+    // mirror: per-doc buffers are corpus-invariant (documents don't get
+    // longer as the corpus grows) — the buffer clause must pass them
+    val flat = classify("planted_flat_buffer", dir => {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id")).agg(collect_list(col("tok")).as("toks"))
+    }, seen)
+    assert(flat.isEmpty,
+      s"a data-scale key with a flat per-key buffer must pass: $flat")
   }
 }

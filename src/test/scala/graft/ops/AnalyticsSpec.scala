@@ -429,4 +429,25 @@ class AnalyticsSpec extends AnyFunSuite {
       Analytics.histQuantiles(sk, Seq(0))
     }
   }
+
+  test("histSketch: empty sketch → empty relation (the documented contract), and all-null input is empty") {
+    // zero non-null measurements: build must census nothing (nulls are
+    // "no measurement", not "out of range") and every quantile read off
+    // the empty sketch must return an EMPTY relation — not null rows,
+    // not an error (the histQuantiles scaladoc contract, round-11 advice)
+    val allNull = Seq[Option[Long]](None, None).toDF("v")
+    val sk = Analytics.histBuild(allNull, "v", 0L, 512L, 64)
+    assert(sk.counters.isEmpty, "all-null input must census zero bins")
+    val got = Analytics.histQuantiles(sk, Seq(100, 500, 1000))
+    assert(got.isEmpty, "empty sketch must read as an empty relation")
+    assert(got.columns.toSeq == Seq("q_pm", "bin", "est_hi", "rank"),
+      "empty result must still carry the full output schema")
+    // and merging an empty sketch is the identity on counters
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val full = Analytics.histBuild(docs, "n_chars", 0L, 512L, 64)
+    val merged = Analytics.histMerge(full, sk)
+    assert(merged.counters.as[(Long, Long)].collect().toSet ==
+      full.counters.as[(Long, Long)].collect().toSet,
+      "merge with an empty sketch must be the identity")
+  }
 }

@@ -173,9 +173,14 @@ class StatefulOpsSpec extends AnyFunSuite {
       input.addData(ev.drop(4): _*)
       q.processAllAvailable()
       // Update mode re-emits per batch; keep the LAST emission per user
-      val streamed = spark.table("ewma_out").as[UserEwma].collect()
-        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).values
-        .map(u => (u.user_id, u.n_events, u.ewma_r)).toList.sorted
+      val finals = spark.table("ewma_out").as[UserEwma].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).values.toList
+      // batches respected event time (incl. the SAME-ts tie inside one
+      // batch, which event_id resolves) — the late counter must be quiet
+      assert(finals.forall(_.late_events == 0L),
+        s"ordered stream must report zero late events: $finals")
+      val streamed = finals
+        .map(u => (u.user_id, u.n_events, u.ewma_r)).sorted
       val batch = graft.ops.Events.ewmaByUser(
           ev.toDF().select($"user_id", $"ts", $"event_id", $"value"))
         .as[(Long, Long, Double)].collect().toList.sorted
@@ -189,6 +194,36 @@ class StatefulOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ops.Events.ewmaByUser(ev.toDF(), alphaNum = 1, alphaDen = 3)
     }
+  }
+
+  test("streamingEwma counts cross-batch event-time violations in late_events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SeqValueEvent]
+    val q = streamingEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewma_late_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1 folds through 00:05; batch 2 delivers one event BEHIND
+      // max-seen (00:02 < 00:05 — a genuine cross-batch reordering the
+      // recurrence can no longer place) and one tied-ts event with a
+      // LOWER event_id than max-seen's (also unplaceable), plus one
+      // properly ordered event that must NOT count
+      input.addData(
+        SeqValueEvent(1L, t("2024-01-01 00:00:00"), 1L, 1.0),
+        SeqValueEvent(1L, t("2024-01-01 00:05:00"), 5L, 2.0))
+      q.processAllAvailable()
+      input.addData(
+        SeqValueEvent(1L, t("2024-01-01 00:02:00"), 2L, 3.0), // late: earlier ts
+        SeqValueEvent(1L, t("2024-01-01 00:05:00"), 4L, 4.0), // late: tied ts, lower id
+        SeqValueEvent(1L, t("2024-01-01 00:09:00"), 9L, 5.0)) // in order
+      q.processAllAvailable()
+      val last = spark.table("ewma_late_out").as[UserEwma].collect()
+        .maxBy(_.n_events)
+      assert(last.n_events == 5L, s"all five events must fold: $last")
+      assert(last.late_events == 2L,
+        s"exactly the two unplaceable events count as late: $last")
+    } finally q.stop()
   }
 
   test("streamingAttribution matches the batch RANGE-frame op across a micro-batch boundary") {
