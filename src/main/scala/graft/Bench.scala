@@ -48,7 +48,8 @@ object Bench {
     "docs_dedup_survivorship", "docs_weighted_sample_by", "emb_hamming_refined",
     "docs_classifier_multiclass_apply", "emb_ivfpq_drift", "emb_sq8_topk",
     "text_winnowing", "text_winnowing_matches", "text_winnowing_cross",
-    "docs_qnorm_length", "docs_len_hist_quantiles", "events_ewma")
+    "docs_qnorm_length", "docs_len_hist_quantiles", "events_ewma",
+    "src_format_census")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

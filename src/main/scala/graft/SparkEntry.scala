@@ -1173,6 +1173,19 @@ object SparkEntry {
         .select(col("source"), col("n_rows"),
           col("digest").cast("string").as("digest"))
         .orderBy(col("source"))),
+    "src_format_census" -> ((s, dir) =>
+      // SURVEY §2.2 "scans/sources beyond Kafka", wired end-to-end:
+      // documents mirrored once into ORC / JSON-lines / CSV (session
+      // temp dir, build-once memo), each read back through its own
+      // Spark source with an EXPLICIT schema, and a format-invariant
+      // census (count, Σ n_chars, distinct langs, id range, 60-bit md5
+      // whole-row digest in exact decimal sums) emitted per format —
+      // the oracle recomputes the census from parquet alone, so a
+      // reader that drops/re-types/mangles anything fails that
+      // format's row loudly (graft.sources.FormatMatrix scaladoc for
+      // the per-reader 100 TB configuration rules)
+      graft.sources.FormatMatrix.formatCensus(s, dir)
+        .orderBy(col("format"))),
     "docs_source_cap" -> ((s, dir) =>
       // per-source contribution cap: at most 10 docs per source,
       // best-quality-first, doc-id tie-break — histogram threshold +
@@ -3406,6 +3419,22 @@ object SparkEntry {
           |    CAST(doc_id AS VARCHAR), text, lang, source,
           |    CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT)::HUGEINT) AS VARCHAR) AS digest
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "src_format_census" ->
+        // the census is format-INVARIANT: DuckDB computes it ONCE from
+        // the parquet table (the same 60-bit md5 row-hash decimal sum as
+        // docs_source_digest) and replicates it under each format label —
+        // Spark's four per-reader legs must all land on these exact values
+        """WITH c AS (SELECT count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  count(DISTINCT lang) AS n_langs,
+          |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+          |  CAST(sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+          |    CAST(doc_id AS VARCHAR), text, lang, source,
+          |    CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT)::HUGEINT) AS VARCHAR) AS digest
+          |  FROM documents)
+          |SELECT f.format, c.n_docs, c.sum_chars, c.n_langs, c.id_min, c.id_max, c.digest
+          |FROM (VALUES ('parquet'), ('orc'), ('json'), ('csv')) AS f(format), c
+          |ORDER BY f.format""".stripMargin,
       "docs_boilerplate" ->
         // census on the RAW prefix string — a Spark-side fingerprint
         // collision would surface as a count mismatch, loudly; the

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format matrix beyond parquet — the one SURVEY §2.2 absent
+  * category ("scans/sources beyond Kafka": the reference reads ONLY its
+  * Kafka consumer, `main.go:1-655` opens no file) previously exercised
+  * only at spec level (FormatsSpec/SourcesSpec). This wires it into the
+  * oracle-bearing query surface: `documents` is mirrored ONCE per
+  * (session, sf dir) into ORC, JSON-lines and CSV under a session temp
+  * dir, each mirror is read back through its own Spark source with an
+  * EXPLICIT schema, and the wired query emits a per-format census that
+  * must agree format-for-format — count, Σ n_chars, distinct langs,
+  * id range, and order-independent content digests (Σ of xxhash64 longs
+  * in exact decimal(27,0) arithmetic — the `docs_source_digest`
+  * decimal-sum discipline, identical in any summation order). The census is
+  * format-INVARIANT by construction, so DuckDB oracles it from the
+  * parquet table alone: any reader that drops a row, re-types a column,
+  * or mangles a string on the way through a format shows up as a value
+  * mismatch on that format's row.
+  *
+  * 100 TB notes, the reason each reader is configured the way it is:
+  *  - EXPLICIT schemas everywhere. Inference reads the data twice and
+  *    can type-drift between samples (a column that is all-integer in
+  *    the sampled split and decimal elsewhere) — at 100 TB the second
+  *    read alone is disqualifying.
+  *  - CSV is written quoteAll + escaped and read single-line. Records
+  *    with embedded newlines would need multiLine=true, which makes the
+  *    file UNSPLITTABLE (one task per file, however big). The honest
+  *    rule at scale: CSV only for export/interop of newline-free
+  *    columns; real record framing (parquet/ORC, or JSON-lines where
+  *    each record is one physical line) for anything an engine must
+  *    split. The corpus' text is newline-free (verified at every SF —
+  *    the census digest would catch a violation as a row-count change).
+  *  - JSON-lines (the default Spark JSON source, NOT multiLine) keeps
+  *    one record per line — splittable, schema'd, self-describing; the
+  *    mode=FAILFAST option makes a malformed record a loud task error
+  *    instead of a silent null row.
+  *  - ORC round-trips types losslessly and carries predicate pushdown /
+  *    column pruning like parquet (OrcSourceSpec pins both on the
+  *    mirror). It is the "other columnar warehouse format" a user
+  *    switching from the reference ecosystem most likely has on disk.
+  *  - JDBC is config, not code — `spark.read.format("jdbc")` needs only
+  *    url/dbtable/partitionColumn options and no engine change (every
+  *    operator consumes a DataFrame); it stays un-wired here because
+  *    the offline container has no database server to read from, not
+  *    because anything in the engine is parquet-shaped.
+  *
+  * The mirror itself is the build-once artifact pattern (the
+  * clusterMemo/classifierMemo discipline): written under
+  * java.io.tmpdir keyed by (session identity, sf dir), so bench's
+  * 3-run timing measures the READ path, not repeated conversion.
+  */
+object FormatMatrix {
+
+  /** Explicit read schema for every mirror — never inferred. */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val cols = docsSchema.fieldNames.map(col).toSeq
+
+  val formats: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  private val mirrorMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Write the ORC/JSON/CSV mirrors once per (session, sf dir); returns
+    * the mirror root. Idempotent and race-benign (TrieMap memo; a lost
+    * race overwrites with identical data).
+    */
+  def mirrorRoot(spark: SparkSession, dir: String): String =
+    mirrorMemo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val docs = graft.Tables.read(spark, dir, "documents").select(cols: _*)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-format-matrix").toFile.getAbsolutePath
+      // session-temp artifact, recursively removed at JVM exit — the
+      // memo makes reads cheap in-session, the hook keeps repeated
+      // harness runs from accreting mirrors in the temp dir
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      }
+      docs.write.mode("overwrite").orc(s"$root/orc")
+      docs.write.mode("overwrite").json(s"$root/json")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+        .csv(s"$root/csv")
+      root
+    })
+
+  /** Read `documents` back through `fmt`'s source with the explicit
+    * schema ("parquet" reads the original table — the reference leg the
+    * other three must match).
+    */
+  def readBack(spark: SparkSession, dir: String, fmt: String): DataFrame = fmt match {
+    case "parquet" => graft.Tables.read(spark, dir, "documents").select(cols: _*)
+    case "orc" => spark.read.schema(docsSchema).orc(s"${mirrorRoot(spark, dir)}/orc")
+    case "json" => spark.read.schema(docsSchema)
+      .option("mode", "FAILFAST").json(s"${mirrorRoot(spark, dir)}/json")
+    case "csv" => spark.read.schema(docsSchema)
+      .option("header", "true").option("escape", "\"").option("mode", "FAILFAST")
+      .csv(s"${mirrorRoot(spark, dir)}/csv")
+    case other => throw new IllegalArgumentException(
+      s"formatCensus: unknown format '$other' (expected one of $formats)")
+  }
+
+  /** The format-invariant census of one re-read frame. The content
+    * digest is the `docs_source_digest` 60-bit md5 row hash summed in
+    * exact decimal(38,0) — identical in any row order, natively
+    * replayable in DuckDB (xxhash64 is NOT, for strings past the
+    * 32-byte closed-form bound — md5 is the cross-engine digest the
+    * repo standardized on for whole-row integrity), covering EVERY
+    * mirrored column so a reader that mangles any value on any row
+    * moves that format's digest. Rendered as a string so both engines
+    * hash identical decimal digits.
+    */
+  private def census(df: DataFrame, fmt: String): DataFrame =
+    df.select(col("n_chars"), col("lang"), col("doc_id"),
+        conv(substring(md5(concat_ws("\u0001",
+          docsSchema.fieldNames.map(c => col(c).cast("string")).toSeq: _*)), 1, 15),
+          16, 10).cast("decimal(38,0)").as("__h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("id_min"),
+        max(col("doc_id")).as("id_max"),
+        sum(col("__h")).cast("string").as("digest"))
+      .select(lit(fmt).as("format"), col("*"))
+
+  /** One row per format; every non-`format` column must be identical
+    * across the four rows (and equal to the parquet leg the oracle
+    * recomputes). Scale shape: four independent scans, each a full
+    * map-side-combining single aggregate — no joins, no windows; the
+    * mirrors are read with the same splittable parallelism as the
+    * original (ORC/CSV/JSON-lines all split by file offset).
+    */
+  def formatCensus(spark: SparkSession, dir: String): DataFrame =
+    formats.map(f => census(readBack(spark, dir, f), f))
+      .reduce(_ unionByName _)
+}
