@@ -676,6 +676,49 @@ object ScaleProbe {
     // EWMA over the ne-event stream (events relation above): one
     // user-keyed aggregate, per-user fold ~ne/10k elements
     time("events_ewma")(Events.ewmaByUser(events).count())
+    // exact grouped percentiles at n rows / 5 groups — the n/5-values-
+    // per-group case where the built-in percentile()'s aggregation
+    // buffer is the structural problem (round-12); the claim is
+    // census cost: one lattice census scan + one answering-bucket
+    // per-value census, no buffer anywhere growing with group size
+    time("percentile_exact_5grp")( {
+      val vals = docs.select(
+        pmod(col("doc_id"), lit(5L)).cast("string").as("grp"),
+        (length(col("text")) + pmod(xxhash64(col("doc_id"), lit(11)), lit(1000L)))
+          .cast("double").as("v"))
+      Analytics.percentileExact(vals, "grp", "v",
+        Seq(0.5, 0.9, 0.99), lo = 0L, hi = 4096L, bins = 1024, scale = 1L).count()
+    })
+    // source-format matrix at n docs: mirror write is the one-time
+    // conversion cost (3 full rewrites of the corpus), the re-read
+    // census is the recurring cost — timed separately so neither
+    // masquerades as the other; all three mirror readers split by file
+    // offset, so the census scans run at full parallelism
+    val fmtDocs = docs.select(col("doc_id"), col("text"),
+      element_at(array(lit("en"), lit("fr"), lit("es")),
+        (pmod(xxhash64(col("doc_id"), lit(3)), lit(3L)) + 1).cast("int")).as("lang"),
+      concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+    val fmtRoot = java.nio.file.Files
+      .createTempDirectory("graft-probe-fmt").toFile.getAbsolutePath
+    time("format_mirror_write_3x")( {
+      fmtDocs.write.mode("overwrite").orc(s"$fmtRoot/orc")
+      fmtDocs.write.mode("overwrite").json(s"$fmtRoot/json")
+      fmtDocs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+        .csv(s"$fmtRoot/csv")
+      3L * n
+    })
+    time("format_census_read_3x")( {
+      import graft.sources.FormatMatrix.docsSchema
+      Seq(
+        spark.read.schema(docsSchema).orc(s"$fmtRoot/orc"),
+        spark.read.schema(docsSchema).option("mode", "FAILFAST").json(s"$fmtRoot/json"),
+        spark.read.schema(docsSchema).option("header", "true")
+          .option("escape", "\"").option("mode", "FAILFAST").csv(s"$fmtRoot/csv"))
+        .map(_.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+          .head().getLong(0)).sum
+    })
     spark.stop()
   }
 }

@@ -1548,15 +1548,16 @@ object SparkEntry {
       // EXACT grouped percentiles WITHOUT the built-in's all-values-per-
       // group aggregation buffer (round-11 verdict: the exact aggregate
       // was the repo's remaining structural scale problem — a 100 TB
-      // group OOMs its buffer). Analytics.percentileExact derives the
-      // same bit-identical interpolated order statistics from the
-      // audited two-phase composite rank (forced scale shape so the
-      // plan is SF-invariant); equality with percentile() is
-      // spec-pinned with ===, and the DuckDB quantile_cont oracle is
-      // unchanged. min/max stay the plain fixed-width aggregate.
+      // group OOMs its buffer). Analytics.percentileExact locates each
+      // target rank through a fixed-geometry integer-cent bucket census
+      // (the q_percentiles_approx lattice: [0, 8e7) cents / 1000 bins)
+      // and reads the exact value off a per-value census of the few
+      // answering buckets — bit-identical to percentile() (spec-pinned
+      // with ===), same DuckDB quantile_cont oracle, every window over
+      // a census. min/max stay the plain fixed-width aggregate.
       val pct = Analytics.percentileExact(t(s, dir, "orders"),
-          "o_orderpriority", "o_orderkey", "o_totalprice",
-          Seq(0.5, 0.9), autoDegradeBelow = 0L)
+          "o_orderpriority", "o_totalprice",
+          Seq(0.5, 0.9), lo = 0L, hi = 80000000L, bins = 1000, scale = 100L)
         .groupBy(col("o_orderpriority"))
         .agg(
           round(min(when(col("q") === 0.5, col("pct"))), 2).as("p50"),

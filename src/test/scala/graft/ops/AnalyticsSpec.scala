@@ -430,11 +430,14 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("percentileExact === the built-in percentile() bit-for-bit, at both plan shapes") {
+  test("percentileExact === the built-in percentile() bit-for-bit") {
     // orders at sf0.001: real value distribution, 5 groups; compare the
-    // two-phase rank form against the all-values-buffer built-in with
+    // census-located form against the all-values-buffer built-in with
     // EXACT double equality (the interpolation replays the built-in's
-    // own IEEE expression term-for-term, so === is the contract)
+    // own IEEE expression term-for-term, so === is the contract) — at
+    // the wired cent lattice AND at a deliberately coarse 8-bin one
+    // (answering buckets then hold big value runs, exercising the
+    // per-value census path hard)
     val orders = spark.read.parquet(s"${graft.TestSpark.sf0001}/orders.parquet")
     val fracs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
     val aggCols = fracs.map(q =>
@@ -443,40 +446,45 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(aggCols.head, aggCols.tail: _*)
       .collect().map(r => r.getString(0) ->
         fracs.indices.map(i => r.getDouble(i + 1))).toMap
-    // both plan shapes: forced two-phase (the wired scale form) and the
-    // probe-degraded tie-local form must agree with the built-in exactly
-    for (degrade <- Seq(0L, 1000000L)) {
+    for (bins <- Seq(1000, 8)) {
       val got = Analytics.percentileExact(orders, "o_orderpriority",
-          "o_orderkey", "o_totalprice", fracs, autoDegradeBelow = degrade)
+          "o_totalprice", fracs, lo = 0L, hi = 80000000L, bins = bins,
+          scale = 100L)
         .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
       viaAgg.foreach { case (g, ps) =>
         fracs.zip(ps).foreach { case (q, expect) =>
           assert(got((g, q)) == expect,
-            s"degrade=$degrade g=$g q=$q: ${got((g, q))} != $expect")
+            s"bins=$bins g=$g q=$q: ${got((g, q))} != $expect")
         }
       }
     }
-    // null values excluded exactly like the built-in; tied values and an
-    // integral position (q=0.5 over 4 values → pos 1.5; q=1.0 → pos 3)
-    val tied = Seq(("a", 1L, Some(2.0)), ("a", 2L, Some(2.0)),
-      ("a", 3L, Some(5.0)), ("a", 4L, Some(7.0)), ("a", 5L, None))
-      .toDF("g", "id", "v")
-    val gotT = Analytics.percentileExact(tied, "g", "id", "v", Seq(0.5, 1.0))
+    // null values excluded exactly like the built-in; tied values, an
+    // interpolated position, an integral position (q=1.0 → pos 3), and
+    // values clamping below lo / above hi (still rank-exact: clamping
+    // is monotone) — checked against the built-in on the same frame
+    val tied = Seq(("a", Some(-2.0)), ("a", Some(2.0)), ("a", Some(2.0)),
+      ("a", Some(5.0)), ("a", Some(99.0)), ("a", None))
+      .toDF("g", "v")
+    val gotT = Analytics.percentileExact(tied, "g", "v", Seq(0.5, 1.0),
+        lo = 0L, hi = 8L, bins = 4, scale = 1L)
       .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     val expT = tied.groupBy($"g").agg(
         expr("percentile(v, 0.5)"), expr("percentile(v, 1.0)"))
       .collect().head
     assert(gotT(0.5) == expT.getDouble(1) && gotT(1.0) == expT.getDouble(2),
-      s"tied/null case: $gotT vs $expT")
-    // guards: bad fraction, duplicate fraction, reserved column
+      s"tied/null/clamped case: $gotT vs $expT")
+    // guards: bad fraction, duplicate fraction, bad geometry, reserved column
     intercept[IllegalArgumentException] {
-      Analytics.percentileExact(tied, "g", "id", "v", Seq(1.5))
+      Analytics.percentileExact(tied, "g", "v", Seq(1.5))
     }
     intercept[IllegalArgumentException] {
-      Analytics.percentileExact(tied, "g", "id", "v", Seq(0.5, 0.5))
+      Analytics.percentileExact(tied, "g", "v", Seq(0.5, 0.5))
     }
     intercept[IllegalArgumentException] {
-      Analytics.percentileExact(tied.withColumn("pct", lit(1)), "g", "id", "v", Seq(0.5))
+      Analytics.percentileExact(tied, "g", "v", Seq(0.5), lo = 0L, hi = 10L, bins = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.percentileExact(tied.withColumn("pct", lit(1)), "g", "v", Seq(0.5))
     }
   }
 
