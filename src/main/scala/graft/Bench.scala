@@ -153,12 +153,16 @@ object Bench {
       }
       val progresses = q.recentProgress
       // silence the TaskKilled/stage-cancelled WARN burst that query.stop()
-      // triggers, then restore WARN once the burst has drained (the runs
-      // now happen at the START of the sweep, so leaving the level OFF
+      // triggers, then restore WARN once the query has actually left the
+      // active set (bounded wait, not a fixed sleep — a slow async stop
+      // would otherwise spray cancellation WARNs into the sweep log; the
+      // runs happen at the START of the sweep, so leaving the level OFF
       // would swallow every later query's diagnostics)
       spark.sparkContext.setLogLevel("OFF")
       q.stop()
-      Thread.sleep(500)
+      val quiet = System.nanoTime() + 5L * 1000000000L
+      while (spark.streams.active.nonEmpty && System.nanoTime() < quiet)
+        Thread.sleep(100)
       spark.sparkContext.setLogLevel("WARN")
       val rows = progresses.map(_.numInputRows).sum
       val execMs = progresses.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum

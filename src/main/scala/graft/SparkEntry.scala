@@ -1621,6 +1621,11 @@ object SparkEntry {
           min(when(col("cum") >= col("__rhi90"), col("bin"))).as("__bhi90"))
       def loEdge(b: Column) = lit(loC) + b * lit(width) // inclusive
       def hiEdge(b: Column) = lit(loC) + (b + lit(1)) * lit(width) // exclusive
+      def cents(c: Column) =
+        when(round(c * 100).cast("long") < lit(hiC), round(c * 100).cast("long"))
+          .otherwise(raise_error(lit("q_percentiles_approx: o_totalprice " +
+            s"exceeded the documented lattice ceiling (hiC=$hiC cents) — " +
+            "the census range no longer covers the corpus; widen hiC")))
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -1628,11 +1633,15 @@ object SparkEntry {
           expr("approx_percentile(o_totalprice, 0.9, 1000)").as("__a90"))
         .join(broadcast(bounds), "o_orderpriority")
         .select(col("o_orderpriority"),
-          (round(col("__a50") * 100).cast("long") >= loEdge(col("__blo50")) &&
-            round(col("__a50") * 100).cast("long") < hiEdge(col("__bhi50")))
+          // ceiling assert (round-12 advice): an approx value past the
+          // clamped lattice would flip the verdict false — a hash
+          // mismatch whose real cause is the corpus outgrowing the
+          // documented $800k bound, not a sketch failure. Name it.
+          (cents(col("__a50")) >= loEdge(col("__blo50")) &&
+            cents(col("__a50")) < hiEdge(col("__bhi50")))
             .as("p50_in_bound"),
-          (round(col("__a90") * 100).cast("long") >= loEdge(col("__blo90")) &&
-            round(col("__a90") * 100).cast("long") < hiEdge(col("__bhi90")))
+          (cents(col("__a90")) >= loEdge(col("__blo90")) &&
+            cents(col("__a90")) < hiEdge(col("__bhi90")))
             .as("p90_in_bound"))
         .orderBy(col("o_orderpriority"))
     }),

@@ -415,7 +415,7 @@ object Analytics {
   def percentileExact(df: DataFrame, groupCol: String,
                       valueCol: String, fractions: Seq[Double],
                       lo: Long = 0L, hi: Long = 1L << 30, bins: Int = 4096,
-                      scale: Long = 1L): DataFrame = {
+                      scale: Long = 1L, maxBucketRows: Long = 0L): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(q => q >= 0.0 && q <= 1.0),
       s"percentileExact: fractions must be in [0, 1]: $fractions")
     require(fractions.distinct.size == fractions.size,
@@ -438,9 +438,23 @@ object Analytics {
     val vals = df.select(col(groupCol), col(valueCol))
       .where(col(valueCol).isNotNull)
       .withColumn("__vb", bucketOf(col(valueCol)))
-    // fixed-lattice census: ≤ |groups|·bins rows, map-side combined
-    val census = vals.groupBy(col(groupCol), col("__vb"))
+    // fixed-lattice census: ≤ |groups|·bins rows, map-side combined.
+    // Optional occupancy guard (maxBucketRows > 0): the geometry
+    // contract — per-bucket rows must fit a task — is ENFORCED census-
+    // grain with a named raise_error instead of surfacing later as one
+    // task's giant per-value census (round-12 advice); the guard rides
+    // the __cnt column, so the checkpoint's materialization evaluates it
+    val rawCensus = vals.groupBy(col(groupCol), col("__vb"))
       .agg(count(lit(1)).as("__cnt"))
+    val census = if (maxBucketRows <= 0L) rawCensus
+      else rawCensus.withColumn("__cnt",
+        when(col("__cnt") <= maxBucketRows, col("__cnt"))
+          .otherwise(raise_error(concat(
+            lit(s"percentileExact: bucket occupancy exceeds $maxBucketRows" +
+              " — widen bins or shift scale (group="),
+            col(groupCol).cast("string"), lit(", bucket="),
+            col("__vb").cast("string"), lit(", rows="),
+            col("__cnt").cast("string"), lit(")")))))
     // cumulate, then materialize ONCE (localCheckpoint, harness-drained):
     // the cumulated census feeds the sizes, and (through `probes`, used
     // by BOTH the semi-join and the final read) would otherwise re-run

@@ -357,6 +357,15 @@ object Events {
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
         col("event_id").cast("long").as("event_id"),
         col("value").cast("double").as("value"))
+      // loud total-order precondition: the scan's case-class encoder
+      // would otherwise NPE opaquely on a null key — name the rule
+      // instead (the merge-guard raise_error discipline)
+      .withColumn("user_id",
+        when(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_id").isNotNull, col("user_id"))
+          .otherwise(raise_error(lit("ewmaByUser: user_id/ts/event_id must " +
+            "be non-null — they form the (ts, event_id) per-user total " +
+            "order the recurrence folds in"))))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
       .as[EwmaScanRow]

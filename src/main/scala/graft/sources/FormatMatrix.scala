@@ -77,6 +77,24 @@ object FormatMatrix {
   def mirrorRoot(spark: SparkSession, dir: String): String =
     mirrorMemo.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val docs = graft.Tables.read(spark, dir, "documents").select(cols: _*)
+      // loud mirror precondition (round-12 advice): single-line CSV
+      // cannot round-trip embedded newlines, and Spark's CSV reader
+      // deserializes an empty field as NULL — an empty string would
+      // flip the csv leg's digest and read as "reader broken" instead
+      // of naming the violated precondition. NULLs themselves are FINE
+      // (null → empty field → null, and concat_ws skips them
+      // identically in both engines) — only empties and newlines are
+      // the ambiguity. One bounded probe per (session, sf dir).
+      val strCols = Seq("text", "lang", "source")
+      val violated = docs.where(
+          strCols.map(c => col(c) === "" ||
+            col(c).contains("\n") || col(c).contains("\r")).reduce(_ || _))
+        .limit(1).count()
+      require(violated == 0L, "FormatMatrix: corpus violates the CSV " +
+        "mirror precondition (empty string or embedded newline in " +
+        "text/lang/source) — such values cannot round-trip identically " +
+        "through a single-line CSV source; exclude them or mirror " +
+        "without the csv leg (scaladoc)")
       val root = java.nio.file.Files
         .createTempDirectory("graft-format-matrix").toFile.getAbsolutePath
       // session-temp artifact, recursively removed at JVM exit — the

@@ -77,6 +77,11 @@ object StatefulOps {
     * late) per key per batch; with late_events = 0 the final emission
     * equals the batch op's row (parity spec-pinned across a micro-batch
     * boundary, violation counting spec-pinned with a late batch).
+    * `late_events` is LIFETIME-CUMULATIVE per user — it rides the state
+    * store, so it survives restarts while `recentProgress` resets: a
+    * monitor wanting per-window violation RATES diffs successive
+    * emissions; absolute counts compared across a recovery would
+    * double-attribute pre-restart violations to the new run.
     */
   def streamingEwma(events: Dataset[SeqValueEvent],
                     alphaNum: Int = 1, alphaDen: Int = 4): Dataset[UserEwma] = {

@@ -473,6 +473,14 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().head
     assert(gotT(0.5) == expT.getDouble(1) && gotT(1.0) == expT.getDouble(2),
       s"tied/null/clamped case: $gotT vs $expT")
+    // occupancy guard: a cap below the hottest bucket (the two tied 2.0s
+    // share one width-2 bucket) fails loudly by name, census-grain
+    val occ = intercept[Exception] {
+      Analytics.percentileExact(tied, "g", "v", Seq(0.5),
+        lo = 0L, hi = 8L, bins = 4, scale = 1L, maxBucketRows = 1L).collect()
+    }
+    assert(occ.getMessage != null && occ.getMessage.contains("bucket occupancy"),
+      s"occupancy guard must name itself: ${occ.getMessage}")
     // guards: bad fraction, duplicate fraction, bad geometry, reserved column
     intercept[IllegalArgumentException] {
       Analytics.percentileExact(tied, "g", "v", Seq(1.5))
