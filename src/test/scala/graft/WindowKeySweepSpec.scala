@@ -122,6 +122,16 @@ class WindowKeySweepSpec extends AnyFunSuite {
     * not the corpus) or a WindowGroupLimit (per-partition top-k: ≤k rows
     * per key reach the window). Project/Filter/Sort/aliasing don't change
     * the argument; another Window doesn't either (row-preserving).
+    *
+    * Round-12 upgrade: "Aggregate ⇒ bounded" was a blanket bless, but a
+    * census's LATTICE can itself be corpus-scale (group-by-doc_id). For
+    * PARTITIONED windows/collects the bless is now CONFIRMED by
+    * measurement — see censusConfirmed: the aggregate's output must grow
+    * SUB-linearly vs its input across SFs (a saturating lattice), else
+    * the node falls through to the ordinary measured rule / audit. The
+    * unpartitioned-window check keeps the blanket bless (those censuses
+    * are the bounded running sums the two-phase ops are built on, and
+    * each is either sub-linear or already audited).
     */
   private def boundedGrain(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
@@ -192,6 +202,39 @@ class WindowKeySweepSpec extends AnyFunSuite {
   private def structurallyOk(nd: WNode): Boolean =
     nd.keys.exists(subBucketKeys) || boundedGrain(nd.child)
 
+  /** The Aggregate a bounded-grain bless rests on, if that is what the
+    * bless would rest on (same row-preserving descent as boundedGrain;
+    * None when the bless comes from WindowGroupLimit/GlobalLimit/Range,
+    * which are corpus-independent by construction and need no census
+    * confirmation).
+    */
+  private def blessAggregate(p: LogicalPlan): Option[Aggregate] = p match {
+    case a: Aggregate => Some(a)
+    case _: WindowGroupLimit | _: GlobalLimit | _: Range => None
+    case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+              _: Window | _: RepartitionOperation) =>
+      blessAggregate(n.children.head)
+    case _ => None
+  }
+
+  /** Measured confirmation of an Aggregate-based bless (round 12): the
+    * census is genuinely bounded only if its OUTPUT grows sub-linearly
+    * vs its INPUT across the 10× corpus step — a saturating lattice
+    * (histogram bins, value domains) passes; a corpus-lattice census
+    * (group-by-doc_id) tracks its input 1:1 and fails, sending the node
+    * to the ordinary measured rule / audit path. Tiny outputs never
+    * fail (the growth signal is meaningless under ~100 rows).
+    */
+  private def censusConfirmed(agg1: Aggregate, aggL: Aggregate): Boolean = {
+    val (i1, _) = measure(agg1.child, Nil)
+    val (o1, _) = measure(agg1, Nil)
+    val (iL, _) = measure(aggL.child, Nil)
+    val (oL, _) = measure(aggL, Nil)
+    val inGrowth = iL.toDouble / math.max(i1, 1L)
+    val outGrowth = oL.toDouble / math.max(o1, 1L)
+    oL < 100 || inGrowth < growMin || outGrowth <= 0.5 * inGrowth
+  }
+
   /** The measured rule (scaladoc): flag iff the input grows while the key
     * set stays flat. Tiny inputs at the large SF are never flagged — the
     * growth signal is meaningless under ~100 rows.
@@ -245,7 +288,21 @@ class WindowKeySweepSpec extends AnyFunSuite {
         !audited
       }
     }
-    if (pending.isEmpty) { Cleanup.drain(); return unpart }
+    // round-12: an Aggregate-based bless is CONFIRMED by measurement —
+    // the census output must grow sub-linearly vs its input (a
+    // corpus-lattice census like group-by-doc_id tracks its input 1:1
+    // and gets no bless). Pre-filtered at sf0.001: a census under 64
+    // rows there is offsets/model/roster grain and needs no sf0.1
+    // build — this keeps artifact-training queries out of the
+    // confirmation path unless they actually carry a big census window.
+    val needConfirm = ns1.zipWithIndex.filter { case (nd, _) =>
+      !nd.keys.exists(subBucketKeys) && {
+        val audited = auditedExceptions.contains((name, nd.keys))
+        if (audited) seenAudited += ((name, nd.keys))
+        !audited
+      } && blessAggregate(nd.child).exists(a => measure(a, Nil)._1 >= 64)
+    }
+    if (pending.isEmpty && needConfirm.isEmpty) { Cleanup.drain(); return unpart }
     val m1 = pending.map { case (nd, _) => measure(nd.child, nd.keyExprs) }
     Cleanup.drain()
     val pL = build(sf01).queryExecution.optimizedPlan
@@ -264,8 +321,28 @@ class WindowKeySweepSpec extends AnyFunSuite {
         "config-scale funnel or growing per-key buffer at 100 TB " +
         "(sub-bucket / segment it, or write an audit entry)")
     }
+    val confirmOut = needConfirm.flatMap { case (nd, idx) =>
+      (blessAggregate(nd.child), blessAggregate(nsL(idx).child)) match {
+        case (Some(a1), Some(aL)) if !censusConfirmed(a1, aL) =>
+          // a failed confirmation REVOKES the structural bless — it does
+          // not flag by itself: the node drops to the ordinary measured
+          // rule, where a data-scale window key (user_id over a per-user
+          // census) still passes on key growth exactly as it would with
+          // a raw-row input
+          val (n1, d1) = measure(nd.child, nd.keyExprs)
+          val (nL, dL) = measure(nsL(idx).child, nsL(idx).keyExprs)
+          if (measuredOk(nd.kind, n1, d1, nL, dL)) None
+          else Some(s"$name: ${nd.kind} over (${nd.keys.mkString(", ")}) rests " +
+            "on an Aggregate bless whose census output tracks its input " +
+            s"across SFs (a corpus-lattice census), and the node itself " +
+            s"measures input $n1→$nL rows with key $d1→$dL distinct: " +
+            "config-scale funnel at 100 TB (sub-bucket it or write an " +
+            "audit entry naming the lattice bound)")
+        case _ => None
+      }
+    }
     Cleanup.drain()
-    unpart ++ out
+    unpart ++ out ++ confirmOut
   }
 
   test("every wired window and collect buffer is sub-bucketed, bounded-grain, measured data-scale, or audited") {
@@ -329,5 +406,32 @@ class WindowKeySweepSpec extends AnyFunSuite {
     }, seen)
     assert(flat.isEmpty,
       s"a data-scale key with a flat per-key buffer must pass: $flat")
+  }
+
+  test("planted corpus-lattice census does NOT bless its window; saturating census DOES") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val seen = scala.collection.mutable.Set.empty[(String, Seq[String])]
+    // group-by-doc_id "census": output tracks input 1:1 across SFs — the
+    // blanket 'Aggregate ⇒ bounded' bless the round-12 confirmation
+    // exists to revoke (a flat-key window over it is a corpus funnel)
+    val lattice = classify("planted_corpus_lattice_census", dir => {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("doc_id")).agg(sum(col("n_chars")).as("s"))
+        .withColumn("k", col("doc_id") % 5)
+      d.withColumn("rk", row_number().over(W.partitionBy(col("k")).orderBy(col("s"))))
+    }, seen)
+    assert(lattice.exists(_.contains("corpus-lattice census")),
+      s"a group-by-doc_id census must not bless a flat-key window: $lattice")
+    // mirror: a value-domain census saturates (n_chars distinct count
+    // grows far slower than the 10× corpus) — the bless must stand
+    val saturating = classify("planted_saturating_census", dir => {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+        .withColumn("k", col("n_chars") % 5)
+      d.withColumn("rk", row_number().over(W.partitionBy(col("k")).orderBy(col("n"))))
+    }, seen)
+    assert(saturating.isEmpty,
+      s"a saturating value-domain census must keep its bless: $saturating")
   }
 }
