@@ -19,10 +19,14 @@ object Events {
 
   /** Row shapes for `ewmaByUser`'s O(1)-state ordered partition scan.
     * `value` is Option so a null measurement deserializes (and
-    * propagates through the fold) instead of NPE-ing the task.
+    * propagates through the fold) instead of NPE-ing the task. The
+    * timestamp is deliberately NOT in the row: the sort needs it, the
+    * fold never reads it, and the Project that drops it between the
+    * sort and the deserialize is order-preserving. (Measured neutral at
+    * the 20M-event probe — the scan is exchange/sort-bound, not
+    * deserialization-bound — so this is row hygiene, not a speedup.)
     */
-  final case class EwmaScanRow(user_id: Long, ts: java.sql.Timestamp,
-                               event_id: Long, value: Option[Double])
+  final case class EwmaScanRow(user_id: Long, event_id: Long, value: Option[Double])
   final case class EwmaScanOut(user_id: Long, n_events: Long, ewma: Option[Double])
 
   /** Tumbling-window aggregate; window start emitted as epoch seconds so
@@ -350,9 +354,6 @@ object Events {
     val alpha = alphaNum.toDouble / alphaDen
     val spark = events.sparkSession
     import spark.implicits._
-    // ts stays in the row through the scan (unused there) so no Project
-    // sits between the sort and the deserialize — the sort feeds the
-    // scan directly and cannot be pruned or reordered around
     val scanned = events
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
         col("event_id").cast("long").as("event_id"),
@@ -368,6 +369,10 @@ object Events {
             "order the recurrence folds in"))))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      // drop ts AFTER the sort: an order-preserving Project, so the scan
+      // still sees each user's run in (ts, event_id) order without
+      // deserializing a Timestamp object per row
+      .select(col("user_id"), col("event_id"), col("value"))
       .as[EwmaScanRow]
       .mapPartitions { rows =>
         val it = rows.buffered
