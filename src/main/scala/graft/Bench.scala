@@ -159,11 +159,13 @@ object Bench {
       // runs happen at the START of the sweep, so leaving the level OFF
       // would swallow every later query's diagnostics)
       spark.sparkContext.setLogLevel("OFF")
-      q.stop()
-      val quiet = System.nanoTime() + 5L * 1000000000L
-      while (spark.streams.active.nonEmpty && System.nanoTime() < quiet)
-        Thread.sleep(100)
-      spark.sparkContext.setLogLevel("WARN")
+      try {
+        q.stop()
+        val quiet = System.nanoTime() + 5L * 1000000000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < quiet)
+          Thread.sleep(100)
+      } finally spark.sparkContext.setLogLevel("WARN") // a throwing stop()
+      // must not leave the level OFF for the whole subsequent sweep
       val rows = progresses.map(_.numInputRows).sum
       val execMs = progresses.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
       if (rows > 0 && execMs > 0) Some((rows, execMs, rows * 1000L / execMs)) else None

@@ -719,6 +719,15 @@ object ScaleProbe {
         .map(_.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
           .head().getLong(0)).sum
     })
+    // the probe's format mirrors are 3 full corpus rewrites — delete them
+    // eagerly (FormatMatrix's own mirrors get a shutdown hook; this path
+    // is linear, so repeated probe runs must not accrete GBs in /tmp)
+    locally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(fmtRoot))
+    }
     spark.stop()
   }
 }

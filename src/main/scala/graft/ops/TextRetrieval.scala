@@ -236,7 +236,7 @@ trait TextRetrieval { self: TextAnalysis.type =>
     * (groupBy a) are exchange-free against it, and the node relation
     * (distinct ⇒ hash-partitioned on w) keeps the rank relation
     * co-partitioned through the left join. The ONE exchange each round
-    * keeps is the contribution aggregate keyed on the DESTINATION node —
+    * keeps is the contribution re-key onto the DESTINATION node —
     * that is the data motion PageRank is (rank mass genuinely moves from
     * u to v); everything else rides the pinned partitioning
     * (plan-pinned: setup + ~1 exchange/round, was ~5/round before
@@ -246,6 +246,27 @@ trait TextRetrieval { self: TextAnalysis.type =>
     * shrinks across rounds. `iters` is a small constant (10 — TextRank
     * converges in 20–30 rounds at 1e-4, and ranking stabilizes much
     * earlier).
+    *
+    * PARTITION COUNT (round 13): every relation in the round loop —
+    * pins AND the per-round exchange — is partitioned `roundParts`-way,
+    * sized to the EDGE relation (~1M edge rows per partition, floor 1,
+    * cap 20k), not to the session shuffle default. The loop is `iters`
+    * SEQUENTIAL stages, so each round pays a full task-wave scheduling
+    * floor regardless of data volume; at vocab-grain toy scale a
+    * 32-way pin made that 10 sequential 32-task waves of near-empty
+    * tasks — a fixed, data-independent cost that box pressure amplifies
+    * (the round-12 driver capture measured 46 s against 8 s committed
+    * on byte-identical plans). One extra count of the already-persisted
+    * aggregated edge relation buys the size; a 1000-executor corpus
+    * still fans out (1G edges → ~1000 partitions). The destination
+    * re-key deliberately sits BELOW the contribution aggregate
+    * (repartition then groupBy): the shuffle carries edge-grain rather
+    * than combined vocab-grain rows — both are corpus-INDEPENDENT
+    * (vocab²-bounded, fixed-width) — and in exchange the aggregate
+    * lands exactly on `roundParts` so the node join, the next round's
+    * rank join, and the strength join all stay co-partitioned with the
+    * pins: exactly one exchange per round at any scale, never a
+    * partition-count-alignment reshuffle.
     */
   def textRank(df: DataFrame, textCol: String, iters: Int = 10): DataFrame = {
     require(iters >= 1, s"textRank needs iters >= 1: $iters")
@@ -257,6 +278,20 @@ trait TextRetrieval { self: TextAnalysis.type =>
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
+    // symmetric directed edges with co-occurrence weights — persisted
+    // unkeyed first so ONE cheap cached count can size the round
+    // partitioning before anything is pinned to it (scaladoc above)
+    val sym = graft.Cleanup.register(
+      pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wab")).persist())
+    val edgeRows = sym.count()
+    // floor 2, not 1: repartition(1, key) degenerates to SinglePartition,
+    // which drops the HashPartitioning the pins exist to advertise —
+    // EnsureRequirements then re-exchanges BOTH sides of every round's
+    // node join back to the session shuffle default (measured: 2
+    // exchanges/round at 32-way instead of 1 at 2-way)
+    val roundParts =
+      math.max(2L, math.min(20000L, (edgeRows + (1L << 20) - 1) / (1L << 20))).toInt
     // Partition-pinning idiom (round 11): repartition on the join key,
     // persist, and materialize EAGERLY — only a FINALIZED cached
     // AdaptiveSparkPlan reports its HashPartitioning to later queries
@@ -265,17 +300,16 @@ trait TextRetrieval { self: TextAnalysis.type =>
     // difference is ~5 exchanges/round vs ~1). The materializing action
     // is the same work the old checkpoint paid; `unpersist` via the
     // Cleanup registry is recoverable for caches where a drained
-    // checkpoint was not.
+    // checkpoint was not. Explicit numPartitions: AQE respects a
+    // user-specified count, so the pinned width is deterministic.
     def pin(rel: DataFrame, key: String): DataFrame = {
-      val p = graft.Cleanup.register(rel.repartition(col(key)).persist())
+      val p = graft.Cleanup.register(rel.repartition(roundParts, col(key)).persist())
       p.count()
       p
     }
-    // symmetric directed edges with co-occurrence weights, pinned to
-    // HashPartitioning(a) — the source key every round joins on
-    val edges = pin(
-      pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wab")), "a")
+    // pinned to HashPartitioning(a, roundParts) — the source key every
+    // round joins on (reads the sym cache, not the token stream again)
+    val edges = pin(sym, "a")
     // exchange-free aggregate over the pinned edges; pinned itself so the
     // per-round strength join proves co-partitioning instead of re-running
     val strength = pin(edges.groupBy(col("a")).agg(sum(col("wab")).as("sw")), "a")
@@ -288,6 +322,12 @@ trait TextRetrieval { self: TextAnalysis.type =>
         .join(ranks, col("a") === col("w"))
         .join(strength, "a")
         .select(col("b"), expr("(r * wab) DIV sw").as("c"))
+        // the round's ONE exchange, placed below the aggregate so the
+        // sum lands on hash(b, roundParts) and every downstream join
+        // this round and next rides the pins (scaladoc above); the
+        // integer contribution sum is order-independent, so moving the
+        // combine above the shuffle cannot move a single output bit
+        .repartition(roundParts, col("b"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contrib, col("w") === col("b"), "left")

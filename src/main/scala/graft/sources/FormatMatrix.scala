@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * dir, each mirror is read back through its own Spark source with an
   * EXPLICIT schema, and the wired query emits a per-format census that
   * must agree format-for-format — count, Σ n_chars, distinct langs,
-  * id range, and order-independent content digests (Σ of xxhash64 longs
-  * in exact decimal(27,0) arithmetic — the `docs_source_digest`
-  * decimal-sum discipline, identical in any summation order). The census is
+  * id range, and order-independent content digests (Σ of 60-bit md5 row
+  * hashes in exact decimal(38,0) arithmetic — the decimal-sum discipline
+  * of `docs_source_digest`, identical in any summation order; md5 rather
+  * than xxhash64 because the digest must also be DuckDB-replayable and
+  * xxhash64 is not a DuckDB built-in — see the census note below). The census is
   * format-INVARIANT by construction, so DuckDB oracles it from the
   * parquet table alone: any reader that drops a row, re-types a column,
   * or mangles a string on the way through a format shows up as a value

@@ -82,6 +82,14 @@ object StatefulOps {
     * monitor wanting per-window violation RATES diffs successive
     * emissions; absolute counts compared across a recovery would
     * double-attribute pre-restart violations to the new run.
+    *
+    * STATE-SCHEMA COMPATIBILITY: adding the order-key + late counter
+    * widened the per-user state from (Double, Long) to a 5-tuple. A
+    * deployment restarting this query from a checkpoint written by the
+    * old 2-tuple shape will fail state deserialization — upgrading
+    * requires a FRESH checkpoint directory (replay the source from the
+    * desired offsets) or an offline state-store migration; there is no
+    * in-place evolution for mapGroupsWithState tuple state.
     */
   def streamingEwma(events: Dataset[SeqValueEvent],
                     alphaNum: Int = 1, alphaDen: Int = 4): Dataset[UserEwma] = {
