@@ -159,6 +159,7 @@ trait DedupSpans { self: Dedup.type =>
     val toksPos = base.select(col("id"), posexplode(col("w")).as(Seq("t", "tok")))
     val kept = toksPos.join(covered, Seq("id", "t"), "leftanti")
       .groupBy(col("id"))
+      // buffer-bound: kept tokens of ONE document (document length)
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("t"), col("tok")))),

@@ -374,6 +374,8 @@ object Events {
       // deserializing a Timestamp object per row
       .select(col("user_id"), col("event_id"), col("value"))
       .as[EwmaScanRow]
+      // buffer-bound: O(1) scan state per user run — the ewma recurrence
+      // registers (s, n) plus one lookahead row; no history is held
       .mapPartitions { rows =>
         val it = rows.buffered
         new Iterator[EwmaScanOut] {
@@ -420,6 +422,8 @@ object Events {
   /** The order-pinned path aggregate, shared verbatim by `sessionPaths`
     * and `sessionPathsStream` (same by-construction parity).
     */
+  // buffer-bound: events of ONE session — gap-bounded by construction
+  // (the session key closes after `gapSecs` of silence)
   private def pathAgg: Column = array_join(
     transform(
       array_sort(collect_list(struct(col("ts"), col("event_id"),

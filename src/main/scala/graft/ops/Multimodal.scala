@@ -98,6 +98,8 @@ object Multimodal {
     ))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      // buffer-bound: O(1) — streaming row map; only the per-partition
+      // decoder handle persists across rows
       .mapPartitions { rows =>
         val decode = mkDecoder() // per-partition decoder init (native lib handle etc.)
         rows.map { r =>
@@ -151,6 +153,7 @@ object Multimodal {
     ))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"))
+      // buffer-bound: O(1) — streaming row map, decoder handle only
       .mapPartitions { rows =>
         val decode = mkDecoder() // per-partition decoder init
         rows.map { r =>
@@ -380,6 +383,7 @@ object Multimodal {
     val bits = index.bits
     val hashed = stream
       .select(col(tsCol).cast("timestamp").as("ts"), col("media_id"), col("payload"))
+      // buffer-bound: O(1) — streaming row map, decoder handle only
       .mapPartitions { rows =>
         val decode = mkDecoder() // per-partition decoder init
         rows.map { r =>

@@ -87,6 +87,8 @@ trait SimilarityIvf { self: Similarity.type =>
         val sums = assigned
           .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("bucket"), col("pos"))
+          // buffer-bound: training-sample values per (cell, dim) — the
+          // whole input is the ≤ nlist·sampleMult-row sample limited above
           .agg(
             aggregate(array_sort(collect_list(col("x"))), lit(0.0), (s, x) => s + x).as("sx"),
             count(lit(1)).as("n"))

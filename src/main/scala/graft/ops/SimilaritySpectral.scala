@@ -139,6 +139,9 @@ trait SimilaritySpectral { self: Similarity.type =>
     df.select(groupExpr.as("grp"),
         posexplode(transform(col(vecCol), x => x.cast("double"))).as(Seq("pos", "x")))
       .groupBy(col("grp"), col("pos"))
+      // buffer-bound: group size per (grp, dim) — the bit-exact ORACLE
+      // surface (audited in WindowKeySweepSpec); production is
+      // meanPoolAvg below, plain avg() with O(1) mergeable state
       .agg(
         aggregate(array_sort(collect_list(col("x"))), lit(0.0), (s, x) => s + x).as("sx"),
         count(lit(1)).as("n"))

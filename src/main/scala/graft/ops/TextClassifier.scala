@@ -337,6 +337,7 @@ trait TextClassifier { self: TextAnalysis.type =>
                           dim: Int = 32): DataFrame = {
     Seq("clf_score", "__wv").foreach(c =>
       require(!df.columns.contains(c), s"classifierScoreWith reserves column name '$c'"))
+    // buffer-bound: dim+1 model weights (artifact grain, corpus-independent)
     val wv = model.agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("s"))
       .select(transform(col("s"), s => s("w")).as("__wv"))
     df.crossJoin(broadcast(wv))
@@ -408,10 +409,12 @@ trait TextClassifier { self: TextAnalysis.type =>
       require(!df.columns.contains(c), s"classifierPredictWith reserves column name '$c'"))
     val packed = model
       .groupBy(col("cls"), col("cls_idx"))
+      // buffer-bound: dim+1 weights per class (artifact grain)
       .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("s"))
       .select(struct(col("cls_idx"), col("cls"),
         transform(col("s"), x => x("w")).as("wv"),
         transform(col("s"), x => x("pos")).as("pv")).as("m"))
+      // buffer-bound: |classes| packed models (artifact grain)
       .agg(sort_array(collect_list(col("m"))).as("__models"))
     // pv === [0..dim] is the full position-integrity check: it implies
     // the dim+1 width AND rejects duplicate-pos/missing-pos corruption a
@@ -557,6 +560,7 @@ trait TextClassifier { self: TextAnalysis.type =>
     Seq("dsir_w", "__lv").foreach(c =>
       require(!df.columns.contains(c), s"dsirWeightWith reserves column name '$c'"))
     val lv = lift
+      // buffer-bound: dim lift buckets (artifact grain, corpus-independent)
       .agg(transform(sort_array(collect_list(struct(col("bucket"), col("lift")))),
         s => s("lift")).as("__lv"))
     df.crossJoin(broadcast(lv))

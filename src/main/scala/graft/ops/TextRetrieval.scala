@@ -358,6 +358,8 @@ trait TextRetrieval { self: TextAnalysis.type =>
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabK)
     val perDoc = terms.join(broadcast(vocab.select(col("term"))), "term")
+      // buffer-bound: ≤ vocabK terms per doc (the broadcast top-vocabK
+      // roster semi-filters the explode before anything collects)
       .groupBy(col("__doc")).agg(sort_array(collect_set(col("term"))).as("ts"))
     val pairs = perDoc
       .select(explode(flatten(transform(col("ts"), (x, i) =>
@@ -411,9 +413,12 @@ trait TextRetrieval { self: TextAnalysis.type =>
       .filter(col("df0") <= dfCap)
     val w = tf.join(dfreq, "term")
       .select(col("doc"), col("term"), (col("tf") / col("df0").cast("double")).as("w"))
+    // buffer-bound: distinct shingles of ONE document (document length)
     val norms = w.groupBy(col("doc"))
       .agg(sqrt(aggregate(array_sort(collect_list(col("w") * col("w"))),
         lit(0.0), (a, x) => a + x)).as("nrm"))
+    // buffer-bound: shared shingles of ONE doc pair — ≤ the shorter
+    // document's length; pair count itself is dfCap-bounded above
     val dots = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -446,6 +451,9 @@ trait TextRetrieval { self: TextAnalysis.type =>
     val top = dfs.orderBy(col("df").desc, col("term")).limit(k)
     td.join(broadcast(top), Seq("term"))
       .groupBy(col("term"), col("df"))
+      // buffer-bound: term df — GROWS with the corpus BY DESIGN; this is
+      // the top-k oracle surface only (audited in WindowKeySweepSpec);
+      // the production form is postingsSegments, segSize-capped below
       .agg(array_join(
         transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string")), ",").as("posting"))
@@ -485,6 +493,8 @@ trait TextRetrieval { self: TextAnalysis.type =>
       .withColumn("seg", expr(
         s"doc_id div $segSize - (CASE WHEN doc_id % $segSize < 0 THEN 1 ELSE 0 END)"))
       .groupBy(col("term"), col("df"), col("seg"))
+      // buffer-bound: ≤ segSize ids per (term, seg) — the floor-div
+      // segment key caps every assembly buffer by construction
       .agg(count(lit(1)).as("seg_df"),
         array_join(
           transform(sort_array(collect_list(col("doc_id"))),

@@ -173,6 +173,8 @@ trait TextVocab { self: TextAnalysis.type =>
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType))))
     val enc = org.apache.spark.sql.Encoders.row(encSchema)
+    // buffer-bound: O(1) — streaming row map over the word VOCAB (not the
+    // corpus); the broadcast merge table is the only per-partition state
     val encoded = vocab.mapPartitions { rows =>
       val m = mergesB.value
       rows.map { r =>
@@ -182,6 +184,7 @@ trait TextVocab { self: TextAnalysis.type =>
     }(enc)
     val perDoc = words.join(encoded, "__w")
       .groupBy(col("__id"))
+      // buffer-bound: pieces of ONE document (document length)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__wpos"), col("__pieces")))),
         s => s.getField("__pieces"))).as("enc_tokens"))

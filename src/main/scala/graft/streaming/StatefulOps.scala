@@ -32,6 +32,8 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // buffer-bound: O(1) state per user (one UserStats quadruple);
+      // the batch iterator folds without materializing
       .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
           val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, Double.MinValue))
@@ -100,6 +102,9 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // buffer-bound: O(1) state per user (one 5-tuple); the in-batch
+      // sort buffers one user's rows of ONE micro-batch
+      // (maxOffsetsPerTrigger-bounded), never history
       .mapGroupsWithState[(Double, Long, Long, Long, Long), UserEwma](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SeqValueEvent],
          state: GroupState[(Double, Long, Long, Long, Long)]) =>
@@ -147,6 +152,8 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // buffer-bound: O(1) state per user (first-view ts + fired flag);
+      // in-batch sort buffers one micro-batch's rows per user
       .flatMapGroupsWithState[FunnelState, Conversion](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
@@ -187,6 +194,8 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // buffer-bound: O(1) state per user (the last event only);
+      // in-batch sort buffers one micro-batch's rows per user
       .flatMapGroupsWithState[LastEvent, Step](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SeqEvent], state: GroupState[LastEvent]) =>
@@ -223,6 +232,8 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // buffer-bound: O(1) state per user (one open run);
+      // in-batch sort buffers one micro-batch's rows per user
       .flatMapGroupsWithState[OpenRun, ClosedRun](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SeqEvent], state: GroupState[OpenRun]) =>
@@ -278,6 +289,9 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
+      // buffer-bound: touches inside ONE lookback window per user —
+      // lookbackSecs-pruned on every batch; in-batch sort buffers one
+      // micro-batch's rows per user
       .flatMapGroupsWithState[AttrState, Attribution](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
