@@ -51,9 +51,66 @@ object Bench {
     "docs_qnorm_length", "docs_len_hist_quantiles", "events_ewma",
     "src_format_census")
 
+  /** 1-minute load average from /proc/loadavg, or -1 where unreadable.
+    * Environment telemetry (round-12 verdict task 2): the round-12 driver
+    * capture inflated the CPU-bound text family 4-15× vs the committed
+    * same-binary sweep and the payload carried nothing to adjudicate it —
+    * "box pressure" was an inference. Now every per-query stat carries the
+    * box load and this JVM's CPU/wall ratio at measurement time, so a >2×
+    * swing is attributable to load (high loadavg, depressed cpu ratio on
+    * an unchanged plan) or to code (normal load, ratio unchanged) from the
+    * payload alone.
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/loadavg"))
+      .get(0).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Cumulative CPU nanos burned by THIS JVM (all threads), or -1. */
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** One timed execution: wall seconds, process-CPU-seconds / wall-seconds
+    * (0..nCpus; drops under external contention), 1-min loadavg at finish.
+    */
+  private final case class Run(sec: Double, cpu: Double, load: Double)
+
+  private def timedRun(body: => Unit): Run = {
+    val c0 = processCpuNanos(); val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu =
+      if (c0 >= 0 && wall > 0) (processCpuNanos() - c0) / 1e9 / wall else -1.0
+    Run(wall, cpu, loadAvg())
+  }
+
+  /** Per-query median wall times from a prior committed bench payload
+    * (`query_stats.<name>.med`), used as the same-binary reference for the
+    * outlier-rerun policy. Read BEFORE the sweep overwrites BENCH_OUT; an
+    * absent or unparseable file degrades to "no reruns", never to failure.
+    */
+  private def refMedians(path: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val qs = root.path("query_stats")
+      val it = qs.properties().iterator()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.path("med").asDouble(-1.0) }
+      b.result().filter(_._2 > 0)
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // reference medians for the outlier policy — read FIRST: BENCH_OUT may
+    // point at the same file this run overwrites at the end
+    val refMed = refMedians(sys.env.getOrElse("BENCH_REF", "bench_out.json"))
+    val sweepLoad0 = loadAvg()
+    val sweepCpu0 = processCpuNanos(); val sweepT0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -190,13 +247,14 @@ object Bench {
     // BENCH_r11), misread as an apply-path regression. A 100 TB deployment
     // trains once and serves the artifact table; timing train and apply as
     // separate lines is that deployment's honest cost model.
-    val trainerSecs: Seq[(String, Double)] = SparkEntry.trainerWarmers.toSeq.sortBy(_._1)
+    val trainerRuns: Seq[(String, Run)] = SparkEntry.trainerWarmers.toSeq.sortBy(_._1)
       .map { case (name, warm) =>
-        val t0 = System.nanoTime()
-        try warm(spark, sfDir)
-        catch { case e: Throwable => System.err.println(s"[bench] trainer $name failed: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timedRun {
+          try warm(spark, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench] trainer $name failed: $e") }
+        }
       }
+    val trainerSecs: Seq[(String, Double)] = trainerRuns.map { case (n, r) => n -> r.sec }
 
     // three runs per query, EVERY query (round 11 — previously 2 with a
     // 3-sample headline subset): min-of-3 suppresses GC/compilation noise
@@ -209,21 +267,22 @@ object Bench {
     // as a regression by anyone not doing git archaeology. No
     // single-shot (or spread-less) figure appears anywhere in the
     // payload now.
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      val r = timedRun {
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      }
+      // free any checkpoint blocks the builder registered — each run
+      // builds (and registers) its own, so without this the storage
+      // footprint grows with every timed invocation
+      Cleanup.drain()
+      r
+    }
     def time(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-             runs: Int = 3) =
+             runs: Int = 3): Seq[(String, Seq[Run])] =
       entries.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try force(fn(spark, sfDir))
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // free any checkpoint blocks the builder registered — each run
-          // builds (and registers) its own, so without this the storage
-          // footprint grows with every timed invocation
-          Cleanup.drain()
-          dt
-        }
-        name -> times
+        name -> (1 to runs).map(_ => runOnce(name, fn))
       }
     // production surface vs oracle-only: the deliberately-quadratic
     // correctness oracles (SparkEntry.oracleOnly) are timed and reported
@@ -233,19 +292,46 @@ object Bench {
       SparkEntry.queries.toSeq.partition(e => SparkEntry.oracleOnly(e._1))
     val headlineSet = headline.toSet
     val prodSamples = time(prodEntries)
-    val results = prodSamples.map { case (n, ts) => n -> ts.min }
+    val results = prodSamples.map { case (n, ts) => n -> ts.map(_.sec).min }
     val oracleSamples = time(oracleEntries)
-    val oracleResults = oracleSamples.map { case (n, ts) => n -> ts.min }
+    val oracleResults = oracleSamples.map { case (n, ts) => n -> ts.map(_.sec).min }
     // per-query median with min/max spread over the 3 samples — goes in
     // the full payload only (the compact stdout line is size-capped).
     // `query_stats` covers EVERY production query; `headline_stats` is
     // retained as the stable subset earlier rounds' payloads carried so
-    // round-over-round comparisons don't lose their anchor.
-    def spread(samples: Seq[(String, Seq[Double])]) =
-      samples.map { case (n, ts) => val s = ts.sorted; n -> (s(s.size / 2), s.head, s.last) }
+    // round-over-round comparisons don't lose their anchor. Each entry
+    // also carries the MEDIAN run's cpu/wall ratio and 1-min loadavg
+    // (telemetry scaladoc above) so per-query swings are attributable.
+    def spread(samples: Seq[(String, Seq[Run])]) =
+      samples.map { case (n, ts) =>
+        val s = ts.sortBy(_.sec); val m = s(s.size / 2)
+        n -> (m.sec, s.head.sec, s.last.sec, m.cpu, m.load)
+      }
     val queryStats = spread(prodSamples)
     val headlineStats = queryStats.filter(e => headlineSet(e._1))
     val oracleStats = spread(oracleSamples)
+
+    // ------------------------------------------------- outlier rerun policy
+    // (round-12 verdict task 2): any query whose median is > 3× its median
+    // in the committed same-binary reference payload gets ONE extra reading
+    // at sweep end — both readings ship. A transiently loaded box usually
+    // relaxes by sweep end, so rerun ≪ med ⇒ load artifact; rerun ≈ med ⇒
+    // either sustained load (see its load/cpu fields) or a real code cost.
+    // Capped at 12 reruns (most-inflated first) so a fully saturated box
+    // can't double the sweep; the cap, when hit, is itself reported.
+    val byNameForRerun = prodEntries.toMap
+    // absolute floor 0.5 s: a 3× ratio on a 0.1 s query is timer noise,
+    // and rerunning it would spend the 12-slot budget on queries whose
+    // swing no reader will ever investigate
+    val inflated = queryStats
+      .flatMap { case (n, (med, _, _, _, _)) =>
+        refMed.get(n).collect {
+          case r if med > 3 * r && med > 0.5 => (n, med, r, med / r) } }
+      .sortBy(-_._4)
+    val reruns = inflated.take(12).map { case (n, med, ref, _) =>
+      val r = runOnce(n, byNameForRerun(n))
+      (n, med, ref, r)
+    }
 
     // 4-decimal (0.1 ms) timings for the on-disk payload; 2-decimal for
     // the stdout line, whose size is a hard constraint (below)
@@ -254,18 +340,38 @@ object Bench {
     def obj(entries: Seq[(String, Double)], f: Double => String): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def statsObj(stats: Seq[(String, (Double, Double, Double))]): String = stats
-      .map { case (k, (med, mn, mx)) =>
-        "\"" + k + s"""\":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}""" }
+    def fmt1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", v)
+    def statsObj(stats: Seq[(String, (Double, Double, Double, Double, Double))]): String = stats
+      .map { case (k, (med, mn, mx, cpu, load)) =>
+        "\"" + k + s"""\":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)},"cpu":${fmt1(cpu)},"load":${fmt1(load)}}""" }
       .mkString("{", ",", "}")
     val statsJson = statsObj(headlineStats)
     val queryStatsJson = statsObj(queryStats)
     val oracleStatsJson = statsObj(oracleStats)
     val trainersJson = obj(trainerSecs, fmt)
+    val trainerStatsJson = trainerRuns
+      .map { case (k, r) =>
+        "\"" + k + s"""\":{"sec":${fmt(r.sec)},"cpu":${fmt1(r.cpu)},"load":${fmt1(r.load)}}""" }
+      .mkString("{", ",", "}")
+    val rerunsJson =
+      if (refMed.isEmpty) "\"none: no reference payload\""
+      else reruns
+        .map { case (n, med, ref, r) =>
+          "\"" + n + s"""\":{"med":${fmt(med)},"ref":${fmt(ref)},"rerun":${fmt(r.sec)},"cpu":${fmt1(r.cpu)},"load":${fmt1(r.load)}}""" }
+        .mkString("{", ",", "}")
+    // sweep-phase environment summary: loadavg at start/end plus this JVM's
+    // whole-sweep CPU/wall ratio — the one-glance "was the box contended"
+    // answer; per-query fields localize WHICH queries the pressure hit
+    val sweepWall = (System.nanoTime() - sweepT0) / 1e9
+    val sweepCpu =
+      if (sweepCpu0 >= 0 && sweepWall > 0) (processCpuNanos() - sweepCpu0) / 1e9 / sweepWall
+      else -1.0
+    val envJson =
+      s""""env":{"load_start":${fmt1(sweepLoad0)},"load_end":${fmt1(loadAvg())},"cpu_wall_ratio":${fmt1(sweepCpu)},"cpus":$cpus,"n_inflated":${inflated.size},"n_rerun":${reruns.size}}"""
     val tailCommon =
-      s""""sf":"$sfDir","trainers":$trainersJson,"router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec,"secs_med":${fmt(routerRuns(routerRuns.size / 2))},"secs_max":${fmt(routerRuns.last)}}$streamJson}"""
+      s""""sf":"$sfDir",$envJson,"trainers":$trainersJson,"router_throughput":{"rows":$nCorpus,"secs":${fmt(routerSecs)},"rows_per_sec":$rowsPerSec,"secs_med":${fmt(routerRuns(routerRuns.size / 2))},"secs_max":${fmt(routerRuns.last)}}$streamJson}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results, fmt)},"headline_stats":$statsJson,"query_stats":$queryStatsJson,"oracles":${obj(oracleResults, fmt)},"oracle_stats":$oracleStatsJson,""" + tailCommon
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results, fmt)},"headline_stats":$statsJson,"query_stats":$queryStatsJson,"oracles":${obj(oracleResults, fmt)},"oracle_stats":$oracleStatsJson,"reruns":$rerunsJson,"trainer_stats":$trainerStatsJson,""" + tailCommon
 
     // The driver keeps only the LAST 2000 characters of the sbt log (plus
     // sbt's ~81-char "[success] ..." trailer lands after us), so the final

@@ -93,7 +93,7 @@ object OracleClassifierSql {
     * WITHOUT a trailing comma so chains concatenate.
     */
   private def trainChain(p: String, dim: Int, iters: Int, eta: Double,
-                         yExpr: String): String = {
+                         yExpr: String, featRel: String = "feat"): String = {
     require(eta > 0 && java.lang.Double.isFinite(eta) &&
       math.abs(math.getExponent(eta)) <= 30 &&
       eta == math.pow(2, math.getExponent(eta)),
@@ -109,7 +109,7 @@ object OracleClassifierSql {
     for (r <- 1 to iters) {
       sb ++= s"${p}m$r AS MATERIALIZED (SELECT f.x, ($yExpr) - (" +
         fold(s"list_transform(range(1, $d1), i -> f.x[i] * c.vv[i])") +
-        s" + c.bias) AS rs FROM feat f, ${p}w${r - 1} c),\n"
+        s" + c.bias) AS rs FROM $featRel f, ${p}w${r - 1} c),\n"
       sb ++= s"${p}a$r AS MATERIALIZED (SELECT i, " +
         "sum(CAST(round(rs * x[i] * 1048576.0) AS HUGEINT)) AS sb " +
         s"FROM ${p}m$r, unnest(range(1, $d1)) AS t(i) GROUP BY i),\n"
@@ -217,6 +217,32 @@ object OracleClassifierSql {
   def applySql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
                targetSql: String = DefaultTargetSql): String = {
     s"""${trainCtes(dim, iters, eta, targetSql)},
+       |app AS (SELECT f.source, f.y, ${fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * c.vv[i])")} + c.bias AS sc
+       |        FROM feat f, w$iters c)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       |  CAST(sum(CASE WHEN (sc > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN (sc > 0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 4) AS acc_r
+       |FROM app GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Oracle for `docs_classifier_train_sampled`: the LMS chain trains on
+    * the deterministic `shardSql` subset of the feature relation (the
+    * quarantine pattern — integer id arithmetic, engine-exact), with the
+    * 1/n divisor counting SHARD rows (matching
+    * `classifierTrainSampled`'s base count), and the final weights apply
+    * CORPUS-WIDE: the same per-source prediction census as
+    * `docs_classifier_apply`, so the hash transitively pins the whole
+    * sampled trajectory.
+    */
+  def sampledApplySql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
+                      targetSql: String = DefaultTargetSql,
+                      shardSql: String = "id % 4 = 0"): String = {
+    s"""${featCtes(dim, targetSql)},
+       |featsh AS MATERIALIZED (SELECT * FROM feat WHERE $shardSql),
+       |cn AS MATERIALIZED (SELECT count(*) AS n FROM featsh),
+       |${trainChain("", dim, iters, eta, "f.y", "featsh")},
        |app AS (SELECT f.source, f.y, ${fold(s"list_transform(range(1, ${dim + 1}), i -> f.x[i] * c.vv[i])")} + c.bias AS sc
        |        FROM feat f, w$iters c)
        |SELECT source, count(*) AS n_docs,

@@ -689,6 +689,64 @@ object ScaleProbe {
       Analytics.percentileExact(vals, "grp", "v",
         Seq(0.5, 0.9, 0.99), lo = 0L, hi = 4096L, bins = 1024, scale = 1L).count()
     })
+    // ---- round-13 probes: the sweep-dominant text queries at corpus
+    // scale (round-12 verdict task 4 — the round-12 design flaws were
+    // invisible at sf0.1 and obvious at 1M, and these queries dominate
+    // the bench sweep without 1M coverage; word lift already has
+    // word_lift_top40 above) ----
+    // normalize isolated: a 5-regex codegen projection — the claim is
+    // pure scan speed with zero exchanges (the round-12 driver capture
+    // read 15× committed on a byte-identical plan; this pins the
+    // data-scale slope so such swings are attributable to the box, not
+    // the op). sum(length) forces the regex chain — count() would let
+    // Catalyst prune the projection entirely.
+    time("text_normalize")(
+      docs.select(graft.ops.TextAnalysis.normalize(col("text")).as("norm"))
+        .agg(sum(length(col("norm")))).first().getLong(0))
+    // fertility census at n docs / 3 langs under the probe merge table:
+    // the corpus-scale cost is bpeEncode (one word-vocab aggregation +
+    // kernel per DISTINCT word + doc reassembly — the bpe_encode probe's
+    // own shape, adversarial here because extraword<id> makes the vocab
+    // O(n)); the census on top is |langs| grain, so the claim is
+    // "fertility ≈ encode + one scan"
+    time("vocab_fertility_3lang")( {
+      val enc = graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text", probeMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          aggregate(col("enc_tokens"), lit(0L),
+            (acc, p) => acc + length(p).cast("long")).as("nc"))
+      val words = docsL7.select(col("doc_id"), col("lang"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).as("nw"))
+      words.join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens").cast("long")).as("n_pieces"),
+          sum(col("nw").cast("long")).as("n_words"), sum(col("nc")).as("n_chars"))
+        // force the piece-length census: count() of the 3-group aggregate
+        // lets Catalyst prune the sums and with them the whole encode leg
+        // (measured 1.8 s for a "1M-doc encode" — a pruning artifact)
+        .agg(sum(col("n_pieces") + col("n_chars"))).first().getLong(0)
+    })
+    // winnowing Build/With seam at 500k reference vs 500k crawl (the
+    // text_winnowing_cross shape): the reference index is the sparse
+    // ~2/(w+1) fingerprint selection, df-capped reference-side — the
+    // claim is the probe join's candidate volume is bounded by
+    // Σ df·(batch hits) with every twin pair crossing the split
+    time("winnow_cross_500k")( {
+      val idx = graft.ops.Dedup.winnowBuild(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        n = 3, window = 4, maxDf = 20)
+      val r = graft.ops.Dedup.winnowFlagsWith(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx,
+        "doc_id", "text", minShared = 2).count()
+      Cleanup.drain(); r
+    })
+    // single-corpus containment pairs at n docs (the dedup_containment
+    // shape; the cross seam and hot-gram cap are probed above): planted
+    // twins share ~all grams and every non-twin gram is unique, so the
+    // df-capped gram join must stay linear with candidates ≈ twin pairs
+    time("containment_pairs")(
+      graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 3,
+        threshold = 0.6, maxDf = 100).count())
+
     // source-format matrix at n docs: mirror write is the one-time
     // conversion cost (3 full rewrites of the corpus), the re-read
     // census is the recurring cost — timed separately so neither
@@ -701,18 +759,21 @@ object ScaleProbe {
       length(col("text")).cast("long").as("n_chars"))
     val fmtRoot = java.nio.file.Files
       .createTempDirectory("graft-probe-fmt").toFile.getAbsolutePath
-    time("format_mirror_write_3x")( {
+    time("format_mirror_write_4x")( {
       fmtDocs.write.mode("overwrite").orc(s"$fmtRoot/orc")
+      fmtDocs.write.mode("overwrite")
+        .format(graft.sources.FormatMatrix.AvroSource).save(s"$fmtRoot/avro")
       fmtDocs.write.mode("overwrite").json(s"$fmtRoot/json")
       fmtDocs.write.mode("overwrite")
         .option("header", "true").option("quoteAll", "true").option("escape", "\"")
         .csv(s"$fmtRoot/csv")
-      3L * n
+      4L * n
     })
-    time("format_census_read_3x")( {
-      import graft.sources.FormatMatrix.docsSchema
+    time("format_census_read_4x")( {
+      import graft.sources.FormatMatrix.{docsSchema, AvroSource}
       Seq(
         spark.read.schema(docsSchema).orc(s"$fmtRoot/orc"),
+        spark.read.schema(docsSchema).format(AvroSource).load(s"$fmtRoot/avro"),
         spark.read.schema(docsSchema).option("mode", "FAILFAST").json(s"$fmtRoot/json"),
         spark.read.schema(docsSchema).option("header", "true")
           .option("escape", "\"").option("mode", "FAILFAST").csv(s"$fmtRoot/csv"))

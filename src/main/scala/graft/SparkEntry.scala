@@ -77,6 +77,23 @@ object SparkEntry {
       TextAnalysis.classifierTrainVector(classifierLabeled(s, dir), "text",
         classifierTarget, dim = 32, iters = 64, eta = 1.0 / 64))
 
+  // Sampled-shard sibling of classifierArtifact (round-12 verdict task 5):
+  // the same 64-round LMS train on the deterministic doc_id % 4 == 0
+  // quarter shard — iters/4 corpus-scan-equivalents per retrain instead of
+  // iters (the 100 TB retrain contract classifierTrainSampled documents;
+  // DESIGN §16). The id-modulus shard is the lshQualityCensus quarantine
+  // pattern: content-independent (ids are assignment-order opaque here),
+  // so the shard is exchangeable with the corpus, and exactly replayable
+  // by DuckDB's integer arithmetic. Weights apply CORPUS-WIDE through the
+  // same literal seam every classifier consumer uses.
+  private val sampledShard = col("doc_id") % 4 === 0
+  private val sampledClassifierMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Array[Double], Double)]
+  private def sampledClassifierArtifact(s: SparkSession, dir: String): (Array[Double], Double) =
+    sampledClassifierMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+      TextAnalysis.classifierTrainSampled(classifierLabeled(s, dir), "text",
+        classifierTarget, sampledShard, dim = 32, iters = 64, eta = 1.0 / 64))
+
   // One-vs-rest distillation artifact (docs_classifier_multiclass): the
   // teacher is the 3-BAND stopword-density rule (lo < 0.12 ≤ mid < 0.17 ≤
   // hi over the binary teacher's own rounded swr) — content-derived AND
@@ -112,6 +129,7 @@ object SparkEntry {
   val trainerWarmers: Map[String, (SparkSession, String) => Unit] = Map(
     "cluster_build" -> ((s, dir) => { clusterArtifact(s, dir).count(); () }),
     "classifier_train" -> ((s, dir) => { classifierArtifact(s, dir); () }),
+    "classifier_train_sampled" -> ((s, dir) => { sampledClassifierArtifact(s, dir); () }),
     "multiclass_train" -> ((s, dir) => { multiclassArtifact(s, dir); () }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1027,6 +1045,28 @@ object SparkEntry {
           col("n_docs").cast("double"), 4))
         .orderBy(col("source"))
     }),
+    "docs_classifier_train_sampled" -> ((s, dir) => {
+      // sampled-shard retrain (classifierTrainSampled): the SAME 64-round
+      // LMS trajectory over the deterministic doc_id % 4 == 0 quarter
+      // shard — iters/4 corpus-scan-equivalents per retrain — with the
+      // learned weights applied CORPUS-WIDE through the literal seam.
+      // Output is the per-source prediction census over the FULL corpus,
+      // so the hash transitively pins the whole sampled trajectory AND
+      // the apply seam; comparing acc_r against docs_classifier_apply's
+      // is the sampled-vs-full validation surface the
+      // classifierTrainSampled scaladoc prescribes
+      val (w, b) = sampledClassifierArtifact(s, dir)
+      val sc = TextAnalysis.classifierScore(col("text"), w, b, dim = 32)
+      classifierLabeled(s, dir)
+        .select(col("source"), classifierTarget.as("__pos"), sc.as("__sc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__sc") > 0, 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(when((col("__sc") > 0) === col("__pos"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_r", round(col("n_correct").cast("double") /
+          col("n_docs").cast("double"), 4))
+        .orderBy(col("source"))
+    }),
     "docs_classifier_multiclass" -> ((s, dir) => {
       // one-vs-rest distillation of the 3-band density teacher into 3
       // scan-speed linear probes (24 LMS rounds each over ONE shared
@@ -1175,9 +1215,10 @@ object SparkEntry {
         .orderBy(col("source"))),
     "src_format_census" -> ((s, dir) =>
       // SURVEY §2.2 "scans/sources beyond Kafka", wired end-to-end:
-      // documents mirrored once into ORC / JSON-lines / CSV (session
-      // temp dir, build-once memo), each read back through its own
-      // Spark source with an EXPLICIT schema, and a format-invariant
+      // documents mirrored once into ORC / Avro / JSON-lines / CSV
+      // (session temp dir, build-once memo; Avro through the bundled
+      // FQCN source — FormatMatrix scaladoc), each read back through
+      // its own Spark source with an EXPLICIT schema, and a format-invariant
       // census (count, Σ n_chars, distinct langs, id range, 60-bit md5
       // whole-row digest in exact decimal sums) emitted per format —
       // the oracle recomputes the census from parquet alone, so a
@@ -3382,6 +3423,7 @@ object SparkEntry {
       // arithmetic, chained-CTE loops where iterative (OracleClassifierSql)
       "docs_classifier_train" -> OracleClassifierSql.weightsSql(),
       "docs_classifier_apply" -> OracleClassifierSql.applySql(),
+      "docs_classifier_train_sampled" -> OracleClassifierSql.sampledApplySql(),
       "docs_classifier_calibration" -> OracleClassifierSql.calibrationSql(),
       "docs_classifier_multiclass" ->
         OracleClassifierSql.multiclassSql(multiclassClasses, iters = 24),
@@ -3477,7 +3519,7 @@ object SparkEntry {
           |    CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT)::HUGEINT) AS VARCHAR) AS digest
           |  FROM documents)
           |SELECT f.format, c.n_docs, c.sum_chars, c.n_langs, c.id_min, c.id_max, c.digest
-          |FROM (VALUES ('parquet'), ('orc'), ('json'), ('csv')) AS f(format), c
+          |FROM (VALUES ('parquet'), ('orc'), ('avro'), ('json'), ('csv')) AS f(format), c
           |ORDER BY f.format""".stripMargin,
       "docs_boilerplate" ->
         // census on the RAW prefix string — a Spark-side fingerprint

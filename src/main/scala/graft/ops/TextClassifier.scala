@@ -196,6 +196,43 @@ trait TextClassifier { self: TextAnalysis.type =>
     lmsRounds(base, col("y"), n, dim, iters, eta)
   }
 
+  /** Sampled-shard training — the 100 TB retrain-cost escape hatch.
+    *
+    * COST CONTRACT (the reason this exists): [[classifierTrainVector]] is
+    * `iters` full-corpus scans per (re)train — 64 scans of 100 TB for the
+    * default configuration, ~6.4 PB of scan per retrain. Training on a
+    * deterministic 1/k shard cuts that to iters/k corpus-scan-equivalents
+    * while the learned weights still apply corpus-wide through the same
+    * artifact seam ([[classifierWeightsFrom]] → [[classifierScoreWith]]);
+    * the featurize+checkpoint base is also 1/k the footprint.
+    *
+    * WHEN THE SHARD IS SOUND: the LMS minimizer estimates a population
+    * least-squares discriminant, so a shard train converges to the same
+    * model up to O(1/√(n/k)) estimation noise PROVIDED the shard is
+    * exchangeable with the corpus — i.e. selected independently of
+    * content, labels, and features. An id-hash/modulus shard (the
+    * `lshQualityCensus` quarantine pattern) satisfies that whenever ids
+    * are assignment-order opaque. It is NOT sound when the shard key
+    * correlates with content — time-ordered ids under distribution drift,
+    * source-prefixed ids, or any key the teacher rule can see — and a
+    * rare positive class needs k small enough that the shard keeps
+    * hundreds of positives (class balance is preserved only in
+    * expectation). Validate like any sampled estimator: compare the
+    * shard-trained apply census against the full-trained one on a fixed
+    * holdout (the docs_classifier_train_sampled query's census IS that
+    * surface).
+    *
+    * DETERMINISM: identical to the full trainer — the shard predicate is
+    * a pure column expression both engines evaluate identically, and the
+    * trajectory over the shard is the same fixed-point chained-CTE replay
+    * (OracleClassifierSql.sampledApplySql), so the sampled weights are
+    * engine-exact, not "approximately reproducible".
+    */
+  def classifierTrainSampled(df: DataFrame, textCol: String, positive: Column,
+                             shard: Column, dim: Int = 32, iters: Int = 64,
+                             eta: Double = 1.0 / 64): (Array[Double], Double) =
+    classifierTrainVector(df.where(shard), textCol, positive, dim, iters, eta)
+
   private def requireTrainParams(op: String, iters: Int, eta: Double): Unit = {
     require(iters >= 1, s"$op: iters must be >= 1: $iters")
     require(eta > 0 && java.lang.Double.isFinite(eta) &&

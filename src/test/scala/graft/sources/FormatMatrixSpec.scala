@@ -4,19 +4,20 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The wired source-format matrix (SURVEY §2.2 "scans beyond Kafka"):
-  * census equality across all four readers, the ORC mirror's pushdown +
-  * pruning (the scan properties that make a non-parquet source a
-  * first-class 100 TB citizen, claimed in the FormatMatrix scaladoc),
-  * and the loud unknown-format contract.
+  * census equality across all five readers (parquet/ORC/Avro/JSON/CSV —
+  * Avro through the bundled FQCN source, FormatMatrix scaladoc), the
+  * ORC mirror's pushdown + pruning (the scan properties that make a
+  * non-parquet source a first-class 100 TB citizen, claimed in the
+  * FormatMatrix scaladoc), and the loud unknown-format contract.
   */
 class FormatMatrixSpec extends AnyFunSuite {
   import graft.TestSpark.{spark, sf0001}
 
-  test("all four format legs produce the identical census row") {
+  test("all five format legs produce the identical census row") {
     val rows = FormatMatrix.formatCensus(spark, sf0001).collect()
-    assert(rows.length == 4, s"expected 4 format rows, got ${rows.toSeq}")
+    assert(rows.length == 5, s"expected 5 format rows, got ${rows.toSeq}")
     assert(rows.map(_.getString(0)).sorted.toSeq ==
-      Seq("csv", "json", "orc", "parquet"))
+      Seq("avro", "csv", "json", "orc", "parquet"))
     // every non-format column identical across formats — the whole-row
     // md5 digest makes "identical" mean value-identical, not just counted
     val bodies = rows.map(r => r.toSeq.drop(1)).distinct
@@ -39,7 +40,7 @@ class FormatMatrixSpec extends AnyFunSuite {
 
   test("unknown format fails loudly; mirror is written once per (session, sf dir)") {
     intercept[IllegalArgumentException] {
-      FormatMatrix.readBack(spark, sf0001, "avro")
+      FormatMatrix.readBack(spark, sf0001, "feather")
     }
     val r1 = FormatMatrix.mirrorRoot(spark, sf0001)
     val r2 = FormatMatrix.mirrorRoot(spark, sf0001)
