@@ -238,7 +238,11 @@ object OracleClassifierSql {
     */
   def sampledApplySql(dim: Int = 32, iters: Int = 64, eta: Double = 1.0 / 64,
                       targetSql: String = DefaultTargetSql,
-                      shardSql: String = "id % 4 = 0"): String = {
+                      // no default: the shard must come from the caller's
+                      // single shared constant (SparkEntry.sampledShardSql)
+                      // or the two engines' train populations can
+                      // silently desynchronize
+                      shardSql: String): String = {
     s"""${featCtes(dim, targetSql)},
        |featsh AS MATERIALIZED (SELECT * FROM feat WHERE $shardSql),
        |cn AS MATERIALIZED (SELECT count(*) AS n FROM featsh),

@@ -743,15 +743,21 @@ object ScaleProbe {
     // shape; the cross seam and hot-gram cap are probed above): planted
     // twins share ~all grams and every non-twin gram is unique, so the
     // df-capped gram join must stay linear with candidates ≈ twin pairs
-    time("containment_pairs")(
-      graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 3,
-        threshold = 0.6, maxDf = 100).count())
+    time("containment_pairs")( {
+      val r = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 3,
+        threshold = 0.6, maxDf = 100).count()
+      // the op registers its capped-gram localCheckpoint (~78M rows at
+      // 1M docs) — drain it here like every sibling probe, or it stays
+      // resident through the format-matrix probes below
+      Cleanup.drain(); r
+    })
 
     // source-format matrix at n docs: mirror write is the one-time
-    // conversion cost (3 full rewrites of the corpus), the re-read
-    // census is the recurring cost — timed separately so neither
-    // masquerades as the other; all three mirror readers split by file
-    // offset, so the census scans run at full parallelism
+    // conversion cost (4 full rewrites of the corpus — ORC, Avro,
+    // JSON-lines, CSV), the re-read census is the recurring cost —
+    // timed separately so neither masquerades as the other; all four
+    // mirror readers split by file offset, so the census scans run at
+    // full parallelism
     val fmtDocs = docs.select(col("doc_id"), col("text"),
       element_at(array(lit("en"), lit("fr"), lit("es")),
         (pmod(xxhash64(col("doc_id"), lit(3)), lit(3L)) + 1).cast("int")).as("lang"),
@@ -780,7 +786,7 @@ object ScaleProbe {
         .map(_.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
           .head().getLong(0)).sum
     })
-    // the probe's format mirrors are 3 full corpus rewrites — delete them
+    // the probe's format mirrors are 4 full corpus rewrites — delete them
     // eagerly (FormatMatrix's own mirrors get a shutdown hook; this path
     // is linear, so repeated probe runs must not accrete GBs in /tmp)
     locally {

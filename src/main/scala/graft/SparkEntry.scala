@@ -86,7 +86,13 @@ object SparkEntry {
   // so the shard is exchangeable with the corpus, and exactly replayable
   // by DuckDB's integer arithmetic. Weights apply CORPUS-WIDE through the
   // same literal seam every classifier consumer uses.
-  private val sampledShard = col("doc_id") % 4 === 0
+  // ONE source for the shard on both engines (the enMarkers rule:
+  // independently hard-coding the predicate here and in the oracle SQL
+  // would silently desynchronize the train populations on the day either
+  // side changes) — the oracle string below renders from this constant
+  private val sampledShardMod = 4
+  private val sampledShard = col("doc_id") % sampledShardMod === 0
+  private[graft] def sampledShardSql = s"id % $sampledShardMod = 0"
   private val sampledClassifierMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (Array[Double], Double)]
   private def sampledClassifierArtifact(s: SparkSession, dir: String): (Array[Double], Double) =
@@ -3423,7 +3429,8 @@ object SparkEntry {
       // arithmetic, chained-CTE loops where iterative (OracleClassifierSql)
       "docs_classifier_train" -> OracleClassifierSql.weightsSql(),
       "docs_classifier_apply" -> OracleClassifierSql.applySql(),
-      "docs_classifier_train_sampled" -> OracleClassifierSql.sampledApplySql(),
+      "docs_classifier_train_sampled" ->
+        OracleClassifierSql.sampledApplySql(shardSql = sampledShardSql),
       "docs_classifier_calibration" -> OracleClassifierSql.calibrationSql(),
       "docs_classifier_multiclass" ->
         OracleClassifierSql.multiclassSql(multiclassClasses, iters = 24),

@@ -249,8 +249,10 @@ trait TextRetrieval { self: TextAnalysis.type =>
     *
     * PARTITION COUNT (round 13): every relation in the round loop —
     * pins AND the per-round exchange — is partitioned `roundParts`-way,
-    * sized to the EDGE relation (~1M edge rows per partition, floor 1,
-    * cap 20k), not to the session shuffle default. The loop is `iters`
+    * sized to the EDGE relation (~1M edge rows per partition, floor 2 —
+    * see the inline comment: repartition(1, key) degenerates to
+    * SinglePartition and loses the advertised HashPartitioning — cap
+    * 20k), not to the session shuffle default. The loop is `iters`
     * SEQUENTIAL stages, so each round pays a full task-wave scheduling
     * floor regardless of data volume; at vocab-grain toy scale a
     * 32-way pin made that 10 sequential 32-task waves of near-empty
@@ -310,6 +312,11 @@ trait TextRetrieval { self: TextAnalysis.type =>
     // pinned to HashPartitioning(a, roundParts) — the source key every
     // round joins on (reads the sym cache, not the token stream again)
     val edges = pin(sym, "a")
+    // sym's only remaining reader was that pin: drop the unkeyed copy NOW
+    // — at corpus scale the edge relation is the query's largest, and
+    // holding two full cached copies through all `iters` rounds risks
+    // evicting the pinned partitions the idiom exists to protect
+    sym.unpersist()
     // exchange-free aggregate over the pinned edges; pinned itself so the
     // per-round strength join proves co-partitioning instead of re-running
     val strength = pin(edges.groupBy(col("a")).agg(sum(col("wab")).as("sw")), "a")

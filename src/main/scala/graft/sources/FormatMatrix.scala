@@ -96,9 +96,9 @@ object FormatMatrix {
   private val mirrorMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
-  /** Write the ORC/JSON/CSV mirrors once per (session, sf dir); returns
-    * the mirror root. Idempotent and race-benign (TrieMap memo; a lost
-    * race overwrites with identical data).
+  /** Write the ORC/Avro/JSON/CSV mirrors once per (session, sf dir);
+    * returns the mirror root. Idempotent and race-benign (TrieMap memo;
+    * a lost race overwrites with identical data).
     */
   def mirrorRoot(spark: SparkSession, dir: String): String =
     mirrorMemo.getOrElseUpdate((System.identityHashCode(spark), dir), {
@@ -143,7 +143,7 @@ object FormatMatrix {
 
   /** Read `documents` back through `fmt`'s source with the explicit
     * schema ("parquet" reads the original table — the reference leg the
-    * other three must match).
+    * other four must match).
     */
   def readBack(spark: SparkSession, dir: String, fmt: String): DataFrame = fmt match {
     case "parquet" => graft.Tables.read(spark, dir, "documents").select(cols: _*)
@@ -169,7 +169,7 @@ object FormatMatrix {
     * moves that format's digest. Rendered as a string so both engines
     * hash identical decimal digits.
     */
-  private[graft] def census(df: DataFrame, fmt: String): DataFrame =
+  private def census(df: DataFrame, fmt: String): DataFrame =
     df.select(col("n_chars"), col("lang"), col("doc_id"),
         conv(substring(md5(concat_ws("\u0001",
           docsSchema.fieldNames.map(c => col(c).cast("string")).toSeq: _*)), 1, 15),

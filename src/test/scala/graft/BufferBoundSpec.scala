@@ -41,7 +41,7 @@ class BufferBoundSpec extends AnyFunSuite {
   private val tagWindow = 8
 
   private val sitePattern =
-    """(collect_list\s*\(|collect_set\s*\(|\.mapPartitions\b|[mM]apGroupsWithState\[)""".r
+    """(collect_list\s*\(|collect_set\s*\(|\.mapPartitions\b|[mM]apGroupsWithState[\[(])""".r
   private val tagPattern = """buffer-bound:\s*\S""".r
 
   private def isCommentLine(l: String): Boolean = {
@@ -49,8 +49,42 @@ class BufferBoundSpec extends AnyFunSuite {
     t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
   }
 
+  /** The line with every string-literal INTERIOR blanked to spaces
+    * (length-preserving, escape-aware), so `//` inside a string is not a
+    * comment cut, a site keyword inside a string is not a site, and a
+    * tag inside a string is not a tag. Single-line heuristic — the repo
+    * has no multi-line string carrying these keywords, and the planted
+    * tests pin both failure directions.
+    */
+  private def blankStrings(l: String): String = {
+    val b = l.toCharArray
+    var in = false; var esc = false
+    for (i <- b.indices) {
+      if (esc) { if (in) b(i) = ' '; esc = false }
+      else b(i) match {
+        case '\\' if in => b(i) = ' '; esc = true
+        case '"'        => in = !in
+        case _          => if (in) b(i) = ' '
+      }
+    }
+    new String(b)
+  }
+
+  /** The comment text of a line (empty if none): the whole line for
+    * comment-only lines, else everything from the first REAL `//` —
+    * string-blanked indices, so a url's `//` never starts a comment.
+    */
+  private def commentPart(l: String): String =
+    if (isCommentLine(l)) l
+    else blankStrings(l).indexOf("//") match {
+      case -1 => ""
+      case j  => l.substring(j)
+    }
+
   /** Untagged buffer sites of one source text, as "name:line: snippet".
     * Shared verbatim by the repo sweep and the planted-defect tests.
+    * Tags count only inside COMMENTS; sites count only inside CODE
+    * (outside comments and string literals).
     */
   private[graft] def untaggedSites(name: String, text: String): Seq[String] = {
     val lines = text.split("\n", -1)
@@ -58,19 +92,19 @@ class BufferBoundSpec extends AnyFunSuite {
     val out = Seq.newBuilder[String]
     for (i <- lines.indices) {
       val line = lines(i)
-      // strip the trailing line comment so a tag comment MENTIONING a
-      // site keyword doesn't count as a site; whole-comment lines skip
+      val blanked = blankStrings(line)
       val code =
         if (isCommentLine(line)) ""
-        else line.indexOf("//") match {
-          case -1 => line
-          case j  => line.substring(0, j)
+        else blanked.indexOf("//") match {
+          case -1 => blanked
+          case j  => blanked.substring(0, j)
         }
       if (sitePattern.findFirstIn(code).nonEmpty) {
         // the window starts after the previous site: a tag is one site's
         // documentation, never a blanket bless for everything below it
         val from = math.max(math.max(0, i - tagWindow), prevSite + 1)
-        val tagged = (from to i).exists(k => tagPattern.findFirstIn(lines(k)).nonEmpty)
+        val tagged = (from to i).exists(k =>
+          tagPattern.findFirstIn(commentPart(lines(k))).nonEmpty)
         if (!tagged) out += s"$name:${i + 1}: ${line.trim}"
         prevSite = i
       }
@@ -143,5 +177,31 @@ class BufferBoundSpec extends AnyFunSuite {
     val st = "val s = ds.groupByKey(_.k).flatMapGroupsWithState[S, O](m, t) { f }"
     assert(untaggedSites("planted", st).nonEmpty,
       "flatMapGroupsWithState carries state and needs a bound tag")
+    val stNoBrackets = "val s = ds.groupByKey(_.k).mapGroupsWithState(update _)"
+    assert(untaggedSites("planted", stNoBrackets).nonEmpty,
+      "mapGroupsWithState without explicit type arguments is still a site")
+  }
+
+  test("string literals neither hide sites nor bless them") {
+    // a `//` inside a string must not comment out the rest of the line —
+    // the site after it is real and untagged
+    val hidden = """val u = "proto://host"; val a = df.agg(collect_list(col("v")))"""
+    assert(untaggedSites("planted", hidden).nonEmpty,
+      "a string containing // must not hide the site after it")
+    // a tag INSIDE a string is data, not documentation — it must not
+    // bless the site below it
+    val fakeTag =
+      """val s = "buffer-bound: x"
+        |val a = df.agg(collect_list(col("v")))""".stripMargin
+    assert(untaggedSites("planted", fakeTag).nonEmpty,
+      "a tag inside a string literal must not count")
+    // and a site keyword inside a string is not a site
+    val fakeSite = """val msg = "use collect_list( sparingly)""""
+    assert(untaggedSites("planted", fakeSite).isEmpty,
+      "a site keyword inside a string literal is not a site")
+    // a real trailing-comment tag still counts
+    val trailing = """val a = df.agg(collect_list(col("v"))) // buffer-bound: one doc"""
+    assert(untaggedSites("planted", trailing).isEmpty,
+      "a trailing-comment tag on the site line must count")
   }
 }
