@@ -49,7 +49,7 @@ object Bench {
     "docs_classifier_multiclass_apply", "emb_ivfpq_drift", "emb_sq8_topk",
     "text_winnowing", "text_winnowing_matches", "text_winnowing_cross",
     "docs_qnorm_length", "docs_len_hist_quantiles", "events_ewma",
-    "src_format_census")
+    "src_format_census", "vocab_unigram_encode")
 
   /** 1-minute load average from /proc/loadavg, or -1 where unreadable.
     * Environment telemetry (round-12 verdict task 2): the round-12 driver

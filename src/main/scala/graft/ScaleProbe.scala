@@ -574,6 +574,26 @@ object ScaleProbe {
       graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text", probeMerges)
         .agg(sum(col("n_tokens"))).collect()(0).getLong(0))
 
+    // unigram-LM tokenizer at n docs (round 13): train = ONE corpus
+    // word census + 3 hard-EM rounds over the distinct vocab (Viterbi
+    // kernel per distinct word, inventory-grain driver state) — the
+    // same adversarial O(n)-vocab regime as bpe_encode ("extraword<id>"
+    // keeps every round's kernel input ~505k words); encode = one more
+    // kernel pass + the doc-grain word join
+    var uniM: graft.ops.TextAnalysis.UnigramModel = null
+    time("unigram_train_3r")( {
+      uniM = graft.ops.TextAnalysis.unigramTrain(docs, "text",
+        vocabK = 200, pieceLen = 4, rounds = 3)
+      Cleanup.drain(); uniM.pieces.length.toLong
+    })
+    time("unigram_encode")( {
+      if (uniM == null)
+        uniM = graft.ops.TextAnalysis.unigramTrain(docs, "text",
+          vocabK = 200, pieceLen = 4, rounds = 3)
+      val r = graft.ops.TextAnalysis.unigramEncode(docs, "doc_id", "text", uniM)
+        .agg(sum(col("n_tokens"))).first().getLong(0)
+      Cleanup.drain(); r
+    })
     // edit-distance join over an n-value vocabulary ("v" + id): dense
     // numeric suffixes are the adversarial shape — every value has ~50
     // single-digit-substitution neighbors, so the verified pair count is

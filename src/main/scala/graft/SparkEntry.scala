@@ -123,6 +123,20 @@ object SparkEntry {
       TextAnalysis.classifierTrainOneVsRest(classifierLabeled(s, dir), "text",
         densityBand, multiclassClasses, dim = 32, iters = 24, eta = 1.0 / 64))
 
+  // Build-once unigram-LM tokenizer artifact (round 13 — the BPE
+  // sibling): hard-EM trained inventory with fixed-point log2 scores,
+  // shared by the train-surface and encode queries. ONE shared constant
+  // set feeds the trainer AND the oracle generator (the enMarkers rule).
+  private val UnigramVocabK = 200
+  private val UnigramPieceLen = 4
+  private val UnigramRounds = 3
+  private val unigramMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), TextAnalysis.UnigramModel]
+  private def unigramArtifact(s: SparkSession, dir: String): TextAnalysis.UnigramModel =
+    unigramMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+      TextAnalysis.unigramTrain(t(s, dir, "documents"), "text",
+        vocabK = UnigramVocabK, pieceLen = UnigramPieceLen, rounds = UnigramRounds))
+
   /** Bench seam: the build-once artifact memos, exposed so the bench can
     * force (and time) each trainer BEFORE the per-query sweep instead of
     * letting the training cost land inside whichever consumer query the
@@ -136,7 +150,8 @@ object SparkEntry {
     "cluster_build" -> ((s, dir) => { clusterArtifact(s, dir).count(); () }),
     "classifier_train" -> ((s, dir) => { classifierArtifact(s, dir); () }),
     "classifier_train_sampled" -> ((s, dir) => { sampledClassifierArtifact(s, dir); () }),
-    "multiclass_train" -> ((s, dir) => { multiclassArtifact(s, dir); () }))
+    "multiclass_train" -> ((s, dir) => { multiclassArtifact(s, dir); () }),
+    "unigram_train" -> ((s, dir) => { unigramArtifact(s, dir); () }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -842,6 +857,27 @@ object SparkEntry {
       // (lexicographic tie-break) — the trace is spec-pinned by hand
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 20)
         .orderBy(col("rank"))),
+    "vocab_unigram_train" -> ((s, dir) => {
+      // unigram-LM (SentencePiece-style) tokenizer TRAINING, the BPE
+      // sibling (TextAnalysis.unigramTrain): substring-seeded inventory,
+      // 3 hard-EM rounds (exact fixed-point log2 scores -> per-word
+      // Viterbi -> usage census), every step integer arithmetic — the
+      // DuckDB oracle replays seeding, all rounds and the final scores
+      // as ONE chained-CTE statement with a RELATIONAL position-DP
+      // (OracleUnigramSql). Output: the full inventory with final usage
+      // counts and the add-one-smoothed scores an encoder applies
+      val m = unigramArtifact(s, dir)
+      import s.implicits._
+      m.pieces.toDF("piece", "n_uses", "score_fp").orderBy(col("piece"))
+    }),
+    "vocab_unigram_encode" -> ((s, dir) =>
+      // tokenizer APPLICATION: per-doc exact piece count under the
+      // trained unigram model — Viterbi over the DISTINCT word vocab
+      // (one kernel pass), docs re-acquire counts through ONE equi-join
+      // (the bpeEncode shape); the oracle replays train + encode
+      TextAnalysis.unigramEncode(t(s, dir, "documents"), "doc_id", "text",
+          unigramArtifact(s, dir))
+        .orderBy(col("doc_id"))),
     "vocab_bpe_encode" -> ((s, dir) =>
       // tokenizer APPLICATION (TextAnalysis.bpeEncode): corpus piece
       // census under the fixed merge table — every piece is a char or a
@@ -3040,6 +3076,10 @@ object SparkEntry {
       // fixed-table BPE encode: the in-order greedy fold replayed as a
       // list_reduce chain, one CTE per merge rank (OracleBpeSql scaladoc)
       "vocab_bpe_encode" -> OracleBpeSql.pieceCensusSql(BpeFixedMerges),
+      "vocab_unigram_train" -> OracleUnigramSql.trainSql(
+        UnigramVocabK, UnigramPieceLen, UnigramRounds, TextAnalysis.UnigramOovScore),
+      "vocab_unigram_encode" -> OracleUnigramSql.encodeSql(
+        UnigramVocabK, UnigramPieceLen, UnigramRounds, TextAnalysis.UnigramOovScore),
       "docs_bpe_token_counts" -> OracleBpeSql.tokenCountsSql(BpeFixedMerges),
       "vocab_fertility" -> OracleBpeSql.fertilitySql(BpeFixedMerges),
       // the TRAINING loop replayed: 20 data-dependent census→argmax→

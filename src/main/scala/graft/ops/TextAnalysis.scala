@@ -30,4 +30,5 @@ object TextAnalysis
   with TextRetrieval
   with TextCuration
   with TextVocab
+  with TextUnigram
   with TextClassifier

@@ -1,0 +1,287 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TextAnalysis partition: unigram-LM (SentencePiece-style) tokenizer —
+  * the probabilistic sibling of the BPE pair ([Kudo, "Subword
+  * Regularization", ACL 2018] describes the model; this is its
+  * deterministic hard-EM / Viterbi-EM variant). Where BPE greedily merges
+  * the most frequent pair, the unigram model keeps a piece INVENTORY with
+  * probabilities and segments every word to the maximum-likelihood piece
+  * sequence; training alternates Viterbi segmentation (E) with count
+  * re-estimation (M).
+  *
+  * ENGINE-EXACT ARITHMETIC, the repo's no-transcendental rule applied to
+  * a log-likelihood model: piece log-probabilities are fixed-point
+  * integers computed by [[ilog2fp]] — an exact integer algorithm (power-
+  * of-two normalization + 16 mantissa-squaring steps, every operation an
+  * integer multiply/divide/compare), NOT a libm log whose last-ulp
+  * rounding is engine-private. The Viterbi objective is then an integer
+  * SUM maximized under a total deterministic order (score, then longer
+  * piece), so the learned trajectory is bit-identical under any
+  * partitioning and any engine: the DuckDB oracle replays seeding, every
+  * EM round (scores → per-word Viterbi DP → usage census), and the final
+  * encode as one chained-CTE statement (OracleUnigramSql — the
+  * `vocab_bpe_merges` pattern with the DP expressed as list folds). The
+  * 2⁻¹⁶ score quantization is not an approximation of some other
+  * trainer: it IS the model's arithmetic, identically on both engines
+  * (the classifier's 2⁻²⁰ gradient-quantization argument).
+  *
+  * Spark-first cost split (the bpeMerges/bpeEncode posture): the ONLY
+  * corpus-scale work is one weighted distinct-word census (and, at
+  * encode time, one word equi-join + per-doc count). Substring seeding,
+  * every EM round's Viterbi kernel, and the usage censuses all run at
+  * DISTINCT-WORD grain — corpus-size-independent for natural language
+  * (and merely vocab-linear on an adversarial O(n) vocab, probed at 1M).
+  * Driver state is the piece inventory (≤ vocabK + |alphabet| rows — the
+  * kmeans-centroid artifact-grain rule), never the vocab.
+  *
+  * ASCII/BMP note (the BPE oracle's rule): substrings are Java-char /
+  * DuckDB-character aligned, which coincide on the ASCII corpus; a
+  * production deployment with astral code points would switch both sides
+  * to code-point indexing together.
+  */
+trait TextUnigram { self: TextAnalysis.type =>
+
+  /** Longest word the oracle's position-chained DP unrolls to
+    * (OracleUnigramSql reads THIS constant — the enMarkers
+    * single-source rule). The trainer and encoder enforce the same
+    * bound with a loud one-row probe so the two engines can never
+    * diverge on a word only one of them segments; generous for
+    * whitespace-tokenized text (corpus max is 8 at every SF).
+    */
+  val UnigramMaxLen: Int = 16
+
+  private def requireWordsBounded(words: DataFrame, op: String): Unit = {
+    val over = words.filter(length(col("w")) > UnigramMaxLen).limit(1)
+      .collect().headOption
+    require(over.isEmpty,
+      s"$op: word '${over.map(_.getString(0)).getOrElse("")}' exceeds " +
+        s"UnigramMaxLen=$UnigramMaxLen — the oracle DP unrolls that many " +
+        "positions; raise the constant (both sides regenerate together) " +
+        "or pre-chunk pathological tokens")
+  }
+
+  /** Score of an out-of-inventory SINGLE character at encode time —
+    * far below any reachable real score (a real piece's score is
+    * ≥ -46·2¹⁶ by the [[ilog2fp]] domain bound), so an unknown char
+    * never displaces an in-inventory segmentation; training corpora
+    * never hit it (every observed char seeds the inventory).
+    */
+  val UnigramOovScore: Long = -(1L << 26)
+
+  /** Fixed-point floor(2¹⁶·log₂(a/b)) for 1 ≤ a ≤ b < 2⁴⁶, by exact
+    * integer arithmetic: k = min{x : a·2ˣ ≥ b} gives the integer part
+    * -k; the mantissa m₀ = (a·2ᵏ·2³⁰) div b ∈ [2³⁰, 2³¹) then yields 16
+    * fraction bits by repeated squaring (square, renormalize, emit a
+    * bit) — the classic shift-and-square log algorithm, every step an
+    * integer op both engines compute identically (DuckDB replays it as
+    * a list_reduce over HUGEINTs — OracleUnigramSql.ilogSql). Within 3
+    * units of exact 2¹⁶·log₂ (one truncation per squaring), and the
+    * SAME within-3 value everywhere — the bias is part of the model.
+    */
+  private[graft] def ilog2fp(a: Long, b: Long): Long = {
+    require(a >= 1 && b >= a && b < (1L << 46),
+      s"ilog2fp: need 1 <= a <= b < 2^46, got a=$a b=$b")
+    var k = 0
+    while ((BigInt(a) << k) < BigInt(b)) k += 1
+    var m = ((BigInt(a) << (k + 30)) / BigInt(b)).toLong
+    var frac = 0L
+    var i = 0
+    while (i < 16) {
+      m = (m * m) >> 30 // m stays < 2^31, so m*m < 2^62 — no Long overflow
+      if (m >= (1L << 31)) { m >>= 1; frac = frac * 2 + 1 }
+      else frac = frac * 2
+      i += 1
+    }
+    -k.toLong * 65536L + frac
+  }
+
+  /** The per-word Viterbi kernel: maximum-score segmentation of `w`
+    * under integer piece scores, pieces up to `pieceLen` chars. DP over
+    * end positions; at each position the winning edge maximizes
+    * (total score, piece length) — a TOTAL order (candidate lengths are
+    * distinct), so the segmentation is unique and engine-independent.
+    * Unknown single chars score [[UnigramOovScore]] (totality); unknown
+    * longer substrings are not edges. O(len·pieceLen) time, O(len)
+    * state.
+    */
+  private[graft] def viterbiWord(w: String, sc: scala.collection.Map[String, Long],
+                                 pieceLen: Int): Array[String] = {
+    val n = w.length
+    if (n == 0) return Array.empty
+    val best = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bs = Long.MinValue
+      var bl = 0
+      val lm = math.min(pieceLen, i)
+      var l = 1
+      while (l <= lm) {
+        val piece = w.substring(i - l, i)
+        val s = sc.get(piece) match {
+          case Some(v)           => v
+          case None if l == 1    => UnigramOovScore
+          case None              => Long.MinValue
+        }
+        if (s != Long.MinValue) {
+          val tot = best(i - l) + s
+          if (tot > bs || (tot == bs && l > bl)) { bs = tot; bl = l }
+        }
+        l += 1
+      }
+      best(i) = bs
+      back(i) = bl
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var p = n
+    while (p > 0) {
+      val l = back(p)
+      out += w.substring(p - l, p)
+      p -= l
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** The trained model: inventory pieces with final Viterbi usage counts
+    * and the fixed-point log₂-probability scores an encoder applies
+    * (add-one smoothed: score(p) = ilog2fp(count+1, Σcounts+|P|), so a
+    * round-R-unused piece keeps a finite score and can re-enter).
+    */
+  final case class UnigramModel(pieces: Seq[(String, Long, Long)],
+                                pieceLen: Int) {
+    /** piece → score map for the encode kernel. */
+    def scores: Map[String, Long] = pieces.map(p => (p._1, p._3)).toMap
+  }
+
+  /** Train the unigram inventory by `rounds` hard-EM iterations.
+    *
+    * Seeding: every substring of every distinct word up to `pieceLen`
+    * chars, weighted by word frequency (overlaps counted); the inventory
+    * is ALL single characters plus the top `vocabK` multi-char pieces by
+    * (count desc, piece asc) — single chars guarantee every word
+    * segments. Each round: smoothed fixed-point scores from the current
+    * counts; Viterbi re-segmentation of the distinct vocab (one
+    * `mapPartitions` kernel, score map broadcast); usage census weighted
+    * by word frequency (pieces unused this round drop to count 0 but
+    * stay in the inventory with their smoothed floor — hard-EM's
+    * re-estimation, no pruning, so the piece set is round-invariant and
+    * the oracle's LEFT JOIN reproduces it exactly).
+    *
+    * Hard-EM (Viterbi-E) rather than full forward-backward EM is a
+    * deliberate determinism trade: expected counts under ALL
+    * segmentations sum products of probabilities — not expressible in
+    * exact integer arithmetic — while the Viterbi assignment is an
+    * integer argmax both engines replay bit-for-bit. The fixed points
+    * coincide when one segmentation dominates per word (the common case
+    * for subword inventories); the scaladoc states the variant honestly
+    * rather than shipping an irreproducible soft-EM.
+    */
+  def unigramTrain(df: DataFrame, textCol: String, vocabK: Int = 200,
+                   pieceLen: Int = 4, rounds: Int = 3): UnigramModel = {
+    require(vocabK >= 1 && pieceLen >= 1 && rounds >= 1,
+      s"unigramTrain: need vocabK/pieceLen/rounds >= 1: $vocabK/$pieceLen/$rounds")
+    val spark = df.sparkSession
+    // the ONE corpus-scale phase: weighted distinct-word census; two
+    // consumers per round (kernel input) — materialize once
+    val words = graft.Cleanup.register(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false))
+    requireWordsBounded(words, "unigramTrain")
+    // substring seed census at distinct-word grain
+    val subs = words
+      .select(explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        i => transform(
+          sequence(lit(1), least(lit(pieceLen), length(col("w")) - i + 1)),
+          l => col("w").substr(i, l))))).as("p"), col("cnt"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+    // inventory-grain collects (≤ |alphabet| and vocabK rows — the
+    // kmeans-centroid artifact-grain rule; never corpus- or vocab-scale)
+    val singles = subs.filter(length(col("p")) === 1)
+      .orderBy(col("p")).collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = subs.filter(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p").asc).limit(vocabK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val inventory: Seq[String] = (singles ++ multi).map(_._1).toSeq
+    var counts: Map[String, Long] = (singles ++ multi).toMap
+    def scoreMap(): Map[String, Long] = {
+      val total = counts.valuesIterator.sum + inventory.size
+      inventory.map(p => (p, ilog2fp(counts(p) + 1, total))).toMap
+    }
+    for (_ <- 1 to rounds) {
+      val scB = spark.sparkContext.broadcast(scoreMap())
+      val pl = pieceLen
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      // buffer-bound: O(word length) DP state per row — a streaming
+      // flatMap over the distinct-word VOCAB; the broadcast score map is
+      // the only per-partition state
+      val usage = words.mapPartitions { rows =>
+        val sc = scB.value
+        rows.flatMap { r =>
+          val cnt = r.getLong(1)
+          viterbiWord(r.getString(0), sc, pl).iterator
+            .map(p => org.apache.spark.sql.Row(p, cnt))
+        }
+      }(enc)
+        .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+        // inventory-grain collect again: distinct pieces emitted are a
+        // subset of the inventory (plus no OOV — training chars all seed)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      counts = inventory.map(p => (p, usage.getOrElse(p, 0L))).toMap
+    }
+    val sc = scoreMap()
+    UnigramModel(inventory.map(p => (p, counts(p), sc(p))), pieceLen)
+  }
+
+  /** Encode every document under a trained model: Viterbi-segment the
+    * DISTINCT word vocab with the model's fixed-point scores (the same
+    * kernel training ran — encoding the training corpus reproduces the
+    * final E-step exactly), then documents re-acquire their words' piece
+    * counts through ONE equi-join (the bpeEncode shape). Returns
+    * (idCol, n_tokens int); tokenless documents keep n_tokens = 0.
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    model: UnigramModel): DataFrame = {
+    require(!df.columns.contains("n_tokens"),
+      "unigramEncode emits 'n_tokens'; input must not contain it")
+    val spark = df.sparkSession
+    val words = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val vocab = words.select(col("__w")).distinct()
+    requireWordsBounded(vocab.withColumnRenamed("__w", "w"), "unigramEncode")
+    val scB = spark.sparkContext.broadcast(model.scores)
+    val pl = model.pieceLen
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__w",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__np",
+        org.apache.spark.sql.types.IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // buffer-bound: O(word length) DP state per row — streaming row map
+    // over the distinct-word vocab, broadcast score map only
+    val encoded = vocab.mapPartitions { rows =>
+      val sc = scB.value
+      rows.map { r =>
+        val w = r.getString(0)
+        org.apache.spark.sql.Row(w, viterbiWord(w, sc, pl).length)
+      }
+    }(enc)
+    val perDoc = words.join(encoded, "__w")
+      .groupBy(col("__id")).agg(sum(col("__np")).cast("long").as("n_tokens"))
+      .withColumnRenamed("__id", idCol)
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+}
