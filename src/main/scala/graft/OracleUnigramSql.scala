@@ -49,14 +49,22 @@ object OracleUnigramSql {
   private def pw2: String =
     (0 to 47).map(x => (BigInt(1) << x).toString).mkString("[", ", ", "]")
 
-  /** sc{r}(p, s) from inv{r-1}(p, c): the exact fixed-point log2 chain. */
+  /** sc{r}(p, s) from inv{r-1}(p, c): the exact fixed-point log2 chain.
+    * The k census is RELATIONAL (a join against the unnested
+    * power-of-two table, not a list_filter lambda) for the same reason
+    * the DP is: the v1.0.0 lambda mis-correlation applies to lambdas
+    * referencing PER-ROW outer columns, and `c` varies per row. The one
+    * lambda that remains — the 16-step mantissa-squaring fold below —
+    * is exempt by the documented rule: it reads only its accumulator
+    * and literals, never a per-row column.
+    */
   private def scoreCtes(r: Int): String =
     s"""t$r AS (SELECT CASE WHEN sum(c) + count(*) >= 70368744177664
        |    THEN error('unigram oracle: total exceeds the 2^46 ilog2 bound')
        |    ELSE sum(c) + count(*) END AS tt FROM inv${r - 1}),
-       |k$r AS (SELECT p, c + 1 AS a, tt AS b,
-       |  len(list_filter(range(48), x -> CAST(c + 1 AS HUGEINT) * pw.p2[CAST(x AS INT) + 1] < CAST(tt AS HUGEINT))) AS k
-       |  FROM inv${r - 1}, t$r, pw),
+       |k$r AS (SELECT i.p, i.c + 1 AS a, t.tt AS b,
+       |  sum(CASE WHEN CAST(i.c + 1 AS HUGEINT) * w.v < CAST(t.tt AS HUGEINT) THEN 1 ELSE 0 END) AS k
+       |  FROM inv${r - 1} i, t$r t, pwx w GROUP BY 1, 2, 3),
        |m$r AS (SELECT p, k, (CAST(a AS HUGEINT) * pw.p2[CAST(k AS INT) + 1] * 1073741824) // CAST(b AS HUGEINT) AS m0 FROM k$r, pw),
        |sc$r AS MATERIALIZED (SELECT p, -65536 * k + list_reduce(
        |    list_prepend({'m': m0, 'f': CAST(0 AS BIGINT)},
@@ -113,6 +121,7 @@ object OracleUnigramSql {
     */
   private def headCtes(vocabK: Int, pieceLen: Int): String =
     raw"""WITH pw AS (SELECT $pw2 AS p2),
+         |pwx AS (SELECT p2[CAST(x AS INT) + 1] AS v FROM pw, unnest(range(48)) t(x)),
          |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
          |allw AS (SELECT doc_id, unnest(ts) AS w FROM tk),
          |words AS MATERIALIZED (SELECT CASE

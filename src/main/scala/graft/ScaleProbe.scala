@@ -25,8 +25,18 @@ object ScaleProbe {
         concat(col("text"), lit(" extraword"), col("doc_id"))).otherwise(col("text")))
     docs.cache(); val cnt = docs.count()
     def time(tag: String)(f: => Long): Unit = if (want(tag)) {
-      val t0 = System.nanoTime(); val r = f
-      println(f"SCALE $tag: n=$cnt rows=$r secs=${(System.nanoTime()-t0)/1e9}%.1f")
+      // one family's failure must not abort the rest of the suite (the
+      // round-13 containment broadcast OOM killed every probe after it;
+      // a guard like UnigramMaxLen firing at a larger n would too) —
+      // print the failure AS a probe line and keep sweeping
+      val t0 = System.nanoTime()
+      try {
+        val r = f
+        println(f"SCALE $tag: n=$cnt rows=$r secs=${(System.nanoTime()-t0)/1e9}%.1f")
+      } catch { case e: Throwable =>
+        println(s"SCALE $tag: FAILED ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+      }
     }
     time("minhash_lsh_neardups")(
       graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5).count())
@@ -586,10 +596,20 @@ object ScaleProbe {
         vocabK = 200, pieceLen = 4, rounds = 3)
       Cleanup.drain(); uniM.pieces.length.toLong
     })
-    time("unigram_encode")( {
-      if (uniM == null)
+    // tag-filtered runs that skip the train probe still need the model —
+    // train OUTSIDE the encode timing window or the reported encode
+    // seconds silently include the ~13 s train (round-13 review finding)
+    if (uniM == null && want("unigram_encode")) {
+      try {
         uniM = graft.ops.TextAnalysis.unigramTrain(docs, "text",
           vocabK = 200, pieceLen = 4, rounds = 3)
+        Cleanup.drain()
+      } catch { case e: Throwable =>
+        println(s"SCALE unigram_encode: model build FAILED ${e.getMessage}")
+      }
+    }
+    time("unigram_encode")( {
+      require(uniM != null, "unigram model unavailable (train failed above)")
       val r = graft.ops.TextAnalysis.unigramEncode(docs, "doc_id", "text", uniM)
         .agg(sum(col("n_tokens"))).first().getLong(0)
       Cleanup.drain(); r

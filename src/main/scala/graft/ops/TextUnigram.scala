@@ -193,14 +193,18 @@ trait TextUnigram { self: TextAnalysis.type =>
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false))
     requireWordsBounded(words, "unigramTrain")
-    // substring seed census at distinct-word grain
-    val subs = words
+    // substring seed census at distinct-word grain; TWO consumers below
+    // (the singles and the top-vocabK collects) — materialize once
+    // (DESIGN §8.1) or the ~len·pieceLen-per-word explode and its
+    // piece-grain shuffle run twice
+    val subs = graft.Cleanup.register(words
       .select(explode(flatten(transform(
         sequence(lit(1), length(col("w"))),
         i => transform(
           sequence(lit(1), least(lit(pieceLen), length(col("w")) - i + 1)),
           l => col("w").substr(i, l))))).as("p"), col("cnt"))
       .groupBy(col("p")).agg(sum(col("cnt")).as("c"))
+      .localCheckpoint(false))
     // inventory-grain collects (≤ |alphabet| and vocabK rows — the
     // kmeans-centroid artifact-grain rule; never corpus- or vocab-scale)
     val singles = subs.filter(length(col("p")) === 1)
@@ -253,14 +257,16 @@ trait TextUnigram { self: TextAnalysis.type =>
     */
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
                     model: UnigramModel): DataFrame = {
-    require(!df.columns.contains("n_tokens"),
-      "unigramEncode emits 'n_tokens'; input must not contain it")
     val spark = df.sparkSession
     val words = df
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
+    // bound guard on the DOC-GRAIN stream (no distinct): filter+limit(1)
+    // is a shuffle-free scan that early-exits on the first violation —
+    // guarding on the distinct vocab would pay the encode's main
+    // corpus-scale shuffle twice (round-13 review finding)
+    requireWordsBounded(words.select(col("__w").as("w")), "unigramEncode")
     val vocab = words.select(col("__w")).distinct()
-    requireWordsBounded(vocab.withColumnRenamed("__w", "w"), "unigramEncode")
     val scB = spark.sparkContext.broadcast(model.scores)
     val pl = model.pieceLen
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
