@@ -290,4 +290,51 @@ trait TextUnigram { self: TextAnalysis.type =>
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
+
+  /** STREAM-SAFE encode twin: the same Viterbi under the same model,
+    * computed per ROW (doc → words → kernel per word, inside one map) —
+    * no distinct(), no join, no state, so the identical call works on a
+    * streaming DataFrame (the repo's batch/stream twin convention;
+    * spec-pinned equal to [[unigramEncode]] on any static frame). The
+    * trade the batch op makes and this one doesn't: `unigramEncode`
+    * amortizes the kernel over the DISTINCT vocab (~80:1 on natural
+    * corpora), this form re-segments every occurrence — the price of
+    * statelessness, right for a micro-batch stream where the per-batch
+    * vocab cache would be rebuilt per trigger anyway. The word-length
+    * guard is per-row here (a loud task error, the FAILFAST posture):
+    * a one-row driver probe cannot run on an unbounded stream.
+    */
+  def unigramEncodeByRow(df: DataFrame, idCol: String, textCol: String,
+                         model: UnigramModel): DataFrame = {
+    val spark = df.sparkSession
+    val scB = spark.sparkContext.broadcast(model.scores)
+    val pl = model.pieceLen
+    val maxLen = UnigramMaxLen
+    val idField = df.schema(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = idCol),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = 0
+    df.select(col(idCol), col(textCol).as("__t"))
+      // buffer-bound: O(document length) — one row's token array and DP
+      // state; the broadcast score map is the only per-partition state
+      .mapPartitions { rows =>
+        val sc = scB.value
+        rows.map { r =>
+          val t = if (r.isNullAt(1)) "" else r.getString(1)
+          var n = 0L
+          t.trim.split("\\s+").foreach { w =>
+            if (w.nonEmpty) {
+              if (w.length > maxLen)
+                throw new IllegalArgumentException(
+                  s"unigramEncodeByRow: word '$w' exceeds UnigramMaxLen=$maxLen")
+              n += viterbiWord(w, sc, pl).length
+            }
+          }
+          org.apache.spark.sql.Row(r.get(idIdx), n)
+        }
+      }(enc)
+  }
 }

@@ -94,6 +94,45 @@ class TextUnigramSpec extends AnyFunSuite {
     graft.Cleanup.drain()
   }
 
+  test("unigramEncodeByRow == unigramEncode on a static frame (the twin parity pin)") {
+    val docs = graft.Tables.read(spark, sf0001, "documents")
+    val m = T.unigramTrain(docs, "text", vocabK = 50, pieceLen = 3, rounds = 1)
+    val batch = T.unigramEncode(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byRow = T.unigramEncodeByRow(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == byRow,
+      "the stateless per-row twin must reproduce the vocab-amortized batch encode exactly")
+    graft.Cleanup.drain()
+  }
+
+  test("unigramEncodeByRow runs on a streaming frame and matches the batch counts") {
+    import spark.implicits._
+    val docs = graft.Tables.read(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).limit(50).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val m = T.unigramTrain(graft.Tables.read(spark, sf0001, "documents"),
+      "text", vocabK = 50, pieceLen = 3, rounds = 1)
+    val expected = docs.map { case (id, t) =>
+      val n =
+        if (t == null) 0L
+        else t.trim.split("\\s+").filter(_.nonEmpty)
+          .map(w => T.viterbiWord(w, m.scores, m.pieceLen).length.toLong).sum
+      id -> n
+    }.toMap
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    mem.addData(docs.toSeq: _*)
+    val streamed = T.unigramEncodeByRow(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", m)
+    val q = streamed.writeStream.format("memory").queryName("uni_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("uni_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "streaming per-row encode must match the kernel counts")
+    graft.Cleanup.drain()
+  }
+
   test("UnigramMaxLen guard fires loudly on an over-long word") {
     import spark.implicits._
     val df = Seq((1L, "ok " + "x" * (T.UnigramMaxLen + 1))).toDF("doc_id", "text")
