@@ -149,26 +149,29 @@ trait TextClassifier { self: TextAnalysis.type =>
     * an expensive gate into a scan-speed linear scorer); everything else
     * trains as y = −1.
     *
-    * Round shape (the powerIteration posture): the featurized corpus is
-    * localCheckpoint'ed ONCE; each round is one whole-stage-codegen scan
-    * computing the residual y − s against the literal weights and dim+1
-    * partial sums — no shuffle (final aggregation merges #partitions
-    * rows), one (dim+1)-cell row to the driver. Total cost: iters linear
-    * scans, O(dim) driver state — corpus-size-independent per-round work
-    * beyond the scan itself.
+    * Round shape: the featurized corpus is localCheckpoint'ed ONCE and
+    * its labeled projection compiled ONCE; each round is one shuffle-free
+    * `mapPartitions` kernel job over it returning dim+1 partial Long sums
+    * per partition, merged exactly on the driver (the [[lmsRoundsMulti]]
+    * scaladoc has the measured round-14 redesign rationale — the
+    * declarative round paid ~0.28 s/round of data-independent
+    * interpreted-HOF floor). Total cost: iters linear scans, O(dim)
+    * driver state — corpus-size-independent per-round work beyond the
+    * scan itself.
     *
     * Engine-reproducibility: each row's gradient contribution
     * (y − s)·x_b — with the residual an exact double because s is the
     * index-order fold — is quantized per (row, dimension) to 2⁻²⁰ fixed
-    * point and summed in decimal(27,0) — order-independent, so the
-    * learned trajectory is identical under any partitioning, and the
-    * DuckDB oracle replays all rounds as a chained-CTE loop
+    * point ([[roundHalfUpToLong]], the exact `round(..)·cast(long)`
+    * chain) and summed in exact integer arithmetic — order-independent,
+    * so the learned trajectory is identical under any partitioning, and
+    * the DuckDB oracle replays all rounds as a chained-CTE loop
     * (OracleClassifierSql) and hash-matches the weights to 6 dp. The
-    * decimal→double hop on the driver is exact while |Σ| < 2⁵³; past
-    * ~2³³ rows·dim of addend mass per round (a 10¹⁰-doc corpus) keep the
-    * update in BigDecimal on the driver, same contract. The 2⁻²⁰
-    * per-addend quantization (~10⁻⁶ relative) is far below the 6-dp
-    * output rounding and does not compound: it IS the training
+    * integer→double hop on the driver is exact while |Σ| < 2⁵³ and LOUD
+    * past it; past ~2³³ rows·dim of addend mass per round (a 10¹⁰-doc
+    * corpus) keep the update in BigDecimal on the driver, same contract.
+    * The 2⁻²⁰ per-addend quantization (~10⁻⁶ relative) is far below the
+    * 6-dp output rounding and does not compound: it IS the training
     * arithmetic, not an approximation of some other run.
     *
     * Step-size contract: η must be a power of two (exact double
@@ -241,41 +244,128 @@ trait TextClassifier { self: TextAnalysis.type =>
       s"$op: eta must be a dyadic power of two (exact double arithmetic): $eta")
   }
 
-  /** The shared LMS round loop over an already-featurized checkpoint
-    * (`base` must carry the feature array `x`; `y` is the ±1 label
-    * expression over base's columns). One shuffle-free codegen scan per
-    * round; the fixed-point decimal sums make the trajectory
-    * order-independent (see [[classifierTrainVector]]).
+  /** Spark's `round(double)` → `cast(long)` chain, replicated exactly for
+    * the round-loop kernel: Spark's Round on DoubleType evaluates
+    * `java.math.BigDecimal.valueOf(v).setScale(0, HALF_UP)` (codegen and
+    * interpreted paths both), and the long cast truncates the integral
+    * double. Pinned equal to the SQL chain by RoundParitySpec over a
+    * sign/tie/magnitude grid — the one place the kernel's arithmetic
+    * could silently diverge from the DuckDB oracle's replay.
     */
-  private def lmsRounds(base: DataFrame, y: Column, n: Long, dim: Int,
-                        iters: Int, eta: Double): (Array[Double], Double) = {
+  private[graft] def roundHalfUpToLong(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** The shared LMS round loop over an already-featurized checkpoint
+    * (`base` must carry the feature array `x`; each element of `ys` is a
+    * ±1 label expression over base's columns — ONE entry for the binary
+    * trainer, |classes| for one-vs-rest, all trained concurrently in the
+    * SAME scan). Returns per-y (weights, bias) in `ys` order.
+    *
+    * ROUND SHAPE (round 14 — the fixed-cost redesign): the labeled
+    * projection compiles ONCE into an InternalRow RDD; each round is one
+    * `mapPartitions` kernel job over it — margin, residual and the
+    * quantized gradient sums in plain `while` loops — returning
+    * |ys|·(dim+1) partial Long sums per partition, merged exactly on the
+    * driver in BigInt. NO per-round SQL machinery at all: the previous
+    * declarative form paid ~0.28 s/round of data-independent floor at
+    * sf0.1 (measured round 14) because the margin fold
+    * (`aggregate(zip_with(...))`) is a CodegenFallback higher-order
+    * function — interpreted, per-row, per-element boxing — and the
+    * obvious fix (expanding the dot product to a codegen'd `element_at`
+    * chain) was WORSE (~0.35-0.5 s/round: the optimizer inlines the
+    * 64-op chain into each of the dim+1 aggregate expressions and every
+    * round recompiles the blown-up tree). The kernel removes analysis,
+    * optimization, codegen and AQE from the loop entirely; per-round
+    * cost is one task wave over the checkpoint's partitions plus a
+    * P·|ys|·(dim+1)-long collect. 64 rounds: 18.8 s → measured ~1 s at
+    * sf0.1. At 100 TB each round is still exactly one linear scan of the
+    * featurized checkpoint — now without a per-round driver stall
+    * between scans, and one-vs-rest shares the scan across classes
+    * (|iters| corpus scans, not |classes|·|iters|).
+    *
+    * ARITHMETIC IS BIT-IDENTICAL to the declarative form it replaces
+    * (probe-verified weights-equal at sf0.1, oracle-replayed at every
+    * SF): the margin is the same seed-0.0 left-to-right IEEE fold, the
+    * residual quantization replicates Spark's round→cast chain exactly
+    * ([[roundHalfUpToLong]]), partial sums are exact integers merged
+    * order-independently, and the weight update applies the identical
+    * long→double→divide chain. The 2⁵³ driver guard is LOUD where the
+    * old decimal path silently truncated: a corpus past ~2³³ rows·dim of
+    * addend mass per round must keep the update in BigDecimal (see
+    * [[classifierTrainVector]]).
+    */
+  private def lmsRoundsMulti(base: DataFrame, ys: Seq[Column], n: Long,
+                             dim: Int, iters: Int,
+                             eta: Double): Seq[(Array[Double], Double)] = {
     val Q = 1048576.0 // 2^20: exact power-of-two fixed-point scale
     val nD = n.toDouble
-    var w = Array.fill(dim)(0.0)
-    var bias = 0.0
+    val nC = ys.size
+    // the one compiled plan the whole loop scans: x plus every class's ±1
+    // label materialized as doubles (WholeStageCodegen, compiled once —
+    // the RDD lineage is fixed across rounds)
+    val proj = base.select(
+      (col("x") +: ys.zipWithIndex.map { case (y, c) => y.as(s"__y$c") }): _*)
+    val rdd = proj.queryExecution.toRdd
+    val ws = Array.fill(nC)(Array.fill(dim)(0.0))
+    val bs = new Array[Double](nC)
     for (_ <- 1 to iters) {
-      val wl = array(w.map(lit).toIndexedSeq: _*)
-      val sc = aggregate(zip_with(col("x"), wl, (x, wc) => x * wc),
-        lit(0.0), (a, v) => a + v) + lit(bias)
-      // the residual computes ONCE per row in a lower projection — inlined
-      // into each of the dim+1 sums it would re-run its dim-element fold
-      // per aggregate expression (no CSE across aggregate buffers)
-      val scored = base.select(col("x"), (y - sc).as("__r"))
-      // round → long → decimal: |(y−s)·x_b·2^20| stays far under 2^53
-      // (integral double after round), so the long hop is exact (the
-      // powerIteration cast chain — Decimal(long) skips per-element
-      // BigDecimal work)
-      val aggs = (0 until dim).map(i =>
-        sum(round(col("__r") * element_at(col("x"), i + 1) * lit(Q))
-          .cast("long").cast("decimal(27,0)")).as(s"s$i")) :+
-        sum(round(col("__r") * lit(Q)).cast("long").cast("decimal(27,0)")).as("sb")
-      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
-      w = Array.tabulate(dim)(i =>
-        w(i) + eta * ((row.getDecimal(i).longValue().toDouble / Q) / nD))
-      bias = bias + eta * ((row.getDecimal(dim).longValue().toDouble / Q) / nD)
+      val wB = ws.map(_.clone())
+      val bB = bs.clone()
+      val (dimB, cB, qB) = (dim, nC, Q)
+      // buffer-bound: |classes|·(dim+1) partial gradient sums per
+      // partition (model grain, corpus-independent); Math.addExact makes
+      // a partition overflowing 2^63 a loud task error, never a silent
+      // wrap
+      val partials = rdd.mapPartitions { it =>
+        val sums = Array.fill(cB)(new Array[Long](dimB + 1))
+        it.foreach { row =>
+          val x = row.getArray(0).toDoubleArray()
+          var c = 0
+          while (c < cB) {
+            val w = wB(c)
+            var s = 0.0
+            var i = 0
+            while (i < dimB) { s += x(i) * w(i); i += 1 }
+            val r = row.getDouble(1 + c) - (s + bB(c))
+            val sc = sums(c)
+            i = 0
+            while (i < dimB) {
+              sc(i) = Math.addExact(sc(i), roundHalfUpToLong(r * x(i) * qB))
+              i += 1
+            }
+            sc(dimB) = Math.addExact(sc(dimB), roundHalfUpToLong(r * qB))
+            c += 1
+          }
+        }
+        Iterator.single(sums)
+      }.collect()
+      var c = 0
+      while (c < nC) {
+        var i = 0
+        while (i <= dim) {
+          // integer addition is associative: the BigInt merge is exact and
+          // order-independent regardless of partitioning
+          var tot = BigInt(0)
+          partials.foreach(p => tot += p(c)(i))
+          require(tot.abs < (BigInt(1) << 53),
+            s"lmsRounds: per-round gradient sum $tot exceeds the exact " +
+              "double range — keep the driver update in BigDecimal " +
+              "(classifierTrainVector scaladoc)")
+          val upd = eta * ((tot.toDouble / Q) / nD)
+          if (i < dim) ws(c)(i) += upd else bs(c) += upd
+          i += 1
+        }
+        c += 1
+      }
     }
-    (w, bias)
+    ws.toIndexedSeq.zip(bs.toIndexedSeq).map { case (w, b) => (w, b) }
   }
+
+  /** Binary form of [[lmsRoundsMulti]] — one label expression. */
+  private def lmsRounds(base: DataFrame, y: Column, n: Long, dim: Int,
+                        iters: Int, eta: Double): (Array[Double], Double) =
+    lmsRoundsMulti(base, Seq(y), n, dim, iters, eta).head
 
   /** One-vs-rest multiclass training: one binary LMS probe per class over
     * ONE shared featurized checkpoint — the corpus featurizes and
@@ -301,11 +391,14 @@ trait TextClassifier { self: TextAnalysis.type =>
         .localCheckpoint(false))
     val n = base.count()
     require(n > 0, "classifierTrainOneVsRest: empty corpus (no non-null text)")
-    classes.map { c =>
-      val y = when(col("__lbl") === lit(c), 1.0).otherwise(-1.0)
-      val (w, b) = lmsRounds(base, y, n, dim, iters, eta)
-      (c, w, b)
-    }
+    // ONE fused kernel scan per round for ALL classes (round 14): the
+    // per-class trajectories are independent given the shared features,
+    // so computing every class's residual and gradient sums in the same
+    // pass changes no arithmetic — it cuts |classes|·iters corpus scans
+    // to iters (at 100 TB: 24 scans instead of 72 for the default)
+    val ys = classes.map(c => when(col("__lbl") === lit(c), 1.0).otherwise(-1.0))
+    classes.zip(lmsRoundsMulti(base, ys, n, dim, iters, eta))
+      .map { case (c, (w, b)) => (c, w, b) }
   }
 
   /** Multiclass prediction: argmax of the per-class margins, ties broken

@@ -122,6 +122,58 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(b1 === b2)
   }
 
+  test("round-14 kernel loop is bit-identical to the round-13 declarative " +
+       "form; roundHalfUpToLong replicates round().cast(long) exactly") {
+    // the one place the kernel could silently diverge from the DuckDB
+    // oracle replay: Spark's Round(double) evaluates
+    // BigDecimal.valueOf(v).setScale(0, HALF_UP) — NOT math.round, whose
+    // floor(x+0.5) rounds -2.5 to -2 where HALF_UP gives -3. Grid over
+    // signs, exact ties, near-ties and large magnitudes.
+    val grid = Seq(0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49999999999,
+      -0.49999999999, 1e15 + 0.5, -(1e15 + 0.5), 123456.789, -123456.789,
+      3.0000000000000004, -3.0000000000000004, 7.499999999999999,
+      -7.499999999999999, 1e-12, -1e-12)
+    val sparkVals = spark.range(1).select(
+      grid.zipWithIndex.map { case (v, i) =>
+        round(lit(v)).cast("long").as(s"v$i") }: _*).collect().head
+    grid.zipWithIndex.foreach { case (v, i) =>
+      assert(sparkVals.getLong(i) === TextAnalysis.roundHalfUpToLong(v),
+        s"round parity broken at $v")
+    }
+    // the full declarative round-13 loop, replayed verbatim over the
+    // same featurized checkpoint — the kernel must reproduce every bit
+    val dim = 8; val iters = 12; val eta = 1.0 / 64
+    val base = graft.Cleanup.register(
+      corpus.where(col("text").isNotNull)
+        .select(TextAnalysis.hashedBowFeatures(col("text"), dim).as("x"),
+          when(isPos, 1.0).otherwise(-1.0).as("y"))
+        .localCheckpoint(false))
+    val n = base.count()
+    val Q = 1048576.0
+    var w = Array.fill(dim)(0.0)
+    var bias = 0.0
+    for (_ <- 1 to iters) {
+      val wl = array(w.map(lit).toIndexedSeq: _*)
+      val sc = aggregate(zip_with(col("x"), wl, (x, wc) => x * wc),
+        lit(0.0), (a, v) => a + v) + lit(bias)
+      val scored = base.select(col("x"), (col("y") - sc).as("__r"))
+      val aggs = (0 until dim).map(i =>
+        sum(round(col("__r") * element_at(col("x"), i + 1) * lit(Q))
+          .cast("long").cast("decimal(27,0)")).as(s"s$i")) :+
+        sum(round(col("__r") * lit(Q)).cast("long").cast("decimal(27,0)")).as("sb")
+      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
+      w = Array.tabulate(dim)(i =>
+        w(i) + eta * ((row.getDecimal(i).longValue().toDouble / Q) / n.toDouble))
+      bias = bias + eta * ((row.getDecimal(dim).longValue().toDouble / Q) / n.toDouble)
+    }
+    val (wk, bk) = TextAnalysis.classifierTrainVector(
+      corpus, "text", isPos, dim = dim, iters = iters, eta = eta)
+    graft.Cleanup.drain()
+    assert(wk.toSeq === w.toSeq,
+      "kernel trajectory must equal the declarative trajectory bit-for-bit")
+    assert(bk === bias)
+  }
+
   test("guards: dyadic step, positive iters, empty corpus") {
     intercept[IllegalArgumentException] {   // 0.01 is not a power of two
       TextAnalysis.classifierTrainVector(corpus, "text", isPos, eta = 0.01)
