@@ -38,11 +38,12 @@ package graft
   */
 object OracleUnigramSql {
 
-  /** DP chain length — words longer than this fail loudly on both
-    * engines. Rendered from the OPERATOR'S constant (the enMarkers
-    * single-source rule): `unigramTrain`/`unigramEncode` enforce the
-    * same bound with a loud probe, so the two sides can only move
-    * together.
+  /** DP chain length AND the pre-chunk boundary (round 14): tokens
+    * longer than this are split at MaxLen-char boundaries before the
+    * census — `substr(w, i, MaxLen)` for i = 1, 1+MaxLen, … on both
+    * engines, the identical arithmetic `chunkedWords` applies. Rendered
+    * from the OPERATOR'S constant (the enMarkers single-source rule) so
+    * the two sides can only move together.
     */
   val MaxLen: Int = graft.ops.TextAnalysis.UnigramMaxLen
 
@@ -108,27 +109,43 @@ object OracleUnigramSql {
     (Seq(ed, d0) ++ chain :+ sg).mkString(",\n")
   }
 
-  /** inv{r}(p, c) from sg{r}: the weighted usage census over the FIXED
-    * inv0 piece set (hard-EM re-estimation — unused pieces drop to 0,
-    * none are pruned).
+  /** inv{r}(p, c) from sg{r}: the weighted usage census, hard-EM
+    * re-estimation over inv{r-1}'s piece set (unused pieces drop to 0),
+    * then the round-14 PRUNE — singles always survive, multi-char pieces
+    * keep the top `vocabK` by (count desc, piece asc): the exact
+    * deterministic order `unigramTrain`'s prune applies (count order IS
+    * smoothed-score order under the shared total).
     */
-  private def usageCtes(r: Int): String =
+  private def usageCtes(r: Int, vocabK: Int): String =
     s"""us$r AS (SELECT piece AS p, sum(cnt) AS c FROM (SELECT unnest(ps) AS piece, cnt FROM sg$r) GROUP BY 1),
-       |inv$r AS MATERIALIZED (SELECT i.p, coalesce(u.c, 0) AS c FROM inv0 i LEFT JOIN us$r u USING (p))""".stripMargin
+       |re$r AS (SELECT i.p, coalesce(u.c, 0) AS c FROM inv${r - 1} i LEFT JOIN us$r u USING (p)),
+       |inv$r AS MATERIALIZED (
+       |  SELECT p, c FROM re$r WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, c FROM (SELECT p, c FROM re$r WHERE length(p) > 1 ORDER BY c DESC, p ASC LIMIT $vocabK))""".stripMargin
 
-  /** Shared head: word census (with the MAXLEN/separator guards),
-    * substring seed census, seeded inventory.
+  /** Shared head: the augmented corpus (`augText` is a SQL expression
+    * over `documents` columns — the planted-long-token rule, rendered by
+    * the caller from the same constants the Spark query plants with),
+    * token pre-chunking at MaxLen boundaries (round 14 — replaces the
+    * over-long-word abort; the chr(31) separator guard stays), the
+    * chunk census, the substring seed census, and the inventory seeded
+    * at `seedK` multi-char pieces (pruned to vocabK per round).
     */
-  private def headCtes(vocabK: Int, pieceLen: Int): String =
+  private def headCtes(seedK: Int, pieceLen: Int,
+                       augText: String): String =
     raw"""WITH pw AS (SELECT $pw2 AS p2),
          |pwx AS (SELECT p2[CAST(x AS INT) + 1] AS v FROM pw, unnest(range(48)) t(x)),
-         |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
-         |allw AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+         |aug AS (SELECT doc_id, $augText AS text FROM documents),
+         |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM aug),
+         |allw0 AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+         |allw AS (SELECT a.doc_id, substr(a.w, CAST(u.i AS INT), $MaxLen) AS w
+         |  FROM allw0 a, unnest(generate_series(1, length(a.w), $MaxLen)) u(i)
+         |  WHERE length(a.w) > 0),
          |words AS MATERIALIZED (SELECT CASE
-         |    WHEN length(w) > $MaxLen THEN error('unigram oracle: word exceeds MAXLEN $MaxLen')
          |    WHEN contains(w, chr(31)) THEN error('unigram oracle: token contains the chr(31) separator')
          |    ELSE w END AS w, count(*) AS cnt
-         |  FROM allw WHERE length(w) > 0 GROUP BY w),
+         |  FROM allw GROUP BY w),
          |sub AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p, sum(cnt) AS c FROM words,
          |  unnest(generate_series(1, length(w))) u(i),
          |  unnest(generate_series(1, least($pieceLen, length(w) - i + 1))) v(l)
@@ -136,38 +153,66 @@ object OracleUnigramSql {
          |inv0 AS MATERIALIZED (
          |  SELECT p, c FROM sub WHERE length(p) = 1
          |  UNION ALL
-         |  SELECT p, c FROM (SELECT p, c FROM sub WHERE length(p) > 1 ORDER BY c DESC, p ASC LIMIT $vocabK))""".stripMargin
+         |  SELECT p, c FROM (SELECT p, c FROM sub WHERE length(p) > 1 ORDER BY c DESC, p ASC LIMIT $seedK))""".stripMargin
 
-  private def roundCtes(rounds: Int, pieceLen: Int, floor: Long): String =
+  private def roundCtes(rounds: Int, vocabK: Int, pieceLen: Int,
+                        floor: Long): String =
     (1 to rounds).map(r =>
-      scoreCtes(r) + ",\n" + dpCtes(r, pieceLen, floor) + ",\n" + usageCtes(r)
+      scoreCtes(r) + ",\n" + dpCtes(r, pieceLen, floor) + ",\n" +
+        usageCtes(r, vocabK)
     ).mkString(",\n")
 
   /** Oracle for `vocab_unigram_train`: the full inventory after `rounds`
-    * hard-EM rounds — final usage counts and the add-one-smoothed
+    * hard-EM+prune rounds — final usage counts and the add-one-smoothed
     * fixed-point scores an encoder would apply.
     */
-  def trainSql(vocabK: Int, pieceLen: Int, rounds: Int, floor: Long): String =
-    s"""${headCtes(vocabK, pieceLen)},
-       |${roundCtes(rounds, pieceLen, floor)},
+  def trainSql(vocabK: Int, pieceLen: Int, rounds: Int, floor: Long,
+               seedK: Int, augText: String = "text"): String =
+    s"""${headCtes(seedK, pieceLen, augText)},
+       |${roundCtes(rounds, vocabK, pieceLen, floor)},
        |${scoreCtes(rounds + 1)}
        |SELECT i.p AS piece, CAST(i.c AS BIGINT) AS n_uses, CAST(s.s AS BIGINT) AS score_fp
        |FROM inv$rounds i JOIN sc${rounds + 1} s USING (p) ORDER BY piece""".stripMargin
 
   /** Oracle for `vocab_unigram_encode`: per-document exact piece count
     * under the final model — one more Viterbi pass (round `rounds`+1,
-    * the encode) joined back to the doc-grain word stream; tokenless
+    * the encode) joined back to the doc-grain chunk stream; tokenless
     * documents keep n_tokens = 0.
     */
-  def encodeSql(vocabK: Int, pieceLen: Int, rounds: Int, floor: Long): String =
-    s"""${headCtes(vocabK, pieceLen)},
-       |${roundCtes(rounds, pieceLen, floor)},
+  def encodeSql(vocabK: Int, pieceLen: Int, rounds: Int, floor: Long,
+                seedK: Int, augText: String = "text"): String =
+    s"""${headCtes(seedK, pieceLen, augText)},
+       |${roundCtes(rounds, vocabK, pieceLen, floor)},
        |${scoreCtes(rounds + 1)},
        |${dpCtes(rounds + 1, pieceLen, floor)},
        |wl AS (SELECT w, len(ps) AS np FROM sg${rounds + 1})
        |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
        |FROM documents d LEFT JOIN (
        |  SELECT doc_id, sum(np) AS n FROM allw a JOIN wl USING (w)
-       |  WHERE length(a.w) > 0 GROUP BY doc_id) s
+       |  GROUP BY doc_id) s
+       |USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for `docs_unigram_bits` (round 14): the encode chain plus
+    * the per-document surprisal — Σ piece score over the Viterbi pieces
+    * (OOV single chars take the encode floor, matching the kernel's
+    * getOrElse), negated into non-negative 2⁻¹⁶-bit units, and the
+    * integer bits-per-token (positive//positive, so DuckDB's floor
+    * division and Spark's truncating DIV agree).
+    */
+  def bitsSql(vocabK: Int, pieceLen: Int, rounds: Int, floor: Long,
+              seedK: Int, augText: String = "text"): String =
+    s"""${headCtes(seedK, pieceLen, augText)},
+       |${roundCtes(rounds, vocabK, pieceLen, floor)},
+       |${scoreCtes(rounds + 1)},
+       |${dpCtes(rounds + 1, pieceLen, floor)},
+       |wsc AS (SELECT q.w, count(*) AS np, sum(coalesce(s.s, $floor)) AS ss
+       |  FROM (SELECT w, unnest(ps) AS piece FROM sg${rounds + 1}) q
+       |  LEFT JOIN sc${rounds + 1} s ON s.p = q.piece GROUP BY q.w)
+       |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(-t.ss, 0) AS BIGINT) AS bits_fp,
+       |  CAST(CASE WHEN t.n > 0 THEN (-t.ss) // t.n END AS BIGINT) AS bpt_fp
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, sum(np) AS n, sum(ss) AS ss FROM allw a JOIN wsc USING (w)
+       |  GROUP BY doc_id) t
        |USING (doc_id) ORDER BY d.doc_id""".stripMargin
 }

@@ -125,17 +125,37 @@ object SparkEntry {
 
   // Build-once unigram-LM tokenizer artifact (round 13 — the BPE
   // sibling): hard-EM trained inventory with fixed-point log2 scores,
-  // shared by the train-surface and encode queries. ONE shared constant
-  // set feeds the trainer AND the oracle generator (the enMarkers rule).
+  // shared by the train-surface, encode and bits queries. ONE shared
+  // constant set feeds the trainer AND the oracle generator (the
+  // enMarkers rule). Round 14: the trainer seeds seedK = 2·vocabK
+  // multi-char pieces and PRUNES to vocabK per round, and the corpus is
+  // AUGMENTED with a deterministic >UnigramMaxLen token on every
+  // UnigramPlantMod-th doc (the text_pii_redact augmentation rule: the
+  // raw corpus' max word is 8 chars at every SF, so the pre-chunk path
+  // would be exercised only on its vacuous negative branch) — the
+  // oracle replays the same plant from the same constants.
   private val UnigramVocabK = 200
+  private val UnigramSeedK = 2 * UnigramVocabK
   private val UnigramPieceLen = 4
   private val UnigramRounds = 3
+  private val UnigramPlantMod = 5
+  private val UnigramPlantToken = "longpathtokenexample"
+  private def unigramCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % UnigramPlantMod === 0,
+        concat(col("text"), lit(" " + UnigramPlantToken),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+  private[graft] def unigramAugSql: String =
+    s"CASE WHEN doc_id % $UnigramPlantMod = 0 THEN text || ' $UnigramPlantToken' " +
+      "|| CAST(doc_id AS VARCHAR) ELSE text END"
   private val unigramMemo = scala.collection.concurrent.TrieMap
     .empty[(Int, String), TextAnalysis.UnigramModel]
   private def unigramArtifact(s: SparkSession, dir: String): TextAnalysis.UnigramModel =
     unigramMemo.getOrElseUpdate((System.identityHashCode(s), dir),
-      TextAnalysis.unigramTrain(t(s, dir, "documents"), "text",
-        vocabK = UnigramVocabK, pieceLen = UnigramPieceLen, rounds = UnigramRounds))
+      TextAnalysis.unigramTrain(unigramCorpus(s, dir), "text",
+        vocabK = UnigramVocabK, pieceLen = UnigramPieceLen,
+        rounds = UnigramRounds, seedK = UnigramSeedK))
 
   /** Bench seam: the build-once artifact memos, exposed so the bench can
     * force (and time) each trainer BEFORE the per-query sweep instead of
@@ -859,24 +879,40 @@ object SparkEntry {
         .orderBy(col("rank"))),
     "vocab_unigram_train" -> ((s, dir) => {
       // unigram-LM (SentencePiece-style) tokenizer TRAINING, the BPE
-      // sibling (TextAnalysis.unigramTrain): substring-seeded inventory,
-      // 3 hard-EM rounds (exact fixed-point log2 scores -> per-word
-      // Viterbi -> usage census), every step integer arithmetic — the
-      // DuckDB oracle replays seeding, all rounds and the final scores
-      // as ONE chained-CTE statement with a RELATIONAL position-DP
-      // (OracleUnigramSql). Output: the full inventory with final usage
-      // counts and the add-one-smoothed scores an encoder applies
+      // sibling (TextAnalysis.unigramTrain): substring-seeded inventory
+      // (seedK = 2·vocabK), 3 hard-EM rounds (exact fixed-point log2
+      // scores -> per-chunk Viterbi -> usage census -> prune to vocabK),
+      // every step integer arithmetic — the DuckDB oracle replays the
+      // plant, the MaxLen pre-chunking, seeding, all rounds (prune
+      // included) and the final scores as ONE chained-CTE statement with
+      // a RELATIONAL position-DP (OracleUnigramSql). Output: the full
+      // surviving inventory with final usage counts and the
+      // add-one-smoothed scores an encoder applies
       val m = unigramArtifact(s, dir)
       import s.implicits._
       m.pieces.toDF("piece", "n_uses", "score_fp").orderBy(col("piece"))
     }),
     "vocab_unigram_encode" -> ((s, dir) =>
       // tokenizer APPLICATION: per-doc exact piece count under the
-      // trained unigram model — Viterbi over the DISTINCT word vocab
-      // (one kernel pass), docs re-acquire counts through ONE equi-join
-      // (the bpeEncode shape); the oracle replays train + encode
-      TextAnalysis.unigramEncode(t(s, dir, "documents"), "doc_id", "text",
+      // trained unigram model — Viterbi over the DISTINCT chunk vocab
+      // (one kernel pass), docs re-acquire counts through ONE hash-keyed
+      // equi-join (the bpeEncode shape); the oracle replays train+encode
+      TextAnalysis.unigramEncode(unigramCorpus(s, dir), "doc_id", "text",
           unigramArtifact(s, dir))
+        .orderBy(col("doc_id"))),
+    "docs_unigram_bits" -> ((s, dir) =>
+      // LM quality surface (round 14): per-doc surprisal under the
+      // trained unigram model — bits_fp = -Σ piece score_fp (2^-16-bit
+      // units), and the integer bits-per-token the CCNet-style
+      // perplexity gate thresholds on. Zero new arithmetic beyond the
+      // encode kernel's own integers, so the whole surface hash-oracles;
+      // compare docs_lm_score (the bigram model's gate) for the same
+      // family's transcendental-free design
+      TextAnalysis.unigramScore(unigramCorpus(s, dir), "doc_id", "text",
+          unigramArtifact(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("bits_fp"),
+          when(col("n_tokens") > 0,
+            expr("bits_fp DIV n_tokens")).as("bpt_fp"))
         .orderBy(col("doc_id"))),
     "vocab_bpe_encode" -> ((s, dir) =>
       // tokenizer APPLICATION (TextAnalysis.bpeEncode): corpus piece
@@ -3077,9 +3113,14 @@ object SparkEntry {
       // list_reduce chain, one CTE per merge rank (OracleBpeSql scaladoc)
       "vocab_bpe_encode" -> OracleBpeSql.pieceCensusSql(BpeFixedMerges),
       "vocab_unigram_train" -> OracleUnigramSql.trainSql(
-        UnigramVocabK, UnigramPieceLen, UnigramRounds, TextAnalysis.UnigramOovScore),
+        UnigramVocabK, UnigramPieceLen, UnigramRounds,
+        TextAnalysis.UnigramOovScore, UnigramSeedK, unigramAugSql),
       "vocab_unigram_encode" -> OracleUnigramSql.encodeSql(
-        UnigramVocabK, UnigramPieceLen, UnigramRounds, TextAnalysis.UnigramOovScore),
+        UnigramVocabK, UnigramPieceLen, UnigramRounds,
+        TextAnalysis.UnigramOovScore, UnigramSeedK, unigramAugSql),
+      "docs_unigram_bits" -> OracleUnigramSql.bitsSql(
+        UnigramVocabK, UnigramPieceLen, UnigramRounds,
+        TextAnalysis.UnigramOovScore, UnigramSeedK, unigramAugSql),
       "docs_bpe_token_counts" -> OracleBpeSql.tokenCountsSql(BpeFixedMerges),
       "vocab_fertility" -> OracleBpeSql.fertilitySql(BpeFixedMerges),
       // the TRAINING loop replayed: 20 data-dependent census→argmax→
@@ -3556,8 +3597,11 @@ object SparkEntry {
         // the census is format-INVARIANT: DuckDB computes it ONCE from
         // the parquet table (the same 60-bit md5 row-hash decimal sum as
         // docs_source_digest) and replicates it under each format label —
-        // Spark's four per-reader legs must all land on these exact values
-        """WITH c AS (SELECT count(*) AS n_docs,
+        // Spark's per-reader legs must all land on these exact values.
+        // The label list renders from FormatMatrix.formats (the enMarkers
+        // single-source rule): adding a reader leg on the Spark side
+        // grows the oracle's row set in the same commit, never out of step
+        ("""WITH c AS (SELECT count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           |  count(DISTINCT lang) AS n_langs,
           |  min(doc_id) AS id_min, max(doc_id) AS id_max,
@@ -3566,8 +3610,10 @@ object SparkEntry {
           |    CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT)::HUGEINT) AS VARCHAR) AS digest
           |  FROM documents)
           |SELECT f.format, c.n_docs, c.sum_chars, c.n_langs, c.id_min, c.id_max, c.digest
-          |FROM (VALUES ('parquet'), ('orc'), ('avro'), ('json'), ('csv')) AS f(format), c
-          |ORDER BY f.format""".stripMargin,
+          |FROM (VALUES """.stripMargin +
+          graft.sources.FormatMatrix.formats.map(f => s"('$f')").mkString(", ") +
+          """) AS f(format), c
+            |ORDER BY f.format""".stripMargin),
       "docs_boilerplate" ->
         // census on the RAW prefix string — a Spark-side fingerprint
         // collision would surface as a count mismatch, loudly; the

@@ -133,12 +133,79 @@ class TextUnigramSpec extends AnyFunSuite {
     graft.Cleanup.drain()
   }
 
-  test("UnigramMaxLen guard fires loudly on an over-long word") {
+  test("over-long tokens pre-chunk at UnigramMaxLen boundaries: train and " +
+       "both encodes succeed and the twins stay in parity") {
     import spark.implicits._
-    val df = Seq((1L, "ok " + "x" * (T.UnigramMaxLen + 1))).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException](
-      T.unigramTrain(df, "text", vocabK = 5, pieceLen = 3, rounds = 1))
-    assert(e.getMessage.contains("UnigramMaxLen"))
+    // one pathological 37-char token (a URL-ish identifier) next to
+    // natural words — round 13 aborted here; round 14 chunks [16][16][5]
+    val long = "httpzexamplezorgzpathzsegmentz123456z"
+    assert(long.length == 37 && long.length > T.UnigramMaxLen)
+    val df = Seq((1L, s"ok $long ok"), (2L, "plain words only"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = T.unigramTrain(df, "text", vocabK = 8, pieceLen = 3, rounds = 2)
+    // chunking is invisible to the inventory contract: piece mass still
+    // equals the total word-char mass (chunks partition each word)
+    val pieceChars = m.pieces.map { case (p, n, _) => p.length.toLong * n }.sum
+    assert(pieceChars == ("ok" + long + "ok" + "plain" + "words" + "only").length)
+    val batch = T.unigramEncode(df, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byRow = T.unigramEncodeByRow(df, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == byRow,
+      "twin parity must hold exactly where chunking fires, not just on natural words")
+    assert(batch(3L) == 0L && batch(1L) >= 3L + 2L,
+      s"doc 1 has >= 3 chunks + 2 'ok' words: $batch")
+    graft.Cleanup.drain()
+  }
+
+  test("per-round prune keeps all singles plus exactly vocabK multi pieces " +
+       "by (count desc, piece asc); pruned pieces never re-enter") {
+    import spark.implicits._
+    // 6 distinct bigram-rich words — the multi-substring pool is far
+    // above vocabK = 3, so the prune does real work every round
+    val df = Seq((1L, "abcd abce abcf xyzq xyzr wvut abcd abcd xyzq"))
+      .toDF("doc_id", "text")
+    val m = T.unigramTrain(df, "text", vocabK = 3, pieceLen = 3, rounds = 2,
+      seedK = 12)
+    val multi = m.pieces.filter(_._1.length > 1)
+    val singles = m.pieces.filter(_._1.length == 1).map(_._1).toSet
+    assert(multi.size == 3, s"multi inventory must prune to vocabK=3: $multi")
+    // every observed char survives (totality)
+    assert("abcdefxyzqrwvut".forall(c => singles.contains(c.toString)))
+    // survivors are the top-3 by final usage, ties by piece asc — recompute
+    // the order from the emitted counts and demand the set matches
+    val ordered = multi.sortBy { case (p, c, _) => (-c, p) }
+    assert(ordered == multi.sortBy(p => (-p._2, p._1)))
+    graft.Cleanup.drain()
+  }
+
+  test("unigramScore: bits_fp foots to the piece scores; a garbage doc " +
+       "scores more bits per token than modal text") {
+    import spark.implicits._
+    // train on repetitive modal text; score a modal doc against a
+    // character-salad doc of the SAME alphabet (no OOV involved)
+    val train = (0 until 20).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val m = T.unigramTrain(train, "text", vocabK = 20, pieceLen = 3, rounds = 2)
+    val probe = Seq((100L, "the cat sat"), (101L, "tac eht tas"),
+      (102L, "")).toDF("doc_id", "text")
+    val rows = T.unigramScore(probe, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val byId = rows.map(r => r._1 -> r).toMap
+    // driver replay: bits = -sum of the kernel's own piece scores
+    def bits(text: String): Long =
+      -text.split(" ").filter(_.nonEmpty).flatMap(w =>
+        T.viterbiWord(w, m.scores, m.pieceLen)).map(p =>
+        m.scores.getOrElse(p, T.UnigramOovScore)).sum
+    assert(byId(100L)._3 == bits("the cat sat"))
+    assert(byId(101L)._3 == bits("tac eht tas"))
+    assert(byId(102L) == ((102L, 0L, 0L)), "tokenless doc: zero tokens, zero bits")
+    // the ordering pin: same characters, scrambled words — the model must
+    // find the salad more surprising PER TOKEN than its own modal text
+    val bpt100 = byId(100L)._3.toDouble / byId(100L)._2
+    val bpt101 = byId(101L)._3.toDouble / byId(101L)._2
+    assert(bpt101 > bpt100,
+      s"garbage must cost more bits/token: modal $bpt100 vs salad $bpt101")
     graft.Cleanup.drain()
   }
 }
