@@ -28,14 +28,23 @@ object ScaleProbe {
       // one family's failure must not abort the rest of the suite (the
       // round-13 containment broadcast OOM killed every probe after it;
       // a guard like UnigramMaxLen firing at a larger n would too) —
-      // print the failure AS a probe line and keep sweeping
+      // print the failure AS a probe line and keep sweeping. NonFatal
+      // only (round-13 advice): after a driver-side OOM or other fatal
+      // JVM error the session state is undefined and every later probe
+      // line would be silently unreliable — print the line, then
+      // RETHROW so the sweep aborts loudly instead of reporting garbage
       val t0 = System.nanoTime()
       try {
         val r = f
         println(f"SCALE $tag: n=$cnt rows=$r secs=${(System.nanoTime()-t0)/1e9}%.1f")
-      } catch { case e: Throwable =>
-        println(s"SCALE $tag: FAILED ${e.getClass.getSimpleName}: " +
-          s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"SCALE $tag: FAILED ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+        case e: Throwable =>
+          println(s"SCALE $tag: FATAL ${e.getClass.getSimpleName} — aborting the sweep " +
+            "(driver state undefined; later lines would be unreliable)")
+          throw e
       }
     }
     time("minhash_lsh_neardups")(
@@ -591,20 +600,26 @@ object ScaleProbe {
     // keeps every round's kernel input ~505k words); encode = one more
     // kernel pass + the doc-grain word join
     var uniM: graft.ops.TextAnalysis.UnigramModel = null
+    var uniTrainAttempted = false
     time("unigram_train_3r")( {
+      uniTrainAttempted = true
       uniM = graft.ops.TextAnalysis.unigramTrain(docs, "text",
         vocabK = 200, pieceLen = 4, rounds = 3)
       Cleanup.drain(); uniM.pieces.length.toLong
     })
     // tag-filtered runs that skip the train probe still need the model —
     // train OUTSIDE the encode timing window or the reported encode
-    // seconds silently include the ~13 s train (round-13 review finding)
-    if (uniM == null && want("unigram_encode")) {
+    // seconds silently include the ~13 s train (round-13 review finding).
+    // Skip the rebuild when the train probe already ATTEMPTED and failed
+    // (round-13 advice): retraining the identical model would most
+    // likely re-fail, doubling the time spent on a broken family before
+    // the encode probe reports FAILED
+    if (uniM == null && !uniTrainAttempted && want("unigram_encode")) {
       try {
         uniM = graft.ops.TextAnalysis.unigramTrain(docs, "text",
           vocabK = 200, pieceLen = 4, rounds = 3)
         Cleanup.drain()
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         println(s"SCALE unigram_encode: model build FAILED ${e.getMessage}")
       }
     }

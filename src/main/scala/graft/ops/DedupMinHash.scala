@@ -201,14 +201,18 @@ trait DedupMinHash { self: Dedup.type =>
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") > maxBucketSize)
           .select(col("band"), col("bucket"))
-        (nb.join(hot, Seq("band", "bucket"), "leftanti"),
-          rb.join(hot, Seq("band", "bucket"), "leftanti"))
+        // the hot-bucket census is corpus-derived — merge-hinted
+        // (containmentPairs rule), as are every leg below: the reference
+        // bucket/shingle relations scale with the reference corpus
+        (nb.join(hot.hint("merge"), Seq("band", "bucket"), "leftanti"),
+          rb.join(hot.hint("merge"), Seq("band", "bucket"), "leftanti"))
       }
-    val cand = nbB.join(rbB, Seq("band", "bucket"))
+    val cand = nbB.join(rbB.hint("merge"), Seq("band", "bucket"))
       .select(col("id_new"), col("id_ref")).distinct()
     val shN = corpus.select(col(idCol).as("id_new"),
       shingles(col(textCol), index.shingleN).as("sh_n"))
-    cand.join(shN, "id_new").join(index.refShingles, "id_ref")
+    cand.join(shN.hint("merge"), "id_new")
+      .join(index.refShingles.hint("merge"), "id_ref")
       .withColumn("__inter", size(array_intersect(col("sh_n"), col("sh_r"))))
       .withColumn("__jac", col("__inter").cast("double") /
         (size(col("sh_n")) + size(col("sh_r")) - col("__inter")))
@@ -480,14 +484,25 @@ trait DedupMinHash { self: Dedup.type =>
     // tokenize+shingle explode plus the census semi-join (measured 4.3 s
     // → 3.4 s at sf0.1 — the minHashEstimatedPairs lesson; the remaining
     // cost is the genuine Σ df² directed-candidate aggregate)
+    // CORPUS-DERIVED BUILD SIDES NEVER RIDE AN AQE BROADCAST DECISION
+    // (round-14 rule, CorpusJoinHintSpec-swept): the 1M probe measured
+    // AQE choosing a broadcast build of this capped-gram relation on a
+    // pressured 8 GB heap and dying mid-build (DESIGN §16) — at sf0.1
+    // broadcast happens to fit and at true scale AQE merge-joins anyway,
+    // but the awkward middle is exactly where a pressured production job
+    // lands. Every join leg whose build side derives from the corpus is
+    // merge-hinted explicitly (AQE honors user join hints when
+    // re-planning); artifact-grain relations keep explicit broadcast().
     val bounded = graft.Cleanup.register(
-      ex.join(cool.select(col("gh")), Seq("gh"), "leftsemi").localCheckpoint(false))
-    val inter = bounded.as("a").join(bounded.as("b"),
+      ex.join(cool.select(col("gh")).hint("merge"), Seq("gh"), "leftsemi")
+        .localCheckpoint(false))
+    val inter = bounded.as("a").join(bounded.as("b").hint("merge"),
         col("a.gh") === col("b.gh") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na"))
+        .hint("merge"), "id_a")
       .withColumn("containment", col("inter").cast("double") / col("na"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
@@ -523,7 +538,9 @@ trait DedupMinHash { self: Dedup.type =>
       .select(col("id_ref"), xxhash64(col("g")).as("gh"))
     val cool = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("gh"))
-    ContainmentIndex(grams.join(cool, Seq("gh"), "leftsemi"), shingleN, maxDf)
+    // merge-hinted: the df census is corpus-derived (containmentPairs rule)
+    ContainmentIndex(grams.join(cool.hint("merge"), Seq("gh"), "leftsemi"),
+      shingleN, maxDf)
   }
 
   /** One-shot convenience: build the reference artifact and probe it. */
@@ -555,9 +572,12 @@ trait DedupMinHash { self: Dedup.type =>
     val ex = sh.select(col("id_new"), explode(col("sh")).as("g"))
       .select(col("id_new"), xxhash64(col("g")).as("gh"))
     val sizes = sh.select(col("id_new"), size(col("sh")).as("n"))
-    ex.join(index.refGrams, Seq("gh"))
+    // reference gram relation and batch sizes are both corpus-derived —
+    // merge-hinted (containmentPairs rule; a 100 TB reference's capped
+    // gram table is terabytes, the textbook broadcast-build OOM)
+    ex.join(index.refGrams.hint("merge"), Seq("gh"))
       .groupBy(col("id_new"), col("id_ref")).agg(count(lit(1)).as("__c"))
-      .join(sizes, "id_new")
+      .join(sizes.hint("merge"), "id_new")
       .withColumn("__cont", col("__c").cast("double") / col("n"))
       .filter(col("__cont") >= threshold)
       .groupBy(col("id_new"))

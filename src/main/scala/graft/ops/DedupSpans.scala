@@ -342,9 +342,12 @@ trait DedupSpans { self: Dedup.type =>
       .filter(col("__df") <= maxDf)
     // one materialization feeds both join sides (the containmentPairs
     // checkpoint lesson)
+    // corpus-derived build sides are merge-hinted (the containmentPairs
+    // round-14 rule — never ride an AQE broadcast decision)
     val bounded = graft.Cleanup.register(
-      fps.join(cool.select(col("fp")), Seq("fp"), "leftsemi").localCheckpoint(false))
-    bounded.as("a").join(bounded.as("b"),
+      fps.join(cool.select(col("fp")).hint("merge"), Seq("fp"), "leftsemi")
+        .localCheckpoint(false))
+    bounded.as("a").join(bounded.as("b").hint("merge"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared_fp"))
@@ -375,7 +378,9 @@ trait DedupSpans { self: Dedup.type =>
       .withColumnRenamed(idCol, "id_ref")
     val cool = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("fp"))
-    WinnowIndex(fps.join(cool, Seq("fp"), "leftsemi"), n, window, maxDf)
+    // merge-hinted: the df census is corpus-derived (containmentPairs rule)
+    WinnowIndex(fps.join(cool.hint("merge"), Seq("fp"), "leftsemi"),
+      n, window, maxDf)
   }
 
   /** Cross-corpus winnowing flags against a PREBUILT reference artifact:
@@ -395,7 +400,9 @@ trait DedupSpans { self: Dedup.type =>
     require(minShared >= 1, s"winnowFlagsWith: minShared must be >= 1: $minShared")
     winnowFingerprints(corpus, idCol, textCol, index.n, index.window)
       .withColumnRenamed(idCol, "id_new")
-      .join(index.refFps, Seq("fp"))
+      // the reference fingerprint relation scales with the reference
+      // corpus — merge-hinted (containmentPairs rule)
+      .join(index.refFps.hint("merge"), Seq("fp"))
       .groupBy(col("id_new"), col("id_ref"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)

@@ -418,7 +418,11 @@ trait TextRetrieval { self: TextAnalysis.type =>
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df0"))
       .filter(col("df0") <= dfCap)
-    val w = tf.join(dfreq, "term")
+    // corpus-derived build sides are merge-hinted end-to-end (the
+    // containmentPairs round-14 rule — never ride an AQE broadcast
+    // decision): the term census, both self-join legs and the norms
+    // relation all scale with the corpus
+    val w = tf.join(dfreq.hint("merge"), "term")
       .select(col("doc"), col("term"), (col("tf") / col("df0").cast("double")).as("w"))
     // buffer-bound: distinct shingles of ONE document (document length)
     val norms = w.groupBy(col("doc"))
@@ -426,15 +430,17 @@ trait TextRetrieval { self: TextAnalysis.type =>
         lit(0.0), (a, x) => a + x)).as("nrm"))
     // buffer-bound: shared shingles of ONE doc pair — ≤ the shorter
     // document's length; pair count itself is dfCap-bounded above
-    val dots = w.as("a").join(w.as("b"),
+    val dots = w.as("a").join(w.as("b").hint("merge"),
         col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(aggregate(array_sort(collect_list(col("a.w") * col("b.w"))),
         lit(0.0), (s, x) => s + x).as("dot"))
     val cos = col("dot") / (col("na") * col("nb"))
     dots
-      .join(norms.select(col("doc").as("id_a"), col("nrm").as("na")), "id_a")
-      .join(norms.select(col("doc").as("id_b"), col("nrm").as("nb")), "id_b")
+      .join(norms.select(col("doc").as("id_a"), col("nrm").as("na"))
+        .hint("merge"), "id_a")
+      .join(norms.select(col("doc").as("id_b"), col("nrm").as("nb"))
+        .hint("merge"), "id_b")
       .filter(cos >= threshold)
       .select(col("id_a"), col("id_b"), round(cos, 4).as("cosine_r"))
   }

@@ -182,7 +182,14 @@ trait TextVocab { self: TextAnalysis.type =>
         org.apache.spark.sql.Row(w, encodeWord(w, m).toSeq)
       }
     }(enc)
-    val perDoc = words.join(encoded, "__w")
+    // the encode's one corpus-scale exchange carries (id, pos, 8-byte
+    // hash) — never the word string (the hashGrams rule, round-14: the
+    // raw-string-grouped oracle makes a collision loud — a doc word
+    // double-matching two colliding vocab rows inflates its piece list)
+    val perDoc = words.select(col("__id"), col("__wpos"),
+        xxhash64(col("__w")).as("__wh"))
+      .join(encoded.select(xxhash64(col("__w")).as("__wh"), col("__pieces")),
+        "__wh")
       .groupBy(col("__id"))
       // buffer-bound: pieces of ONE document (document length)
       .agg(flatten(transform(
@@ -356,7 +363,10 @@ trait TextVocab { self: TextAnalysis.type =>
     val nGrams = dg.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
     val nNovel = dg.groupBy(col("__g")).agg(min(col("__id")).as("__id"))
       .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
-    nGrams.join(nNovel, Seq("__id"), "left")
+    // merge-hinted (containmentPairs round-14 rule): both sides are
+    // doc-grain corpus relations; the hint also preserves the
+    // exchange-free co-partitioned combine the scaladoc describes
+    nGrams.join(nNovel.hint("merge"), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
@@ -389,10 +399,13 @@ trait TextVocab { self: TextAnalysis.type =>
     val dg = if (batch.isStreaming) dgRaw
       else graft.Cleanup.register(dgRaw.localCheckpoint(false))
     val nGrams = dg.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
-    val nNovel = dg.join(seen.select(col("__g")), Seq("__g"), "left_anti")
+    // the seen-gram artifact scales with the whole prior corpus (8 bytes
+    // x 10^10 grams at target scale) — the textbook broadcast-build OOM;
+    // merge-hinted like every corpus-derived build side (round-14 rule)
+    val nNovel = dg.join(seen.select(col("__g")).hint("merge"), Seq("__g"), "left_anti")
       .groupBy(col("__g")).agg(min(col("__id")).as("__id"))
       .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
-    nGrams.join(nNovel, Seq("__id"), "left")
+    nGrams.join(nNovel.hint("merge"), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }

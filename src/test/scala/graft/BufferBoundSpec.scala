@@ -52,20 +52,40 @@ class BufferBoundSpec extends AnyFunSuite {
   /** The line with every string-literal INTERIOR blanked to spaces
     * (length-preserving, escape-aware), so `//` inside a string is not a
     * comment cut, a site keyword inside a string is not a site, and a
-    * tag inside a string is not a tag. Single-line heuristic — the repo
-    * has no multi-line string carrying these keywords, and the planted
-    * tests pin both failure directions.
+    * tag inside a string is not a tag. Char literals are opaque too
+    * (round-13 advice): a line containing `'"'` — e.g. `case '"' =>` —
+    * must not flip the in-string state and hide (or bless) a later site
+    * on the same line; the `'x'`, `'\x'` and `'\uXXXX'` forms are all
+    * consumed. Single-line heuristic — the repo has no multi-line string
+    * carrying these keywords, and the planted tests pin both failure
+    * directions including the char-literal case.
     */
   private def blankStrings(l: String): String = {
     val b = l.toCharArray
-    var in = false; var esc = false
-    for (i <- b.indices) {
-      if (esc) { if (in) b(i) = ' '; esc = false }
-      else b(i) match {
-        case '\\' if in => b(i) = ' '; esc = true
-        case '"'        => in = !in
-        case _          => if (in) b(i) = ' '
+    var i = 0
+    var in = false
+    while (i < b.length) {
+      if (in) b(i) match {
+        case '\\' =>
+          b(i) = ' '
+          if (i + 1 < b.length) { b(i + 1) = ' '; i += 1 }
+        case '"' => in = false
+        case _   => b(i) = ' '
       }
+      else b(i) match {
+        case '"' => in = true
+        case '\'' =>
+          if (i + 2 < b.length && b(i + 1) != '\\' && b(i + 2) == '\'') {
+            b(i + 1) = ' '; i += 2 // 'x' — incl. '"'
+          } else if (i + 3 < b.length && b(i + 1) == '\\' && b(i + 3) == '\'') {
+            b(i + 1) = ' '; b(i + 2) = ' '; i += 3 // '\n', '\\', '\''
+          } else if (i + 7 < b.length && b(i + 1) == '\\' && b(i + 2) == 'u' &&
+                     b(i + 7) == '\'') {
+            for (k <- i + 1 to i + 6) b(k) = ' '; i += 7 // '\uXXXX'
+          }
+        case _ => ()
+      }
+      i += 1
     }
     new String(b)
   }
@@ -203,5 +223,26 @@ class BufferBoundSpec extends AnyFunSuite {
     val trailing = """val a = df.agg(collect_list(col("v"))) // buffer-bound: one doc"""
     assert(untaggedSites("planted", trailing).isEmpty,
       "a trailing-comment tag on the site line must count")
+  }
+
+  test("char literals are opaque: '\"' must not flip the string state " +
+       "(round-13 advice)") {
+    // a double-quote CHAR LITERAL before a real site: the broken scanner
+    // entered string mode at '"' and blanked the site away
+    val site = """case '"' => df.agg(collect_list(col("v")))"""
+    assert(untaggedSites("planted", site).nonEmpty,
+      "a site after a '\"' char literal is real and untagged")
+    // ...and the same shape must not blank a REAL trailing tag either
+    val tagged = """case '"' => df.agg(collect_list(col("v"))) // buffer-bound: one doc"""
+    assert(untaggedSites("planted", tagged).isEmpty,
+      "a tag after a '\"' char literal must still count")
+    // escaped and unicode char forms consume correctly too
+    val esc = """val q = '\''; val a = df.agg(collect_list(col("v")))"""
+    assert(untaggedSites("planted", esc).nonEmpty)
+    val uni = """val u = '"'; val a = df.agg(collect_list(col("v")))"""
+    assert(untaggedSites("planted", uni).nonEmpty)
+    // a site keyword inside a STRING after a char literal is still not a site
+    val fake = """case '"' => log("collect_list( in a string")"""
+    assert(untaggedSites("planted", fake).isEmpty)
   }
 }
