@@ -640,10 +640,89 @@ case class Fingerprint(child: Expression, p: Long = 1000000007L)
     copy(child = newChild)
 }
 
+/** Hashing-trick gram census over a TOKEN ARRAY (round 14): per-bucket
+  * counts of unigrams (and, at `maxN = 2`, adjacent-pair bigrams joined
+  * with a single space), bucket = pmod(xxhash64(gram), dim) — or, with
+  * `features = true`, the density-relative doubles (c·dim)/n the
+  * classifier/DSIR feature map consumes. Bit-identical to the HOF
+  * formulation it replaces (`aggregate(gramBuckets(...), ...)` in
+  * TextClassifier): the SAME XxHash64 (seed 42) over the SAME gram bytes
+  * (bigrams concatenate a 1-space separator — identical bytes to
+  * `concat(a, ' ', b)`), the same pmod, and the same
+  * (c.toDouble · dim.toDouble) / n.toDouble normalization order. The
+  * child stays Spark's own `split`-built token array, so tokenization
+  * parity is structural, not re-implemented.
+  *
+  * WHY a kernel: the HOF fold is CodegenFallback — interpreted, with a
+  * boxed dim-slot accumulator rebuilt PER TOKEN (O(dim·tokens) boxed ops
+  * per row) — and the feature map is the hot scan expression of every
+  * classifier/DSIR apply pass, exactly the per-row cost class the
+  * round-14 trainer redesign measured (DESIGN §17.1). One tight primitive
+  * loop, whole-stage codegen via NativeUnaryKernel.
+  */
+case class HashedBow(child: Expression, dim: Int, maxN: Int,
+                     features: Boolean)
+    extends UnaryExpression with NativeUnaryKernel {
+  require(dim >= 1, s"HashedBow: dim must be >= 1: $dim")
+  require(maxN >= 1 && maxN <= 2, s"HashedBow: maxN must be 1 or 2: $maxN")
+
+  override def dataType: DataType =
+    if (features) ArrayType(DoubleType, containsNull = false)
+    else ArrayType(IntegerType, containsNull = false)
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def compute(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nT = arr.numElements()
+    val counts = new Array[Int](dim)
+    var n = 0
+    var i = 0
+    while (i < nT) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      counts((((h % dim) + dim) % dim).toInt) += 1
+      n += 1
+      i += 1
+    }
+    if (maxN == 2) {
+      i = 0
+      while (i + 1 < nT) {
+        val bg = org.apache.spark.unsafe.types.UTF8String.concat(
+          arr.getUTF8String(i), space, arr.getUTF8String(i + 1))
+        val h = XxHash64Function.hash(bg, StringType, 42L)
+        counts((((h % dim) + dim) % dim).toInt) += 1
+        n += 1
+        i += 1
+      }
+    }
+    if (!features)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(counts)
+    else {
+      val nD = n.toDouble
+      val dimD = dim.toDouble
+      val out = new Array[Double](dim)
+      var b = 0
+      while (b < dim) {
+        out(b) = (counts(b).toDouble * dimD) / nD
+        b += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. */
   def vecDot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def hashedBow(tokens: Column, dim: Int, maxN: Int, features: Boolean): Column =
+    ColumnShim.column(HashedBow(ColumnShim.expression(tokens), dim, maxN, features))
 
   def minHashSig(shingles: Column, k: Int, p: Long = 2147483647L): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k, p))

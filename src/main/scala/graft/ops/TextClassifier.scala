@@ -41,56 +41,25 @@ import org.apache.spark.sql.functions._
 trait TextClassifier { self: TextAnalysis.type =>
 
   /** Per-token feature-hash bucket counts: array of `dim` integer counts,
-    * bucket = pmod(xxhash64(token), dim). The feature map every
+    * bucket = pmod(xxhash64(gram), dim) over unigrams (and, at maxN = 2,
+    * adjacent bigrams — the DSIR paper's actual hashed unigram+bigram
+    * space, with the bigram string `w_i ⊔ w_{i+1}` so the oracle's
+    * `w[i] || ' ' || w[i+1]` hashes identically). The feature map every
     * fasttext-shaped pipeline uses (hashing trick — no vocabulary build,
-    * no OOV path, fixed width at any corpus size). ONE aggregate fold over
-    * the token array into a dim-slot accumulator — the first cut built
-    * `dim` separate size(filter(...)) expressions and, because HOF lambdas
-    * get no codegen CSE (the `decontaminationScoreBloom` lesson), each
-    * duplicated the whole tokenize+hash pipeline: a ~dim× larger
-    * expression tree whose analysis/codegen cost dominated every consumer
-    * query (~5 s of driver-side constant per query at dim = 32, measured).
-    * Per-row work is O(dim·tokens) either way; the fold keeps the TREE
-    * O(1) in dim's pipeline copies. Tokenization is the repo-wide
-    * whitespace rule (`tokens`), giving a blank document the single empty
-    * token — total, never null.
+    * no OOV path, fixed width at any corpus size). Round 14: computed by
+    * the native [[graft.functions.HashedBow]] kernel over Spark's own
+    * token array — the HOF fold it replaces was CodegenFallback with a
+    * boxed dim-slot accumulator rebuilt per token (O(dim·tokens) boxed
+    * ops per row, the hot scan expression of every apply pass; DESIGN
+    * §17.1), bit-identical arithmetic spec-pinned both directions.
+    * Tokenization is the repo-wide whitespace rule (`tokens`), giving a
+    * blank document the single empty token — total, never null.
     */
   def hashedTokenCounts(text: Column, dim: Int, maxN: Int = 1): Column = {
     require(dim >= 1, s"hashedTokenCounts: dim must be >= 1: $dim")
-    aggregate(gramBuckets(text, dim, maxN), array_repeat(lit(0), dim), bucketIncr)
+    graft.functions.VectorFunctions.hashedBow(
+      tokens(text), dim, maxN, features = false)
   }
-
-  /** Per-gram bucket assignments, n = 1..maxN word grams (the shared
-    * front of the feature map). maxN = 2 is the DSIR paper's actual
-    * feature space — hashed unigrams AND bigrams — where bigrams carry
-    * the word-order signal a pure bag of words discards; the bigram
-    * string is `concat(w_i, " ", w_{i+1})` so the oracle's
-    * `w[i] || ' ' || w[i+1]` hashes identically. Built with zip_with
-    * against the 1-shifted array (both array arguments evaluate ONCE per
-    * row — an index-based transform would re-tokenize per element, the
-    * HOF re-evaluation trap hashedBowFeatures documents); the shift pads
-    * the final pair with null, which maps to a null bucket and is
-    * filtered, so a 1-token document contributes unigrams only.
-    */
-  private def gramBuckets(text: Column, dim: Int, maxN: Int): Column = {
-    require(maxN >= 1 && maxN <= 2, s"gramBuckets: maxN must be 1 or 2: $maxN")
-    val uni = transform(tokens(text),
-      tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
-    if (maxN == 1) uni
-    else {
-      val ws = tokens(text)
-      val bi = filter(
-        zip_with(ws, slice(ws, 2, 1073741823), (a, b) =>
-          when(b.isNotNull,
-            pmod(xxhash64(concat(a, lit(" "), b)), lit(dim.toLong)).cast("int"))),
-        h => h.isNotNull)
-      concat(uni, bi)
-    }
-  }
-
-  /** One fold step: increment the hit bucket's slot. */
-  private def bucketIncr(acc: Column, b: Column): Column =
-    transform(acc, (c, i) => when(i === b, c + 1).otherwise(c))
 
   /** Density-relative hashed bag-of-words features
     * x_b = dim · count_b / n — bucket density relative to uniform (mean
@@ -104,37 +73,34 @@ trait TextClassifier { self: TextAnalysis.type =>
     * direction at O(1)–O(dim) scale and the fixed default step converges
     * in tens of rounds. Each component is one exact integer-valued
     * multiply (count·dim) and one correctly-rounded IEEE divide, so any
-    * engine computes the identical doubles.
-    *
-    * Single-pass: counts AND the token total fold together in one
-    * struct accumulator, and the normalization runs in the aggregate's
-    * FINISH lambda. The obvious `transform(counts, c => c·dim/n)` with
-    * n = size(tokens(text)) re-tokenizes the document once PER ELEMENT —
-    * HOF lambda bodies re-evaluate outer expressions per element (no
-    * hoisting, no CSE) — i.e. dim extra regex splits per row at scan
-    * time; here n is one cheap field access off the fold result.
+    * engine computes the identical doubles — the kernel replicates the
+    * exact (c·dim)/n evaluation order ([[graft.functions.HashedBow]]).
     */
-  def hashedBowFeatures(text: Column, dim: Int, maxN: Int = 1): Column =
-    aggregate(gramBuckets(text, dim, maxN),
-      struct(array_repeat(lit(0), dim).as("a"), lit(0).as("n")),
-      (acc, b) => struct(bucketIncr(acc("a"), b).as("a"),
-        (acc("n") + lit(1)).as("n")),
-      acc => transform(acc("a"),
-        c => (c.cast("double") * lit(dim.toDouble)) / acc("n").cast("double")))
+  def hashedBowFeatures(text: Column, dim: Int, maxN: Int = 1): Column = {
+    require(dim >= 1, s"hashedBowFeatures: dim must be >= 1: $dim")
+    graft.functions.VectorFunctions.hashedBow(
+      tokens(text), dim, maxN, features = true)
+  }
 
   /** Margin score of a trained linear classifier: w·x + b with the
-    * explicit index-order fold (seed 0.0 — the same left-to-right
+    * index-order accumulation (seed 0.0 — the same left-to-right
     * summation the DuckDB oracle's list_reduce uses, so the sign of the
     * margin is engine-exact). Weights ride as literals in the task
-    * binary: scan-speed, shuffle-free, whole-stage codegen.
+    * binary: scan-speed, shuffle-free. The dot product is the native
+    * codegen'd [[graft.functions.VecDot]] (round 14 — the same
+    * CodegenFallback-HOF finding that redesigned the trainer loop,
+    * DESIGN §17.1, applied to the APPLY path: `aggregate(zip_with(...))`
+    * is interpreted per row, which is exactly the hot scan expression a
+    * 100 TB scoring pass runs; VecDot is bit-identical to the HOF fold
+    * by its own contract and participates in whole-stage codegen).
     */
   def classifierScore(text: Column, weights: Array[Double], bias: Double,
                       dim: Int = 32): Column = {
     require(weights.length == dim,
       s"classifierScore: got ${weights.length} weights for dim $dim")
     val wl = array(weights.map(lit).toIndexedSeq: _*)
-    aggregate(zip_with(hashedBowFeatures(text, dim), wl, (x, w) => x * w),
-      lit(0.0), (a, v) => a + v) + lit(bias)
+    graft.functions.VectorFunctions.vecDot(
+      hashedBowFeatures(text, dim), wl) + lit(bias)
   }
 
   /** Train a linear classifier by `iters` full-batch gradient-descent
@@ -473,9 +439,11 @@ trait TextClassifier { self: TextAnalysis.type =>
     df.crossJoin(broadcast(wv))
       .withColumn("clf_score",
         when(size(col("__wv")) === dim + 1,
-          aggregate(zip_with(hashedBowFeatures(col(textCol), dim),
-              slice(col("__wv"), 1, dim), (x, w) => x * w),
-            lit(0.0), (a, v) => a + v) + element_at(col("__wv"), dim + 1)))
+          // native codegen'd dot (classifierScore round-14 note) —
+          // bit-identical to the HOF fold, scan-speed under codegen
+          graft.functions.VectorFunctions.vecDot(
+            hashedBowFeatures(col(textCol), dim), slice(col("__wv"), 1, dim))
+            + element_at(col("__wv"), dim + 1)))
       .drop("__wv")
   }
 
@@ -559,8 +527,11 @@ trait TextClassifier { self: TextAnalysis.type =>
           (m, i) => m("cls_idx") === i), x => x)
     val scored = transform(col("__models"), m =>
       struct(
-        (aggregate(zip_with(col("__x"), slice(m("wv"), 1, dim), (x, w) => x * w),
-          lit(0.0), (a, v) => a + v) + element_at(m("wv"), dim + 1)).as("m"),
+        // VecDot inside the per-class lambda: the transform itself is
+        // interpreted (|classes| elements — bounded), but each margin is
+        // one tight primitive loop instead of a boxed per-element fold
+        (graft.functions.VectorFunctions.vecDot(col("__x"), slice(m("wv"), 1, dim))
+          + element_at(m("wv"), dim + 1)).as("m"),
         (-m("cls_idx")).as("ni"), m("cls").as("c")))
     df.crossJoin(broadcast(packed))
       .withColumn("__x", hashedBowFeatures(col(textCol), dim))

@@ -92,6 +92,55 @@ class TextClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("HashedBow kernel is bit-identical to the round-13 HOF formulation " +
+       "(counts and features, maxN 1 and 2, degenerate docs included)") {
+    // the declarative formulation the kernel replaced, verbatim
+    def gramBuckets(text: org.apache.spark.sql.Column, dim: Int, maxN: Int) = {
+      val uni = transform(TextAnalysis.tokens(text),
+        tk => pmod(xxhash64(tk), lit(dim.toLong)).cast("int"))
+      if (maxN == 1) uni
+      else {
+        val ws = TextAnalysis.tokens(text)
+        val bi = filter(
+          zip_with(ws, slice(ws, 2, 1073741823), (a, b) =>
+            when(b.isNotNull,
+              pmod(xxhash64(concat(a, lit(" "), b)), lit(dim.toLong)).cast("int"))),
+          h => h.isNotNull)
+        concat(uni, bi)
+      }
+    }
+    def bucketIncr(acc: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      transform(acc, (c, i) => when(i === b, c + 1).otherwise(c))
+    def hofCounts(text: org.apache.spark.sql.Column, dim: Int, maxN: Int) =
+      aggregate(gramBuckets(text, dim, maxN), array_repeat(lit(0), dim), bucketIncr)
+    def hofFeatures(text: org.apache.spark.sql.Column, dim: Int, maxN: Int) =
+      aggregate(gramBuckets(text, dim, maxN),
+        struct(array_repeat(lit(0), dim).as("a"), lit(0).as("n")),
+        (acc, b) => struct(bucketIncr(acc("a"), b).as("a"),
+          (acc("n") + lit(1)).as("n")),
+        acc => transform(acc("a"),
+          c => (c.cast("double") * lit(dim.toDouble)) / acc("n").cast("double")))
+    import spark.implicits._
+    val tricky = corpus.select(col("text")).unionByName(Seq(
+      "", "   ", "one", "a  b   c", null.asInstanceOf[String],
+      "x " + ("y " * 40) + "z").toDF("text"))
+    for (dim <- Seq(8, 32); maxN <- Seq(1, 2)) {
+      val rows = tricky.select(
+        TextAnalysis.hashedTokenCounts(col("text"), dim, maxN).as("kc"),
+        hofCounts(col("text"), dim, maxN).as("hc"),
+        TextAnalysis.hashedBowFeatures(col("text"), dim, maxN).as("kf"),
+        hofFeatures(col("text"), dim, maxN).as("hf")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || r.getSeq[Int](0) == r.getSeq[Int](1)),
+          s"counts diverge at dim=$dim maxN=$maxN: $r")
+        assert(r.isNullAt(2) == r.isNullAt(3) &&
+          (r.isNullAt(2) || r.getSeq[Double](2) == r.getSeq[Double](3)),
+          s"features diverge at dim=$dim maxN=$maxN: $r")
+      }
+    }
+  }
+
   test("training separates the teacher rule; score matches a driver fold") {
     val (w, b) = TextAnalysis.classifierTrainVector(
       corpus, "text", isPos, dim = 16, iters = 64, eta = 1.0 / 64)
