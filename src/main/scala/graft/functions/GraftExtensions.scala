@@ -68,6 +68,14 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         SignBandBuckets(args(0), intLit(args(1), "bitsPerBand"),
           intLit(args(2), "bands"), intLit(args(3), "dim"))),
+    ("hashed_bow",
+      new ExpressionInfo(classOf[HashedBow].getName, "hashed_bow"),
+      // (tokens, dim, maxN, features) — the classifier/DSIR hashing-trick
+      // feature map (round 14): counts when features=0, density-relative
+      // doubles when 1
+      (args: Seq[Expression]) =>
+        HashedBow(args(0), intLit(args(1), "dim"), intLit(args(2), "maxN"),
+          intLit(args(3), "features") != 0)),
   )
   // LangId and NearestCentroids stay Column-API-only: their lexicon /
   // centroid-matrix parameters aren't expressible as SQL literals.

@@ -34,6 +34,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(bb.length == 8 && bb.forall(b => b >= 0 && b < 16)) // 8 bands of 4 bits
   }
 
+  test("hashed_bow is SQL-callable: counts partition grams, features " +
+       "are density-relative") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  hashed_bow(array('a','b','a'), 8, 1, 0) AS c,
+        |  hashed_bow(array('a','b','a'), 8, 2, 1) AS x
+        |""".stripMargin).head()
+    val c = row.getAs[scala.collection.Seq[Int]]("c")
+    assert(c.length == 8 && c.sum == 3, s"3 unigrams into 8 buckets: $c")
+    val x = row.getAs[scala.collection.Seq[Double]]("x")
+    // 3 unigrams + 2 bigrams; density-relative features sum to dim
+    assert(x.length == 8 && math.abs(x.sum - 8.0) < 1e-9, s"$x")
+  }
+
   test("SignBandBuckets kernel matches a per-plane scalar recomputation") {
     // pin the kernel's arithmetic: same planes, same element-order double
     // accumulation, same strict > 0 sign rule
@@ -140,7 +155,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val ext = new GraftExtensions
     assert(GraftFunctions.descriptors.map(_._1).toSet ==
       Set("vec_dot", "shingle_ngrams", "minhash_sig", "simhash64",
-        "text_fingerprint", "sign_band_buckets", "bloom_might_contain"))
+        "text_fingerprint", "sign_band_buckets", "bloom_might_contain",
+        "hashed_bow"))
     assert(ext != null)
   }
 }
