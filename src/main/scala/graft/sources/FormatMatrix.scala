@@ -165,7 +165,19 @@ object FormatMatrix {
       // JDBC leg: embedded in-memory Derby, one database per mirror
       // (name = the unique temp-dir leaf, so concurrent sessions never
       // collide); Derby's engine log is pointed into the mirror root
-      // instead of polluting the process cwd
+      // instead of polluting the process cwd.
+      // LOCAL-MODE-ONLY precondition (round-14 ADVICE): jdbc:derby:memory:
+      // is JVM-local, and Spark's JDBC writer/partitioned reader run on
+      // EXECUTORS — on a real cluster each executor JVM would ;create=true
+      // its own empty database and the read would return partial data or
+      // fail confusingly. A cluster deployment points this leg at a real
+      // DB server URL; the in-memory form exists to exercise Spark's JDBC
+      // source machinery (striping, pushdown, type pinning) offline.
+      require(spark.sparkContext.master.startsWith("local"),
+        "FormatMatrix jdbc leg requires local master: jdbc:derby:memory: " +
+        "databases are JVM-local and executors on a cluster would each " +
+        "see (or create) a different empty database — use a server-backed " +
+        "JDBC URL for cluster runs")
       System.setProperty("derby.stream.error.file", s"$root/derby.log")
       val dbName = new java.io.File(root).getName
       val url = s"jdbc:derby:memory:$dbName;create=true"

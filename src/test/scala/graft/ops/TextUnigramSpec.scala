@@ -208,4 +208,33 @@ class TextUnigramSpec extends AnyFunSuite {
       s"garbage must cost more bits/token: modal $bpt100 vs salad $bpt101")
     graft.Cleanup.drain()
   }
+
+  test("non-ASCII guard: batch chunker AND byRow kernel raise loudly on " +
+       "the first non-ASCII token (the ASCII note is enforced, not assumed)") {
+    import spark.implicits._
+    val ascii = Seq((1L, "plain ascii words only")).toDF("doc_id", "text")
+    val m = T.unigramTrain(ascii, "text", vocabK = 10, pieceLen = 3, rounds = 1)
+    val dirty = Seq((1L, "fine"), (2L, "café token")).toDF("doc_id", "text")
+    // batch path: the in-plan assert_true surfaces wrapped in SparkException
+    val eBatch = intercept[Exception] {
+      T.unigramScore(dirty, "doc_id", "text", m).collect()
+    }
+    def rootMsg(e: Throwable): String = {
+      var t = e; while (t.getCause != null) t = t.getCause
+      Option(t.getMessage).getOrElse("") + Option(e.getMessage).getOrElse("")
+    }
+    assert(rootMsg(eBatch).contains("non-ASCII"),
+      s"batch guard must name the violation: ${rootMsg(eBatch)}")
+    // byRow twin: same guard, kernel form
+    val eRow = intercept[Exception] {
+      T.unigramEncodeByRow(dirty, "doc_id", "text", m).collect()
+    }
+    assert(rootMsg(eRow).contains("non-ASCII"),
+      s"byRow guard must name the violation: ${rootMsg(eRow)}")
+    // and clean ASCII still flows through both paths unchanged
+    val clean = Seq((1L, "fine words")).toDF("doc_id", "text")
+    assert(T.unigramScore(clean, "doc_id", "text", m).count() == 1)
+    assert(T.unigramEncodeByRow(clean, "doc_id", "text", m).count() == 1)
+    graft.Cleanup.drain()
+  }
 }
