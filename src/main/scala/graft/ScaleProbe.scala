@@ -727,6 +727,15 @@ object ScaleProbe {
     time("sq8_encode")(graft.ops.Similarity.sq8Encode(embQ).count())
     time("sq8_topk_20q")(
       graft.ops.Similarity.sq8TopK(embQ, embQ.filter(col("vec_id") < 20), 10).count())
+    // binary-quantization search at n vectors (round 15 — the one flagged
+    // per-pair fold site with no op-level 1M line): 20-query exhaustive
+    // Hamming over 1/32-footprint sign chunks, then the +refine rerank
+    time("hamming_topk_20q")(
+      graft.ops.Similarity.hammingTopK(embQ, embQ.filter(col("vec_id") < 20),
+        10, dim = 64).count())
+    time("hamming_refined_20q")(
+      graft.ops.Similarity.hammingTopKRefined(embQ,
+        embQ.filter(col("vec_id") < 20), 10, dim = 64).count())
     embQ.unpersist()
     // EWMA over the ne-event stream (events relation above): one
     // user-keyed aggregate, per-user fold ~ne/10k elements
@@ -849,6 +858,95 @@ object ScaleProbe {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(fmtRoot))
+    }
+
+    // ---- round-15 fold A/B probes: CodegenFallback HOF vs native kernel,
+    // per DESIGN §17.1 site, on MATERIALIZED inputs (the HOFs that
+    // synthesize the arrays are localCheckpoint'ed away so the timed
+    // projection isolates the fold). Per-PAIR sites run the production
+    // shape — 20 broadcast queries × n corpus rows = 20n fold rows through
+    // the same join both ways, so the delta attributes to the fold alone;
+    // per-ROW sites scan n rows. Receipts land in DESIGN §18.
+    locally {
+      import graft.functions.VectorFunctions._
+      val dim = 64
+      val matBase = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2001L)).cast("double") - 1000.0) / 997.0)
+            .cast("float")).as("embedding"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(col("id"), i, lit(5)), lit(255L)) - 127L)).as("codes"),
+        transform(sequence(lit(0), lit(1)), i =>
+          xxhash64(col("id"), i, lit(11))).as("chunks"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(col("id"), i, lit(7)), lit(2001L)).cast("double") - 1000.0) / 991.0)
+          .as("recon")).localCheckpoint(false)
+      val qs = broadcast(matBase.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("codes").as("qc"), col("chunks").as("qh")))
+      val pairs = matBase.join(qs, col("vec_id") =!= col("qid"))
+      def forceSum(c: org.apache.spark.sql.Column): Long = {
+        pairs.agg(sum(c)).head(); 20L * n
+      }
+      def forceRowSum(df: org.apache.spark.sql.DataFrame,
+                      c: org.apache.spark.sql.Column): Long = {
+        df.agg(sum(c)).head(); n
+      }
+      // per-pair: Hamming popcount fold (hammingTopK's hot expression)
+      time("fold_hamming_hof")(forceSum(
+        aggregate(zip_with(col("chunks"), col("qh"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (s, x) => s + x)))
+      time("fold_hamming_kernel")(forceSum(vecXorPopcount(col("chunks"), col("qh"))))
+      // per-pair: SQ8 integer dot (sq8TopK)
+      time("fold_sq8dot_hof")(forceSum(
+        aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
+          lit(0L), (s, x) => s + x)))
+      time("fold_sq8dot_kernel")(forceSum(vecDotLong(col("qc"), col("codes"))))
+      // per-pair: MinHash lane agreement (minHashEstimatedPairs) — 64-lane
+      // shape approximated by the codes arrays (same element count/type)
+      time("fold_eqcount_hof")(forceSum(
+        aggregate(zip_with(col("qc"), col("codes"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)))
+      time("fold_eqcount_kernel")(forceSum(vecEqCount(col("qc"), col("codes"))))
+      // per-pair: fused ADC score (ivfPqQuery)
+      time("fold_adc_hof")(forceSum(
+        vecDot(col("qv"), zip_with(col("recon"), col("recon"), (a, b) => a + b))))
+      time("fold_adc_kernel")(forceSum(vecDotPlus(col("qv"), col("recon"), col("recon"))))
+      // per-row: PQ distortion L2 (pqDistortion / ivfPqDistortion / kCenter)
+      time("fold_l2sq_hof")(forceRowSum(matBase,
+        aggregate(zip_with(col("embedding"), col("recon"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (s, x) => s + x)))
+      time("fold_l2sq_kernel")(forceRowSum(matBase,
+        vecL2Sq(col("embedding"), col("recon"))))
+      // per-row: power-iteration literal dot (the per-round scan expression)
+      val vl = array((0 until dim).map(i => lit(math.sin(i + 1) / 8.0)): _*)
+      time("fold_dotlit_hof")(forceRowSum(matBase,
+        aggregate(zip_with(col("recon"), vl, (x, b) => x * b),
+          lit(0.0), (s, x) => s + x)))
+      time("fold_dotlit_kernel")(forceRowSum(matBase, vecDot(col("recon"), vl)))
+      // per-row: residual norm² (removeDominantComponent's after-norm)
+      val comp = (0 until dim).map(i => math.cos(i + 1) / 8.0)
+      val dcol = vecDot(col("recon"), array(comp.map(lit): _*))
+      val wres = zip_with(col("recon"), array(comp.map(lit): _*),
+        (x, b) => x - dcol * b)
+      time("fold_residnorm_hof")(forceRowSum(matBase,
+        aggregate(zip_with(wres, wres, (x, y) => x * y), lit(0.0), (s, x) => s + x)))
+      time("fold_residnorm_kernel")(forceRowSum(matBase,
+        vecResidL2Sq(col("recon"), dcol, comp)))
+      // per-row: DSIR apply fold (dsirWeightWith, dim = 32 features)
+      val feats = transform(sequence(lit(0), lit(31)), i =>
+        (pmod(xxhash64(col("vec_id"), i, lit(19)), lit(64L)).cast("double")) / 2.0)
+      val lv = array((0 until 32).map(i => lit(1.0 + i / 32.0)): _*)
+      val matF = matBase.select(col("vec_id"), feats.as("f")).localCheckpoint(false)
+      time("fold_dotscaled_hof")(forceRowSum(matF,
+        aggregate(zip_with(col("f"), lv, (x, l) => (x / lit(32.0)) * l),
+          lit(0.0), (s, x) => s + x)))
+      time("fold_dotscaled_kernel")(forceRowSum(matF,
+        vecDotScaled(col("f"), lv, 32.0)))
+      matF.unpersist(); matBase.unpersist()
     }
     spark.stop()
   }

@@ -40,6 +40,54 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
+/** Binary sibling of [[NativeUnaryKernel]]: codegen calls back into
+  * `compute(a, b)` on the expression instance, keeping the children and
+  * the surrounding projection inside whole-stage codegen. Round 15: the
+  * ANN per-candidate scoring folds (`aggregate(zip_with(...))` — the
+  * DESIGN §17.1 CodegenFallback cost class) run per candidate PAIR
+  * (|queries|·|corpus| in the brute legs), the hottest row count in the
+  * ANN family; these kernels do the same arithmetic in one primitive
+  * loop. Precondition shared with VecDot: both arrays non-null-elemented
+  * and of equal length at every call site (the kernels clamp to the
+  * shorter length; the HOF forms they replace instead null-pad — equal
+  * lengths are guaranteed by construction at every site).
+  */
+trait NativeBinaryKernel extends BinaryExpression {
+  def compute(a: Any, b: Any): Any
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, classOf[NativeBinaryKernel].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ($javaType)(($boxed) $ref.compute($a, $b));")
+  }
+}
+
+/** Ternary sibling — for the fused folds whose HOF form nests two HOFs
+  * (e.g. ADC's dot-of-elementwise-sum).
+  */
+trait NativeTernaryKernel
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  def compute(a: Any, b: Any, c: Any): Any
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = compute(a, b, c)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftKernel", this, classOf[NativeTernaryKernel].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = ($javaType)(($boxed) $ref.compute($a, $b, $c));")
+  }
+}
+
 /** splitmix64 finalizer — the one deterministic mixer every hash-seeded
   * kernel derives its streams from (MinHash lane coefficients, LSH
   * hyperplanes). Arithmetic-progression schemes correlate lanes — see the
@@ -716,6 +764,297 @@ case class HashedBow(child: Expression, dim: Int, maxN: Int,
     copy(child = newChild)
 }
 
+/** Σ popcount(aᵢ xor bᵢ) over two array<long> of sign-bit chunks — the
+  * Hamming distance of binarized vectors. Bit-identical to the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> bigint(bit_count(x ^ y))), 0L, +)`:
+  * Long.bitCount is exactly SQL bit_count on BIGINT, and integer sums
+  * carry no order sensitivity at all.
+  */
+case class VecXorPopcount(left: Expression, right: Expression)
+    extends BinaryExpression with NativeBinaryKernel {
+  override def dataType: DataType = LongType
+
+  override def compute(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact integer dot Σ aᵢ·bᵢ over two array<long> (SQ8 code arrays:
+  * |element| ≤ 127, so dim·127² fits a long at any practical dim).
+  * Overflow is LOUD (Math.multiplyExact/addExact) — the same contract the
+  * ANSI-mode HOF fold it replaces has, where a long overflow kills the
+  * query at runtime rather than wrapping.
+  */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with NativeBinaryKernel {
+  override def dataType: DataType = LongType
+
+  override def compute(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s = Math.addExact(s, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Count of agreeing lanes Σ (aᵢ == bᵢ ? 1 : 0) over two array<long>
+  * (MinHash signatures) — the lane-agreement Jaccard estimator's
+  * numerator. Integer, order-free, identical to the HOF form seeded
+  * with int 0.
+  */
+case class VecEqCount(left: Expression, right: Expression)
+    extends BinaryExpression with NativeBinaryKernel {
+  override def dataType: DataType = IntegerType
+
+  override def compute(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) s += 1
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared L2 distance Σ (aᵢ − bᵢ)² accumulated in element order, double
+  * precision, float elements widened per side — bit-identical to the HOF
+  * form `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +)` (one
+  * subtract, one multiply, one add per element, same order), so PQ
+  * distortion monitors and k-center traversals keep their oracle hashes.
+  */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with NativeBinaryKernel {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused ADC score Σ qᵢ·(aᵢ + bᵢ) in element order — the IVF-PQ query's
+  * dot(query, centroid + residual-reconstruction) without materializing
+  * the elementwise sum per candidate pair. Bit-identical to
+  * `VecDot(q, zip_with(a, b, +))`: one add, one multiply, one accumulate
+  * per element, same order, float query elements widened exactly like
+  * VecDot.
+  */
+case class VecDotPlus(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with NativeTernaryKernel {
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(q: Any, a: Any, b: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(qv.numElements(), math.min(x.numElements(), y.numElements()))
+    val qf = elemIsFloat(first); val af = elemIsFloat(second); val bf = elemIsFloat(third)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val qe = if (qf) qv.getFloat(i).toDouble else qv.getDouble(i)
+      val ae = if (af) x.getFloat(i).toDouble else x.getDouble(i)
+      val be = if (bf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += qe * (ae + be)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Residual norm² Σ (vᵢ − d·bᵢ)² against a literal component vector `b`
+  * with a per-row scalar loading `d` — removeDominantComponent's
+  * after-projection norm in one pass. Bit-identical to the nested HOF
+  * form (per element: one multiply d·bᵢ, one subtract, one square via
+  * multiply, accumulate in order).
+  */
+case class VecResidL2Sq(left: Expression, right: Expression, component: Seq[Double])
+    extends BinaryExpression with NativeBinaryKernel {
+  override def dataType: DataType = DoubleType
+
+  private lazy val comp: Array[Double] = component.toArray
+  private lazy val elemFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val d = b.asInstanceOf[Double]
+    val n = math.min(v.numElements(), comp.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = (if (elemFloat) v.getFloat(i).toDouble else v.getDouble(i)) - d * comp(i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Pre-scaled dot Σ (aᵢ/divisor)·bᵢ in element order — the DSIR apply
+  * fold (features divided back to per-token means BEFORE the lift
+  * multiply; folding the divide into either side first is NOT
+  * bit-identical for non-power-of-two divisors, so the kernel keeps the
+  * HOF's exact operation order for any divisor).
+  */
+case class VecDotScaled(left: Expression, right: Expression, divisor: Double)
+    extends BinaryExpression with NativeBinaryKernel {
+  require(divisor != 0.0, "VecDotScaled: zero divisor")
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += (xv / divisor) * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-bit quantization: bit j of chunk c is set iff vec[32c + j] > 0 —
+  * one pass, array<long> of ⌈dim/32⌉ chunks of 32 bits each. Identical
+  * value to the Column-tree formulation (a 32-deep sum of distinct
+  * powers of two per chunk == OR of the same bits), which at dim 64 was
+  * a 128-branch CASE WHEN chain per row — measured re-evaluating per
+  * candidate PAIR when pipelined into the Hamming join stage (1M probe:
+  * hammingTopK 48 s → the kernel form restores the 1M-row cost).
+  */
+case class BinarizeSign(child: Expression, dim: Int)
+    extends UnaryExpression with NativeUnaryKernel {
+  require(dim >= 1, s"BinarizeSign: dim must be >= 1: $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val lim = math.min(dim, v.numElements())
+    val chunks = (dim + 31) / 32
+    val out = new Array[Long](chunks)
+    var i = 0
+    while (i < lim) {
+      val x = if (elemFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (x > 0) out(i >> 5) |= (1L << (i & 31))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Elementwise difference aᵢ − bᵢ as array<double> (residual computation:
+  * vector minus its centroid), float elements widened per side — identical
+  * to `zip_with(a, b, (x, y) -> double(x) - y)` on equal-length inputs,
+  * without the interpreted per-element lambda.
+  */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression with NativeBinaryKernel {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def compute(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      out(i) = xv - yv
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Column API for the native expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -723,6 +1062,36 @@ object VectorFunctions {
 
   def hashedBow(tokens: Column, dim: Int, maxN: Int, features: Boolean): Column =
     ColumnShim.column(HashedBow(ColumnShim.expression(tokens), dim, maxN, features))
+
+  def vecXorPopcount(a: Column, b: Column): Column =
+    ColumnShim.column(VecXorPopcount(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def vecDotLong(a: Column, b: Column): Column =
+    ColumnShim.column(VecDotLong(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def vecEqCount(a: Column, b: Column): Column =
+    ColumnShim.column(VecEqCount(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def vecL2Sq(a: Column, b: Column): Column =
+    ColumnShim.column(VecL2Sq(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def vecDotPlus(q: Column, a: Column, b: Column): Column =
+    ColumnShim.column(VecDotPlus(ColumnShim.expression(q), ColumnShim.expression(a),
+      ColumnShim.expression(b)))
+
+  def vecResidL2Sq(v: Column, d: Column, component: Seq[Double]): Column =
+    ColumnShim.column(VecResidL2Sq(ColumnShim.expression(v), ColumnShim.expression(d),
+      component))
+
+  def vecDotScaled(a: Column, b: Column, divisor: Double): Column =
+    ColumnShim.column(VecDotScaled(ColumnShim.expression(a), ColumnShim.expression(b),
+      divisor))
+
+  def vecSub(a: Column, b: Column): Column =
+    ColumnShim.column(VecSub(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def binarizeSign(vec: Column, dim: Int): Column =
+    ColumnShim.column(BinarizeSign(ColumnShim.expression(vec), dim))
 
   def minHashSig(shingles: Column, k: Int, p: Long = 2147483647L): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(shingles), k, p))

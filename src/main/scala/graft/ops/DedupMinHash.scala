@@ -387,9 +387,10 @@ trait DedupMinHash { self: Dedup.type =>
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // per-candidate-pair lane agreement — native kernel (round 15,
+      // DESIGN §18: 1M probe 6.7 → 1.0 s); integer census, same value
       .withColumn("agree",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x))
+        graft.functions.VectorFunctions.vecEqCount(col("sig_a"), col("sig_b")))
       .select(col("id_a"), col("id_b"),
         round(col("agree").cast("double") / k, 4).as("jaccard_est"))
   }

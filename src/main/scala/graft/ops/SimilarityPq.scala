@@ -205,8 +205,10 @@ trait SimilarityPq { self: Similarity.type =>
           col(vecCol), ids, mat, 1), 1).as("bucket"))
       .join(broadcast(centRelation(batch.sparkSession, ids, mat)), Seq("bucket"))
       .select(col(idCol), col("bucket"),
-        zip_with(col(vecCol), col("__cent"),
-          (x, c) => x.cast("double") - c).as("__resid"))
+        // elementwise subtract as a native kernel (round 15, DESIGN §18):
+        // zip_with is CodegenFallback; identical per-element arithmetic
+        graft.functions.VectorFunctions.vecSub(col(vecCol), col("__cent"))
+          .as("__resid"))
 
   /** Train the coarse quantizer, then the PQ codebooks ON THE RESIDUALS,
     * then encode every corpus row — assignment and encode are narrow
@@ -267,9 +269,11 @@ trait SimilarityPq { self: Similarity.type =>
       .join(broadcast(probes), Seq("bucket"))
       .join(broadcast(centRelation(encoded.sparkSession, ids, mat)), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("adc", dot(col("qv"),
-        zip_with(col("__cent"), pqReconstructCol(col("codes"), books),
-          (c, r) => c + r)))
+      // fused ADC per probed candidate pair — native kernel (round 15,
+      // DESIGN §18): 1M probe 7.4 → 0.9 s; Σ q·(cent + recon) in the same
+      // element order as dot(q, zip_with(+)), so adc bits are unchanged.
+      .withColumn("adc", graft.functions.VectorFunctions.vecDotPlus(col("qv"),
+        col("__cent"), pqReconstructCol(col("codes"), books)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col(idCol).asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -329,9 +333,10 @@ trait SimilarityPq { self: Similarity.type =>
     val rv = pqReconstructCol(
       graft.functions.VectorFunctions.pqEncodeCodes(col("__resid"), books.books), books)
     res.select(col(idCol),
-      round(aggregate(
-        zip_with(col("__resid"), rv, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x), 2).as("pq_err_r"))
+      // L2² fold as a native kernel (round 15, DESIGN §18: 1M probe
+      // 1.1 → 0.4 s) — same index-order (x−y)² accumulation
+      round(graft.functions.VectorFunctions.vecL2Sq(col("__resid"), rv), 2)
+        .as("pq_err_r"))
   }
 
   /** Drift-gated rebuild for the COMPOSITE index — `ivfMaybeRebuild`
@@ -365,9 +370,9 @@ trait SimilarityPq { self: Similarity.type =>
     val rv = pqReconstructCol(
       graft.functions.VectorFunctions.pqEncodeCodes(col(vecCol), books.books), books)
     corpus.select(col(idCol),
-      round(aggregate(
-        zip_with(col(vecCol), rv,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (s, x) => s + x), 4).as("pq_err_r"))
+      // same kernel as ivfPqDistortion (round 15); float elements widen
+      // per side exactly as the cast in the HOF form did
+      round(graft.functions.VectorFunctions.vecL2Sq(col(vecCol), rv), 4)
+        .as("pq_err_r"))
   }
 }

@@ -60,9 +60,11 @@ trait SimilaritySelect { self: Similarity.type =>
       df.select(col(idCol).as("id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .localCheckpoint(false))
+    // squared distance to a literal center — native kernel (round 15,
+    // DESIGN §18: the HOF fold is CodegenFallback and runs once per row
+    // per pending center per round); identical index-order (a−b)² fold
     def sqDistTo(c: Seq[Double]): Column =
-      aggregate(zip_with(col("v"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, x) => s + x)
+      graft.functions.VectorFunctions.vecL2Sq(col("v"), array(c.map(lit): _*))
     val seed = base.orderBy(col("id").asc).limit(1)
       .collect().headOption.getOrElse(
         throw new IllegalArgumentException("k-center coreset of an empty corpus"))
@@ -155,8 +157,10 @@ trait SimilaritySelect { self: Similarity.type =>
     val spark = corpus.sparkSession
     val m = if (poolM > 0) poolM else 64 * k
     require(m >= k, s"relevance pool ($m) must be at least k ($k)")
-    def fold(pairs: Column): Column = aggregate(pairs, lit(0.0), (s, x) => s + x)
-    def dotF(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => x * y))
+    // index-order Σx·y as the native VecDot kernel (round 15, DESIGN §18)
+    // — bit-identical to the HOF fold this op used through round 14
+    def dotF(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.vecDot(a, b)
     // the smallest-id query row anchors relevance (deterministic even if
     // the caller passes a multi-row relation)
     val qv = queries

@@ -68,8 +68,9 @@ trait SimilaritySpectral { self: Similarity.type =>
     var vcur: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
       val vl = array(vcur.map(lit).toIndexedSeq: _*)
-      val dotC = aggregate(zip_with(col("v"), vl, (x, b) => x * b),
-        lit(0.0), (s, x) => s + x)
+      // per-round scan dot as the native VecDot kernel (round 15, DESIGN
+      // §18: 1M probe 0.7 → 0.4 s per scan) — same element-order bits
+      val dotC = graft.functions.VectorFunctions.vecDot(col("v"), vl)
       // round → long → decimal: the addend is an integral double ≤ ~2³¹
       // (|x|·|x·v|·2²⁰ with unit v), so the long hop is exact — and
       // Decimal(long) skips the per-element BigDecimal conversion a
@@ -106,15 +107,17 @@ trait SimilaritySpectral { self: Similarity.type =>
                               vecCol: String = "embedding"): DataFrame = {
     val vl = array(component.map(lit).toIndexedSeq: _*)
     val vd = transform(col(vecCol), x => x.cast("double"))
-    def fold(pairs: Column): Column = aggregate(pairs, lit(0.0), (s, x) => s + x)
-    val d = fold(zip_with(vd, vl, (x, b) => x * b))
+    // all three per-row folds as native kernels (round 15, DESIGN §18:
+    // the nested residual-norm HOF measured 2.7 → 0.3 s at 1M) — VecDot
+    // for the loading and before-norm, VecResidL2Sq for the after-norm;
+    // identical element-order IEEE ops, oracle hash unchanged
+    import graft.functions.VectorFunctions.{vecDot, vecResidL2Sq}
+    val d = vecDot(vd, vl)
     df.select(col(idCol), vd.as("v"), d.as("d"))
       .select(col(idCol),
-        round(sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))), 4).as("l2_before_r"),
-        round(sqrt(fold(zip_with(
-          zip_with(col("v"), vl, (x, b) => x - col("d") * b),
-          zip_with(col("v"), vl, (x, b) => x - col("d") * b),
-          (x, y) => x * y))), 4).as("l2_after_r"))
+        round(sqrt(vecDot(col("v"), col("v"))), 4).as("l2_before_r"),
+        round(sqrt(vecResidL2Sq(col("v"), col("d"), component.toSeq)), 4)
+          .as("l2_after_r"))
   }
 
   /** Group-wise embedding mean pooling (per-cluster / per-shard centroids):

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-15 ANN fold kernels (the HashedBow parity pattern): each native
+  * kernel is pinned BIT-identical to the CodegenFallback HOF fold it
+  * replaces — same element order, same per-element operations, same
+  * widening — over deterministic pseudo-random data in both float and
+  * double array element types. Doubles compare by raw bits, not by ≈.
+  */
+class VecFoldKernelsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val n = 500
+  private val dim = 64
+
+  // deterministic pseudo-random test relation: double and float vectors,
+  // long "code"/"chunk" arrays — the shapes the production sites feed
+  private def base = spark.range(n).select(
+    col("id"),
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(col("id"), i), lit(2001L)).cast("double") - 1000.0) / 997.0)
+      .as("vd"),
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      ((pmod(xxhash64(col("id"), i, lit(3)), lit(2001L)).cast("double") - 1000.0) / 991.0)
+        .cast("float")).as("vf"),
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(col("id"), i, lit(5)), lit(255L)) - 127L)).as("ca"),
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(col("id"), i, lit(7)), lit(255L)) - 127L)).as("cb"),
+    transform(sequence(lit(0), lit(3)), i =>
+      xxhash64(col("id"), i, lit(11))).as("ha"),
+    transform(sequence(lit(0), lit(3)), i =>
+      when(pmod(xxhash64(col("id"), i, lit(13)), lit(2)) === 0,
+        xxhash64(col("id"), i, lit(11))) // half the chunks agree
+        .otherwise(xxhash64(col("id"), i, lit(17)))).as("hb"))
+
+  private def bitsEqual(dfGot: org.apache.spark.sql.DataFrame): Unit = {
+    val rows = dfGot.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (r.get(0), r.get(1)) match {
+        case (a: java.lang.Double, b: java.lang.Double) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ==
+            java.lang.Double.doubleToRawLongBits(b),
+            s"raw double bits differ: $a vs $b")
+        case (a, b) => assert(a == b, s"$a vs $b")
+      }
+    }
+  }
+
+  test("VecXorPopcount == aggregate(zip_with(bit_count(xor)))") {
+    bitsEqual(base.select(
+      VectorFunctions.vecXorPopcount(col("ha"), col("hb")),
+      aggregate(zip_with(col("ha"), col("hb"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (s, x) => s + x)))
+  }
+
+  test("VecDotLong == aggregate(zip_with(a*b)) and overflows LOUDLY") {
+    bitsEqual(base.select(
+      VectorFunctions.vecDotLong(col("ca"), col("cb")),
+      aggregate(zip_with(col("ca"), col("cb"), (a, b) => a * b),
+        lit(0L), (s, x) => s + x)))
+    // ANSI parity: a long overflow kills the query, never wraps
+    val big = spark.range(1).select(
+      array(lit(Long.MaxValue), lit(Long.MaxValue)).as("a"),
+      array(lit(2L), lit(2L)).as("b"))
+    val e = intercept[Exception](
+      big.select(VectorFunctions.vecDotLong(col("a"), col("b"))).collect())
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).isInstanceOf[ArithmeticException], s"must be loud: $e")
+  }
+
+  test("VecEqCount == aggregate(zip_with(when(===,1).otherwise(0)))") {
+    bitsEqual(base.select(
+      VectorFunctions.vecEqCount(col("ha"), col("hb")),
+      aggregate(zip_with(col("ha"), col("hb"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)))
+    // and the planted agreement actually exercises both branches
+    val tot = base.select(sum(VectorFunctions.vecEqCount(col("ha"), col("hb"))))
+      .head().getLong(0)
+    assert(tot > 0 && tot < n.toLong * 4, s"agreement census degenerate: $tot")
+  }
+
+  test("VecL2Sq == aggregate(zip_with((x-y)*(x-y))) — double×double and " +
+       "float×double") {
+    val scaled = transform(col("vd"), x => x * lit(0.5))
+    bitsEqual(base.select(
+      VectorFunctions.vecL2Sq(col("vd"), scaled),
+      aggregate(zip_with(col("vd"), scaled,
+        (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)))
+    bitsEqual(base.select(
+      VectorFunctions.vecL2Sq(col("vf"), col("vd")),
+      aggregate(zip_with(col("vf"), col("vd"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (s, x) => s + x)))
+  }
+
+  test("VecDotPlus == VecDot(q, zip_with(a, b, +)) — the fused ADC score") {
+    val scaled = transform(col("vd"), x => x * lit(0.25))
+    bitsEqual(base.select(
+      VectorFunctions.vecDotPlus(col("vf"), col("vd"), scaled),
+      VectorFunctions.vecDot(col("vf"),
+        zip_with(col("vd"), scaled, (a, b) => a + b))))
+  }
+
+  test("VecResidL2Sq == nested-HOF residual norm² against a literal component") {
+    val comp = (0 until dim).map(i => math.sin(i + 1) / 3.0)
+    val vl = array(comp.map(lit): _*)
+    val d = VectorFunctions.vecDot(col("vd"), vl)
+    val w = zip_with(col("vd"), vl, (x, b) => x - d * b)
+    bitsEqual(base.select(
+      VectorFunctions.vecResidL2Sq(col("vd"), d, comp),
+      aggregate(zip_with(w, w, (x, y) => x * y), lit(0.0), (s, x) => s + x)))
+  }
+
+  test("VecDotScaled == aggregate(zip_with((x/div)*l)) for a NON-power-of-two " +
+       "divisor (operation order preserved, not algebraically folded)") {
+    for (div <- Seq(32.0, 24.0)) {
+      bitsEqual(base.select(
+        VectorFunctions.vecDotScaled(col("vd"), col("vf"), div),
+        aggregate(zip_with(col("vd"), col("vf"),
+          (x, l) => (x / lit(div)) * l), lit(0.0), (s, x) => s + x)))
+    }
+  }
+
+  test("VecSub == zip_with(a, b, double(x) - y), float widened per side") {
+    val rows = base.select(
+      VectorFunctions.vecSub(col("vf"), col("vd")),
+      zip_with(col("vf"), col("vd"), (x, y) => x.cast("double") - y)).collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.size == b.size)
+      a.indices.foreach(i =>
+        assert(java.lang.Double.doubleToRawLongBits(a(i)) ==
+          java.lang.Double.doubleToRawLongBits(b(i))))
+    }
+  }
+
+  test("BinarizeSign kernel == the round-14 Column-tree formulation " +
+       "(sum of distinct powers per 32-bit chunk, strict > 0 rule)") {
+    // the exact expression tree binarizeSign shipped through round 14
+    def treeForm(vec: org.apache.spark.sql.Column, dim: Int) = {
+      val chunks = (dim + 31) / 32
+      array((0 until chunks).map { c =>
+        val hi = math.min(32, dim - c * 32)
+        (0 until hi).map(j =>
+          when(element_at(vec, c * 32 + j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      }: _*)
+    }
+    for (d <- Seq(64, 33, 7)) { // full chunks, ragged tail, sub-chunk
+      val rows = base.select(
+        VectorFunctions.binarizeSign(col("vf"), d),
+        treeForm(col("vf"), d)).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"dim $d: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+      // double-element arrays too (the float/double widening seam)
+      val rowsD = base.select(
+        VectorFunctions.binarizeSign(col("vd"), d),
+        treeForm(col("vd"), d)).collect()
+      rowsD.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    }
+  }
+
+  test("fold kernels stay inside whole-stage codegen (no CodegenFallback " +
+       "subtree in the plan)") {
+    // materialize the synthesized arrays first: the transform() HOFs that
+    // BUILD the test data are themselves CodegenFallback and would drag
+    // the whole projection to interpreted eval — production sites read
+    // plain array columns from parquet/cache
+    val mat = base.localCheckpoint(false)
+    val df = mat.select(
+      VectorFunctions.vecXorPopcount(col("ha"), col("hb")).as("h"),
+      VectorFunctions.vecDotLong(col("ca"), col("cb")).as("d"),
+      VectorFunctions.vecL2Sq(col("vd"), col("vf")).as("l"))
+    // the `*(n)` prefix in the plan string IS the WholeStageCodegen marker;
+    // assert the projection node itself carries it (an interpreted fallback
+    // would print an unstarred Project)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("),
+      s"kernel projection fell out of whole-stage codegen:\n$plan")
+    mat.unpersist()
+  }
+}
