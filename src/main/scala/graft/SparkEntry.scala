@@ -820,7 +820,7 @@ object SparkEntry {
         .select(col("doc_id"), col("bloom_hits"))
       TextAnalysis.decontaminationScore(
           docs, docs.filter(col("doc_id") < 10), "doc_id", "text", 3)
-        .join(approx, "doc_id")
+        .join(approx.hint("merge"), "doc_id")
         .select(col("doc_id"), col("n_grams"), col("bench_hits"),
           (col("bloom_hits") >= col("bench_hits")).as("bloom_superset_ok"))
         .orderBy(col("doc_id"))
@@ -948,7 +948,7 @@ object SparkEntry {
       val words = docs.select(col("doc_id"), col("lang"),
         size(filter(TextAnalysis.tokens(col("text")),
           w => length(w) > 0)).as("nw"))
-      words.join(enc, "doc_id")
+      words.join(enc.hint("merge"), "doc_id")
         .groupBy(col("lang"))
         .agg(sum(col("n_tokens").cast("long")).as("n_pieces"),
           sum(col("nw").cast("long")).as("n_words"),
@@ -2225,10 +2225,14 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).cast("long").as("qty"))
         .localCheckpoint(false))
       val tot = ps.groupBy(col("l_partkey")).agg(sum(col("qty")).as("total_qty"))
-      val red = broadcast(t(s, dir, "part")
-        .filter(col("p_name").contains("red")).select(col("p_partkey")))
-      val excess = ps.join(tot, "l_partkey")
-        .join(red, col("l_partkey") === col("p_partkey"))
+      // round 15: red is a ~25%-selectivity filter of a table that GROWS
+      // with the corpus — broadcast-pinning it (round-9 form) ships an
+      // unbounded relation to every executor at 100 TB; merge-pin instead
+      // (the mechanical CorpusJoinHintSpec rule)
+      val red = t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select(col("p_partkey"))
+      val excess = ps.join(tot.hint("merge"), "l_partkey")
+        .join(red.hint("merge"), col("l_partkey") === col("p_partkey"))
         .filter(col("qty") * 8 > col("total_qty"))
         .select(col("l_suppkey"))
       t(s, dir, "supplier")

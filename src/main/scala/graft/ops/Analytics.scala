@@ -483,7 +483,10 @@ object Analytics {
       .reduce(_ unionByName _)
     // answering bucket per wanted rank: smallest bucket with cum ≥ rank,
     // carrying the bucket's exclusive offset — census-grain work only
-    val probes = wanted.join(cum, Seq(groupCol))
+    // merge-pinned (round-15 mechanical sweep): cum is a stats-less
+    // checkpoint whose occupied-bucket count grows until the lattice
+    // saturates — census-grain rows, so the SMJ is trivially cheap
+    val probes = wanted.join(cum.hint("merge"), Seq(groupCol))
       .filter(col("__cum") >= col("__rk"))
       .groupBy(col(groupCol), col("q"), col("__pos"), col("__which"), col("__rk"))
       .agg(min(struct(col("__vb"), (col("__cum") - col("__cnt")).as("__off"))).as("__b"))

@@ -185,7 +185,7 @@ trait DedupCluster { self: Dedup.type =>
     ).select(col("id"), col("sim"), col("cc.chunk"), col("cc.ck"))
     val l = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("chunk", "ck"))
+    l.join(r.hint("merge"), Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))

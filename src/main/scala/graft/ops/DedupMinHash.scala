@@ -74,11 +74,14 @@ trait DedupMinHash { self: Dedup.type =>
         val sizes = bucketed.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") <= maxBucketSize)
-        bucketed.join(sizes.select(col("band"), col("bucket")), Seq("band", "bucket"), "leftsemi")
+        // merge-pinned (round-15 mechanical sweep): the size census is
+        // corpus-derived — never an AQE broadcast candidate
+        bucketed.join(sizes.select(col("band"), col("bucket")).hint("merge"),
+          Seq("band", "bucket"), "leftsemi")
       }
     val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
+    l.join(r.hint("merge"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -96,8 +99,8 @@ trait DedupMinHash { self: Dedup.type =>
     val cand = minHashCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -385,8 +388,8 @@ trait DedupMinHash { self: Dedup.type =>
         .localCheckpoint(false))
     val cand = bucketCandidatePairs(sigBandBuckets(sigs, bands, rowsPerBand), 0)
     cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")).hint("merge"), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")).hint("merge"), "id_b")
       // per-candidate-pair lane agreement — native kernel (round 15,
       // DESIGN §18: 1M probe 6.7 → 1.0 s); integer census, same value
       .withColumn("agree",
@@ -403,12 +406,13 @@ trait DedupMinHash { self: Dedup.type =>
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val ex = sh.select(col("id"), explode(col("sh")).as("g"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inter = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    val inter = ex.as("a").join(ex.as("b").hint("merge"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")).hint("merge"), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")).hint("merge"), "id_b")
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -656,14 +660,15 @@ trait DedupMinHash { self: Dedup.type =>
       .withColumn("__det", lit(1L))
     val ex = shs.select(col("id"), explode(col("sh")).as("g"))
     val sizes = shs.select(col("id"), size(col("sh")).as("n"))
-    val truth = ex.as("a").join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    val truth = ex.as("a").join(ex.as("b").hint("merge"),
+      col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")), "id_b")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "na")).hint("merge"), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "nb")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         expr("CAST((inter * 10) DIV (na + nb - inter) AS INT)").as("jband"))
-    truth.join(det, Seq("id_a", "id_b"), "full_outer")
+    truth.join(det.hint("merge"), Seq("id_a", "id_b"), "full_outer")
       .select(coalesce(col("jband"), lit(0)).as("jband"),
         coalesce(col("__det"), lit(0L)).as("det"))
       .groupBy(col("jband"))

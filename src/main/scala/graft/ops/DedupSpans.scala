@@ -46,12 +46,12 @@ trait DedupSpans { self: Dedup.type =>
       .groupBy(col("gram")).agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gram"))
-    val dupPerDoc = positioned.join(dupGrams, Seq("gram"), "leftsemi")
+    val dupPerDoc = positioned.join(dupGrams.hint("merge"), Seq("gram"), "leftsemi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup"), min(col("pos")).as("first_dup_pos"))
     base
       .select(col("id"), greatest(size(col("w")) - (n - 1), lit(0)).as("n_grams"))
-      .join(dupPerDoc, Seq("id"), "left")
+      .join(dupPerDoc.hint("merge"), Seq("id"), "left")
       .select(col("id").as(idCol), col("n_grams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(col("n_dup"), lit(0L)).cast("double")
@@ -152,12 +152,12 @@ trait DedupSpans { self: Dedup.type =>
     val base = corpus.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
     val positioned = positionedGrams(corpus, idCol, textCol, n, index.hashGrams)
     // token positions covered by any flagged gram's [pos, pos+n-1] span
-    val covered = positioned.join(index.dupGrams, Seq("gram"), "leftsemi")
+    val covered = positioned.join(index.dupGrams.hint("merge"), Seq("gram"), "leftsemi")
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("t"))
       .distinct()
     val toksPos = base.select(col("id"), posexplode(col("w")).as(Seq("t", "tok")))
-    val kept = toksPos.join(covered, Seq("id", "t"), "leftanti")
+    val kept = toksPos.join(covered.hint("merge"), Seq("id", "t"), "leftanti")
       .groupBy(col("id"))
       // buffer-bound: kept tokens of ONE document (document length)
       .agg(count(lit(1)).as("n_kept"),
@@ -165,7 +165,7 @@ trait DedupSpans { self: Dedup.type =>
           transform(array_sort(collect_list(struct(col("t"), col("tok")))),
             s => s.getField("tok")), " ").as("text_clean"))
     base.select(col("id"), size(col("w")).as("n_tokens"))
-      .join(kept, Seq("id"), "left")
+      .join(kept.hint("merge"), Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),

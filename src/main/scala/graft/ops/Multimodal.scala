@@ -232,7 +232,7 @@ object Multimodal {
       col("id").as("id_a"), col("phash").as("h_a"))
     val r = chunked.select(col("chunk"), col("ck"),
       col("id").as("id_b"), col("phash").as("h_b"))
-    l.join(r, Seq("chunk", "ck"))
+    l.join(r.hint("merge"), Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
@@ -325,10 +325,10 @@ object Multimodal {
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") > maxBucketSize)
           .select(col("chunk"), col("ck"))
-        (nb.join(hot, Seq("chunk", "ck"), "leftanti"),
-          rb.join(hot, Seq("chunk", "ck"), "leftanti"))
+        (nb.join(hot.hint("merge"), Seq("chunk", "ck"), "leftanti"),
+          rb.join(hot.hint("merge"), Seq("chunk", "ck"), "leftanti"))
       }
-    nbB.join(rbB, Seq("chunk", "ck"))
+    nbB.join(rbB.hint("merge"), Seq("chunk", "ck"))
       .select(col("id_new"), col("id_ref"),
         bit_count(col("h_new").bitwiseXOR(col("h_ref"))).as("hamming"))
       .distinct()
@@ -461,16 +461,16 @@ object Multimodal {
         val viral = sig.groupBy(col("frame_fp"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") > maxFrameDf)
           .select(col("frame_fp"))
-        sig.join(viral, Seq("frame_fp"), "leftanti")
+        sig.join(viral.hint("merge"), Seq("frame_fp"), "leftanti")
       }
     val sizes = sigB.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
     val shared = sigB.select(col("frame_fp"), col("media_id").as("id_a"))
-      .join(sigB.select(col("frame_fp"), col("media_id").as("id_b")), Seq("frame_fp"))
+      .join(sigB.select(col("frame_fp"), col("media_id").as("id_b")).hint("merge"), Seq("frame_fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.select(col("media_id").as("id_a"), col("n_frames").as("__na")), "id_a")
-      .join(sizes.select(col("media_id").as("id_b"), col("n_frames").as("__nb")), "id_b")
+      .join(sizes.select(col("media_id").as("id_a"), col("n_frames").as("__na")).hint("merge"), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n_frames").as("__nb")).hint("merge"), "id_b")
       .withColumn("jaccard_r", round(col("n_shared").cast("double") /
         (col("__na") + col("__nb") - col("n_shared")), 4))
       .filter(col("jaccard_r") >= threshold)
@@ -542,13 +542,13 @@ object Multimodal {
         val viral = rf.groupBy(col("frame_fp"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") > maxFrameDf)
           .select(col("frame_fp"))
-        (sigN.join(viral, Seq("frame_fp"), "leftanti"),
-          rf.join(viral, Seq("frame_fp"), "leftanti"))
+        (sigN.join(viral.hint("merge"), Seq("frame_fp"), "leftanti"),
+          rf.join(viral.hint("merge"), Seq("frame_fp"), "leftanti"))
       }
-    snB.join(rfB, Seq("frame_fp"))
+    snB.join(rfB.hint("merge"), Seq("frame_fp"))
       .groupBy(col("id_new"), col("id_ref")).agg(count(lit(1)).as("__sh"))
-      .join(sizesN, "id_new")
-      .join(index.refSizes, "id_ref")
+      .join(sizesN.hint("merge"), "id_new")
+      .join(index.refSizes.hint("merge"), "id_ref")
       .withColumn("__jac", round(col("__sh").cast("double") /
         (col("__nn") + col("__nr") - col("__sh")), 4))
       .filter(col("__jac") >= threshold)

@@ -72,12 +72,14 @@ trait SimilarityNearDup { self: Similarity.type =>
       col(vecCol).as("va"), norm(col(vecCol)).as("na"))
     val b = probed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
-    val dropped = a.join(b, "bucket")
+    // merge-pinned (round-15 mechanical sweep): both probed sides are
+    // corpus-derived — the build choice never rides an AQE estimate
+    val dropped = a.join(b.hint("merge"), "bucket")
       .filter(col("id_b") > col("id_a") &&
         dot(col("va"), col("vb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("id_b").as(idCol)).distinct()
     assigned.select(col(idCol), col("bucket"))
-      .join(dropped.withColumn("__dup", lit(1)), Seq(idCol), "left")
+      .join(dropped.withColumn("__dup", lit(1)).hint("merge"), Seq(idCol), "left")
       .select(col(idCol), col("bucket"), col("__dup").isNull.as("keep"))
   }
   /** Deterministic random-hyperplane matrix: `planes` rows of `dim`
@@ -226,14 +228,15 @@ trait SimilarityNearDup { self: Similarity.type =>
           .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") <= maxBucketSize)
           .select(col("band"), col("bucket"))
-        (nb.join(ok, Seq("band", "bucket"), "leftsemi"),
-          rb.join(ok, Seq("band", "bucket"), "leftsemi"))
+        (nb.join(ok.hint("merge"), Seq("band", "bucket"), "leftsemi"),
+          rb.join(ok.hint("merge"), Seq("band", "bucket"), "leftsemi"))
       }
-    val cand = nbB.join(rbB, Seq("band", "bucket"))
+    val cand = nbB.join(rbB.hint("merge"), Seq("band", "bucket"))
       .select(col("id_new"), col("id_ref")).distinct()
     val vn = corpus.select(col(idCol).as("id_new"), col(vecCol).as("__vn"),
       norm(col(vecCol)).as("__nn"))
-    cand.join(vn, "id_new").join(index.refVecs, "id_ref")
+    cand.join(vn.hint("merge"), "id_new")
+      .join(index.refVecs.hint("merge"), "id_ref")
       .withColumn("__cos", dot(col("__vn"), col("__vr")) / (col("__nn") * col("__nr")))
       .filter(col("__cos") >= threshold)
       .groupBy(col("id_new"))
@@ -288,8 +291,8 @@ trait SimilarityNearDup { self: Similarity.type =>
     // same rounded doubles) as the brute-force oracle
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")).hint("merge"), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")).hint("merge"), "id_b")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine_r"))

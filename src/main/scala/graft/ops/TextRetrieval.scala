@@ -40,7 +40,10 @@ trait TextRetrieval { self: TextAnalysis.type =>
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    // merge-pinned (round-15 mechanical sweep): the df census saturates
+    // on the 31-word test vocabulary but grows by Heaps' law in the wild —
+    // same pin as the simjoin twin below
+    tf.join(dfreq.hint("merge"), "term")
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

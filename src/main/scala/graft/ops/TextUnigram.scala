@@ -374,13 +374,17 @@ trait TextUnigram { self: TextAnalysis.type =>
             "the 8-byte exchange key is ambiguous for this vocab; widen " +
             "the key")).isNull, col("__np")).as("__np"),
         col("__ss"))
+    // merge-pinned (round-15 mechanical sweep): the distinct-chunk vocab
+    // side is corpus-derived (Heaps-law growth — the planted >MaxLen
+    // tokens make it grow at every SF) and must never ride an AQE
+    // broadcast decision
     val perDoc = words.select(col("__id"), xxhash64(col("__w")).as("__wh"))
-      .join(encByHash, "__wh")
+      .join(encByHash.hint("merge"), "__wh")
       .groupBy(col("__id")).agg(
         sum(col("__np")).cast("long").as("n_tokens"),
         (-sum(col("__ss"))).cast("long").as("bits_fp"))
       .withColumnRenamed("__id", idCol)
-    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    df.select(col(idCol)).join(perDoc.hint("merge"), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("bits_fp"), lit(0L)).as("bits_fp"))
   }

@@ -143,9 +143,10 @@ trait TextVocab { self: TextAnalysis.type =>
     * independent — via one `mapPartitions` kernel with the merge table in
     * a broadcast (the word→pieces cache every production tokenizer keeps,
     * materialized as a relation); documents then re-acquire their words'
-    * piece arrays through ONE equi-join on the word. AQE broadcasts the
-    * encoded vocab while it is small; at web-corpus vocab sizes it is a
-    * shuffle on the word, where a hot stopword skews only the join INPUT
+    * piece arrays through ONE equi-join on the word — merge-pinned since
+    * round 15 (the vocab is corpus-derived and grows by Heaps' law, so
+    * the build side never rides an AQE size estimate; CorpusJoinHintSpec
+    * sweeps this mechanically). A hot stopword skews only the join INPUT
     * (each word row matches exactly one vocab row — no bucket blow-up).
     * Reassembly is one collect_list keyed by the data-scale doc id (one
     * document's word list per buffer — the packBins grain).
@@ -199,9 +200,10 @@ trait TextVocab { self: TextAnalysis.type =>
           lit("bpeEncode: xxhash64 collision across distinct words — the " +
             "8-byte exchange key is ambiguous for this vocab; widen the " +
             "key")).isNull, col("__pieces")).as("__pieces"))
+    // merge-pinned (round-15 mechanical sweep, the unigramScore argument)
     val perDoc = words.select(col("__id"), col("__wpos"),
         xxhash64(col("__w")).as("__wh"))
-      .join(encByHash, "__wh")
+      .join(encByHash.hint("merge"), "__wh")
       .groupBy(col("__id"))
       // buffer-bound: pieces of ONE document (document length)
       .agg(flatten(transform(
@@ -209,7 +211,7 @@ trait TextVocab { self: TextAnalysis.type =>
         s => s.getField("__pieces"))).as("enc_tokens"))
       .withColumnRenamed("__id", idCol)
     df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDoc.hint("merge"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("enc_tokens"), array().cast("array<string>")).as("enc_tokens"))
       .withColumn("n_tokens", size(col("enc_tokens")))
