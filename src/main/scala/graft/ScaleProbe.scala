@@ -145,6 +145,21 @@ object ScaleProbe {
         docs.select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("payload")),
         frameBytes = 64, threshold = 0.5).count())
+    // round-15 audio near-dup at n recordings: every odd doc is its even
+    // neighbor's text behind a 16-byte (one-hop) prefix — the hop-aligned
+    // time shift preserves every interior constellation landmark, so the
+    // inverted landmark index must pull ~n/2 twin pairs; the df cap keeps
+    // the background landmarks of the 31-word vocabulary from going
+    // quadratic (capped-set Jaccard, op scaladoc)
+    time("audio_neardups_1M")(
+      graft.ops.Multimodal.audioNearDups(
+        docs.select(col("doc_id").as("media_id"),
+          encode(when(pmod(col("doc_id"), lit(2)) === 1,
+              concat(lpad(col("doc_id").cast("string"), 14, "0"), lit(": "),
+                col("text")))
+            .otherwise(col("text")), "UTF-8").as("payload")),
+        windowBytes = 32, hop = 16, threshold = 0.5, maxLandmarkDf = 20)
+        .count())
     // inverted-index build: one distinct term-doc exchange + broadcast
     // top-k roster + sorted posting assembly
     time("postings_top20")(

@@ -2495,6 +2495,47 @@ object SparkEntry {
           threshold = 0.5)
         .orderBy(col("id_new"))
     }),
+    "mm_audio_neardups" -> ((s, dir) => {
+      // audio near-dup via constellation-landmark set overlap
+      // (Multimodal.audioNearDups — round 15, the fifth modality on the
+      // near-dup seam): each doc's payload plus a planted "time-shifted
+      // re-encode" (the SAME bytes behind a prefix of EXACTLY one hop —
+      // lpad(doc_id, 14) + ": " = 16 bytes — so every window shifts by
+      // one index and ALL interior landmarks survive, the hop-alignment
+      // property the op exists for); maxLandmarkDf=20 is the
+      // background-noise cap (capped-set Jaccard — op scaladoc)
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+        .select(col("media_id"), col("payload"))
+      val twins = docs.select(
+        (col("doc_id") + lit(10000000L)).as("media_id"),
+        encode(concat(lpad(col("doc_id").cast("string"), 14, "0"),
+          lit(": "), col("text")), "UTF-8").as("payload"))
+      Multimodal.audioNearDups(media.unionByName(twins),
+          windowBytes = 32, hop = 16, threshold = 0.5, maxLandmarkDf = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "mm_audio_cross_corpus" -> ((s, dir) => {
+      // audio near-dup against a PREBUILT landmark index
+      // (Multimodal.audioIndexBuild / audioNearDupsWith): even ids are
+      // the static reference; the batch is the odd half plus hop-aligned
+      // prefixed re-encodes of the reference — each re-encode
+      // best-matches its own original through the surviving landmarks
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+        .select(col("media_id"), col("payload"))
+      val ref = media.filter(col("media_id") % 2 === 0)
+      val batch = media.filter(col("media_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0).select(
+          (col("doc_id") + lit(10000000L)).as("media_id"),
+          encode(concat(lpad(col("doc_id").cast("string"), 14, "0"),
+            lit(": "), col("text")), "UTF-8").as("payload")))
+      Multimodal.audioNearDupsWith(batch,
+          Multimodal.audioIndexBuild(ref, windowBytes = 32, hop = 16,
+            maxLandmarkDf = 20),
+          threshold = 0.5)
+        .orderBy(col("id_new"))
+    }),
     "mm_phash_cross_corpus" -> ((s, dir) => {
       // cross-corpus image near-dup against a PREBUILT reference index
       // (Multimodal.phashBuild / phashNearDupsWith — the round-9 artifact
@@ -4280,6 +4321,91 @@ object SparkEntry {
           |FROM sh JOIN sz x ON x.media_id = id_a JOIN sz y ON y.media_id = id_b
           |WHERE round(CAST(n_shared AS DOUBLE)/(x.nf + y.nf - n_shared), 4) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+      "mm_audio_neardups" ->
+        // constellation landmarks over overlapping 32-byte windows at
+        // hop 16: per-window feature = the text_fingerprint rolling hash
+        // of the window (list_reduce fold over accumulator + element only
+        // — the DuckDB v1.0 lambda-correlation rule); landmark packs
+        // consecutive window features (f_i·2^30 + f_j); background cap
+        // df>20 removes landmarks from SETS AND denominators (capped-set
+        // Jaccard, the op scaladoc)
+        """WITH d AS (SELECT doc_id AS media_id, text AS s FROM documents
+          |           UNION ALL
+          |           SELECT doc_id + 10000000 AS media_id,
+          |                  lpad(CAST(doc_id AS VARCHAR), 14, '0') || ': ' || text AS s
+          |           FROM documents),
+          |win AS (SELECT media_id, i, substr(s, i*16 + 1, 32) AS w
+          |        FROM d, unnest(generate_series(0, (length(s)-32)//16)) AS u(i)
+          |        WHERE length(s) >= 48),
+          |fp AS (SELECT media_id, i, list_reduce(
+          |         list_prepend(CAST(0 AS BIGINT),
+          |           list_transform(range(1, length(w)+1),
+          |             j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))),
+          |         (h, c) -> (h*31 + c) % 1000000007) AS f
+          |       FROM win),
+          |lm0 AS (SELECT DISTINCT a.media_id, a.f * 1073741824 + b.f AS lm
+          |        FROM fp a JOIN fp b ON a.media_id = b.media_id AND b.i = a.i + 1),
+          |viral AS (SELECT lm FROM lm0 GROUP BY lm HAVING count(*) > 20),
+          |lm AS (SELECT * FROM lm0 WHERE lm NOT IN (SELECT lm FROM viral)),
+          |sz AS (SELECT media_id, count(*) AS nl FROM lm GROUP BY media_id),
+          |sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS n_shared
+          |       FROM lm a JOIN lm b ON a.lm = b.lm AND a.media_id < b.media_id
+          |       GROUP BY 1, 2)
+          |SELECT id_a, id_b, n_shared,
+          |  round(CAST(n_shared AS DOUBLE)/(x.nl + y.nl - n_shared), 4) AS jaccard_r
+          |FROM sh JOIN sz x ON x.media_id = id_a JOIN sz y ON y.media_id = id_b
+          |WHERE round(CAST(n_shared AS DOUBLE)/(x.nl + y.nl - n_shared), 4) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
+      "mm_audio_cross_corpus" ->
+        // same landmark chain split ref/batch; REFERENCE-side viral cap
+        // only (batch-invariant); batch sizes counted after dropping the
+        // reference's background landmarks; best match per new recording
+        // (max jaccard, ties smallest reference id)
+        """WITH nw0 AS (SELECT doc_id AS media_id, text AS s FROM documents WHERE doc_id % 2 = 1
+          |             UNION ALL
+          |             SELECT doc_id + 10000000 AS media_id,
+          |                    lpad(CAST(doc_id AS VARCHAR), 14, '0') || ': ' || text AS s
+          |             FROM documents WHERE doc_id % 2 = 0),
+          |rf0 AS (SELECT doc_id AS media_id, text AS s FROM documents WHERE doc_id % 2 = 0),
+          |nwin AS (SELECT media_id, i, substr(s, i*16 + 1, 32) AS w
+          |         FROM nw0, unnest(generate_series(0, (length(s)-32)//16)) AS u(i)
+          |         WHERE length(s) >= 48),
+          |rwin AS (SELECT media_id, i, substr(s, i*16 + 1, 32) AS w
+          |         FROM rf0, unnest(generate_series(0, (length(s)-32)//16)) AS u(i)
+          |         WHERE length(s) >= 48),
+          |nfp AS (SELECT media_id, i, list_reduce(
+          |          list_prepend(CAST(0 AS BIGINT),
+          |            list_transform(range(1, length(w)+1),
+          |              j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))),
+          |          (h, c) -> (h*31 + c) % 1000000007) AS f
+          |        FROM nwin),
+          |rfp AS (SELECT media_id, i, list_reduce(
+          |          list_prepend(CAST(0 AS BIGINT),
+          |            list_transform(range(1, length(w)+1),
+          |              j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))),
+          |          (h, c) -> (h*31 + c) % 1000000007) AS f
+          |        FROM rwin),
+          |nlm0 AS (SELECT DISTINCT a.media_id, a.f * 1073741824 + b.f AS lm
+          |         FROM nfp a JOIN nfp b ON a.media_id = b.media_id AND b.i = a.i + 1),
+          |rlm0 AS (SELECT DISTINCT a.media_id, a.f * 1073741824 + b.f AS lm
+          |         FROM rfp a JOIN rfp b ON a.media_id = b.media_id AND b.i = a.i + 1),
+          |viral AS (SELECT lm FROM rlm0 GROUP BY lm HAVING count(*) > 20),
+          |rlm AS (SELECT * FROM rlm0 WHERE lm NOT IN (SELECT lm FROM viral)),
+          |nlm AS (SELECT * FROM nlm0 WHERE lm NOT IN (SELECT lm FROM viral)),
+          |nsz AS (SELECT media_id, count(*) AS nn FROM nlm GROUP BY media_id),
+          |rsz AS (SELECT media_id, count(*) AS nr FROM rlm GROUP BY media_id),
+          |sh AS (SELECT n.media_id AS id_new, r.media_id AS id_ref, count(*) AS sc
+          |       FROM nlm n JOIN rlm r ON n.lm = r.lm GROUP BY 1, 2),
+          |j AS (SELECT id_new, id_ref,
+          |        round(CAST(sc AS DOUBLE)/(x.nn + y.nr - sc), 4) AS jac
+          |      FROM sh JOIN nsz x ON x.media_id = id_new
+          |              JOIN rsz y ON y.media_id = id_ref
+          |      WHERE round(CAST(sc AS DOUBLE)/(x.nn + y.nr - sc), 4) >= 0.5)
+          |SELECT id_new, id_ref AS matched_ref, jac AS best_jaccard
+          |FROM (SELECT *, row_number() OVER (PARTITION BY id_new
+          |                                   ORDER BY jac DESC, id_ref) AS rn
+          |      FROM j)
+          |WHERE rn = 1 ORDER BY id_new""".stripMargin,
       "mm_video_cross_corpus" ->
         // same frame/fingerprint CTEs as mm_video_neardups; brute-force
         // (new × ref) Jaccard then best match per new video (max

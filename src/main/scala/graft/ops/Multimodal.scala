@@ -602,6 +602,276 @@ object Multimodal {
         col("jaccard_r"))
   }
 
+  // ------------------------------------------------------------------ audio
+
+  /** The per-plane audio landmark kernel (round 15 — the fifth modality on
+    * the Build/With/streaming seam): Shazam-style constellation pairs
+    * [Wang, ISMIR 2003] over OVERLAPPING windows of the decoded byte
+    * plane. Window i covers plane bytes [i·hop, i·hop + windowBytes); its
+    * per-window feature is the window's content FINGERPRINT (the repo's
+    * rolling hash, h ← (31h + byte) mod 1e9+7 — the fake-PCM stand-in
+    * for a quantized spectral-peak descriptor; a real decoder swaps a
+    * peak extractor into the same seam), and a landmark packs
+    * consecutive windows' features into one long (fᵢ·2³⁰ + fⱼ — both
+    * < 1e9+7 < 2³⁰, so the pack is exact and positive). The
+    * CONSTELLATION structure is the audio-specific part: OVERLAP (video
+    * frames are disjoint) means a trim or prepend of a whole number of
+    * hops shifts every window index by a constant, so ALL interior
+    * landmarks survive a hop-aligned time shift — the
+    * time-shifted-copy robustness audio fingerprinting exists for,
+    * spec-pinned. Planes shorter than windowBytes+hop yield no landmarks
+    * (nothing to pair) — such rows are never flagged.
+    *
+    * Measured design correction (DESIGN §18.3): the first cut used
+    * (max byte, position) peaks as the per-window feature and was caught
+    * by its own 1M probe — on a homogeneous corpus that feature carries
+    * ~10 bits of entropy, every landmark went over the background cap,
+    * and the capped sets were EMPTY (0 pairs from 500k planted twins).
+    * The content fingerprint keeps the constellation structure with
+    * ~60-bit landmarks; the probe now pulls the planted twins.
+    */
+  private def audioLandmarksOf(p: Array[Byte], w: Int, hop: Int): Array[Long] = {
+    val n = p.length
+    if (n < w + hop) return Array.emptyLongArray
+    val nw = (n - w) / hop + 1
+    val f = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      var h = 0L
+      var j = 0
+      while (j < w) {
+        h = (h * 31 + (p(i * hop + j) & 0xFF)) % 1000000007L
+        j += 1
+      }
+      f(i) = h
+      i += 1
+    }
+    val out = new Array[Long](nw - 1)
+    var k = 0
+    while (k < nw - 1) {
+      out(k) = f(k) * (1L << 30) + f(k + 1)
+      k += 1
+    }
+    out
+  }
+
+  /** DISTINCT landmark set per media row: decode through the SAME
+    * per-partition [[DecoderFactory]] seam as `perceptualHash` (a real
+    * PCM decoder slots in; the default plane is the payload bytes), then
+    * the constellation kernel. Output (media_id, landmark) — fixed-width
+    * rows; payload bytes never shuffle.
+    */
+  def audioLandmarks(media: DataFrame, windowBytes: Int = 32, hop: Int = 16,
+                     mkDecoder: DecoderFactory = rawPlane): DataFrame = {
+    require(windowBytes >= 1 && hop >= 1 && hop <= windowBytes,
+      s"audioLandmarks: need 1 <= hop <= windowBytes, got $hop/$windowBytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("lms", ArrayType(LongType, containsNull = false)),
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      // buffer-bound: O(plane/hop) — one row's landmark array; decoder
+      // handle is the only per-partition state
+      .mapPartitions { rows =>
+        val decode = mkDecoder() // per-partition decoder init
+        rows.map { r =>
+          Row(r.getAs[Long]("media_id"),
+            audioLandmarksOf(decode(r.getAs[Array[Byte]]("payload")),
+              windowBytes, hop).toSeq)
+        }
+      }(enc)
+      .select(col("media_id"), explode(col("lms")).as("landmark"))
+      .distinct()
+  }
+
+  /** Audio near-duplicate pairs via landmark-set overlap: two recordings
+    * are near-dups when the Jaccard of their distinct CONSTELLATION
+    * landmark sets reaches `threshold` — time-shifted / re-cut copies
+    * share their interior landmarks by the hop-alignment property.
+    *
+    * `maxLandmarkDf` (0 = off) is BACKGROUND-NOISE SUPPRESSION, the audio
+    * reading of the hot-bucket cap: a landmark appearing in more than
+    * that many recordings is corpus-common background (silence patterns,
+    * codec preambles — on the synthetic corpus, the 31-word vocabulary's
+    * repeated peaks), carries no matching information, and alone
+    * contributes df² candidate pairs. UNLIKE the video form (which keeps
+    * uncapped Jaccard denominators), the cap here removes the landmark
+    * from the SETS THEMSELVES — sizes and intersections both count only
+    * surviving landmarks, i.e. Jaccard compares the DISTINCTIVE
+    * remainder. That is the fingerprinting-native contract (match on
+    * rare peaks, ignore ubiquitous ones), it is symmetric and fully
+    * deterministic (the cap census is corpus-wide), and the oracle
+    * replays it relationally. Candidates come from the inverted landmark
+    * index — (landmark)-local joins, merge-pinned (CorpusJoinHintSpec),
+    * never all-pairs.
+    */
+  def audioNearDups(media: DataFrame, windowBytes: Int = 32, hop: Int = 16,
+                    threshold: Double = 0.5, maxLandmarkDf: Int = 0,
+                    mkDecoder: DecoderFactory = rawPlane): DataFrame = {
+    val lm0 = audioLandmarks(media, windowBytes, hop, mkDecoder)
+    val lm =
+      if (maxLandmarkDf <= 0) lm0
+      else {
+        val viral = lm0.groupBy(col("landmark"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxLandmarkDf)
+          .select(col("landmark"))
+        lm0.join(viral.hint("merge"), Seq("landmark"), "leftanti")
+      }
+    // landmark extraction (the byte-plane scan) feeds sizes AND both join
+    // sides — materialize once (harness-drained, the phashNearDups rule)
+    val lmM = graft.Cleanup.register(
+      lm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val sizes = lmM.groupBy(col("media_id")).agg(count(lit(1)).as("n_lms"))
+    val shared = lmM.select(col("landmark"), col("media_id").as("id_a"))
+      .join(lmM.select(col("landmark"), col("media_id").as("id_b")).hint("merge"),
+        Seq("landmark"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("media_id").as("id_a"), col("n_lms").as("__na"))
+        .hint("merge"), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n_lms").as("__nb"))
+        .hint("merge"), "id_b")
+      .withColumn("jaccard_r", round(col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")), 4))
+      .filter(col("jaccard_r") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
+  }
+
+  /** The build-once reference artifact for cross-corpus audio near-dup:
+    * the inverted (landmark, id_ref) relation, per-recording landmark
+    * counts AFTER the viral cap (the capped-set contract — sizes and
+    * sets stay consistent), the viral-landmark relation itself (so a
+    * batch can drop the same background noise — batch-invariant), and
+    * the framing parameters. The fifth modality on the
+    * `crossCorpusBuild`/`cosineBandBuild`/`phashBuild`/`frameIndexBuild`
+    * seam convention.
+    */
+  case class AudioIndex(refLandmarks: DataFrame, refSizes: DataFrame,
+                        viral: DataFrame, windowBytes: Int, hop: Int) {
+    def persist(): this.type = {
+      refLandmarks.persist(); refSizes.persist(); viral.persist(); this
+    }
+    def unpersist(): this.type = {
+      refLandmarks.unpersist(); refSizes.unpersist(); viral.unpersist(); this
+    }
+  }
+
+  /** Decode + landmark + invert the reference recordings once — the
+    * per-snapshot half of cross-corpus audio near-dup. `maxLandmarkDf`
+    * counts REFERENCE-side df only (batch-invariant: a batch never
+    * changes which landmarks are background).
+    */
+  def audioIndexBuild(reference: DataFrame, windowBytes: Int = 32,
+                      hop: Int = 16, maxLandmarkDf: Int = 0,
+                      mkDecoder: DecoderFactory = rawPlane): AudioIndex = {
+    val lm0 = audioLandmarks(reference, windowBytes, hop, mkDecoder)
+      .select(col("media_id").as("id_ref"), col("landmark"))
+    val viral =
+      if (maxLandmarkDf <= 0) lm0.select(col("landmark")).limit(0)
+      else lm0.groupBy(col("landmark"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxLandmarkDf)
+        .select(col("landmark"))
+    val lm = lm0.join(viral.hint("merge"), Seq("landmark"), "leftanti")
+    AudioIndex(
+      lm.select(col("landmark"), col("id_ref")),
+      lm.groupBy(col("id_ref")).agg(count(lit(1)).as("__nr")),
+      viral, windowBytes, hop)
+  }
+
+  /** Cross-corpus audio near-dup against a PREBUILT landmark index — the
+    * per-batch half: landmark the fresh batch through the same kernel,
+    * drop the index's background landmarks (batch-invariant), probe the
+    * inverted relation, and emit one best reference match per flagged
+    * recording (max Jaccard, ties smallest reference id — the
+    * `videoNearDupsWith` output contract). Work is linear in the batch.
+    */
+  def audioNearDupsWith(corpus: DataFrame, index: AudioIndex,
+                        threshold: Double = 0.5,
+                        mkDecoder: DecoderFactory = rawPlane): DataFrame = {
+    val lmN = audioLandmarks(corpus, index.windowBytes, index.hop, mkDecoder)
+      .select(col("media_id").as("id_new"), col("landmark"))
+      .join(index.viral.hint("merge"), Seq("landmark"), "leftanti")
+    val lmM = graft.Cleanup.register(
+      lmN.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val sizesN = lmM.groupBy(col("id_new")).agg(count(lit(1)).as("__nn"))
+    lmM.join(index.refLandmarks.hint("merge"), Seq("landmark"))
+      .groupBy(col("id_new"), col("id_ref")).agg(count(lit(1)).as("__sh"))
+      .join(sizesN.hint("merge"), "id_new")
+      .join(index.refSizes.hint("merge"), "id_ref")
+      .withColumn("__jac", round(col("__sh").cast("double") /
+        (col("__nn") + col("__nr") - col("__sh")), 4))
+      .filter(col("__jac") >= threshold)
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("__jac").as("j"), (-col("id_ref")).as("ni"))).as("__best"))
+      .select(col("id_new"), (-col("__best.ni")).as("matched_ref"),
+        col("__best.j").as("best_jaccard"))
+  }
+
+  /** STREAMING cross-corpus audio flags against a PREBUILT landmark
+    * index: each arriving recording decodes + landmarks through the SAME
+    * per-partition decoder seam, drops the static background landmarks,
+    * joins stream-static against the inverted reference relation, and
+    * the per-(recording, reference) shared count comes from ONE
+    * watermark-bounded windowed aggregation (the only stateful operator)
+    * — the `streamingVideoFlagsWith` shape with the audio kernel. Emits
+    * (ts, id_new, id_ref, jaccard_r) pairs, not best-per-recording (the
+    * streaming twins' standing argument).
+    */
+  def streamingAudioFlagsWith(stream: DataFrame, index: AudioIndex,
+                              tsCol: String, watermark: String,
+                              threshold: Double = 0.5,
+                              windowLen: String = "1 hour",
+                              mkDecoder: DecoderFactory = rawPlane): DataFrame = {
+    val w = index.windowBytes; val hop = index.hop
+    // the capped-set contract needs per-recording sizes counted AFTER the
+    // background drop (the batch form's denominators), and a per-row size
+    // can't come from a stream-static anti-join — so the viral set rides
+    // as a broadcast into the landmark kernel. Bounded: ≤ (reference
+    // landmark rows)/maxLandmarkDf distinct values by construction (each
+    // costs > maxLandmarkDf rows), the same artifact grain as the
+    // reference index itself.
+    val spark = stream.sparkSession
+    val viralSet = spark.sparkContext.broadcast(
+      index.viral.collect().map(_.getLong(0)).toSet)
+    val outSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("id_new", LongType),
+      StructField("lms", ArrayType(LongType, containsNull = false)),
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val landed = stream
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col("media_id"), col("payload"))
+      // buffer-bound: O(plane/hop) — one row's DISTINCT surviving-landmark
+      // array; decoder handle + viral set are the per-partition state
+      .mapPartitions { rows =>
+        val decode = mkDecoder() // per-partition decoder init
+        val viral = viralSet.value
+        rows.map { r =>
+          Row(r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("media_id"),
+            audioLandmarksOf(decode(r.getAs[Array[Byte]]("payload")), w, hop)
+              .distinct.filterNot(viral).toSeq)
+        }
+      }(enc)
+    landed
+      .withColumn("__nn", size(col("lms")))
+      .select(col("ts"), col("id_new"), col("__nn"),
+        explode(col("lms")).as("landmark"))
+      .withWatermark("ts", watermark)
+      .join(index.refLandmarks, Seq("landmark")) // stream-static: no state
+      .groupBy(window(col("ts"), windowLen), col("id_new"), col("__nn"),
+        col("id_ref"))
+      .agg(count(lit(1)).as("__sh"))
+      .join(index.refSizes, "id_ref") // static: stateless
+      .withColumn("jaccard_r", round(col("__sh").cast("double") /
+        (col("__nn") + col("__nr") - col("__sh")), 4))
+      .filter(col("jaccard_r") >= threshold)
+      .select(col("window.start").as("ts"), col("id_new"), col("id_ref"),
+        col("jaccard_r"))
+  }
+
   /** Frame-sampling plumbing: treat the payload as a sequence of fixed-size
     * "frames" and emit every `stride`-th frame index with its byte slice —
     * the shape of video frame extraction, minus the codec. Pure Catalyst

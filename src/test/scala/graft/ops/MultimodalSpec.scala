@@ -226,6 +226,117 @@ class MultimodalSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("audioLandmarks: constellation pairs over overlapping windows, " +
+       "hop-aligned time shift preserves every interior landmark") {
+    // 8-byte windows at hop 4; bytes chosen so each window has a distinct
+    // (max, position) peak
+    val base = "abzcdeyfghxijkwlmnvopqu".getBytes("UTF-8") // 23 bytes → 4 windows
+    val df = Seq(
+      (1L, base),
+      (2L, ("PAD!" .getBytes("UTF-8")) ++ base), // prefix of EXACTLY one hop
+      (3L, "shrt".getBytes("UTF-8")),            // < w+hop → no landmarks
+    ).toDF("media_id", "payload")
+    val lms = Multimodal.audioLandmarks(df, windowBytes = 8, hop = 4)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(!lms.contains(3L), "a plane shorter than window+hop has no landmarks")
+    // 23 bytes, w=8, hop=4 → nw = 4 windows → 3 landmarks
+    assert(lms(1L).size == 3, s"expected 3 landmarks: ${lms(1L)}")
+    // the hop-alignment property: a one-hop prefix shifts every window
+    // index by one, so ALL original landmarks survive in the copy
+    assert(lms(1L).subsetOf(lms(2L)),
+      s"hop-aligned prepend must preserve interior landmarks: " +
+        s"missing ${lms(1L) -- lms(2L)}")
+    assert(lms(2L).size == lms(1L).size + 1,
+      "the prefix contributes exactly one new boundary landmark")
+    // fingerprint replica for the first landmark of media 1: per-window
+    // rolling hash (h*31 + byte mod 1e9+7) packed as f0·2^30 + f1
+    def fp(bytes: Array[Byte], start: Int, w: Int): Long = {
+      var h = 0L
+      for (j <- 0 until w) h = (h * 31 + (bytes(start + j) & 0xFF)) % 1000000007L
+      h
+    }
+    val lm01 = fp(base, 0, 8) * (1L << 30) + fp(base, 4, 8)
+    assert(lms(1L).contains(lm01), s"hand-packed landmark $lm01 missing: ${lms(1L)}")
+  }
+
+  test("audioNearDups: capped-set Jaccard — the background cap removes a " +
+       "viral landmark from sets AND denominators") {
+    // three recordings sharing one "background" landmark (the same first
+    // 12 bytes → the same (win0, win1) pair) plus distinct tails
+    def rec(tail: String): Array[Byte] =
+      ("commonIntroBytes!!" + tail).getBytes("UTF-8")
+    val df = Seq(
+      (1L, rec("aaaaaaaaaaaaaaaazzz1")),
+      (2L, rec("bbbbbbbbbbbbbbbbzzz2")),
+      (3L, rec("cccccccccccccccczzz3")),
+      (4L, rec("aaaaaaaaaaaaaaaazzz1")), // byte-identical twin of 1
+    ).toDF("media_id", "payload")
+    val capped = Multimodal.audioNearDups(df, windowBytes = 8, hop = 4,
+        threshold = 0.9, maxLandmarkDf = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the intro landmarks (df 4 > 3) drop from BOTH sets and denominators:
+    // the identical pair (1,4) stays at jaccard 1.0 over its DISTINCTIVE
+    // remainder; the merely-intro-sharing pairs vanish entirely
+    assert(capped.exists(p => p._1 == 1L && p._2 == 4L && p._4 == 1.0),
+      s"identical twins must survive the cap at 1.0: $capped")
+    assert(capped.forall(p => Set(p._1, p._2) == Set(1L, 4L)),
+      s"intro-only pairs must not survive the cap: $capped")
+    // uncapped mirror: the shared intro links everything at a low score
+    val uncapped = Multimodal.audioNearDups(df, windowBytes = 8, hop = 4,
+        threshold = 0.05).as[(Long, Long, Long, Double)].collect().toSet
+    assert(uncapped.size == 6, s"all pairs share the intro uncapped: $uncapped")
+  }
+
+  test("audio cross-corpus: artifact path == brute force best match; " +
+       "two-batch probe == one-batch (the Build/With seam contract)") {
+    val all = media.select($"media_id", $"payload")
+    val ref = all.filter($"media_id" % 2 === 0)
+    val batch = all.filter($"media_id" % 2 === 1)
+      .unionByName(spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter($"doc_id" % 2 === 0).select(
+          ($"doc_id" + 10000000L).as("media_id"),
+          encode(concat(lpad($"doc_id".cast("string"), 14, "0"),
+            lit(": "), $"text"), "UTF-8").as("payload")))
+    val idx = Multimodal.audioIndexBuild(ref, windowBytes = 32, hop = 16,
+      maxLandmarkDf = 20).persist()
+    try {
+      val got = Multimodal.audioNearDupsWith(batch, idx, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force from the landmark sets under the SAME reference-side cap
+      def lmSets(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.audioLandmarks(df, 32, 16).as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val viral = idx.viral.as[Long].collect().toSet
+      val rs = lmSets(ref).map { case (k, v) => k -> (v -- viral) }
+      val bs = lmSets(batch).map { case (k, v) => k -> (v -- viral) }
+      val expect = bs.flatMap { case (in, ln) =>
+        val hits = rs.toSeq.filter(_._2.nonEmpty).map { case (ir, lr) =>
+          val sh = (ln & lr).size
+          (ir, BigDecimal(sh.toDouble / (ln.size + lr.size - sh))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.filter(_._2 >= 0.5)
+        if (hits.isEmpty) None
+        else { val best = hits.minBy(h => (-h._2, h._1)); Some((in, best._1, best._2)) }
+      }.toSet
+      assert(got == expect, s"audio cross-corpus != brute force " +
+        s"(missing ${(expect -- got).size}, extra ${(got -- expect).size})")
+      // hop-prefixed re-encodes flag their originals through the shared
+      // interior landmarks (the exact per-row set is pinned by the
+      // brute-force equality above; this pins that the plant is non-vacuous)
+      assert(got.count(_._1 >= 10000000L) > rs.size / 2,
+        s"most re-encodes must flag a reference: ${got.count(_._1 >= 10000000L)}")
+      // two disjoint probes reproduce the one-batch result
+      val twoBatch = Multimodal.audioNearDupsWith(
+          batch.filter($"media_id" % 4 === 1), idx, threshold = 0.5)
+        .unionByName(Multimodal.audioNearDupsWith(
+          batch.filter($"media_id" % 4 =!= 1), idx, threshold = 0.5))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(twoBatch == got, "two-batch probe diverges from one-batch")
+      graft.Cleanup.drain()
+    } finally idx.unpersist()
+  }
+
   test("perceptualHash: 48-bit, integer-exact threshold, constant plane hashes 0") {
     val df = Seq(
       (1L, Array.fill[Byte](96)(65)),               // constant plane: no block above mean

@@ -303,6 +303,68 @@ class StreamTextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming audio flags against a PREBUILT landmark index == brute-force capped-set Jaccard pairs") {
+    // the audio modality's streaming twin (round 15): landmarks compute
+    // per row through the same decoder-seam kernel with the background
+    // set filtered INSIDE the kernel (capped-set sizes match the batch
+    // contract), candidate lookup is stream-static, the shared-landmark
+    // count is the one watermark-bounded windowed aggregation
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    val media = Multimodal.fromDocuments(
+        spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet"))
+      .select($"media_id", $"payload")
+    val ref = media.filter($"media_id" % 2 === 0)
+    val idx = Multimodal.audioIndexBuild(ref, windowBytes = 32, hop = 16,
+      maxLandmarkDf = 20).persist()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+    val flags = Multimodal.streamingAudioFlagsWith(
+      in.toDF().toDF("ts", "media_id", "payload"), idx,
+      "ts", watermark = "1 hour", threshold = 0.5)
+    val q = flags.writeStream.format("memory")
+      .queryName("stream_audio_flags").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+      val arriving = media.filter($"media_id" % 2 === 1)
+        .unionByName(spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+          .filter($"doc_id" % 2 === 0).select(
+            ($"doc_id" + 10000000L).as("media_id"),
+            org.apache.spark.sql.functions.encode(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lpad($"doc_id".cast("string"), 14, "0"),
+                org.apache.spark.sql.functions.lit(": "), $"text"),
+              "UTF-8").as("payload")))
+        .select($"media_id", $"payload").as[(Long, Array[Byte])].collect()
+      in.addData(arriving.map { case (id, p) => (t0, id, p) }.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        999999999L, "watermark advancer padded to some length!!!!!!!!!!!!!"
+          .getBytes("UTF-8")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id_new, id_ref, jaccard_r FROM stream_audio_flags")
+        .as[(Long, Long, Double)].collect().toSet
+      // brute force over the arriving rows (advancer included) under the
+      // SAME reference-side background cap
+      val viral = idx.viral.as[Long].collect().toSet
+      def lmSets(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.audioLandmarks(df, 32, 16).as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (k, v) => k -> (v.map(_._2).toSet -- viral) }
+      val rs = lmSets(ref)
+      val bs = lmSets((arriving :+ (999999999L,
+        "watermark advancer padded to some length!!!!!!!!!!!!!".getBytes("UTF-8")))
+        .toSeq.toDF("media_id", "payload"))
+      val expect = (for {
+        (in_, ln) <- bs.toSeq; (ir, lr) <- rs.toSeq
+        sh = (ln & lr).size if sh > 0
+        j = BigDecimal(sh.toDouble / (ln.size + lr.size - sh))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble if j >= 0.5
+      } yield (in_, ir, j)).toSet
+      assert(got == expect, s"stream audio flags != brute force " +
+        s"(missing ${(expect -- got).size}, extra ${(got -- expect).size})")
+      assert(got.nonEmpty)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming video flags against a PREBUILT frame index == brute-force Jaccard pairs") {
     // the video modality's streaming twin: distinct frame hashes compute
     // PER ROW (array HOF), candidate lookup is stream-static against the
