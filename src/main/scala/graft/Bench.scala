@@ -50,7 +50,7 @@ object Bench {
     "text_winnowing", "text_winnowing_matches", "text_winnowing_cross",
     "docs_qnorm_length", "docs_len_hist_quantiles", "events_ewma",
     "src_format_census", "vocab_unigram_encode", "docs_unigram_bits",
-    "mm_audio_neardups", "mm_audio_cross_corpus")
+    "mm_audio_neardups", "mm_audio_cross_corpus", "docs_tokenizer_compare")
 
   /** 1-minute load average from /proc/loadavg, or -1 where unreadable.
     * Environment telemetry (round-12 verdict task 2): the round-12 driver

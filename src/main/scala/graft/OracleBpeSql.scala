@@ -26,32 +26,44 @@ object OracleBpeSql {
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
-  /** The shared CTE chain: documents → words → one fold CTE per merge →
-    * `pieces(doc_id, piece)`.
+  /** The shared CTE chain as a composable FRAGMENT (no leading WITH):
+    * `srcRel` → words → one fold CTE per merge → `<prefix>pieces(doc_id,
+    * piece)`. `prefix` namespaces every CTE so the chain can sit beside
+    * the unigram oracle's CTEs in one statement (docs_tokenizer_compare,
+    * round 15); `srcRel` must expose (doc_id, text).
     */
-  private def pieceCtes(merges: Seq[(String, String)]): String = {
+  private[graft] def pieceCtesFragment(merges: Seq[(String, String)],
+                                       srcRel: String = "documents",
+                                       prefix: String = ""): String = {
     require(merges.nonEmpty, "bpe oracle: need at least one merge")
+    val pf = prefix
     val folds = merges.zipWithIndex.map { case ((l, r), i) =>
       val (lq, rq) = (sqlLit(l), sqlLit(r))
       val src =
         if (i == 0) "string_split(w, '')"
         else "string_split(s, chr(31))"
-      val from = if (i == 0) "words" else s"wenc${i - 1}"
-      s"""wenc$i AS (SELECT doc_id, list_reduce($src,
+      val from = if (i == 0) s"${pf}words" else s"${pf}wenc${i - 1}"
+      s"""${pf}wenc$i AS (SELECT doc_id, list_reduce($src,
          |  (acc, x) -> CASE WHEN x = '$rq' AND (acc = '$lq' OR ends_with(acc, chr(31) || '$lq'))
          |              THEN acc || '$rq' ELSE acc || chr(31) || x END) AS s FROM $from)""".stripMargin
     }
-    val last = s"wenc${merges.length - 1}"
+    val last = s"${pf}wenc${merges.length - 1}"
     (Seq(
-      raw"""tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents)""",
-      """words0 AS (SELECT doc_id, unnest(ts) AS w FROM tk)""",
-      """words AS (SELECT doc_id, CASE WHEN contains(w, chr(31))
+      raw"""${pf}tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM $srcRel)""",
+      s"""${pf}words0 AS (SELECT doc_id, unnest(ts) AS w FROM ${pf}tk)""",
+      s"""${pf}words AS (SELECT doc_id, CASE WHEN contains(w, chr(31))
         |  THEN error('bpe oracle: token contains the chr(31) separator') ELSE w END AS w
-        |  FROM words0 WHERE length(w) > 0)""".stripMargin,
+        |  FROM ${pf}words0 WHERE length(w) > 0)""".stripMargin,
     ) ++ folds :+
-      s"pieces AS (SELECT doc_id, unnest(string_split(s, chr(31))) AS piece FROM $last)")
-      .mkString("WITH ", ",\n", "")
+      s"${pf}pieces AS (SELECT doc_id, unnest(string_split(s, chr(31))) AS piece FROM $last)")
+      .mkString(",\n")
   }
+
+  /** The shared CTE chain: documents → words → one fold CTE per merge →
+    * `pieces(doc_id, piece)`.
+    */
+  private def pieceCtes(merges: Seq[(String, String)]): String =
+    "WITH " + pieceCtesFragment(merges)
 
   /** Corpus-wide piece census: (piece, freq) — the distinct piece set is
     * bounded by |alphabet| + |merges|, so the output is tiny at any SF.

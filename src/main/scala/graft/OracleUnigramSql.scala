@@ -201,18 +201,29 @@ object OracleUnigramSql {
     */
   def bitsSql(vocabK: Int, pieceLen: Int, rounds: Int, floor: Long,
               seedK: Int, augText: String = "text"): String =
+    s"""${bitsCtes(vocabK, pieceLen, rounds, floor, seedK, augText)}
+       |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(-t.ss, 0) AS BIGINT) AS bits_fp,
+       |  CAST(CASE WHEN t.n > 0 THEN (-t.ss) // t.n END AS BIGINT) AS bpt_fp
+       |FROM documents d LEFT JOIN udoc t
+       |USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** The bits chain as a composable prefix (round 15, for
+    * docs_tokenizer_compare): everything bitsSql needs, WITH included,
+    * ending in `udoc(doc_id, n, ss)` — per-document unigram piece count
+    * and summed Viterbi piece score — plus the `aug`/`tk` head CTEs a
+    * downstream composition can reuse.
+    */
+  private[graft] def bitsCtes(vocabK: Int, pieceLen: Int, rounds: Int,
+                              floor: Long, seedK: Int,
+                              augText: String = "text"): String =
     s"""${headCtes(seedK, pieceLen, augText)},
        |${roundCtes(rounds, vocabK, pieceLen, floor)},
        |${scoreCtes(rounds + 1)},
        |${dpCtes(rounds + 1, pieceLen, floor)},
        |wsc AS (SELECT q.w, count(*) AS np, sum(coalesce(s.s, $floor)) AS ss
        |  FROM (SELECT w, unnest(ps) AS piece FROM sg${rounds + 1}) q
-       |  LEFT JOIN sc${rounds + 1} s ON s.p = q.piece GROUP BY q.w)
-       |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(-t.ss, 0) AS BIGINT) AS bits_fp,
-       |  CAST(CASE WHEN t.n > 0 THEN (-t.ss) // t.n END AS BIGINT) AS bpt_fp
-       |FROM documents d LEFT JOIN (
-       |  SELECT doc_id, sum(np) AS n, sum(ss) AS ss FROM allw a JOIN wsc USING (w)
-       |  GROUP BY doc_id) t
-       |USING (doc_id) ORDER BY d.doc_id""".stripMargin
+       |  LEFT JOIN sc${rounds + 1} s ON s.p = q.piece GROUP BY q.w),
+       |udoc AS (SELECT doc_id, sum(np) AS n, sum(ss) AS ss FROM allw a JOIN wsc USING (w)
+       |  GROUP BY doc_id)""".stripMargin
 }

@@ -914,6 +914,46 @@ object SparkEntry {
           when(col("n_tokens") > 0,
             expr("bits_fp DIV n_tokens")).as("bpt_fp"))
         .orderBy(col("doc_id"))),
+    "docs_tokenizer_compare" -> ((s, dir) => {
+      // the pre-vocab-commit report every pipeline runs before freezing a
+      // tokenizer (round-15, verdict item 6): BPE (fixed table) vs
+      // unigram-LM (trained artifact) over the SAME corpus (the
+      // augmented/planted one the unigram chain uses, so both tokenizers
+      // see the >MaxLen branch), per language — pieces, fertility
+      // (pieces/word, the vocab_fertility arithmetic) and the unigram
+      // model's bits/token (the docs_unigram_bits arithmetic). ZERO new
+      // arithmetic: three existing oracle chains composed; the oracle
+      // replays both tokenizers in ONE statement (OracleBpeSql fragment
+      // namespaced beside OracleUnigramSql.bitsCtes).
+      val aug = unigramCorpus(s, dir)
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val bpe = TextAnalysis.bpeEncode(aug, "doc_id", "text", BpeFixedMerges)
+        .select(col("doc_id"), col("n_tokens").as("__bp"))
+      val uni = TextAnalysis.unigramScore(aug, "doc_id", "text",
+          unigramArtifact(s, dir))
+        .select(col("doc_id"), col("n_tokens").as("__up"), col("bits_fp"))
+      val words = aug.select(col("doc_id"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          w => length(w) > 0)).as("__nw"))
+      words.join(langs.hint("merge"), "doc_id")
+        .join(bpe.hint("merge"), "doc_id")
+        .join(uni.hint("merge"), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("__nw").cast("long")).as("n_words"),
+          sum(col("__bp").cast("long")).as("bpe_pieces"),
+          sum(col("__up")).as("uni_pieces"),
+          sum(col("bits_fp")).as("uni_bits_fp"))
+        .select(col("lang"), col("n_words"), col("bpe_pieces"),
+          col("uni_pieces"),
+          round(col("bpe_pieces").cast("double")
+            / greatest(col("n_words"), lit(1L)), 4).as("bpe_fertility"),
+          round(col("uni_pieces").cast("double")
+            / greatest(col("n_words"), lit(1L)), 4).as("uni_fertility"),
+          col("uni_bits_fp"),
+          expr("uni_bits_fp DIV greatest(uni_pieces, CAST(1 AS BIGINT))")
+            .as("uni_bpt_fp"))
+        .orderBy(col("lang"))
+    }),
     "vocab_bpe_encode" -> ((s, dir) =>
       // tokenizer APPLICATION (TextAnalysis.bpeEncode): corpus piece
       // census under the fixed merge table — every piece is a char or a
@@ -3167,6 +3207,36 @@ object SparkEntry {
         UnigramVocabK, UnigramPieceLen, UnigramRounds,
         TextAnalysis.UnigramOovScore, UnigramSeedK, unigramAugSql),
       "docs_bpe_token_counts" -> OracleBpeSql.tokenCountsSql(BpeFixedMerges),
+      // both tokenizers replayed in ONE statement: the unigram bits chain
+      // (train + encode over the augmented corpus) beside the b_-prefixed
+      // BPE fold chain over the SAME aug CTE; per-language census +
+      // the two fertility divides and the integer bits-per-token
+      "docs_tokenizer_compare" -> {
+        val uniC = OracleUnigramSql.bitsCtes(UnigramVocabK, UnigramPieceLen,
+          UnigramRounds, TextAnalysis.UnigramOovScore, UnigramSeedK,
+          unigramAugSql)
+        val bpeC = OracleBpeSql.pieceCtesFragment(BpeFixedMerges,
+          srcRel = "aug", prefix = "b_")
+        s"""$uniC,
+           |$bpeC,
+           |bstat AS (SELECT doc_id, count(*) AS np FROM b_pieces GROUP BY doc_id),
+           |wstat AS (SELECT doc_id, len(list_filter(ts, x -> length(x) > 0)) AS nw FROM tk),
+           |per AS (SELECT d.doc_id, d.lang,
+           |    coalesce(w.nw, 0) AS nw, coalesce(b.np, 0) AS bp,
+           |    coalesce(u.n, 0) AS up, coalesce(-u.ss, 0) AS bits
+           |  FROM documents d
+           |  LEFT JOIN wstat w USING (doc_id)
+           |  LEFT JOIN bstat b USING (doc_id)
+           |  LEFT JOIN udoc u USING (doc_id))
+           |SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+           |  CAST(sum(bp) AS BIGINT) AS bpe_pieces,
+           |  CAST(sum(up) AS BIGINT) AS uni_pieces,
+           |  round(CAST(sum(bp) AS DOUBLE) / greatest(sum(nw), 1), 4) AS bpe_fertility,
+           |  round(CAST(sum(up) AS DOUBLE) / greatest(sum(nw), 1), 4) AS uni_fertility,
+           |  CAST(sum(bits) AS BIGINT) AS uni_bits_fp,
+           |  CAST(sum(bits) // greatest(sum(up), 1) AS BIGINT) AS uni_bpt_fp
+           |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+      },
       "vocab_fertility" -> OracleBpeSql.fertilitySql(BpeFixedMerges),
       // the TRAINING loop replayed: 20 data-dependent census→argmax→
       // refold rounds chained through materialized one-row pair relations

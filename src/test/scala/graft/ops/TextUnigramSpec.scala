@@ -209,6 +209,20 @@ class TextUnigramSpec extends AnyFunSuite {
     graft.Cleanup.drain()
   }
 
+  test("docs_tokenizer_compare is discriminative: BPE and unigram disagree " +
+       "on fertility somewhere on the planted corpus") {
+    val rows = graft.SparkEntry.queries("docs_tokenizer_compare")(
+      graft.TestSpark.spark, graft.TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    def d(r: org.apache.spark.sql.Row, c: String): Double =
+      r.getDouble(r.fieldIndex(c))
+    assert(rows.exists(r => d(r, "bpe_fertility") != d(r, "uni_fertility")),
+      s"the report must separate the tokenizers, got: ${rows.mkString("; ")}")
+    // and the unigram side carries a real surprisal signal
+    assert(rows.forall(r => r.getLong(r.fieldIndex("uni_bits_fp")) > 0L))
+    graft.Cleanup.drain()
+  }
+
   test("non-ASCII guard: batch chunker AND byRow kernel raise loudly on " +
        "the first non-ASCII token (the ASCII note is enforced, not assumed)") {
     import spark.implicits._
