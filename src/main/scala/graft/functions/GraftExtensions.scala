@@ -76,9 +76,34 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         HashedBow(args(0), intLit(args(1), "dim"), intLit(args(2), "maxN"),
           intLit(args(3), "features") != 0)),
+    // the round-15 ANN fold kernels (DESIGN §18) — the per-candidate
+    // scoring primitives, SQL-callable so a pure-SQL user gets the same
+    // codegen'd hot path the Column API wires
+    ("vec_xor_popcount",
+      new ExpressionInfo(classOf[VecXorPopcount].getName, "vec_xor_popcount"),
+      (args: Seq[Expression]) => VecXorPopcount(args(0), args(1))),
+    ("vec_dot_long",
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      (args: Seq[Expression]) => VecDotLong(args(0), args(1))),
+    ("vec_eq_count",
+      new ExpressionInfo(classOf[VecEqCount].getName, "vec_eq_count"),
+      (args: Seq[Expression]) => VecEqCount(args(0), args(1))),
+    ("vec_l2sq",
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))),
+    ("vec_dot_plus",
+      new ExpressionInfo(classOf[VecDotPlus].getName, "vec_dot_plus"),
+      (args: Seq[Expression]) => VecDotPlus(args(0), args(1), args(2))),
+    ("vec_sub",
+      new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
+      (args: Seq[Expression]) => VecSub(args(0), args(1))),
+    ("binarize_sign",
+      new ExpressionInfo(classOf[BinarizeSign].getName, "binarize_sign"),
+      (args: Seq[Expression]) => BinarizeSign(args(0), intLit(args(1), "dim"))),
   )
-  // LangId and NearestCentroids stay Column-API-only: their lexicon /
-  // centroid-matrix parameters aren't expressible as SQL literals.
+  // LangId, NearestCentroids, VecResidL2Sq and VecDotScaled stay
+  // Column-API-only: their lexicon / centroid-matrix / component-vector /
+  // double-divisor parameters aren't expressible as SQL integer literals.
 
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -156,7 +156,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(GraftFunctions.descriptors.map(_._1).toSet ==
       Set("vec_dot", "shingle_ngrams", "minhash_sig", "simhash64",
         "text_fingerprint", "sign_band_buckets", "bloom_might_contain",
-        "hashed_bow"))
+        "hashed_bow",
+        // round-15 ANN fold kernels (DESIGN §18)
+        "vec_xor_popcount", "vec_dot_long", "vec_eq_count", "vec_l2sq",
+        "vec_dot_plus", "vec_sub", "binarize_sign"))
     assert(ext != null)
   }
 }

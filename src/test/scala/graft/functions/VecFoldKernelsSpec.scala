@@ -169,6 +169,27 @@ class VecFoldKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("the fold kernels are SQL-callable after registration") {
+    GraftFunctions.register(TestSpark.spark)
+    val row = TestSpark.spark.sql(
+      """SELECT
+        |  vec_xor_popcount(array(1L, 255L), array(0L, 0L)) AS h,
+        |  vec_dot_long(array(2L, 3L), array(5L, 7L)) AS d,
+        |  vec_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS e,
+        |  vec_l2sq(array(1.0D, 2.0D), array(0.0D, 0.0D)) AS l,
+        |  vec_dot_plus(array(2.0D, 2.0D), array(1.0D, 1.0D), array(2.0D, 3.0D)) AS p,
+        |  vec_sub(array(5.0D, 1.0D), array(2.0D, 4.0D)) AS s,
+        |  binarize_sign(array(1.0D, -1.0D, 0.5D), 3) AS b
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("h") == 9L)   // popcount(1) + popcount(255)
+    assert(row.getAs[Long]("d") == 31L)  // 10 + 21
+    assert(row.getAs[Int]("e") == 2)
+    assert(row.getAs[Double]("l") == 5.0)
+    assert(row.getAs[Double]("p") == 14.0) // 2*(1+2) + 2*(1+3)
+    assert(row.getAs[scala.collection.Seq[Double]]("s").toSeq == Seq(3.0, -3.0))
+    assert(row.getAs[scala.collection.Seq[Long]]("b").toSeq == Seq(5L)) // bits 0,2
+  }
+
   test("fold kernels stay inside whole-stage codegen (no CodegenFallback " +
        "subtree in the plan)") {
     // materialize the synthesized arrays first: the transform() HOFs that
