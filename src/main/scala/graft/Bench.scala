@@ -360,8 +360,8 @@ object Bench {
     // ratios are always the ones adjudicated; the cap, when hit, shows as
     // n_inflated > n_rerun in env.
     val byNameForRerun = prodEntries.toMap
-    // absolute floor 0.5 s: a 3× ratio on a 0.1 s line is timer noise,
-    // and rerunning it would spend the 12-slot budget on lines whose
+    // absolute floor 0.5 s: a 2× ratio on a 0.1 s line is timer noise,
+    // and rerunning it would spend the 16-slot budget on lines whose
     // swing no reader will ever investigate
     final case class Cand(name: String, med: Double, ref: Double,
                           factor: Double, rerun: () => Run)

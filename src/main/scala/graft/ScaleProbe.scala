@@ -896,13 +896,14 @@ object ScaleProbe {
           xxhash64(col("id"), i, lit(11))).as("chunks"),
         transform(sequence(lit(0), lit(dim - 1)), i =>
           (pmod(xxhash64(col("id"), i, lit(7)), lit(2001L)).cast("double") - 1000.0) / 991.0)
-          .as("recon")).localCheckpoint(false)
+          .as("recon")).localCheckpoint() // EAGER: the first timed probe must
+      // not pay array synthesis + checkpoint write (round-15 review)
       val qs = broadcast(matBase.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("codes").as("qc"), col("chunks").as("qh")))
       val pairs = matBase.join(qs, col("vec_id") =!= col("qid"))
       def forceSum(c: org.apache.spark.sql.Column): Long = {
-        pairs.agg(sum(c)).head(); 20L * n
+        pairs.agg(sum(c)).head(); 20L * n - 20L // minus the 20 self-pairs
       }
       def forceRowSum(df: org.apache.spark.sql.DataFrame,
                       c: org.apache.spark.sql.Column): Long = {
@@ -955,7 +956,7 @@ object ScaleProbe {
       val feats = transform(sequence(lit(0), lit(31)), i =>
         (pmod(xxhash64(col("vec_id"), i, lit(19)), lit(64L)).cast("double")) / 2.0)
       val lv = array((0 until 32).map(i => lit(1.0 + i / 32.0)): _*)
-      val matF = matBase.select(col("vec_id"), feats.as("f")).localCheckpoint(false)
+      val matF = matBase.select(col("vec_id"), feats.as("f")).localCheckpoint() // eager
       time("fold_dotscaled_hof")(forceRowSum(matF,
         aggregate(zip_with(col("f"), lv, (x, l) => (x / lit(32.0)) * l),
           lit(0.0), (s, x) => s + x)))

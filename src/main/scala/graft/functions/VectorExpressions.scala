@@ -88,6 +88,43 @@ trait NativeTernaryKernel
   }
 }
 
+/** Analysis-time input-type guards for the SQL-callable kernels (round-15
+  * review): the kernels read ArrayData through typed getters, so an
+  * array<int> argument — the natural literal type a pure-SQL caller
+  * writes — would either ClassCastException mid-query or, worse, read
+  * 8-byte strides over 4-byte-packed ints and return silent garbage.
+  * These reject wrong element types AT ANALYSIS instead; no implicit
+  * cast is injected (a silent int→float cast would change bits).
+  */
+private[functions] object VecTypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def numericArrays(name: String, es: Seq[Expression]): TypeCheckResult =
+    es.find(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => false
+      case _ => true
+    }).map(e => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float> or array<double> arguments, got " +
+        e.dataType.catalogString))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  def longArrays(name: String, es: Seq[Expression]): TypeCheckResult =
+    es.find(e => e.dataType match {
+      case ArrayType(LongType, _) => false
+      case _ => true
+    }).map(e => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<bigint> arguments, got " + e.dataType.catalogString))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  def stringArrays(name: String, es: Seq[Expression]): TypeCheckResult =
+    es.find(e => e.dataType match {
+      case ArrayType(StringType, _) => false
+      case _ => true
+    }).map(e => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<string> arguments, got " + e.dataType.catalogString))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
+
 /** splitmix64 finalizer — the one deterministic mixer every hash-seeded
   * kernel derives its streams from (MinHash lane coefficients, LSH
   * hyperplanes). Arithmetic-progression schemes correlate lanes — see the
@@ -145,6 +182,9 @@ object Hyperplanes {
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("vec_dot", Seq(left, right))
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -200,6 +240,9 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
     extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.stringArrays("minhash_sig", Seq(child))
+
   // Per-lane coefficients from a splitmix64-style mixer. They must be
   // pairwise-uncorrelated: an earlier arithmetic-progression scheme
   // (a_j = (j*C+1) mod (p-1)) made lane values for a FIXED h an arithmetic
@@ -243,6 +286,9 @@ case class MinHashSig(child: Expression, k: Int, p: Long = 2147483647L)
 case class SimHash64(child: Expression) extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.stringArrays("simhash64", Seq(child))
+
   override def compute(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
@@ -279,6 +325,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with NativeUnary
 case class ShingleNGrams(child: Expression, n: Int)
     extends UnaryExpression with NativeUnaryKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.stringArrays("shingle_ngrams", Seq(child))
 
   override def compute(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
@@ -714,6 +763,9 @@ case class HashedBow(child: Expression, dim: Int, maxN: Int,
   require(dim >= 1, s"HashedBow: dim must be >= 1: $dim")
   require(maxN >= 1 && maxN <= 2, s"HashedBow: maxN must be 1 or 2: $maxN")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.stringArrays("hashed_bow", Seq(child))
+
   override def dataType: DataType =
     if (features) ArrayType(DoubleType, containsNull = false)
     else ArrayType(IntegerType, containsNull = false)
@@ -774,6 +826,9 @@ case class VecXorPopcount(left: Expression, right: Expression)
     extends BinaryExpression with NativeBinaryKernel {
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.longArrays("vec_xor_popcount", Seq(left, right))
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -800,6 +855,9 @@ case class VecDotLong(left: Expression, right: Expression)
     extends BinaryExpression with NativeBinaryKernel {
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.longArrays("vec_dot_long", Seq(left, right))
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -824,6 +882,9 @@ case class VecDotLong(left: Expression, right: Expression)
 case class VecEqCount(left: Expression, right: Expression)
     extends BinaryExpression with NativeBinaryKernel {
   override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.longArrays("vec_eq_count", Seq(left, right))
 
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -850,6 +911,9 @@ case class VecEqCount(left: Expression, right: Expression)
 case class VecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression with NativeBinaryKernel {
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("vec_l2sq", Seq(left, right))
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -888,6 +952,9 @@ case class VecDotPlus(first: Expression, second: Expression, third: Expression)
     with NativeTernaryKernel {
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("vec_dot_plus", Seq(first, second, third))
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -925,6 +992,15 @@ case class VecResidL2Sq(left: Expression, right: Expression, component: Seq[Doub
     extends BinaryExpression with NativeBinaryKernel {
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arr = VecTypeChecks.numericArrays("vec_resid_l2sq", Seq(left))
+    if (arr != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) arr
+    else if (right.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_resid_l2sq expects a double loading, got ${right.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
   private lazy val comp: Array[Double] = component.toArray
   private lazy val elemFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -960,6 +1036,9 @@ case class VecDotScaled(left: Expression, right: Expression, divisor: Double)
   require(divisor != 0.0, "VecDotScaled: zero divisor")
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("vec_dot_scaled", Seq(left, right))
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -999,6 +1078,9 @@ case class BinarizeSign(child: Expression, dim: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("binarize_sign", Seq(child))
+
   private lazy val elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -1006,7 +1088,16 @@ case class BinarizeSign(child: Expression, dim: Int)
 
   override def compute(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val lim = math.min(dim, v.numElements())
+    // strict (round-15 review): the round-14 Column tree raised (ANSI
+    // element_at) on a vector shorter than dim; zero-filling the missing
+    // bits here would return plausible-but-wrong Hamming neighbors with
+    // no signal that dim was misconfigured. Longer vectors read their
+    // first `dim` components, exactly as the tree form did.
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"binarize_sign: vector has ${v.numElements()} dims but dim = $dim " +
+          "— refusing to zero-fill the missing sign bits")
+    val lim = dim
     val chunks = (dim + 31) / 32
     val out = new Array[Long](chunks)
     var i = 0
@@ -1030,6 +1121,9 @@ case class BinarizeSign(child: Expression, dim: Int)
 case class VecSub(left: Expression, right: Expression)
     extends BinaryExpression with NativeBinaryKernel {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("vec_sub", Seq(left, right))
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -709,7 +709,14 @@ object Multimodal {
   def audioNearDups(media: DataFrame, windowBytes: Int = 32, hop: Int = 16,
                     threshold: Double = 0.5, maxLandmarkDf: Int = 0,
                     mkDecoder: DecoderFactory = rawPlane): DataFrame = {
-    val lm0 = audioLandmarks(media, windowBytes, hop, mkDecoder)
+    // landmark extraction (the decode + windowed-hash scan, the op's
+    // dominant cost) feeds the viral census AND the capped set — persist
+    // the RAW landmark relation so the corpus decodes exactly once
+    // (round-15 review: persisting only the post-cap set ran the decode
+    // twice, once per census side); harness-drained
+    val lm0 = graft.Cleanup.register(
+      audioLandmarks(media, windowBytes, hop, mkDecoder)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val lm =
       if (maxLandmarkDf <= 0) lm0
       else {
@@ -718,8 +725,8 @@ object Multimodal {
           .select(col("landmark"))
         lm0.join(viral.hint("merge"), Seq("landmark"), "leftanti")
       }
-    // landmark extraction (the byte-plane scan) feeds sizes AND both join
-    // sides — materialize once (harness-drained, the phashNearDups rule)
+    // the capped set feeds sizes AND both candidate-join sides — its own
+    // persist keeps the anti-join from re-running per consumer
     val lmM = graft.Cleanup.register(
       lm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val sizes = lmM.groupBy(col("media_id")).agg(count(lit(1)).as("n_lms"))
@@ -766,14 +773,24 @@ object Multimodal {
   def audioIndexBuild(reference: DataFrame, windowBytes: Int = 32,
                       hop: Int = 16, maxLandmarkDf: Int = 0,
                       mkDecoder: DecoderFactory = rawPlane): AudioIndex = {
-    val lm0 = audioLandmarks(reference, windowBytes, hop, mkDecoder)
-      .select(col("media_id").as("id_ref"), col("landmark"))
+    // one decode pass: refLandmarks and refSizes both derive from lm
+    // (round-15 review — harness-drained; the index relations recompute
+    // from lineage if read after a drain)
+    val lm0 = graft.Cleanup.register(
+      audioLandmarks(reference, windowBytes, hop, mkDecoder)
+        .select(col("media_id").as("id_ref"), col("landmark"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val viral =
       if (maxLandmarkDf <= 0) lm0.select(col("landmark")).limit(0)
       else lm0.groupBy(col("landmark"))
         .agg(count(lit(1)).as("__df")).filter(col("__df") > maxLandmarkDf)
         .select(col("landmark"))
-    val lm = lm0.join(viral.hint("merge"), Seq("landmark"), "leftanti")
+    // uncapped: skip the no-op anti-join against the empty viral relation
+    // (the audioNearDups branch rule); viral stays as the typed empty
+    // artifact downstream probes anti-join against
+    val lm =
+      if (maxLandmarkDf <= 0) lm0
+      else lm0.join(viral.hint("merge"), Seq("landmark"), "leftanti")
     AudioIndex(
       lm.select(col("landmark"), col("id_ref")),
       lm.groupBy(col("id_ref")).agg(count(lit(1)).as("__nr")),

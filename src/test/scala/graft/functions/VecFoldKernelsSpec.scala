@@ -169,6 +169,42 @@ class VecFoldKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong element types are rejected at ANALYSIS, not read as garbage " +
+       "(the SQL surface's int-literal trap)") {
+    GraftFunctions.register(TestSpark.spark)
+    // array(1, 2) is array<int> — the natural pure-SQL literal; typed
+    // getters would stride-misread it, so analysis must refuse
+    for (q <- Seq(
+      "SELECT vec_dot_long(array(1, 2), array(3, 4))",
+      "SELECT vec_xor_popcount(array(1, 2), array(3, 4))",
+      "SELECT vec_eq_count(array(1, 2), array(1, 2))",
+      "SELECT vec_dot(array(1, 2), array(3, 4))",
+      "SELECT vec_l2sq(array(1, 2), array(3, 4))",
+      "SELECT vec_sub(array(1, 2), array(3, 4))",
+      "SELECT binarize_sign(array(1, -1, 1), 3)",
+      "SELECT simhash64(array(1, 2))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        TestSpark.spark.sql(q).collect())
+      assert(e.getMessage.contains("expects array"), s"$q: ${e.getMessage.take(120)}")
+    }
+  }
+
+  test("BinarizeSign refuses a vector shorter than dim (loud, never " +
+       "zero-filled) and reads only the first dim of a longer one") {
+    import TestSpark.spark
+    val df = spark.range(1).select(
+      array(lit(1.0f), lit(-1.0f)).as("short2"),
+      array(lit(1.0), lit(-1.0), lit(0.5), lit(-0.5)).as("long4"))
+    val e = intercept[Exception](
+      df.select(VectorFunctions.binarizeSign(col("short2"), 3)).collect())
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("refusing to zero-fill"), s"$e")
+    // longer vector: first dim components only — same bits as the tree form
+    val got = df.select(VectorFunctions.binarizeSign(col("long4"), 3))
+      .head().getSeq[Long](0)
+    assert(got == Seq(5L), s"bits 0 and 2 set from (+,-,+): $got")
+  }
+
   test("the fold kernels are SQL-callable after registration") {
     GraftFunctions.register(TestSpark.spark)
     val row = TestSpark.spark.sql(
