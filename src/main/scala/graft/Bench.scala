@@ -366,9 +366,16 @@ object Bench {
     final case class Cand(name: String, med: Double, ref: Double,
                           factor: Double, rerun: () => Run)
     val qCands = queryStats
-      .flatMap { case (n, (med, _, _, _, _)) =>
+      .flatMap { case (n, (med, mn, _, _, _)) =>
         refs.query.get(n).collect {
-          case r if med > 2 * r && med > 0.5 =>
+          // 2× trigger — OR the round-16 "repeat offender" rule (the
+          // q_percentiles case: a 1.6× r/r drift with min ≈ med sat
+          // below the trigger for a full round before a worktree A/B
+          // adjudicated it environmental): med > 1.5× ref with min ≥
+          // 0.8·med means the regression REPRODUCED across every rep
+          // rather than one loaded rep widening the spread — exactly
+          // the readings a rerun can still adjudicate in-sweep
+          case r if (med > 2 * r || (med > 1.5 * r && mn >= 0.8 * med)) && med > 0.5 =>
             Cand(n, med, r, med / r, () => runOnce(n, byNameForRerun(n))) } }
     val tCands = trainerRuns.flatMap { case (n, run) =>
       refs.trainer.get(n).collect {

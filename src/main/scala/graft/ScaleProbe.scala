@@ -751,6 +751,40 @@ object ScaleProbe {
     time("hamming_refined_20q")(
       graft.ops.Similarity.hammingTopKRefined(embQ,
         embQ.filter(col("vec_id") < 20), 10, dim = 64).count())
+    // round-16 op-grain probe (VERDICT item 2): cosineNearDupLsh END TO
+    // END at n originals + n/2 quantize-roundtrip twins, production
+    // threshold 0.9 (the dedup_embedding_cosine_t90 shape — the committed
+    // 0.45-floor query's candidate volume is structurally ~all-pairs and
+    // CANNOT run at 1M). Plan read (§18.2 trap class): norm/banding at
+    // row grain; the one pair-grain re-evaluation is the pushed-down
+    // threshold filter's vecdot in the SMJ condition + the survivor
+    // projection's — SURVIVOR-bounded, not candidate-bounded.
+    //
+    // THE PROBE'S REAL FIND: bitsPerBand is a log₂(corpus) parameter, not
+    // a constant. The sf-scale queries' 16-bit bands give 2^16 buckets —
+    // at 1.5M vectors pigeonhole forces ≥23 collisions per (band,
+    // bucket), ≈130M candidate pairs each carrying two 64-double payloads
+    // through the verify join: the first probe run OOM'd exactly there.
+    // 24-bit bands (2^24 ≫ 1.5M) cut expected random collisions to
+    // ~2^-24·pairs·bands ≈ 0.5M while twin recall stays ~1 (twin angle
+    // ≈0.8° ⇒ P(all 8 bands miss) ≈ 1e-8). The 100 TB rule recorded in
+    // DESIGN §18: pick bitsPerBand ≥ log₂(n) + margin, or set
+    // maxBucketSize as the backstop.
+    time("cosine_lsh_t90_op")( {
+      val orig = embQ.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embQ.filter(col("vec_id") < n / 2)
+        .select(col("vec_id"), graft.ops.Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          graft.ops.Similarity.dequantizeInt8(col("qz")).as("embedding"))
+      val corpus = orig.union(twins).localCheckpoint(false)
+      try {
+        val got = graft.ops.Similarity.cosineNearDupLsh(corpus, 0.9, dim = 64,
+          bitsPerBand = 24, bands = 8).count()
+        require(got >= n / 2, s"planted twins missed: $got < ${n / 2}")
+        got
+      } finally corpus.unpersist()
+    })
     embQ.unpersist()
     // EWMA over the ne-event stream (events relation above): one
     // user-keyed aggregate, per-user fold ~ne/10k elements
@@ -963,6 +997,49 @@ object ScaleProbe {
       time("fold_dotscaled_kernel")(forceRowSum(matF,
         vecDotScaled(col("f"), lv, 32.0)))
       matF.unpersist(); matBase.unpersist()
+    }
+
+    // ---- round-16 sorted-fold A/B: the agg-grain family §18.1 didn't
+    // cover — aggregate(array_sort(collect_list(x)), 0.0, +) evaluated
+    // once per GROUP after the aggregation (simjoin per-pair dot/norms at
+    // candidate-pair grain; meanPool / kmeans cell means). Inputs are the
+    // ALREADY-COLLECTED arrays, materialized once, so the timed projection
+    // isolates the sort+fold exactly like the §18.1 probes (the
+    // groupBy+collect_list cost is common to both forms and excluded).
+    // n array rows × 24 elements ≈ the simjoin pair-grain shape.
+    locally {
+      import graft.functions.VectorFunctions._
+      val arrs = spark.range(n).select(
+        col("id"),
+        transform(sequence(lit(0), lit(23)), i =>
+          (pmod(xxhash64(col("id"), i, lit(23)), lit(4001L)).cast("double") - 2000.0) / 997.0)
+          .as("arr")).localCheckpoint() // eager
+      def forceRowSum(c: org.apache.spark.sql.Column): Long = {
+        arrs.agg(sum(c)).head(); n
+      }
+      time("fold_sortedsum_hof")(forceRowSum(
+        aggregate(array_sort(col("arr")), lit(0.0), (s, x) => s + x)))
+      time("fold_sortedsum_kernel")(forceRowSum(vecSortedSum(col("arr"))))
+      // end-to-end agg shape (groupBy + collect_list INCLUDED both ways):
+      // how much of the full simjoin-style aggregation the fold is
+      val kv = spark.range(20L * n).select(
+        (col("id") % n).as("grp"),
+        ((pmod(xxhash64(col("id"), lit(29)), lit(4001L)).cast("double") - 2000.0) / 997.0)
+          .as("x")).localCheckpoint() // eager
+      time("aggfold_sortedsum_hof")( {
+        kv.groupBy(col("grp"))
+          // buffer-bound: 20 synthetic values per probe group (id % n)
+          .agg(aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+            (s, x) => s + x).as("s"))
+          .agg(sum(col("s"))).head(); n
+      })
+      time("aggfold_sortedsum_kernel")( {
+        kv.groupBy(col("grp"))
+          // buffer-bound: 20 synthetic values per probe group (id % n)
+          .agg(vecSortedSum(collect_list(col("x"))).as("s"))
+          .agg(sum(col("s"))).head(); n
+      })
+      kv.unpersist(); arrs.unpersist()
     }
     spark.stop()
   }

@@ -2576,6 +2576,31 @@ object SparkEntry {
           threshold = 0.5)
         .orderBy(col("id_new"))
     }),
+    "mm_audio_quality" -> ((s, dir) => {
+      // accuracy census on the DEPLOYED audio detector (round 16 — the
+      // dedup_lsh_quality convention, closing the modality's census gap):
+      // exact capped-set Jaccard decile census of the shared-landmark
+      // pair universe with audioNearDups' literal threshold flag per
+      // band. The raw corpus populates only the curve's ends, so every
+      // doc gets a PARTIAL-OVERLAP twin planted — a hop-aligned PREFIX
+      // covering (doc_id % 5 + 3)/10 of the text (truncation at offset 0
+      // keeps every surviving window aligned, so the twin's landmark set
+      // is ~a frac-sized subset of the original's and the pair Jaccard
+      // lands near frac — fractions 0.3..0.7 straddle the 0.5 threshold
+      // by construction, the vacuous-negative-branch rule); integer char
+      // arithmetic, replayed by the oracle
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fromDocuments(docs)
+        .select(col("media_id"), col("payload"))
+      val twins = docs.select(
+        (col("doc_id") + lit(10000000L)).as("media_id"),
+        encode(expr(
+          "substr(text, 1, CAST(length(text) * ((doc_id % 5) + 3) DIV 10 AS INT))"),
+          "UTF-8").as("payload"))
+      Multimodal.audioQualityCensus(media.unionByName(twins),
+          windowBytes = 32, hop = 16, threshold = 0.5, maxLandmarkDf = 20)
+        .orderBy(col("jband"))
+    }),
     "mm_phash_cross_corpus" -> ((s, dir) => {
       // cross-corpus image near-dup against a PREBUILT reference index
       // (Multimodal.phashBuild / phashNearDupsWith — the round-9 artifact
@@ -4426,6 +4451,40 @@ object SparkEntry {
           |FROM sh JOIN sz x ON x.media_id = id_a JOIN sz y ON y.media_id = id_b
           |WHERE round(CAST(n_shared AS DOUBLE)/(x.nl + y.nl - n_shared), 4) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+      "mm_audio_quality" ->
+        // the landmark-replay chain of mm_audio_neardups with the
+        // PARTIAL-OVERLAP prefix plant, aggregated to the (jband,
+        // n_pairs, n_detected) decile census; det replays the deployed
+        // predicate (4-dp-rounded capped-set Jaccard >= 0.5) and jband
+        // the integer (inter*10) DIV union banding
+        """WITH d AS (SELECT doc_id AS media_id, text AS s FROM documents
+          |           UNION ALL
+          |           SELECT doc_id + 10000000 AS media_id,
+          |                  substr(text, 1, CAST(length(text) * ((doc_id % 5) + 3) // 10 AS INT)) AS s
+          |           FROM documents),
+          |win AS (SELECT media_id, i, substr(s, i*16 + 1, 32) AS w
+          |        FROM d, unnest(generate_series(0, (length(s)-32)//16)) AS u(i)
+          |        WHERE length(s) >= 48),
+          |fp AS (SELECT media_id, i, list_reduce(
+          |         list_prepend(CAST(0 AS BIGINT),
+          |           list_transform(range(1, length(w)+1),
+          |             j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))),
+          |         (h, c) -> (h*31 + c) % 1000000007) AS f
+          |       FROM win),
+          |lm0 AS (SELECT DISTINCT a.media_id, a.f * 1073741824 + b.f AS lm
+          |        FROM fp a JOIN fp b ON a.media_id = b.media_id AND b.i = a.i + 1),
+          |viral AS (SELECT lm FROM lm0 GROUP BY lm HAVING count(*) > 20),
+          |lm AS (SELECT * FROM lm0 WHERE lm NOT IN (SELECT lm FROM viral)),
+          |sz AS (SELECT media_id, count(*) AS nl FROM lm GROUP BY media_id),
+          |sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS inter
+          |       FROM lm a JOIN lm b ON a.lm = b.lm AND a.media_id < b.media_id
+          |       GROUP BY 1, 2),
+          |pj AS (SELECT CAST((inter * 10) // (x.nl + y.nl - inter) AS INT) AS jband,
+          |         CASE WHEN round(CAST(inter AS DOUBLE)/(x.nl + y.nl - inter), 4) >= 0.5
+          |              THEN 1 ELSE 0 END AS det
+          |       FROM sh JOIN sz x ON x.media_id = id_a JOIN sz y ON y.media_id = id_b)
+          |SELECT jband, count(*) AS n_pairs, CAST(sum(det) AS BIGINT) AS n_detected
+          |FROM pj GROUP BY jband ORDER BY jband""".stripMargin,
       "mm_audio_cross_corpus" ->
         // same landmark chain split ref/batch; REFERENCE-side viral cap
         // only (batch-invariant); batch sizes counted after dropping the

@@ -125,6 +125,55 @@ private[functions] object VecTypeChecks {
       .getOrElse(TypeCheckResult.TypeCheckSuccess)
 }
 
+/** Runtime guards shared by the vec kernels (round-16, ADVICE): the HOF
+  * forms these kernels replace null-pad unequal lengths (returning NULL)
+  * and propagate NULL elements; the kernels read ArrayData through typed
+  * getters, so without guards a pure-SQL caller's NULL element is
+  * silently read as 0 (UnsafeArrayData) and a length mismatch silently
+  * clamps to the shorter array — the silent-garbage class. Internal call
+  * sites guarantee equal non-null arrays, so these raises never fire on
+  * the production paths; the BinarizeSign loud-refusal stance, extended.
+  *
+  * Cost discipline (§17.1): the per-element null check is gated on the
+  * argument's static `containsNull` flag — collect_list / kernel outputs
+  * are containsNull=false and skip it entirely; parquet-read embeddings
+  * are containsNull=true but the branch is never-taken and measured free
+  * at 1M pairs (DESIGN §18 round-16 receipt).
+  */
+object VecGuards { // public: the VecDot generated code calls it by name
+  /** Equal-length check; returns the common length. */
+  def sameLen(name: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$name: input arrays differ in length (${n} vs ${b.numElements()}) — " +
+          "refusing to clamp to the shorter (the HOF form null-pads and returns NULL)")
+    n
+  }
+
+  /** Pre-pass null scan — called once per array (when the static schema
+    * admits null elements) so the arithmetic loop stays as tight as the
+    * unguarded round-15 form; the interleaved-check variant measured
+    * +0.5 s at 20M pairs on the 3-array ADC fold, the pre-pass is free.
+    */
+  def noNulls(name: String, a: ArrayData): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) nullElem(name, i); i += 1 }
+  }
+
+  def nullElem(name: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: NULL array element at index $i — the kernel cannot read it as 0; " +
+        "filter or coalesce the nulls upstream")
+
+  /** Static may-contain-nulls flag from an argument's ArrayType. */
+  def mayNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+}
+
 /** splitmix64 finalizer — the one deterministic mixer every hash-seeded
   * kernel derives its streams from (MinHash lane coefficients, LSH
   * hyperplanes). Arithmetic-progression schemes correlate lanes — see the
@@ -190,11 +239,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     case _ => false
   }
 
+  private lazy val lMayNull = VecGuards.mayNull(left)
+  private lazy val rMayNull = VecGuards.mayNull(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_dot", x, y)
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    if (lMayNull) VecGuards.noNulls("vec_dot", x)
+    if (rMayNull) VecGuards.noNulls("vec_dot", y)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -215,8 +269,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val s = ctx.freshName("vdS")
     val i = ctx.freshName("vdI")
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // length + (containsNull-gated) null-element guards mirror
+      // nullSafeEval — the guard code is only EMITTED when the static
+      // schema admits null elements, so the proven-non-null fast path
+      // compiles to the bare fused loop
+      val nullGuard =
+        (if (lMayNull) s"""graft.functions.VecGuards.noNulls("vec_dot", $a);\n""" else "") +
+        (if (rMayNull) s"""graft.functions.VecGuards.noNulls("vec_dot", $b);\n""" else "")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecGuards.sameLen("vec_dot", $a, $b);
+         |$nullGuard
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
@@ -829,9 +891,13 @@ case class VecXorPopcount(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     VecTypeChecks.longArrays("vec_xor_popcount", Seq(left, right))
 
+  private lazy val ln = VecGuards.mayNull(left); private lazy val rn = VecGuards.mayNull(right)
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_xor_popcount", x, y)
+    if (ln) VecGuards.noNulls("vec_xor_popcount", x)
+    if (rn) VecGuards.noNulls("vec_xor_popcount", y)
     var s = 0L
     var i = 0
     while (i < n) {
@@ -858,9 +924,13 @@ case class VecDotLong(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     VecTypeChecks.longArrays("vec_dot_long", Seq(left, right))
 
+  private lazy val ln = VecGuards.mayNull(left); private lazy val rn = VecGuards.mayNull(right)
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_dot_long", x, y)
+    if (ln) VecGuards.noNulls("vec_dot_long", x)
+    if (rn) VecGuards.noNulls("vec_dot_long", y)
     var s = 0L
     var i = 0
     while (i < n) {
@@ -886,9 +956,13 @@ case class VecEqCount(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     VecTypeChecks.longArrays("vec_eq_count", Seq(left, right))
 
+  private lazy val ln = VecGuards.mayNull(left); private lazy val rn = VecGuards.mayNull(right)
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_eq_count", x, y)
+    if (ln) VecGuards.noNulls("vec_eq_count", x)
+    if (rn) VecGuards.noNulls("vec_eq_count", y)
     var s = 0
     var i = 0
     while (i < n) {
@@ -920,9 +994,13 @@ case class VecL2Sq(left: Expression, right: Expression)
     case _ => false
   }
 
+  private lazy val ln = VecGuards.mayNull(left); private lazy val rn = VecGuards.mayNull(right)
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_l2sq", x, y)
+    if (ln) VecGuards.noNulls("vec_l2sq", x)
+    if (rn) VecGuards.noNulls("vec_l2sq", y)
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
@@ -960,10 +1038,18 @@ case class VecDotPlus(first: Expression, second: Expression, third: Expression)
     case _ => false
   }
 
+  private lazy val qn = VecGuards.mayNull(first)
+  private lazy val an = VecGuards.mayNull(second)
+  private lazy val bn = VecGuards.mayNull(third)
+
   override def compute(q: Any, a: Any, b: Any): Any = {
     val qv = q.asInstanceOf[ArrayData]
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(qv.numElements(), math.min(x.numElements(), y.numElements()))
+    val n = VecGuards.sameLen("vec_dot_plus", qv, x)
+    if (y.numElements() != n) VecGuards.sameLen("vec_dot_plus", x, y)
+    if (qn) VecGuards.noNulls("vec_dot_plus", qv)
+    if (an) VecGuards.noNulls("vec_dot_plus", x)
+    if (bn) VecGuards.noNulls("vec_dot_plus", y)
     val qf = elemIsFloat(first); val af = elemIsFloat(second); val bf = elemIsFloat(third)
     var s = 0.0
     var i = 0
@@ -1007,10 +1093,20 @@ case class VecResidL2Sq(left: Expression, right: Expression, component: Seq[Doub
     case _ => false
   }
 
+  private lazy val vn = VecGuards.mayNull(left)
+
   override def compute(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val d = b.asInstanceOf[Double]
-    val n = math.min(v.numElements(), comp.length)
+    // strict (round-16, ADVICE): a vector dimension differing from the
+    // fitted component's would silently truncate the residual norm —
+    // the nested zip_with form nulls out instead; raise like BinarizeSign
+    val n = v.numElements()
+    if (n != comp.length)
+      throw new IllegalArgumentException(
+        s"vec_resid_l2sq: vector has $n dims but the component has ${comp.length} — " +
+          "refusing to truncate the residual fold")
+    if (vn) VecGuards.noNulls("vec_resid_l2sq", v)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -1045,9 +1141,13 @@ case class VecDotScaled(left: Expression, right: Expression, divisor: Double)
     case _ => false
   }
 
+  private lazy val ln = VecGuards.mayNull(left); private lazy val rn = VecGuards.mayNull(right)
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_dot_scaled", x, y)
+    if (ln) VecGuards.noNulls("vec_dot_scaled", x)
+    if (rn) VecGuards.noNulls("vec_dot_scaled", y)
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
@@ -1085,6 +1185,7 @@ case class BinarizeSign(child: Expression, dim: Int)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  private lazy val vn = VecGuards.mayNull(child)
 
   override def compute(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -1100,6 +1201,7 @@ case class BinarizeSign(child: Expression, dim: Int)
     val lim = dim
     val chunks = (dim + 31) / 32
     val out = new Array[Long](chunks)
+    if (vn) VecGuards.noNulls("binarize_sign", v)
     var i = 0
     while (i < lim) {
       val x = if (elemFloat) v.getFloat(i).toDouble else v.getDouble(i)
@@ -1130,9 +1232,13 @@ case class VecSub(left: Expression, right: Expression)
     case _ => false
   }
 
+  private lazy val ln = VecGuards.mayNull(left); private lazy val rn = VecGuards.mayNull(right)
+
   override def compute(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecGuards.sameLen("vec_sub", x, y)
+    if (ln) VecGuards.noNulls("vec_sub", x)
+    if (rn) VecGuards.noNulls("vec_sub", y)
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     val out = new Array[Double](n)
     var i = 0
@@ -1147,6 +1253,55 @@ case class VecSub(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Ascending-order sum of an array's elements — the determinism-pinned
+  * sorted fold `aggregate(array_sort(collect_list(x)), 0.0, (s,x) -> s+x)`
+  * as one primitive pass (round-16: the agg-grain sorted-fold family the
+  * §18.1 sweep didn't cover; the simjoin per-pair dot/norms run this at
+  * candidate-pair grain). Sorts a primitive copy with
+  * java.util.Arrays.sort and left-folds from +0.0 in ascending order —
+  * bit-identical to the HOF form: Arrays.sort and Spark's array_sort can
+  * disagree only on the relative order of -0.0 vs 0.0 and of equal NaNs,
+  * and both classes are sum-order-neutral (x + 0.0 + (-0.0) == x +
+  * (-0.0) + 0.0 for every x including ±0.0 seeds, and NaN absorbs —
+  * JVM double ops canonicalize NaN payloads), so the folded sums carry
+  * the same raw bits (spec-pinned in VecFoldKernelsSpec). Float elements
+  * widen to double BEFORE the sort — widening is monotone, so the order
+  * matches array_sort-then-widen.
+  */
+case class VecSortedSum(child: Expression)
+    extends UnaryExpression with NativeUnaryKernel {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeChecks.numericArrays("vec_sorted_sum", Seq(child))
+
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val vn = VecGuards.mayNull(child)
+
+  override def compute(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (vn) VecGuards.noNulls("vec_sorted_sum", v)
+    val a = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      a(i) = if (elemFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+    var s = 0.0
+    i = 0
+    while (i < n) { s += a(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorFunctions {
@@ -1183,6 +1338,9 @@ object VectorFunctions {
 
   def vecSub(a: Column, b: Column): Column =
     ColumnShim.column(VecSub(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def vecSortedSum(a: Column): Column =
+    ColumnShim.column(VecSortedSum(ColumnShim.expression(a)))
 
   def binarizeSign(vec: Column, dim: Int): Column =
     ColumnShim.column(BinarizeSign(ColumnShim.expression(vec), dim))

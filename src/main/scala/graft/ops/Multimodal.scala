@@ -708,12 +708,25 @@ object Multimodal {
     */
   def audioNearDups(media: DataFrame, windowBytes: Int = 32, hop: Int = 16,
                     threshold: Double = 0.5, maxLandmarkDf: Int = 0,
-                    mkDecoder: DecoderFactory = rawPlane): DataFrame = {
-    // landmark extraction (the decode + windowed-hash scan, the op's
-    // dominant cost) feeds the viral census AND the capped set — persist
-    // the RAW landmark relation so the corpus decodes exactly once
-    // (round-15 review: persisting only the post-cap set ran the decode
-    // twice, once per census side); harness-drained
+                    mkDecoder: DecoderFactory = rawPlane): DataFrame =
+    landmarkPairJaccard(cappedLandmarks(media, windowBytes, hop, maxLandmarkDf,
+        mkDecoder))
+      .filter(col("jaccard_r") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
+
+  /** The capped landmark relation shared by the self-sweep and the
+    * quality census: decode + landmark once, apply the background cap.
+    * Landmark extraction (the decode + windowed-hash scan, the op's
+    * dominant cost) feeds the viral census AND the capped set — persist
+    * the RAW landmark relation so the corpus decodes exactly once
+    * (round-15 review: persisting only the post-cap set ran the decode
+    * twice, once per census side); harness-drained. The capped set feeds
+    * sizes AND both candidate-join sides — its own persist keeps the
+    * anti-join from re-running per consumer.
+    */
+  private[ops] def cappedLandmarks(media: DataFrame, windowBytes: Int,
+                                   hop: Int, maxLandmarkDf: Int,
+                                   mkDecoder: DecoderFactory): DataFrame = {
     val lm0 = graft.Cleanup.register(
       audioLandmarks(media, windowBytes, hop, mkDecoder)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
@@ -725,10 +738,16 @@ object Multimodal {
           .select(col("landmark"))
         lm0.join(viral.hint("merge"), Seq("landmark"), "leftanti")
       }
-    // the capped set feeds sizes AND both candidate-join sides — its own
-    // persist keeps the anti-join from re-running per consumer
-    val lmM = graft.Cleanup.register(
+    graft.Cleanup.register(
       lm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+  }
+
+  /** Every recording pair sharing ≥1 surviving landmark, with capped-set
+    * sizes and the rounded Jaccard — the DEPLOYED pair arithmetic:
+    * `audioNearDups` is exactly this relation under its threshold
+    * predicate, and `audioQualityCensus` reports it unfiltered.
+    */
+  private[ops] def landmarkPairJaccard(lmM: DataFrame): DataFrame = {
     val sizes = lmM.groupBy(col("media_id")).agg(count(lit(1)).as("n_lms"))
     val shared = lmM.select(col("landmark"), col("media_id").as("id_a"))
       .join(lmM.select(col("landmark"), col("media_id").as("id_b")).hint("merge"),
@@ -742,9 +761,38 @@ object Multimodal {
         .hint("merge"), "id_b")
       .withColumn("jaccard_r", round(col("n_shared").cast("double") /
         (col("__na") + col("__nb") - col("n_shared")), 4))
-      .filter(col("jaccard_r") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
   }
+
+  /** Accuracy census on the DEPLOYED audio detector (round-16 — the
+    * convention every approximate detector carries: `dedup_lsh_quality`
+    * for text LSH, `emb_ivf_recall` for IVF): the exact capped-set
+    * Jaccard decile census of the shared-landmark pair universe with the
+    * deployed threshold flag per band. Bands are integer (inter·10) DIV
+    * union — engine-rounding-immune, the lshQualityCensus discipline;
+    * the detection column applies audioNearDups' literal predicate
+    * (rounded Jaccard ≥ threshold) on the SAME pair relation, so the
+    * census documents where the detector's step sits against the pair
+    * mass. Unlike LSH banding (probabilistic recall), this detector
+    * verifies candidates with the exact capped-set Jaccard and its
+    * candidate generation is COMPLETE for Jaccard > 0 (any intersecting
+    * pair shares a landmark and meets in the inverted index), so bands
+    * entirely above the threshold read fully detected and bands below
+    * read zero except the band-boundary sliver (band ⌊10·t⌋ pairs whose
+    * 4-dp-rounded Jaccard crosses t) — the census proves that step
+    * empirically per corpus, OFF its asymptotes when the caller plants
+    * partial-overlap twins across the threshold's uncertain region.
+    */
+  def audioQualityCensus(media: DataFrame, windowBytes: Int = 32,
+                         hop: Int = 16, threshold: Double = 0.5,
+                         maxLandmarkDf: Int = 0,
+                         mkDecoder: DecoderFactory = rawPlane): DataFrame =
+    landmarkPairJaccard(cappedLandmarks(media, windowBytes, hop, maxLandmarkDf,
+        mkDecoder))
+      .select(
+        expr("CAST((n_shared * 10) DIV (__na + __nb - n_shared) AS INT)").as("jband"),
+        when(col("jaccard_r") >= threshold, 1L).otherwise(0L).as("__det"))
+      .groupBy(col("jband"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__det")).as("n_detected"))
 
   /** The build-once reference artifact for cross-corpus audio near-dup:
     * the inverted (landmark, id_ref) relation, per-recording landmark
@@ -840,6 +888,7 @@ object Multimodal {
                               tsCol: String, watermark: String,
                               threshold: Double = 0.5,
                               windowLen: String = "1 hour",
+                              maxViralBroadcast: Int = 1000000,
                               mkDecoder: DecoderFactory = rawPlane): DataFrame = {
     val w = index.windowBytes; val hop = index.hop
     // the capped-set contract needs per-recording sizes counted AFTER the
@@ -848,10 +897,24 @@ object Multimodal {
     // as a broadcast into the landmark kernel. Bounded: ≤ (reference
     // landmark rows)/maxLandmarkDf distinct values by construction (each
     // costs > maxLandmarkDf rows), the same artifact grain as the
-    // reference index itself.
+    // reference index itself — but at a 100 TB reference with a tight df
+    // cap that bound is still millions of rows, so the collect is LOUDLY
+    // capped (round-16, VERDICT item 3 — the sampler-k-guard pattern):
+    // the limit probe never materializes more than maxViralBroadcast + 1
+    // rows driver-side, and overflow names the three ways out rather
+    // than silently ballooning the driver.
+    require(maxViralBroadcast >= 0 && maxViralBroadcast < Int.MaxValue,
+      s"maxViralBroadcast must fit a limit(): $maxViralBroadcast")
     val spark = stream.sparkSession
+    val viralRows = index.viral.limit(maxViralBroadcast + 1).collect()
+    require(viralRows.length <= maxViralBroadcast,
+      s"streamingAudioFlagsWith: the viral-landmark set exceeds " +
+        s"maxViralBroadcast = $maxViralBroadcast rows — refusing the driver-side " +
+        "collect. Raise maxLandmarkDf on the index (fewer viral landmarks), " +
+        "raise maxViralBroadcast deliberately, or flag in batch via " +
+        "audioNearDupsWith (its background drop is a scalable anti-join)")
     val viralSet = spark.sparkContext.broadcast(
-      index.viral.collect().map(_.getLong(0)).toSet)
+      viralRows.map(_.getLong(0)).toSet)
     val outSchema = StructType(Seq(
       StructField("ts", TimestampType),
       StructField("id_new", LongType),

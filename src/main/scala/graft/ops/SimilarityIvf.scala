@@ -88,9 +88,10 @@ trait SimilarityIvf { self: Similarity.type =>
           .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("bucket"), col("pos"))
           // buffer-bound: training-sample values per (cell, dim) — the
-          // whole input is the ≤ nlist·sampleMult-row sample limited above
+          // whole input is the ≤ nlist·sampleMult-row sample limited above.
+          // VecSortedSum = the same ascending fold, kernel'd (round-16 §18)
           .agg(
-            aggregate(array_sort(collect_list(col("x"))), lit(0.0), (s, x) => s + x).as("sx"),
+            graft.functions.VectorFunctions.vecSortedSum(collect_list(col("x"))).as("sx"),
             count(lit(1)).as("n"))
           .collect()
         val next = mat.map(_.clone()) // empty cluster -> keep previous centroid

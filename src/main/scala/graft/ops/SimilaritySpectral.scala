@@ -144,9 +144,10 @@ trait SimilaritySpectral { self: Similarity.type =>
       .groupBy(col("grp"), col("pos"))
       // buffer-bound: group size per (grp, dim) — the bit-exact ORACLE
       // surface (audited in WindowKeySweepSpec); production is
-      // meanPoolAvg below, plain avg() with O(1) mergeable state
+      // meanPoolAvg below, plain avg() with O(1) mergeable state.
+      // VecSortedSum = the same ascending fold, kernel'd (round-16 §18)
       .agg(
-        aggregate(array_sort(collect_list(col("x"))), lit(0.0), (s, x) => s + x).as("sx"),
+        graft.functions.VectorFunctions.vecSortedSum(collect_list(col("x"))).as("sx"),
         count(lit(1)).as("n"))
       .select(col("grp"), col("pos").cast("long").as("pos"),
         round(col("sx") / col("n"), 4).as("mean_r"))

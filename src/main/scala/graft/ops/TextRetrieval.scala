@@ -427,17 +427,22 @@ trait TextRetrieval { self: TextAnalysis.type =>
     // relation all scale with the corpus
     val w = tf.join(dfreq.hint("merge"), "term")
       .select(col("doc"), col("term"), (col("tf") / col("df0").cast("double")).as("w"))
-    // buffer-bound: distinct shingles of ONE document (document length)
+    // buffer-bound: distinct shingles of ONE document (document length).
+    // The sorted fold runs as VecSortedSum (round-16 §18): the HOF
+    // aggregate(array_sort(...)) form is interpreted in the
+    // ObjectHashAggregate result projection — A/B at 1M groups measured
+    // the full aggregation 5.6 → 3.2 s (fold ~6× at expression grain);
+    // bit-identical ascending summation, spec-pinned.
     val norms = w.groupBy(col("doc"))
-      .agg(sqrt(aggregate(array_sort(collect_list(col("w") * col("w"))),
-        lit(0.0), (a, x) => a + x)).as("nrm"))
+      .agg(sqrt(graft.functions.VectorFunctions.vecSortedSum(
+        collect_list(col("w") * col("w")))).as("nrm"))
     // buffer-bound: shared shingles of ONE doc pair — ≤ the shorter
     // document's length; pair count itself is dfCap-bounded above
     val dots = w.as("a").join(w.as("b").hint("merge"),
         col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(aggregate(array_sort(collect_list(col("a.w") * col("b.w"))),
-        lit(0.0), (s, x) => s + x).as("dot"))
+      .agg(graft.functions.VectorFunctions.vecSortedSum(
+        collect_list(col("a.w") * col("b.w"))).as("dot"))
     val cos = col("dot") / (col("na") * col("nb"))
     dots
       .join(norms.select(col("doc").as("id_a"), col("nrm").as("na"))

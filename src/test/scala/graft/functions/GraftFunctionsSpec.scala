@@ -159,7 +159,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
         "hashed_bow",
         // round-15 ANN fold kernels (DESIGN §18)
         "vec_xor_popcount", "vec_dot_long", "vec_eq_count", "vec_l2sq",
-        "vec_dot_plus", "vec_sub", "binarize_sign"))
+        "vec_dot_plus", "vec_sub", "binarize_sign",
+        // round-16 agg-grain sorted fold (DESIGN §19.1)
+        "vec_sorted_sum"))
     assert(ext != null)
   }
 }

@@ -226,6 +226,123 @@ class VecFoldKernelsSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[Long]]("b").toSeq == Seq(5L)) // bits 0,2
   }
 
+  test("VecSortedSum == aggregate(array_sort(x), 0.0, +) — the agg-grain " +
+       "sorted fold (round-16), raw bits, float and double, ±0.0 ties") {
+    import TestSpark.spark
+    // projection grain (the post-aggregation shape the sites run at)
+    bitsEqual(base.select(
+      VectorFunctions.vecSortedSum(col("vd")),
+      aggregate(array_sort(col("vd")), lit(0.0), (s, x) => s + x)))
+    bitsEqual(base.select(
+      VectorFunctions.vecSortedSum(col("vf")),
+      aggregate(array_sort(col("vf")), lit(0.0), (s, x) => s + x)))
+    // full agg shape: collect_list feeding the fold, exactly the simjoin/
+    // meanPool expression — collect_list order is nondeterministic, which
+    // is WHY the sort exists; parity must hold through it
+    val kv = spark.range(400).select((col("id") % 37).as("g"),
+      ((col("id") * 7919L % 1001L).cast("double") - 500.0).as("x"))
+    bitsEqual(kv.groupBy(col("g")).agg(
+      VectorFunctions.vecSortedSum(collect_list(col("x"))).as("k"),
+      aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+        (s, x) => s + x).as("h")).select(col("k"), col("h")))
+    // the -0.0 / 0.0 tie class the scaladoc argues is sum-order-neutral
+    val signedZeros = spark.range(1).select(
+      array(lit(-0.0), lit(0.0), lit(-1.5), lit(1.5), lit(-0.0)).as("z"))
+    bitsEqual(signedZeros.select(
+      VectorFunctions.vecSortedSum(col("z")),
+      aggregate(array_sort(col("z")), lit(0.0), (s, x) => s + x)))
+    // NaN absorbs identically (canonical payload both ways)
+    val withNaN = spark.range(1).select(
+      array(lit(Double.NaN), lit(2.0), lit(-3.0)).as("z"))
+    bitsEqual(withNaN.select(
+      VectorFunctions.vecSortedSum(col("z")),
+      aggregate(array_sort(col("z")), lit(0.0), (s, x) => s + x)))
+    // SQL-callable
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT vec_sorted_sum(array(3.0D, 1.0D, 2.0D))")
+      .head().getDouble(0) == 6.0)
+  }
+
+  test("unequal-length inputs raise LOUDLY (never clamp to the shorter) — " +
+       "round-16 ADVICE: the HOF forms null-pad; silent clamping is garbage") {
+    import TestSpark.spark
+    val df = spark.range(1).select(
+      array(lit(1.0), lit(2.0), lit(3.0)).as("d3"),
+      array(lit(1.0), lit(2.0)).as("d2"),
+      array(lit(1L), lit(2L), lit(3L)).as("l3"),
+      array(lit(1L), lit(2L)).as("l2"))
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    val cases = Seq(
+      df.select(VectorFunctions.vecDot(col("d3"), col("d2"))),
+      df.select(VectorFunctions.vecL2Sq(col("d3"), col("d2"))),
+      df.select(VectorFunctions.vecSub(col("d3"), col("d2"))),
+      df.select(VectorFunctions.vecDotScaled(col("d3"), col("d2"), 2.0)),
+      df.select(VectorFunctions.vecDotPlus(col("d3"), col("d3"), col("d2"))),
+      df.select(VectorFunctions.vecDotPlus(col("d2"), col("d3"), col("d3"))),
+      df.select(VectorFunctions.vecXorPopcount(col("l3"), col("l2"))),
+      df.select(VectorFunctions.vecDotLong(col("l3"), col("l2"))),
+      df.select(VectorFunctions.vecEqCount(col("l3"), col("l2"))))
+    cases.foreach { q =>
+      val e = intercept[Exception](q.collect())
+      assert(root(e).getMessage.contains("refusing to clamp"),
+        s"must refuse the clamp: ${root(e).getMessage.take(160)}")
+    }
+    // VecResidL2Sq: component/vector dim mismatch refuses the truncated fold
+    val er = intercept[Exception](df.select(
+      VectorFunctions.vecResidL2Sq(col("d3"), lit(0.5), Seq(1.0, 2.0))).collect())
+    assert(root(er).getMessage.contains("refusing to truncate"), s"$er")
+  }
+
+  test("NULL array elements raise LOUDLY instead of reading as 0 — round-16 " +
+       "ADVICE: the silent-garbage class on the SQL surface") {
+    import TestSpark.spark
+    // array(lit, nullLit) types as containsNull=true — the guarded path
+    val df = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double")).as("dn"),
+      array(lit(1.0), lit(2.0)).as("d2"),
+      array(lit(1L), lit(null).cast("long")).as("ln"),
+      array(lit(1L), lit(2L)).as("l2"))
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    val cases = Seq(
+      df.select(VectorFunctions.vecDot(col("dn"), col("d2"))),
+      df.select(VectorFunctions.vecDot(col("d2"), col("dn"))),
+      df.select(VectorFunctions.vecL2Sq(col("dn"), col("d2"))),
+      df.select(VectorFunctions.vecSub(col("dn"), col("d2"))),
+      df.select(VectorFunctions.vecDotScaled(col("dn"), col("d2"), 2.0)),
+      df.select(VectorFunctions.vecDotPlus(col("d2"), col("dn"), col("d2"))),
+      df.select(VectorFunctions.vecXorPopcount(col("ln"), col("l2"))),
+      df.select(VectorFunctions.vecDotLong(col("ln"), col("l2"))),
+      df.select(VectorFunctions.vecEqCount(col("ln"), col("l2"))),
+      df.select(VectorFunctions.binarizeSign(col("dn"), 2)),
+      df.select(VectorFunctions.vecResidL2Sq(col("dn"), lit(0.5), Seq(1.0, 2.0))))
+    cases.foreach { q =>
+      val e = intercept[Exception](q.collect())
+      assert(root(e).getMessage.contains("NULL array element"),
+        s"must be loud: ${root(e).getMessage.take(160)}")
+    }
+    // and a containsNull=true array WITHOUT actual nulls (the parquet-read
+    // embedding shape) still computes — the guard gates on values, not schema
+    val nullableNoNulls = array(when(lit(true), lit(3.0)), when(lit(true), lit(4.0)))
+    val ok = df.select(VectorFunctions.vecDot(col("d2"), nullableNoNulls))
+    assert(ok.head().getDouble(0) == 11.0)
+  }
+
+  test("wrong argument COUNT is a clean analysis error naming the function " +
+       "and arity, not an IndexOutOfBoundsException — round-16 ADVICE") {
+    GraftFunctions.register(TestSpark.spark)
+    for ((q, fn) <- Seq(
+      ("SELECT vec_dot_plus(array(1.0D), array(2.0D))", "vec_dot_plus"),
+      ("SELECT binarize_sign(array(1.0D, -1.0D))", "binarize_sign"),
+      ("SELECT vec_dot(array(1.0D))", "vec_dot"),
+      ("SELECT simhash64(array('a'), 2)", "simhash64"),
+      ("SELECT hashed_bow(array('a'), 16)", "hashed_bow"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        TestSpark.spark.sql(q).collect())
+      assert(e.getMessage.contains(fn) && e.getMessage.contains("parameters"),
+        s"$q: ${e.getMessage.take(160)}")
+    }
+  }
+
   test("fold kernels stay inside whole-stage codegen (no CodegenFallback " +
        "subtree in the plan)") {
     // materialize the synthesized arrays first: the transform() HOFs that

@@ -337,6 +337,71 @@ class MultimodalSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("audioQualityCensus == brute-force decile census over capped landmark " +
+       "sets; partial-overlap twins populate the mid-curve (round-16)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val m0 = media.select($"media_id", $"payload")
+    val twins = docs.select(($"doc_id" + 10000000L).as("media_id"),
+      encode(expr(
+        "substr(text, 1, CAST(length(text) * ((doc_id % 5) + 3) DIV 10 AS INT))"),
+        "UTF-8").as("payload"))
+    val corpus = m0.unionByName(twins)
+    val got = Multimodal.audioQualityCensus(corpus, 32, 16, threshold = 0.5,
+        maxLandmarkDf = 20)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force from the landmark sets under the same corpus-wide cap
+    val lms = Multimodal.audioLandmarks(corpus, 32, 16).as[(Long, Long)].collect()
+    val viral = lms.groupBy(_._2).collect { case (lm, v) if v.length > 20 => lm }.toSet
+    val sets = lms.filterNot(p => viral(p._2)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val expect = scala.collection.mutable.Map[Int, (Long, Long)]()
+    val ids = sets.keys.toSeq.sorted
+    for { i <- ids.indices; j <- (i + 1) until ids.size } {
+      val (a, b) = (sets(ids(i)), sets(ids(j)))
+      val inter = (a & b).size
+      if (inter > 0) {
+        val un = a.size + b.size - inter
+        val jb = (inter * 10) / un
+        val det = if (BigDecimal(inter.toDouble / un)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.5) 1L else 0L
+        val (np, nd) = expect.getOrElse(jb, (0L, 0L))
+        expect(jb) = (np + 1, nd + det)
+      }
+    }
+    assert(got == expect.toMap,
+      s"census != brute force: got ${got.toSeq.sorted}, expect ${expect.toSeq.sorted}")
+    // the S-curve is sampled OFF its asymptotes: ≥3 interior bands
+    assert(got.keySet.count(b => b >= 2 && b <= 8) >= 3,
+      s"asymptote-only census is vacuous: bands ${got.keySet.toSeq.sorted}")
+    // and both the detected and undetected branches carry mass
+    assert(got.values.map(_._2).sum > 0, "no pair detected")
+    assert(got.exists { case (_, (np, nd)) => nd < np }, "every pair detected")
+    graft.Cleanup.drain()
+  }
+
+  test("streamingAudioFlagsWith refuses an over-cap viral broadcast LOUDLY " +
+       "(round-16: the bounded driver collect gets a counted guard)") {
+    val all = media.select($"media_id", $"payload")
+    // df cap 1 makes nearly every repeated landmark viral — a large set
+    val idx = Multimodal.audioIndexBuild(all, windowBytes = 32, hop = 16,
+      maxLandmarkDf = 1)
+    val viralCount = idx.viral.count()
+    assert(viralCount > 2, s"plant degenerate: only $viralCount viral landmarks")
+    val stream = all.select(
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+      $"media_id", $"payload")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.streamingAudioFlagsWith(stream, idx, "ts", "1 hour",
+        maxViralBroadcast = 2))
+    assert(e.getMessage.contains("maxViralBroadcast") &&
+      e.getMessage.contains("audioNearDupsWith"),
+      s"guard must name the cap and the ways out: ${e.getMessage}")
+    // the same index under the default cap constructs (guard gates on
+    // COUNT, not on the cap's mere presence)
+    Multimodal.streamingAudioFlagsWith(stream, idx, "ts", "1 hour")
+    graft.Cleanup.drain()
+  }
+
   test("perceptualHash: 48-bit, integer-exact threshold, constant plane hashes 0") {
     val df = Seq(
       (1L, Array.fill[Byte](96)(65)),               // constant plane: no block above mean
