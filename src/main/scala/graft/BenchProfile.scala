@@ -39,9 +39,21 @@ object BenchProfile {
     spark.sparkContext.setLogLevel("WARN")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    // `trainer:<name>` profiles a trainerWarmers entry instead of a query,
+    // re-training for real on every rep via a fresh child session (the
+    // memo is keyed on session identity — the Bench rerun trick), so the
+    // samples cover featurize+rounds rather than a memo hit.
+    val fn: (SparkSession, String) => Unit =
+      if (name.startsWith("trainer:")) {
+        val warm = SparkEntry.trainerWarmers.getOrElse(name.stripPrefix("trainer:"),
+          sys.error(s"unknown trainer: $name"))
+        (s, d) => warm(s.newSession(), d)
+      } else {
+        val q = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+        (s, d) => force(q(s, d))
+      }
 
-    force(fn(spark, sfDir)) // unprofiled JIT warmup
+    fn(spark, sfDir) // unprofiled JIT warmup
     Cleanup.drain()
 
     val rec = new jdk.jfr.Recording()
@@ -49,7 +61,7 @@ object BenchProfile {
       .withPeriod(java.time.Duration.ofMillis(5))
     rec.start()
     val t0 = System.nanoTime()
-    (1 to reps).foreach { _ => force(fn(spark, sfDir)); Cleanup.drain() }
+    (1 to reps).foreach { _ => fn(spark, sfDir); Cleanup.drain() }
     val secs = (System.nanoTime() - t0) / 1e9
     rec.stop()
     val path = java.nio.file.Paths.get(out)

@@ -1406,11 +1406,20 @@ object SparkEntry {
       // collisions exercise the overcount arithmetic on both branches
       // (the vacuous-negative-branch rule: the collision pattern depends
       // only on the token strings, so both branches appear at EVERY SF)
+      // ONE corpus tokenize + vocab-grain count feeds both sketch builds
+      // AND the exact top-k (round 16 — the plan previously re-derived
+      // the corpus tokenization five times: 2 token-grain sketch builds
+      // + the exact subtree duplicated under its three join arms, the
+      // DESIGN §8.1 twin-subtree rule); md5 now runs at vocab grain
+      // (cmsBuildFromCounts scaladoc). Persist + Cleanup: multi-branch
+      // consumer of a derived relation, the dedup_embedding_cosine rule.
       val d = t(s, dir, "documents")
-      val sk = TextAnalysis.cmsBuild(d, "text")
-      val skN = TextAnalysis.cmsBuild(d, "text", depth = 4, width = 16)
-      val exact = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      val wc = Cleanup.register(
+        d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt")).persist())
+      val sk = TextAnalysis.cmsBuildFromCounts(wc)
+      val skN = TextAnalysis.cmsBuildFromCounts(wc, depth = 4, width = 16)
+      val exact = wc.select(col("w"), col("cnt").as("n_exact"))
         .orderBy(col("n_exact").desc, col("w").asc).limit(20)
       TextAnalysis.cmsEstimateWith(exact, "w", sk)
         .join(TextAnalysis.cmsEstimateWith(exact, "w", skN)

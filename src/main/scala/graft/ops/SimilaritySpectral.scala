@@ -23,24 +23,25 @@ trait SimilaritySpectral { self: Similarity.type =>
     * while the repo's sorted-fold trick (meanPool) buffers O(group) values
     * — unusable over the whole corpus. Here each per-row per-dimension
     * addend is QUANTIZED to 2⁻²⁰ fixed point — round(xᵢ·(x·v)·2²⁰) as an
-    * exact integer — and summed in decimal: integer addition IS
-    * associative, so the reduction is bit-identical under any partitioning
-    * and any engine, with O(1) mergeable state per dimension (the DuckDB
-    * oracle replays all rounds as a materialized-CTE chain and
-    * hash-matches). Decimal(27,0) sums: a quantized addend is
-    * |xᵢ|·|x·v|·2²⁰ ≈ 10⁶ for unit-norm vectors (up to ~10⁹ for
-    * magnitude-10 raw embeddings), so a LONG sum only overflows past
-    * ~10⁹–10¹² rows — real headroom at probe scale, none at the 10¹³-row
-    * corpus this op is written for; decimal(27,0) is safe at any scale
-    * and costs little once the addend cast goes through long (below).
+    * exact integer — and summed in exact integer arithmetic: integer
+    * addition IS associative, so the reduction is bit-identical under any
+    * partitioning and any engine, with O(1) mergeable state per dimension
+    * (the DuckDB oracle replays all rounds as a materialized-CTE chain
+    * and hash-matches). Partial sums are per-partition longs merged in
+    * BigInt on the driver (round 16 — previously decimal(27,0) SQL sums;
+    * same values): a quantized addend is |xᵢ|·|x·v|·2²⁰ ≈ 10⁶ for
+    * unit-norm vectors (up to ~10⁹ for magnitude-10 raw embeddings), so
+    * a per-PARTITION long sum overflows only past ~10⁹–10¹² rows in one
+    * partition — and Math.addExact makes that a loud task error, never a
+    * silent wrap; the BigInt merge itself is unbounded.
     * The 2⁻²⁰ quantization error per round is ~10⁻⁶ relative — far below
     * the 5-dp output rounding — and the iteration re-normalizes every
     * round, so error does not compound.
     *
-    * Shape per round: ONE whole-stage-codegen scan computing the dot
-    * against the literal v (broadcast in the task binary) and 64 partial
-    * sums — no shuffle (final aggregation merges #partitions rows), one
-    * 64-cell row to the driver. The base relation is localCheckpoint'ed
+    * Shape per round: ONE linear kernel scan over the checkpointed cast
+    * projection computing the dot against the broadcast v and `dim`
+    * partial sums per partition — no shuffle, one dim-cell array per
+    * partition to the driver. The base relation is localCheckpoint'ed
     * once; `iters` is a constant (6–10 suffices for a spectral gap), so
     * total cost is iters linear scans.
     */
@@ -65,25 +66,57 @@ trait SimilaritySpectral { self: Similarity.type =>
       df.select(transform(col(vecCol), x => x.cast("double")).as("v"))
         .localCheckpoint(false))
     val Q = 1048576.0 // 2^20: exact power-of-two fixed-point scale
+    // ROUND SHAPE (round 16 — the lmsRoundsMulti fixed-cost redesign
+    // applied here): the cast projection compiles ONCE into an
+    // InternalRow RDD; each round is one `mapPartitions` kernel job over
+    // it — the dot, the 2⁻²⁰ quantization and the per-dimension partial
+    // Long sums in plain `while` loops — merged exactly on the driver in
+    // BigInt. The previous declarative round built a 64-expression
+    // `sum(round(..).cast(long).cast(decimal(27,0)))` aggregate whose JFR
+    // profile put ~31% of the whole query in the decimal machinery
+    // (FloatingDecimal.developLongDigits 16.7% + BigDecimal.<init> 9.2% +
+    // Decimal.changePrecision 4.7%) on top of per-round analysis/codegen.
+    // ARITHMETIC IS BIT-IDENTICAL: the dot is the same left-to-right
+    // IEEE fold VecDot computes; the quantization is the same
+    // round→cast(long) chain ([[graft.ops.TextAnalysis.roundHalfUpToLong]]
+    // — Spark Round's BigDecimal.valueOf(v).setScale(0, HALF_UP) exactly);
+    // partial sums are exact integers (Math.addExact — a >2⁶³ partition
+    // is a loud task error where decimal kept absorbing, far past any
+    // real partition's mass) merged order-independently in BigInt; and
+    // the BigInt → BigDecimal → double hop is the identical value path
+    // Decimal(27,0).doubleValue took (exact below 2⁵³, same IEEE rounding
+    // above). Spec-pinned trajectory-equal to the declarative form in
+    // SimilaritySpec.
+    val rdd = base.queryExecution.toRdd
     var vcur: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
-      val vl = array(vcur.map(lit).toIndexedSeq: _*)
-      // per-round scan dot as the native VecDot kernel (round 15, DESIGN
-      // §18: 1M probe 0.7 → 0.4 s per scan) — same element-order bits
-      val dotC = graft.functions.VectorFunctions.vecDot(col("v"), vl)
-      // round → long → decimal: the addend is an integral double ≤ ~2³¹
-      // (|x|·|x·v|·2²⁰ with unit v), so the long hop is exact — and
-      // Decimal(long) skips the per-element BigDecimal conversion a
-      // direct double→decimal cast pays (measured 8.8× on the whole
-      // 6-round run at 1M×64: 267 s → 30.5 s)
-      val aggs = (0 until dim).map(i =>
-        sum(round(element_at(col("v"), i + 1) * col("dot") * lit(Q))
-          .cast("long").cast("decimal(27,0)")).as(s"s$i"))
-      val row = base.withColumn("dot", dotC)
-        .agg(aggs.head, aggs.tail: _*).collect().head
-      require(!row.isNullAt(0), "power iteration over an empty corpus")
-      val s = (0 until dim).map(i => row.getDecimal(i).doubleValue() / Q).toArray
+      val vB = vcur.clone()
+      val (dimB, qB) = (dim, Q)
+      val partials = rdd.mapPartitions { it =>
+        val sums = new Array[Long](dimB)
+        it.foreach { row =>
+          val varr = row.getArray(0).toDoubleArray()
+          require(varr.length == dimB,
+            s"powerIterationVector: vector of dim ${varr.length}, expected $dimB")
+          var s = 0.0
+          var i = 0
+          while (i < dimB) { s += varr(i) * vB(i); i += 1 }
+          i = 0
+          while (i < dimB) {
+            sums(i) = Math.addExact(sums(i),
+              graft.ops.TextAnalysis.roundHalfUpToLong(varr(i) * s * qB))
+            i += 1
+          }
+        }
+        Iterator.single(sums)
+      }.collect()
+      val s = (0 until dim).map { i =>
+        var tot = BigInt(0)
+        partials.foreach(p => tot += p(i))
+        new java.math.BigDecimal(tot.bigInteger).doubleValue() / Q
+      }.toArray
       val norm = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+      // an empty corpus lands here too (all-zero sums), loudly
       require(norm > 0, "degenerate corpus: X^T X v vanished")
       vcur = s.map(_ / norm)
     }

@@ -34,12 +34,19 @@ trait TextVocab { self: TextAnalysis.type =>
     val spark = df.sparkSession
     import spark.implicits._
     // corpus-scale phase: weighted distinct vocab, words split to chars
+    // LAZY localCheckpoint (round 16): still truncates lineage so each
+    // round folds over the LAST vocab, but materialization rides the
+    // round's own best-pair job instead of paying a separate eager job —
+    // one job per round instead of two (the round's collect() is always
+    // the first action over the fresh checkpoint), and the FINAL round's
+    // rewrite (whose vocab no consumer ever reads) is never computed at
+    // all. Arithmetic unchanged: same vocab relation, same fold.
     var vocab = df
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("syms"), col("cnt"))
-      .localCheckpoint() // truncate: each round folds over the LAST vocab
+      .localCheckpoint(false) // truncate: each round folds over the LAST vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false
@@ -71,7 +78,7 @@ trait TextVocab { self: TextAnalysis.type =>
                     array(lit(l + r))))
                   .otherwise(concat(acc, array(s)))).as("syms"),
             col("cnt"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           rank += 1
       }
     }

@@ -623,6 +623,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxDiff < 1e-4, s"quantized vs dense power iteration diverged: $maxDiff")
   }
 
+  test("powerIterationVector kernel rounds are bit-identical to the declarative decimal-sum rounds") {
+    // round-16 parity pin: the mapPartitions round kernel replaced the
+    // sum(round(x_i·dot·Q).cast(long).cast(decimal(27,0))) declarative
+    // aggregate — replay that EXACT chain here and compare the whole
+    // trajectory by raw double bits (the VecFoldKernelsSpec discipline).
+    import org.apache.spark.sql.functions.{element_at, round => sqlRound, sum => sqlSum}
+    val Q = 1048576.0
+    val dim = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .as[Int].head()
+    val base = emb.select(transform($"embedding", x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    var vcur: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to 6) {
+      val vl = array(vcur.toIndexedSeq.map(lit): _*)
+      val dotC = graft.functions.VectorFunctions.vecDot($"v", vl)
+      val aggs = (0 until dim).map(i =>
+        sqlSum(sqlRound(element_at($"v", i + 1) * $"dot" * lit(Q))
+          .cast("long").cast("decimal(27,0)")).as(s"s$i"))
+      val row = base.withColumn("dot", dotC)
+        .agg(aggs.head, aggs.tail: _*).collect().head
+      val s = (0 until dim).map(i => row.getDecimal(i).doubleValue() / Q).toArray
+      val norm = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+      vcur = s.map(_ / norm)
+    }
+    val kernel = Similarity.powerIterationVector(emb, iters = 6, dim = dim)
+    graft.Cleanup.drain()
+    assert(kernel.length == vcur.length)
+    kernel.toIndexedSeq.zip(vcur.toIndexedSeq).zipWithIndex.foreach { case ((k, d), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(k) ==
+        java.lang.Double.doubleToRawLongBits(d),
+        s"component $i: kernel $k != declarative $d")
+    }
+  }
+
   test("removeDominantComponent: planted axis fully removed; projection never grows a norm") {
     // exact eigenbasis (off-diagonal Gram = 0): dominant = e0 — whitening
     // must null the e0 mass and keep the e1 mass
