@@ -791,9 +791,19 @@ object SparkEntry {
       // Every stage is individually oracle-proven; this pins that they
       // compose (each stage consumes the previous stage's exact output).
       val docs = t(s, dir, "documents")
-      val cleaned = docs
+      // normalize ONCE per row (round 16): without the materialization,
+      // predicate pushdown + CollapseProject inline the 5-regex chain
+      // into every consumer — the physical plan evaluated it SIX times
+      // per doc (token-count filter + the sampler's pushed fingerprint
+      // predicate + the norm projection, × the two scan branches
+      // exactDedup's min-id aggregate duplicates), and JFR put ~45% of
+      // the query in java.util.regex. The normalized corpus is the
+      // natural write-once artifact of a real curation pipeline anyway.
+      val normed = Cleanup.register(docs
         .select(col("doc_id"), col("lang"),
           TextAnalysis.normalize(col("text")).as("norm"))
+        .localCheckpoint(false))
+      val cleaned = normed
         .filter(TextAnalysis.tokenCount(col("norm")) >= 5)
       val sampled = TextAnalysis.stratifiedSample(cleaned, "lang", "norm",
         Map("en" -> 600), defaultPerMille = 800)
@@ -1006,14 +1016,19 @@ object SparkEntry {
     "text_dup_spans" -> ((s, dir) =>
       // substring-level duplication profile (Lee et al. shape): per doc,
       // how many 5-gram positions are cross-document duplicated text
-      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+      // hashGrams (round 16): the production xxhash64 keying — 8-byte
+      // gram ids through the df exchange instead of 5-word strings;
+      // output spec-pinned identical to the string keying (DedupSpec)
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 5,
+          hashGrams = true)
         .orderBy(col("doc_id"))),
     "text_dup_spans_removed" -> ((s, dir) =>
       // the REWRITE over the same flagging rule: cut every token covered
       // by a cross-document duplicated 5-gram, reassemble the remainder
       // (Dedup.removeDupSpans — measure and rewrite share one rule, so
       // n_removed here is consistent with text_dup_spans' n_dup counts)
-      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text", 5,
+          hashGrams = true) // round 16: production keying, spec-pinned
         .orderBy(col("doc_id"))),
     "text_remove_spans_cross" -> ((s, dir) => {
       // the rewrite against a PREBUILT reference gram index
@@ -1025,7 +1040,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.removeDupSpansWith(docs,
           Dedup.dupGramBuild(docs.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", 5),
+            "doc_id", "text", 5, hashGrams = true), // round 16 keying
           "doc_id", "text")
         .orderBy(col("doc_id"))
     }),

@@ -658,6 +658,15 @@ trait DedupMinHash { self: Dedup.type =>
     val sigs = shs.select(col("id"), minHashSignature(col("sh"), k).as("sig"))
     val det = bucketCandidatePairs(sigBandBuckets(sigs, bands, rowsPerBand), 0)
       .withColumn("__det", lit(1L))
+    // NOTE (round 16): hashing the exploded grams at the explode (the
+    // containmentPairs xxhash64 rule) was TRIED here and measured a
+    // consistent ~20% REGRESSION in an interleaved A/B (warm meds 4.31 →
+    // 5.17 s at sf0.1): the census population is id-quarantined and
+    // small, so the two extra hash passes over both self-join legs cost
+    // more than the narrower sort keys save. Reverted — the string keying
+    // stays; at true corpus scale this exact leg is quarantined to a
+    // sample by construction, so the string exchange never sees
+    // corpus-scale rows.
     val ex = shs.select(col("id"), explode(col("sh")).as("g"))
     val sizes = shs.select(col("id"), size(col("sh")).as("n"))
     val truth = ex.as("a").join(ex.as("b").hint("merge"),

@@ -218,10 +218,40 @@ trait TextClassifier { self: TextAnalysis.type =>
     * TextClassifierSpec ("kernel loop is bit-identical") over a
     * sign/tie/magnitude grid — the one place the kernel's arithmetic
     * could silently diverge from the DuckDB oracle's replay.
+    *
+    * FAST PATH (round 16): the BigDecimal chain string-formats every
+    * double (BigDecimal.valueOf = new BigDecimal(Double.toString(v))),
+    * and the JFR profile put ~68% of classifier_train in exactly that
+    * (developLongDigits 32.5% + BigDecimal.<init> 25.4% + valueOf 5.2% +
+    * the FloatingDecimal ThreadLocal 3.6%). For finite |v| < 2⁵² the
+    * chain is computable in three FP ops, BIT-IDENTICAL by this
+    * argument: (a) truncation t = v.toLong is exact (|v| < 2⁵² < 2⁶³);
+    * (b) the fractional part |v| − |t| is EXACT by Sterbenz (t ≤ |v| <
+    * t+1 ≤ 2t for t ≥ 1; trivial for t = 0), so comparing it to 0.5
+    * decides "≥ half" on the TRUE binary value — never the
+    * floor(x+0.5) double-rounding trap (0.49999999999999994 + 0.5 sums
+    * to 1.0; no addition happens here); (c) the decimal the BigDecimal
+    * chain rounds is the SHORTEST repr r of v, and r can sit on the
+    * other side of (or exactly on) the k+0.5 boundary from v only if
+    * parsing a decimal ≥/=/≤ k+0.5 yields v — impossible for |v| < 2⁵²,
+    * where k+0.5 is itself exactly representable and parses to itself,
+    * not to v. For finite |v| ≥ 2⁵² every double is integral: the chain
+    * is the identity followed by the same saturating toLong. Non-finite
+    * input delegates to the BigDecimal chain so NaN/±Inf keep throwing
+    * the identical NumberFormatException. Parity: the spec grid plus a
+    * round-16 adversarial + 2M-point seeded random sweep against the
+    * BigDecimal chain (TextClassifierSpec).
     */
   private[graft] def roundHalfUpToLong(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    if (java.lang.Double.isFinite(v)) {
+      if (v < 4503599627370496.0 && v > -4503599627370496.0) { // |v| < 2^52
+        val t = v.toLong // exact truncation toward zero
+        if (v >= 0) { if (v - t >= 0.5) t + 1 else t }
+        else { if (t - v >= 0.5) t - 1 else t }
+      } else v.toLong
+    } else
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   /** The shared LMS round loop over an already-featurized checkpoint
     * (`base` must carry the feature array `x`; each element of `ys` is a

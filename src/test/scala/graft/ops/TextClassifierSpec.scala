@@ -189,6 +189,44 @@ class TextClassifierSpec extends AnyFunSuite {
       assert(sparkVals.getLong(i) === TextAnalysis.roundHalfUpToLong(v),
         s"round parity broken at $v")
     }
+    // round-16 fast-path pin: the kernel's 3-FP-op path must equal the
+    // reference BigDecimal chain on every finite double — adversarial
+    // boundary set (exact ties, ties ± 1 ulp, shortest-repr traps, the
+    // 2^52 integrality frontier, subnormals, ± long range) plus a seeded
+    // 2M-point random sweep over the magnitudes the trainers emit
+    def ref(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val ulps = Seq(-2, -1, 0, 1, 2)
+    val bases = (0 to 60).map(k => math.pow(2, k) + 0.5) ++
+      Seq(0.5, 1.5, 2.5, 0.49999999999999994, 1.4999999999999998,
+        4503599627370495.5, 4503599627370496.0, 9007199254740991.0,
+        9.223372036854776E18, 1e19, java.lang.Double.MIN_VALUE,
+        java.lang.Double.MIN_NORMAL, 0.0, -0.0)
+    def ulpShift(x: Double, u: Int): Double =
+      if (u == 0) x
+      else if (u > 0) (1 to u).foldLeft(x)((a, _) => Math.nextUp(a))
+      else (1 to -u).foldLeft(x)((a, _) => Math.nextDown(a))
+    val adversarial = for {
+      b <- bases; u <- ulps; s <- Seq(1.0, -1.0)
+    } yield s * ulpShift(b, u)
+    adversarial.foreach { v =>
+      assert(TextAnalysis.roundHalfUpToLong(v) === ref(v),
+        s"fast-path parity broken at $v (bits ${java.lang.Double.doubleToRawLongBits(v)})")
+    }
+    val rnd = new java.util.Random(20260819L)
+    var i = 0
+    while (i < 2000000) {
+      // magnitudes spanning the trainers' addends: r·x·2^20 lands in
+      // ~[1e-6, 1e12]; also sweep raw uniform bits for full coverage
+      val v =
+        if (i % 3 == 0) (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(14) - 1)
+        else if (i % 3 == 1) rnd.nextLong().toDouble / (1L << rnd.nextInt(40))
+        else java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (java.lang.Double.isFinite(v))
+        assert(TextAnalysis.roundHalfUpToLong(v) === ref(v),
+          s"fast-path parity broken at $v (bits ${java.lang.Double.doubleToRawLongBits(v)})")
+      i += 1
+    }
     // the full declarative round-13 loop, replayed verbatim over the
     // same featurized checkpoint — the kernel must reproduce every bit
     val dim = 8; val iters = 12; val eta = 1.0 / 64
