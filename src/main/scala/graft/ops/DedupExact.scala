@@ -110,8 +110,13 @@ trait DedupExact { self: Dedup.type =>
     val Seq(h1, h2) = contentFingerprint(col(on))
     val keepers = df.select(h1.as("__h1"), h2.as("__h2"), col(idCol))
       .groupBy(col("__h1"), col("__h2")).agg(min(col(idCol)).as(idCol))
+    // merge-pinned (round 16): the keeper relation is corpus-derived
+    // (one row per distinct value — grows with the corpus), so it must
+    // never ride an AQE broadcast estimate (the containmentPairs
+    // round-14 rule; CorpusJoinHintSpec flags it now that curation's
+    // checkpointed input puts this join in the sweep's scope)
     df.withColumn("__h1", h1).withColumn("__h2", h2)
-      .join(keepers, Seq("__h1", "__h2", idCol), "leftsemi")
+      .join(keepers.hint("merge"), Seq("__h1", "__h2", idCol), "leftsemi")
       .drop("__h1", "__h2")
   }
 

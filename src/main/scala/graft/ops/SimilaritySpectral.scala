@@ -92,6 +92,8 @@ trait SimilaritySpectral { self: Similarity.type =>
     for (_ <- 1 to iters) {
       val vB = vcur.clone()
       val (dimB, qB) = (dim, Q)
+      // buffer-bound: dim longs per partition (model grain,
+      // corpus-independent — the lmsRoundsMulti bound)
       val partials = rdd.mapPartitions { it =>
         val sums = new Array[Long](dimB)
         it.foreach { row =>
