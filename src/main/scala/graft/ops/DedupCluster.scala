@@ -68,7 +68,11 @@ trait DedupCluster { self: Dedup.type =>
     }
     var sig = checksum(edges)
     var rounds = 0
-    var stable = edges.isEmpty
+    // count == 0 IS the emptiness test — the checksum job already
+    // materialized the checkpoint, so a separate isEmpty job (which on a
+    // lazy localCheckpoint forces full materialization anyway) is a pure
+    // extra scheduling round-trip (round 17)
+    var stable = sig._1 == 0L
     while (!stable) {
       rounds += 1
       require(rounds <= 100, s"duplicateClusters: no fixpoint after $rounds star rounds")
@@ -76,11 +80,16 @@ trait DedupCluster { self: Dedup.type =>
       val nbrs = edges.select(col("lo").as("u"), col("hi").as("v"))
         .union(edges.select(col("hi").as("u"), col("lo").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
-      // m ≤ u < v, so emitted (v, m) is already canonical (hi > lo)
+      // m ≤ u < v, so emitted (v, m) is already canonical (hi > lo).
+      // NOT distinct'd (round 17): nbrs is one row per edge direction and
+      // the v > u filter keeps exactly one per edge, so ls is at most
+      // |edges| rows; duplicates (two u's mapping one v to the same m)
+      // change neither sMins' min nor the round's result set — `next`
+      // ends in distinct() — and dropping the intermediate distinct
+      // removes one full exchange + aggregate per star round.
       val ls = nbrs.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // ---- small-star: for each hi, link itself and its smaller
       //      neighbors to the min of those neighbors
       val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))

@@ -96,6 +96,17 @@ trait DedupMinHash { self: Dedup.type =>
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // NOTE (round 17, measured and NOT materialized): the plan re-derives
+    // the tokenize+shingle chain three times (signature banding + both
+    // exact-verify legs). A lazy localCheckpoint of the (id, shingles)
+    // relation was tried against the 1M-grain probe and REGRESSED ~20%
+    // (minhash_lsh_neardups 32.8 → 40.6 s, keep_best_canonical 42.6 →
+    // 45.1): the shingle chain is map-only (scan→project, no shuffle), so
+    // re-derivation is free pipeline parallelism, while materializing a
+    // corpus-grain array-of-strings relation pays a barrier plus
+    // deserialized storage. The dedup_lsh_quality round-16 lesson again —
+    // recompute beats materialize when the duplicated subtree has no
+    // exchange in it.
     val cand = minHashCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     cand

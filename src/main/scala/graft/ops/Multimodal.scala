@@ -659,7 +659,10 @@ object Multimodal {
     * per-partition [[DecoderFactory]] seam as `perceptualHash` (a real
     * PCM decoder slots in; the default plane is the payload bytes), then
     * the constellation kernel. Output (media_id, landmark) — fixed-width
-    * rows; payload bytes never shuffle.
+    * rows; payload bytes never shuffle. `media_id` is the row's identity
+    * and must be unique (every in-repo caller derives it from a unique
+    * id) — the per-row kernel dedup is then exactly the relation-level
+    * distinct, with no corpus-grain exchange.
     */
   def audioLandmarks(media: DataFrame, windowBytes: Int = 32, hop: Int = 16,
                      mkDecoder: DecoderFactory = rawPlane): DataFrame = {
@@ -678,11 +681,16 @@ object Multimodal {
         rows.map { r =>
           Row(r.getAs[Long]("media_id"),
             audioLandmarksOf(decode(r.getAs[Array[Byte]]("payload")),
-              windowBytes, hop).toSeq)
+              windowBytes, hop).distinct.toSeq)
         }
       }(enc)
+      // per-row dedup IS the relation's distinct (round 17): media_id is
+      // unique per input row, so distinct over (media_id, landmark) can
+      // only collapse duplicates WITHIN one row's landmark array — the
+      // `.distinct` above does exactly that in the kernel, the form the
+      // streaming twin always used, and the corpus-grain exchange+agg the
+      // DataFrame-level distinct() paid is gone from every audio plan.
       .select(col("media_id"), explode(col("lms")).as("landmark"))
-      .distinct()
   }
 
   /** Audio near-duplicate pairs via landmark-set overlap: two recordings
@@ -710,7 +718,7 @@ object Multimodal {
                     threshold: Double = 0.5, maxLandmarkDf: Int = 0,
                     mkDecoder: DecoderFactory = rawPlane): DataFrame =
     landmarkPairJaccard(cappedLandmarks(media, windowBytes, hop, maxLandmarkDf,
-        mkDecoder))
+        mkDecoder), maxLandmarkDf)
       .filter(col("jaccard_r") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
 
@@ -747,12 +755,38 @@ object Multimodal {
     * `audioNearDups` is exactly this relation under its threshold
     * predicate, and `audioQualityCensus` reports it unfiltered.
     */
-  private[ops] def landmarkPairJaccard(lmM: DataFrame): DataFrame = {
+  private[ops] def landmarkPairJaccard(lmM: DataFrame,
+                                       maxLandmarkDf: Int = 0): DataFrame = {
     val sizes = lmM.groupBy(col("media_id")).agg(count(lit(1)).as("n_lms"))
-    val shared = lmM.select(col("landmark"), col("media_id").as("id_a"))
-      .join(lmM.select(col("landmark"), col("media_id").as("id_b")).hint("merge"),
-        Seq("landmark"))
-      .filter(col("id_a") < col("id_b"))
+    // Pair generation (round 17, guide §2.3 "aggregate before you
+    // shuffle"): with the background cap ON, every surviving landmark's
+    // posting list is ≤ maxLandmarkDf ids by construction, so the
+    // inverted index aggregates to ONE sorted posting row per landmark
+    // and ordered pairs expand inline (the wordLift pattern) — one
+    // exchange of the landmark relation instead of a landmark-keyed SMJ
+    // self-join (two sorted legs + join). lmM is distinct per
+    // (media_id, landmark), so the sorted list is strictly increasing
+    // and the (x_i, y_j), i<j expansion enumerates exactly the
+    // id_a < id_b pairs the self-join emitted — identical pair multiset,
+    // identical n_shared. The uncapped form keeps the join: without the
+    // df cap a corpus-common landmark's posting list is unbounded and
+    // may not collect.
+    val shared = (if (maxLandmarkDf > 0) {
+      lmM.groupBy(col("landmark"))
+        // buffer-bound: ≤ maxLandmarkDf ids per posting row — the viral
+        // cap dropped every landmark with df > maxLandmarkDf upstream
+        .agg(sort_array(collect_list(col("media_id"))).as("__ids"))
+        .select(explode(flatten(transform(col("__ids"), (x, i) =>
+          transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+        .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+    } else {
+      lmM.select(col("landmark"), col("media_id").as("id_a"))
+        .join(lmM.select(col("landmark"), col("media_id").as("id_b")).hint("merge"),
+          Seq("landmark"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    })
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col("media_id").as("id_a"), col("n_lms").as("__na"))
@@ -787,7 +821,7 @@ object Multimodal {
                          maxLandmarkDf: Int = 0,
                          mkDecoder: DecoderFactory = rawPlane): DataFrame =
     landmarkPairJaccard(cappedLandmarks(media, windowBytes, hop, maxLandmarkDf,
-        mkDecoder))
+        mkDecoder), maxLandmarkDf)
       .select(
         expr("CAST((n_shared * 10) DIV (__na + __nb - n_shared) AS INT)").as("jband"),
         when(col("jaccard_r") >= threshold, 1L).otherwise(0L).as("__det"))
