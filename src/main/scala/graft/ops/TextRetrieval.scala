@@ -438,7 +438,26 @@ trait TextRetrieval { self: TextAnalysis.type =>
         i => array_join(slice(col("__w"), i, lit(shingleN)), " "))).as("term"))
     val tf = grams.groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    // 8-byte term ids through every downstream exchange (round 17 — the
+    // hashGrams/encByHash rule applied to the simjoin: the JFR put 6.1%
+    // of the query in ByteArray.compareBinary — gram-STRING key
+    // comparisons inside the self-join sorts). The df census is grouped
+    // to xxhash64(term) THROUGH a count-guarded aggregate over the FULL
+    // vocabulary — guarding only the rare remainder would let a dropped
+    // hot term collide into a kept rare term silently; at full-vocab
+    // grain any cross-type collision is loud (assert_true) before the
+    // df-cap filter selects the rare ids. After the guard, the token
+    // exchange, the df-cap join, the C(df,2) self-join and both norm
+    // joins all key on radix-sortable longs; gram strings never leave
+    // the tf aggregate.
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df0"))
+      .groupBy(xxhash64(col("term")).as("__th"))
+      .agg(count(lit(1)).as("__k"), max(col("df0")).as("df0"))
+      .select(col("__th").as("term"),
+        when(assert_true(col("__k") === 1,
+          lit("tfidfSimJoin: xxhash64 collision across distinct grams — " +
+            "the 8-byte term key is ambiguous for this corpus; widen the " +
+            "key")).isNull, col("df0")).as("df0"))
       .filter(col("df0") <= dfCap)
     // corpus-derived build sides are merge-hinted end-to-end (the
     // containmentPairs round-14 rule — never ride an AQE broadcast
@@ -458,7 +477,8 @@ trait TextRetrieval { self: TextAnalysis.type =>
     // full passes over the corpus, not free parallelism. Cleanup.register
     // so the harness drains the blocks post-query.
     val w = graft.Cleanup.register(
-      tf.join(dfreq.hint("merge"), "term")
+      tf.select(col("doc"), xxhash64(col("term")).as("term"), col("tf"))
+        .join(dfreq.hint("merge"), "term")
         .select(col("doc"), col("term"), (col("tf") / col("df0").cast("double")).as("w"))
         .localCheckpoint(false))
     // buffer-bound: distinct shingles of ONE document (document length).
@@ -590,7 +610,16 @@ trait TextRetrieval { self: TextAnalysis.type =>
         .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+    // c12 materialized ONCE (round 17 — the §8.1 twin-subtree rule where
+    // it IS justified: the subtree contains a shuffle): unmaterialized,
+    // the physical plan re-aggregated the cached bgc to (w1, w2) grain
+    // FOUR times — the model's join arm, the c1 rollup, and both vocab
+    // union arms — i.e. four full cache reads plus four bigram-type
+    // exchanges. One lazy checkpoint leaves a single derivation; the
+    // relation is bigram-TYPE grain (≪ bgc). Harness-drained per run.
+    val c12 = graft.Cleanup.register(
+      bgc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+        .localCheckpoint(false))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = c12.select(col("w1").as("w"))
       .union(c12.select(col("w2").as("w")))
@@ -600,7 +629,26 @@ trait TextRetrieval { self: TextAnalysis.type =>
         floor((col("c12") + 1).cast("double")
           / (col("c1") + col("v")).cast("double") * 1e9).cast("long"))
       .select(col("w1"), col("w2"), col("p_nano"))
-    bgc.join(model, Seq("w1", "w2"))
+    // The scoring join is keyed on xxhash64(w1, w2) THROUGH a
+    // count-guarded aggregate and merge-pinned (round 17 — the
+    // unigramScore encByHash pattern): the unpinned string-pair join rode
+    // an AQE broadcast estimate that built the CORPUS-GRAIN bgc side as
+    // the broadcast relation (BuildLeft in the round-17 before-plan) —
+    // exactly the corpus-derived-side hazard the containmentPairs rule
+    // exists for — and the corpus-scale exchange carried two strings per
+    // row where 8 bytes identify the bigram. Two distinct bigram types
+    // colliding on xxhash64 would double-match; assert_true makes that
+    // loud at model grain (bigram types, never the corpus).
+    val modelByHash = model
+      .groupBy(xxhash64(col("w1"), col("w2")).as("__bgh"))
+      .agg(count(lit(1)).as("__k"), max(col("p_nano")).as("p_nano"))
+      .select(col("__bgh"),
+        when(assert_true(col("__k") === 1,
+          lit("lmScore: xxhash64 collision across distinct bigram types — " +
+            "the 8-byte scoring key is ambiguous for this corpus; widen " +
+            "the key")).isNull, col("p_nano")).as("p_nano"))
+    bgc.select(col(idCol), xxhash64(col("w1"), col("w2")).as("__bgh"), col("m"))
+      .join(modelByHash.hint("merge"), Seq("__bgh"))
       .groupBy(col(idCol))
       .agg(sum(col("m") * col("p_nano")).as("score_nano"),
         sum(col("m")).as("n_bigrams"))

@@ -343,6 +343,16 @@ trait TextUnigram { self: TextAnalysis.type =>
       org.apache.spark.sql.types.StructField("__ss",
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // NOTE (round 17, measured and NOT shipped): rewriting this kernel to
+    // InternalRow I/O (queryExecution.toRdd in, UnsafeRowWriter out via an
+    // internalCreateDataFrame shim, targeting the ~12% RowEncoder
+    // UnsafeProjection JFR put around the encode kernels) REGRESSED
+    // docs_unigram_bits ~25% and docs_tokenizer_compare ~15% in the
+    // interleaved A/B: the LogicalRDD seam splits the query into two
+    // adaptive plans, so AQE can no longer coalesce the vocab distinct's
+    // shuffle against the downstream stages — the plan-isolation cost
+    // exceeds the encoder saving at distinct-vocab grain. Same for
+    // bpeEncode's kernel.
     // buffer-bound: O(word length) DP state per row — streaming row map
     // over the distinct-chunk vocab, broadcast score map only
     val encoded = vocab.mapPartitions { rows =>
