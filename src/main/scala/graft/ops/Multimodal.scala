@@ -718,7 +718,7 @@ object Multimodal {
                     threshold: Double = 0.5, maxLandmarkDf: Int = 0,
                     mkDecoder: DecoderFactory = rawPlane): DataFrame =
     landmarkPairJaccard(cappedLandmarks(media, windowBytes, hop, maxLandmarkDf,
-        mkDecoder), maxLandmarkDf)
+        mkDecoder))
       .filter(col("jaccard_r") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard_r"))
 
@@ -755,38 +755,24 @@ object Multimodal {
     * `audioNearDups` is exactly this relation under its threshold
     * predicate, and `audioQualityCensus` reports it unfiltered.
     */
-  private[ops] def landmarkPairJaccard(lmM: DataFrame,
-                                       maxLandmarkDf: Int = 0): DataFrame = {
+  private[ops] def landmarkPairJaccard(lmM: DataFrame): DataFrame = {
     val sizes = lmM.groupBy(col("media_id")).agg(count(lit(1)).as("n_lms"))
-    // Pair generation (round 17, guide §2.3 "aggregate before you
-    // shuffle"): with the background cap ON, every surviving landmark's
-    // posting list is ≤ maxLandmarkDf ids by construction, so the
-    // inverted index aggregates to ONE sorted posting row per landmark
-    // and ordered pairs expand inline (the wordLift pattern) — one
-    // exchange of the landmark relation instead of a landmark-keyed SMJ
-    // self-join (two sorted legs + join). lmM is distinct per
-    // (media_id, landmark), so the sorted list is strictly increasing
-    // and the (x_i, y_j), i<j expansion enumerates exactly the
-    // id_a < id_b pairs the self-join emitted — identical pair multiset,
-    // identical n_shared. The uncapped form keeps the join: without the
-    // df cap a corpus-common landmark's posting list is unbounded and
-    // may not collect.
-    val shared = (if (maxLandmarkDf > 0) {
-      lmM.groupBy(col("landmark"))
-        // buffer-bound: ≤ maxLandmarkDf ids per posting row — the viral
-        // cap dropped every landmark with df > maxLandmarkDf upstream
-        .agg(sort_array(collect_list(col("media_id"))).as("__ids"))
-        .select(explode(flatten(transform(col("__ids"), (x, i) =>
-          transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
-        .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
-    } else {
-      lmM.select(col("landmark"), col("media_id").as("id_a"))
-        .join(lmM.select(col("landmark"), col("media_id").as("id_b")).hint("merge"),
-          Seq("landmark"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-    })
+    // NOTE (round 17, measured and NOT shipped): replacing this capped
+    // self-join with sorted posting-list pair expansion (groupBy landmark
+    // + collect_list ≤ maxLandmarkDf + inline ordered-pair explode — the
+    // wordLift pattern) was tried here AND on winnowMatches. Isolated
+    // interleaved A/B: a wash on the audio family, a consistent ~25%
+    // REGRESSION on text_winnowing_matches — the ObjectHashAggregate
+    // collect + array explode costs more than two radix sorts of a
+    // materialized 16-byte (key, id) relation, and the exchanged bytes
+    // are identical either way (the pair aggregate's input multiset is
+    // unchanged). The join form stays; the real audio win was the
+    // kernel-level landmark dedup that removed the corpus-grain
+    // distinct() exchange.
+    val shared = lmM.select(col("landmark"), col("media_id").as("id_a"))
+      .join(lmM.select(col("landmark"), col("media_id").as("id_b")).hint("merge"),
+        Seq("landmark"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col("media_id").as("id_a"), col("n_lms").as("__na"))
@@ -821,7 +807,7 @@ object Multimodal {
                          maxLandmarkDf: Int = 0,
                          mkDecoder: DecoderFactory = rawPlane): DataFrame =
     landmarkPairJaccard(cappedLandmarks(media, windowBytes, hop, maxLandmarkDf,
-        mkDecoder), maxLandmarkDf)
+        mkDecoder))
       .select(
         expr("CAST((n_shared * 10) DIV (__na + __nb - n_shared) AS INT)").as("jband"),
         when(col("jaccard_r") >= threshold, 1L).otherwise(0L).as("__det"))
