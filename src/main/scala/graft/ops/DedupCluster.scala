@@ -109,8 +109,12 @@ trait DedupCluster { self: Dedup.type =>
     // exactly one (id, rep) edge; singletons and representatives label
     // themselves via the left join
     val reps = edges.select(col("hi").as("id"), col("lo").as("rep"))
+    // merge-pinned (round 17, the containmentPairs rule): reps is one row
+    // per non-representative member of a duplicate cluster — corpus-scale
+    // on a duplicate-heavy corpus — and must never ride an AQE broadcast
+    // estimate; the labels join runs once per artifact build
     val labels = ids.select(col(idCol).as("id"))
-      .join(reps, Seq("id"), "left")
+      .join(reps.hint("merge"), Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
     (labels, rounds)
   }

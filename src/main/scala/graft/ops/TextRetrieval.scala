@@ -620,7 +620,11 @@ trait TextRetrieval { self: TextAnalysis.type =>
     val c12 = graft.Cleanup.register(
       bgc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
         .localCheckpoint(false))
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // merge-pinned (round 17): c1 is unigram-type grain — corpus-derived
+    // with Heaps-law growth, the same class unigramScore's vocab side
+    // pins — and the before-plan showed it riding an AQE broadcast
+    // estimate into the model join
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1")).hint("merge")
     val vocab = c12.select(col("w1").as("w"))
       .union(c12.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).as("v"))
